@@ -1,38 +1,728 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke, queries() Spark implementations, and
+oracle_sql() DuckDB twins for the SURVEY §2 operator inventory.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Implementation notes on oracle parity (why some expressions look pedantic):
+- Every computed column is aliased identically on both sides; the driver
+  sorts columns by name before hashing.
+- Sums over double measures go through DECIMAL(18,6) on BOTH sides, then cast
+  to double: decimal addition is exact, so engine-specific float summation
+  order can't perturb the hash. Averages = exact decimal sum / count, divided
+  in double.
+- Similarity scores are rounded to 6 decimals on both sides: Spark's fold and
+  DuckDB's list_dot_product may sum in different orders (~1e-15 drift).
+- Computed integers are cast to BIGINT on the Spark side (Spark size() etc.
+  return int32; DuckDB len()/row_number() return int64).
+- Ties are always broken by id — the reference's std::sort leaves tie order
+  unspecified (src/core/GraphDB.cpp:142-162), so determinism is ours to add.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from thewhisperdb_spark.catalog import load_table
+from thewhisperdb_spark.operators import dedup as D
+from thewhisperdb_spark.operators import filters as FL
+from thewhisperdb_spark.operators import graph as G
+from thewhisperdb_spark.operators import sorting as O
+from thewhisperdb_spark.operators import tags as TG
+from thewhisperdb_spark.operators import text as TX
+from thewhisperdb_spark.operators import vectors as V
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+COS_EDGE_THRESHOLD = 0.35  # gives a few hundred edges on the testdata vectors
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _docs_tagged(spark, sf_dir):
+    """documents + tags column = distinct whitespace tokens (FIXTURES.md maps
+    documents.text to the reference's node tag arrays)."""
+    return TX.with_tags(_docs(spark, sf_dir))
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,6)")
+
+
+def _sum_dec(col: str, alias: str):
+    return F.sum(_dec(col)).cast("double").alias(alias)
+
+
+def _one():
+    return F.lit(1).cast("decimal(18,6)")
+
+# DuckDB token-set expression mirroring text.tags_of (distinct, empties dropped)
+_SQL_TOKENS = "list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))"
+# DuckDB cosine over double arrays (cast first: float accumulation would drift
+# too far from Spark's double fold for round-6 to absorb)
+_SQL_COS = (
+    "(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+)
+
+
+def _cos_pairs_sql(threshold: float) -> str:
+    """Shared oracle CTE body: undirected cosine-threshold edges over embeddings."""
+    cos = _SQL_COS.format(a="x.v", b="y.v")
+    return f"""
+e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT x.id AS a, y.id AS b, {cos} AS sim
+  FROM e x JOIN e y ON x.id < y.id
+  WHERE {cos} >= {threshold}
+)"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def q(key: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY[key] = (fn, sql)
+        return fn
+    return deco
+
+
+# ---- §2.1 / §2.2 scans, filters, projections ------------------------------
+
+@q("scan_nodes", "SELECT doc_id, lang, source, n_chars FROM documents")
+def scan_nodes(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+
+
+@q("filter_subject_eq",
+   "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'")
+def filter_subject_eq(spark, sf_dir):
+    # F1 string equality (src/core/GraphDB.cpp:115-116); subject ≙ lang
+    df = _docs(spark, sf_dir)
+    return df.filter(FL.eq_filter("lang", "en")).select(
+        "doc_id", "lang", "source", "n_chars")
+
+
+@q("filter_author_eq",
+   "SELECT doc_id, source FROM documents WHERE source = 'src7'")
+def filter_author_eq(spark, sf_dir):
+    # F2 (src/core/GraphDB.cpp:117-118); author ≙ source
+    return _docs(spark, sf_dir).filter(FL.eq_filter("source", "src7")).select(
+        "doc_id", "source")
+
+
+@q("filter_course_eq",
+   "SELECT vec_id, label FROM embeddings WHERE label = 5")
+def filter_course_eq(spark, sf_dir):
+    # F3 int equality with parse (src/core/GraphDB.cpp:119-122); course ≙ label
+    return _emb(spark, sf_dir).filter(FL.eq_filter("label", 5)).select(
+        "vec_id", "label")
+
+
+@q("filter_title_contains",
+   "SELECT doc_id, n_chars FROM documents WHERE text LIKE '%spark%'")
+def filter_title_contains(spark, sf_dir):
+    # F4 substring, not equality (src/core/GraphDB.cpp:123-125)
+    return _docs(spark, sf_dir).filter(FL.contains_filter("text", "spark")).select(
+        "doc_id", "n_chars")
+
+
+@q("filter_tag_membership",
+   "SELECT doc_id FROM documents WHERE list_contains(string_split(text, ' '), 'dup')")
+def filter_tag_membership(spark, sf_dir):
+    # F5 array membership (src/core/GraphDB.cpp:126-131)
+    df = _docs(spark, sf_dir).withColumn("tags", F.split(F.col("text"), " "))
+    return df.filter(FL.tag_filter("dup")).select("doc_id")
+
+
+@q("filter_conjunction",
+   "SELECT doc_id, source FROM documents "
+   "WHERE lang = 'en' AND text LIKE '%join%' AND n_chars > 200")
+def filter_conjunction(spark, sf_dir):
+    # F6 AND-conjunction (src/core/GraphDB.cpp:114-134)
+    df = _docs(spark, sf_dir)
+    pred = FL.conjunction(
+        FL.eq_filter("lang", "en"),
+        FL.contains_filter("text", "join"),
+        F.col("n_chars") > 200,
+    )
+    return df.filter(pred).select("doc_id", "source")
+
+
+@q("point_lookup_id", "SELECT * FROM documents WHERE doc_id = 42")
+def point_lookup_id(spark, sf_dir):
+    # F7 PK lookup (src/core/GraphDB.cpp:30-38)
+    return FL.point_lookup(_docs(spark, sf_dir), 42, id_col="doc_id")
+
+
+@q("filter_has_embedding",
+   "SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim "
+   "FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0")
+def filter_has_embedding(spark, sf_dir):
+    # F10 (include/core/GNode.hpp:31)
+    df = _emb(spark, sf_dir)
+    return df.filter(FL.has_embedding("embedding")).select(
+        "vec_id", "label", F.size("embedding").cast("long").alias("dim"))
+
+
+@q("project_node_shape",
+   "SELECT doc_id AS id, substr(text, 1, 30) AS title, source AS author, "
+   "lang AS subject, CAST(n_chars % 8 AS INT) AS course FROM documents")
+def project_node_shape(spark, sf_dir):
+    # F9 fixed projection shape (src/core/GNode.cpp:118-137)
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.substring("text", 1, 30).alias("title"),
+        F.col("source").alias("author"),
+        F.col("lang").alias("subject"),
+        (F.col("n_chars") % 8).cast("int").alias("course"),
+    )
+
+
+# ---- §2.5 sort / offset-limit / top-k -------------------------------------
+
+@q("sort_offset_limit",
+   "SELECT doc_id, n_chars FROM documents "
+   "ORDER BY n_chars DESC, doc_id LIMIT 25 OFFSET 10")
+def sort_offset_limit(spark, sf_dir):
+    # O1+O2 (src/core/GraphDB.cpp:142-177); id tie-break for determinism
+    df = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    ordered = df.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return O.paginate(ordered, offset=10, limit=25)
+
+
+@q("topk_by_field",
+   "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10")
+def topk_by_field(spark, sf_dir):
+    # O3: top-k -> TakeOrderedAndProject, not full sort (vs src/main.cpp:552-561)
+    return O.top_k(_docs(spark, sf_dir).select("doc_id", "n_chars"),
+                   "n_chars", 10, tie_col="doc_id")
+
+
+# ---- §2.4 aggregations -----------------------------------------------------
+
+@q("count_all", "SELECT count(*) AS cnt FROM documents")
+def count_all(spark, sf_dir):
+    # A1 (src/core/GraphDB.cpp:195-197)
+    return _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q("count_filtered",
+   "SELECT count(*) AS cnt FROM documents WHERE lang = 'en' AND text LIKE '%join%'")
+def count_filtered(spark, sf_dir):
+    # A2 (src/core/GraphDB.cpp:199-230)
+    return (_docs(spark, sf_dir)
+            .filter(FL.conjunction(FL.eq_filter("lang", "en"),
+                                   FL.contains_filter("text", "join")))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+@q("distinct_subjects", "SELECT DISTINCT lang FROM documents")
+def distinct_subjects(spark, sf_dir):
+    # A7 (CURL_TESTS.md:514)
+    return _docs(spark, sf_dir).select("lang").distinct()
+
+
+@q("tag_histogram",
+   f"SELECT tag, count(*) AS cnt FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS tag "
+   "FROM documents) GROUP BY tag")
+def tag_histogram(spark, sf_dir):
+    # A4 (src/tagging/TagService.cpp:199-213): docs-per-tag over distinct tag sets
+    from thewhisperdb_spark.operators.aggregates import tag_histogram as th
+    return th(_docs_tagged(spark, sf_dir))
+
+
+# ---- §2.3 tag joins --------------------------------------------------------
+
+@q("nodes_by_tag",
+   "SELECT doc_id FROM documents WHERE list_contains(string_split(text, ' '), 'window')")
+def nodes_by_tag(spark, sf_dir):
+    # J1 (src/core/GraphDB.cpp:508-517)
+    df = _docs(spark, sf_dir).withColumn("tags", F.split(F.col("text"), " "))
+    return TG.nodes_by_tag(df, "window").select("doc_id")
+
+
+@q("shared_tag_join",
+   f"""WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tag FROM documents)
+SELECT DISTINCT b.doc_id AS id FROM tok a JOIN tok b ON a.tag = b.tag
+WHERE a.doc_id = 0 AND b.doc_id <> 0""")
+def shared_tag_join(spark, sf_dir):
+    # J2 (src/core/GraphDB.cpp:519-546)
+    return TG.shared_tag_partners(_docs_tagged(spark, sf_dir), 0, id_col="doc_id")
+
+
+_JACCARD_SQL_BODY = f"""
+tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tag FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       FROM tok x JOIN tok y ON x.tag = y.tag AND x.doc_id < y.doc_id
+       GROUP BY x.doc_id, y.doc_id),
+jac AS (SELECT co.a, co.b, co.inter,
+               sa.n + sb.n - co.inter AS union_size,
+               CAST(co.inter AS DOUBLE) / (sa.n + sb.n - co.inter) AS jaccard
+        FROM co JOIN sz sa ON co.a = sa.doc_id JOIN sz sb ON co.b = sb.doc_id)"""
+
+
+@q("jaccard_pairs",
+   f"WITH {_JACCARD_SQL_BODY} "
+   "SELECT a, b, inter, union_size, jaccard FROM jac WHERE jaccard >= 0.95")
+def jaccard_pairs(spark, sf_dir):
+    # J3 exact Jaccard via inverted-index co-occurrence (src/core/GraphDB.cpp:548-574)
+    return TG.jaccard_pairs(_docs_tagged(spark, sf_dir), id_col="doc_id",
+                            threshold=0.95)
+
+
+@q("jaccard_threshold_join",
+   f"WITH {_JACCARD_SQL_BODY} "
+   "SELECT CASE WHEN a = 0 THEN b ELSE a END AS id, jaccard FROM jac "
+   "WHERE (a = 0 OR b = 0) AND jaccard >= 0.9")
+def jaccard_threshold_join(spark, sf_dir):
+    # J4 (src/core/GraphDB.cpp:576-603; θ default include/core/GraphDB.hpp:51 —
+    # raised to 0.9 here because the synthetic token sets overlap heavily)
+    return TG.jaccard_partners(_docs_tagged(spark, sf_dir), 0, threshold=0.9,
+                               id_col="doc_id")
+
+
+# ---- §2.3 vector ops -------------------------------------------------------
+
+@q("cosine_similarity",
+   "SELECT y.vec_id, round(" +
+   _SQL_COS.format(a="CAST(x.embedding AS DOUBLE[])", b="CAST(y.embedding AS DOUBLE[])")
+   + ", 6) AS similarity FROM embeddings x JOIN embeddings y "
+   "ON x.vec_id = 0 AND y.vec_id BETWEEN 1 AND 20")
+def cosine_similarity(spark, sf_dir):
+    # J5 scalar cosine (src/embedding/Clustering.cpp:7-27): vec 0 vs vecs 1..20
+    e = _emb(spark, sf_dir)
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+    return (e.filter(F.col("vec_id").between(1, 20))
+            .join(F.broadcast(probe))
+            .select("vec_id",
+                    F.round(V.cosine(F.col("embedding"), F.col("_q")), 6)
+                    .alias("similarity")))
+
+
+@q("similar_pairs_threshold",
+   f"WITH {_cos_pairs_sql(COS_EDGE_THRESHOLD)} "
+   "SELECT a, b, round(sim, 6) AS similarity FROM pairs")
+def similar_pairs_threshold(spark, sf_dir):
+    # J6 (src/embedding/Clustering.cpp:29-53)
+    pairs = V.similar_pairs(_emb(spark, sf_dir), COS_EDGE_THRESHOLD)
+    return pairs.select("a", "b", F.round("similarity", 6).alias("similarity"))
+
+
+@q("topk_similar",
+   "SELECT y.vec_id, round(" +
+   _SQL_COS.format(a="CAST(x.embedding AS DOUBLE[])", b="CAST(y.embedding AS DOUBLE[])")
+   + ", 6) AS similarity FROM embeddings x JOIN embeddings y ON x.vec_id = 0 "
+   "AND y.vec_id <> 0 ORDER BY similarity DESC, y.vec_id LIMIT 10")
+def topk_similar(spark, sf_dir):
+    # J7 k-NN (src/main.cpp:518-577, default k=10)
+    out = V.topk_similar(_emb(spark, sf_dir), 0, k=10)
+    return out.select("vec_id", F.round("similarity", 6).alias("similarity"))
+
+
+@q("knn_join",
+   "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 20), "
+   "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), "
+   "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+   + _SQL_COS.format(a="q.v", b="c.v") +
+   " AS sim FROM q JOIN c ON q.vec_id <> c.vec_id), "
+   "r AS (SELECT query_id, neighbor_id, round(sim, 6) AS similarity, "
+   "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
+   "SELECT query_id, neighbor_id, similarity, rank FROM r WHERE rank <= 5")
+def knn_join(spark, sf_dir):
+    # north-star ANN baseline: exact brute-force k-NN join (queries: vec_id<20)
+    e = _emb(spark, sf_dir)
+    out = V.brute_force_knn_join(e.filter(F.col("vec_id") < 20), e, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("similarity", 6).alias("similarity"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+# ---- §2.7 graph kernels ----------------------------------------------------
+
+@q("adjacency_from_pairs",
+   f"""WITH {_cos_pairs_sql(COS_EDGE_THRESHOLD)},
+und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs)
+SELECT src AS id, CAST(count(*) AS BIGINT) AS degree,
+       array_to_string(list_sort(list(dst)), ',') AS neighbors_csv
+FROM und GROUP BY src""")
+def adjacency_from_pairs(spark, sf_dir):
+    # G1 (src/embedding/Clustering.cpp:55-66); csv form keeps the hash stable
+    pairs = V.similar_pairs(_emb(spark, sf_dir), COS_EDGE_THRESHOLD)
+    und = G.undirect(pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    return und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.array_join(F.array_sort(F.collect_list("dst")), ",").alias("neighbors_csv"))
+
+
+_CC_SQL = f"""WITH RECURSIVE {_cos_pairs_sql(COS_EDGE_THRESHOLD)},
+und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(src, dst) AS (
+  SELECT id, id FROM e
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)"""
+
+
+@q("connected_components", _CC_SQL + " SELECT id, component FROM comp")
+def connected_components(spark, sf_dir):
+    # G2 (src/embedding/Clustering.cpp:68-107): components over the cosine
+    # similarity graph, singletons included; component = min member id
+    e = _emb(spark, sf_dir)
+    pairs = V.similar_pairs(e, COS_EDGE_THRESHOLD)
+    return G.clusters_from_pairs(e.select(F.col("vec_id").alias("id")), pairs)
+
+
+@q("cluster_sizes", _CC_SQL + """
+SELECT component, CAST(count(*) AS BIGINT) AS size,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, component) AS BIGINT) AS cluster_rank
+FROM comp GROUP BY component""")
+def cluster_sizes(spark, sf_dir):
+    # A6 (src/tagging/TagService.cpp:243-252)
+    from thewhisperdb_spark.operators.aggregates import cluster_sizes as cs
+    e = _emb(spark, sf_dir)
+    pairs = V.similar_pairs(e, COS_EDGE_THRESHOLD)
+    labels = G.clusters_from_pairs(e.select(F.col("vec_id").alias("id")), pairs)
+    out = cs(labels, cluster_col="component")
+    return out.select("component", F.col("size").cast("long").alias("size"),
+                      F.col("cluster_rank").cast("long").alias("cluster_rank"))
+
+
+# ---- north-star: dedup -----------------------------------------------------
+
+@q("dedup_exact",
+   "SELECT text, count(*) AS n_dups, min(doc_id) AS keeper FROM documents "
+   "GROUP BY text HAVING count(*) > 1")
+def dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_docs(spark, sf_dir))
+
+
+@q("ngram_jaccard_dedup",
+   """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(len(text) - 2, 1)), i -> substr(text, i, 3)))) AS sh
+       FROM d),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       GROUP BY x.doc_id, y.doc_id)
+SELECT co.a, co.b, CAST(co.inter AS DOUBLE) / (sa.n + sb.n - co.inter) AS jaccard
+FROM co JOIN sz sa ON co.a = sa.doc_id JOIN sz sb ON co.b = sb.doc_id
+WHERE CAST(co.inter AS DOUBLE) / (sa.n + sb.n - co.inter) >= 0.9""")
+def ngram_jaccard_dedup(spark, sf_dir):
+    # char-3-gram shingle Jaccard near-dup on a bounded slice (oracle cost)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return D.shingle_jaccard_pairs(d, n=3, threshold=0.9)
+
+
+# ---- north-star: text analysis --------------------------------------------
+
+@q("token_count",
+   "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) "
+   "AS BIGINT) AS n_tokens FROM documents")
+def token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+@q("quality_score",
+   "SELECT doc_id, CAST(length(text) AS BIGINT) AS q_chars, "
+   "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS q_tokens, "
+   "CAST(len(list_filter(string_split(text, ' '), t -> list_contains("
+   "['the','a','of','and','to','in','is','it'], lower(t)))) AS DOUBLE) / "
+   "greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS q_stopword_ratio "
+   "FROM documents")
+def quality_score(spark, sf_dir):
+    # exact-int ratios only -> bit-identical division on both sides
+    c = F.col("text")
+    toks = TX.tokens(c)
+    stop = F.array(*[F.lit(s) for s in TX.STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(c).cast("long").alias("q_chars"),
+        F.size(toks).cast("long").alias("q_tokens"),
+        (n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)))
+        .alias("q_stopword_ratio"),
+    )
+
+
+@q("text_extract_truncate",
+   "SELECT doc_id, CASE WHEN length(text) > 100 THEN substr(text, 1, 100) || '...' "
+   "ELSE text END AS extracted FROM documents")
+def text_extract_truncate(spark, sf_dir):
+    # S8 truncation semantics (src/embedding/TextExtractor.cpp:10,19-24; the
+    # 2000-char + '...' variant src/tagging/TagService.cpp:32-36), cap=100 so
+    # the testdata actually exercises both branches
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.truncate_text(F.col("text"), 100, ellipsis=True).alias("extracted"))
+
+
+@q("language_id",
+   "SELECT doc_id, CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en' "
+   "WHEN s_es >= s_fr AND s_es >= s_de THEN 'es' "
+   "WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS predicted_lang FROM ("
+   f"SELECT doc_id, CAST(len(list_intersect({_SQL_TOKENS}, ['the','and','of','to'])) AS BIGINT) AS s_en, "
+   f"CAST(len(list_intersect({_SQL_TOKENS}, ['el','la','de','que'])) AS BIGINT) AS s_es, "
+   f"CAST(len(list_intersect({_SQL_TOKENS}, ['le','la','et','que'])) AS BIGINT) AS s_fr, "
+   f"CAST(len(list_intersect({_SQL_TOKENS}, ['der','die','und','das'])) AS BIGINT) AS s_de "
+   "FROM documents)")
+def language_id(spark, sf_dir):
+    # north-star language-ID heuristic: stopword-profile argmax with a fixed
+    # tie order (en > es > fr > de)
+    toks = TX.tags_of(F.col("text"))
+    def score(words):
+        return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+    s_en, s_es, s_fr, s_de = (score(w) for w in
+                              (("the", "and", "of", "to"), ("el", "la", "de", "que"),
+                               ("le", "la", "et", "que"), ("der", "die", "und", "das")))
+    pred = (F.when((s_en >= s_es) & (s_en >= s_fr) & (s_en >= s_de), "en")
+            .when((s_es >= s_fr) & (s_es >= s_de), "es")
+            .when(s_fr >= s_de, "fr").otherwise("de"))
+    return _docs(spark, sf_dir).select("doc_id", pred.alias("predicted_lang"))
+
+
+# ---- Spark relational surface certification (TPC-H-ish) --------------------
+
+@q("tpch_q1_pricing_summary",
+   "SELECT l_returnflag, l_linestatus, "
+   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, "
+   "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price, "
+   "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * "
+   "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price, "
+   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty, "
+   "count(*) AS count_order "
+   "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+   "GROUP BY l_returnflag, l_linestatus")
+def tpch_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum_dec("l_quantity", "sum_qty"),
+            _sum_dec("l_extendedprice", "sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
+            .cast("double").alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q("tpch_q3_shipping_priority",
+   "SELECT l.l_orderkey, "
+   "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * "
+   "(CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue, "
+   "o.o_orderdate, o.o_orderpriority "
+   "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+   "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+   "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+   "AND l.l_shipdate > TIMESTAMP '1998-01-01' "
+   "GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority "
+   "ORDER BY revenue DESC, l.l_orderkey LIMIT 10")
+def tpch_q3(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
+             .cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@q("revenue_by_region",
+   "SELECT r.r_name, "
+   "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * "
+   "(CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue, "
+   "count(*) AS n_items "
+   "FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey "
+   "JOIN customer c ON c.c_nationkey = n.n_nationkey "
+   "JOIN orders o ON o.o_custkey = c.c_custkey "
+   "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+   "GROUP BY r.r_name")
+def revenue_by_region(spark, sf_dir):
+    # multi-table equi-join chain; dims broadcast (SURVEY §2.3 note: the
+    # reference has no cross-table joins — this certifies the Spark surface)
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
+             .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@q("window_top_orders_per_customer",
+   "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM ("
+   "SELECT o_custkey, o_orderkey, o_totalprice, "
+   "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk "
+   "FROM orders) WHERE rk <= 3")
+def window_top_orders(spark, sf_dir):
+    # window-function surface (SURVEY §2.10: reference has none; A6's
+    # re-numbering is the analog)
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.select("o_custkey", "o_orderkey", "o_totalprice",
+                     F.row_number().over(w).cast("long").alias("rk"))
+            .filter(F.col("rk") <= 3))
+
+
+# ---- events: windowed agg + sessionization ---------------------------------
+
+@q("events_windowed_agg",
+   "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
+   "FROM events GROUP BY 1, event_type")
+def events_windowed_agg(spark, sf_dir):
+    # tumbling-window agg, batch form (streaming twin in streaming/jobs.py)
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), _sum_dec("value", "total_value")))
+
+
+@q("events_sessionize",
+   "WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), "
+   "flagged AS (SELECT user_id, ts, event_id, "
+   "CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE "
+   "THEN 1 ELSE 0 END AS new_session FROM ev WINDOW w AS "
+   "(PARTITION BY user_id ORDER BY ts, event_id)), "
+   "sess AS (SELECT user_id, ts, "
+   "SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+   "ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged) "
+   "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, "
+   "min(ts) AS t_start, max(ts) AS t_end FROM sess GROUP BY user_id, session_id")
+def events_sessionize(spark, sf_dir):
+    # gap-based sessionization (30 min) — lag + running sum + agg
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = ev.select(
+        "user_id", "ts",
+        F.when(lag_ts.isNull()
+               | (F.col("ts") > lag_ts + F.expr("INTERVAL 30 MINUTES")), 1)
+        .otherwise(0).alias("new_session"),
+        "event_id")
+    sess = flagged.select(
+        "user_id", "ts",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"))
+    return (sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("t_start"), F.max("ts").alias("t_end")))
+
+
+@q("events_user_stats",
+   "SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value FROM events "
+   "GROUP BY event_type")
+def events_user_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        _sum_dec("value", "total_value"))
+
+
+# ---- rows-only entries (no SQL-expressible oracle) -------------------------
+
+@q("minhash_lsh_dedup", None)
+def minhash_lsh_dedup(spark, sf_dir):
+    # MinHash+LSH near-dup at scale (hash functions aren't portable to the
+    # oracle; correctness covered by tests/test_dedup.py vs exact Jaccard)
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=32, bands=8,
+                               threshold=0.5)
+
+
+@q("simhash_dedup", None)
+def simhash_dedup(spark, sf_dir):
+    return D.simhash_duplicates(_docs(spark, sf_dir), bits=32)
+
+
+@q("ann_lsh_pairs", None)
+def ann_lsh_pairs_q(spark, sf_dir):
+    # approximate J6: LSH-bucketed candidate generation + exact re-check
+    return V.ann_lsh_pairs(_emb(spark, sf_dir), threshold=COS_EDGE_THRESHOLD,
+                           dim=64, n_planes=8, n_tables=4)
+
+
+@q("doc_fingerprint", None)
+def doc_fingerprint(spark, sf_dir):
+    # rolling/content fingerprint via xxhash64 (not portable to DuckDB)
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's §3.1 read path (filter conjunction -> sort ->
+    paginate) + a tag-join enrichment, on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    df = _docs_tagged(spark, sf_dir)
+    filtered = df.filter(FL.conjunction(
+        FL.eq_filter("lang", "en"), F.col("n_chars") > 100))
+    ordered = filtered.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    page = O.paginate(ordered, offset=0, limit=50)
+    return page.select("doc_id", "lang", "source", "n_chars",
+                       F.size("tags").cast("long").alias("n_tags"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {k: fn for k, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {k: sql for k, (fn, sql) in _REGISTRY.items() if sql is not None}
+
+
+if __name__ == "__main__":
+    from thewhisperdb_spark.session import get_spark
+
+    spark = get_spark()
+    df = entry(spark)
+    df.show(5)
+    print("queries:", len(queries()), "oracles:", len(oracle_sql()))
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    for k, fn in queries().items():
+        print(k, fn(spark, sf).count())

@@ -1,0 +1,84 @@
+from pyspark.sql import functions as F
+
+from thewhisperdb_spark.operators import dedup as D
+from thewhisperdb_spark.operators import graph as G
+
+
+def test_connected_components_with_singletons(spark):
+    vertices = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (6, 6)], "src long, dst long")
+    got = {r["id"]: r["component"]
+           for r in G.connected_components(vertices, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6, 7: 7}
+
+
+def test_connected_components_chain_converges(spark):
+    # a long path graph exercises multi-round propagation
+    n = 30
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "src long, dst long")
+    got = G.connected_components(vertices, edges).collect()
+    assert all(r["component"] == 0 for r in got)
+
+
+def test_adjacency_lists(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["id"]: r["neighbors"] for r in G.adjacency_lists(edges).collect()}
+    assert got == {0: [1], 1: [0, 2], 2: [1]}
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")],
+        "doc_id long, text string")
+    got = D.exact_duplicates(df).collect()
+    assert len(got) == 1
+    assert got[0]["n_dups"] == 3 and got[0]["keeper"] == 1
+    kept = sorted(r["doc_id"] for r in D.drop_exact_duplicates(df).collect())
+    assert kept == [1, 2]
+
+
+def test_shingle_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "totally different words xyz")],
+        "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in D.shingle_jaccard_pairs(df, threshold=0.5).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_minhash_lsh_finds_exact_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "the quick brown fox jumps over the lazy dog again"),
+         (3, "completely unrelated content with nothing shared here at all")],
+        "doc_id long, text string")
+    got = {(r["a"], r["b"]) for r in
+           D.minhash_lsh_pairs(df, n_hashes=32, bands=8, threshold=0.9).collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_simhash_collides_on_identical_sets(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "delta epsilon")],
+        "doc_id long, text string")
+    got = D.simhash_duplicates(df, bits=32).collect()
+    assert len(got) == 1
+    assert got[0]["member_ids_csv"] == "1,2"  # order-insensitive token sets
+
+
+def test_clusters_from_pairs_roundtrip(nodes_df):
+    emb = nodes_df.filter(F.col("embedding").isNotNull()).select(
+        F.col("id").alias("vec_id"), "embedding")
+    from thewhisperdb_spark.operators import vectors as V
+
+    pairs = V.similar_pairs(emb, 0.95)
+    labels = {r["id"]: r["component"] for r in G.clusters_from_pairs(
+        emb.select(F.col("vec_id").alias("id")), pairs).collect()}
+    # 1,2,6 form one component; 3 and 5 are singletons
+    assert labels[1] == labels[2] == labels[6] == 1
+    assert labels[3] == 3 and labels[5] == 5

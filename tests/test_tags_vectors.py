@@ -1,0 +1,76 @@
+import math
+
+from pyspark.sql import functions as F
+
+from thewhisperdb_spark.operators import tags as TG
+from thewhisperdb_spark.operators import vectors as V
+
+
+def test_nodes_by_tag(nodes_df):
+    assert sorted(r["id"] for r in TG.nodes_by_tag(nodes_df, "spark").collect()) \
+        == [1, 2, 6]
+
+
+def test_shared_tag_partners_excludes_self(nodes_df):
+    got = sorted(r["id"] for r in TG.shared_tag_partners(nodes_df, 1).collect())
+    assert got == [2, 3, 6]  # share 'spark' or 'intro'; node 4 (no tags) excluded
+
+
+def test_jaccard_pairs_exact(nodes_df):
+    rows = {(r["a"], r["b"]): r["jaccard"]
+            for r in TG.jaccard_pairs(nodes_df).collect()}
+    # nodes 1 {spark,intro} vs 6 {spark,intro,dup}: inter=2, union=3
+    assert math.isclose(rows[(1, 6)], 2 / 3)
+    # nodes 1 vs 2 {spark,advanced}: inter=1, union=3
+    assert math.isclose(rows[(1, 2)], 1 / 3)
+    # empty-tag node 4 appears in no pair (src/core/GraphDB.cpp:583-585)
+    assert not any(4 in p for p in rows)
+
+
+def test_jaccard_partners_threshold(nodes_df):
+    got = {r["id"]: r["jaccard"] for r in
+           TG.jaccard_partners(nodes_df, 1, threshold=0.5).collect()}
+    assert set(got) == {6}
+
+
+def test_cosine_edge_rules(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]),
+         ([1.0, 0.0], [0.0, 0.0]), ([1.0, 0.0], [1.0, 0.0, 0.0])],
+        "a array<double>, b array<double>")
+    got = [r["c"] for r in df.select(V.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == 1.0
+    assert got[1] == 0.0
+    assert got[2] == 0.0  # zero-norm -> 0 (src/embedding/Clustering.cpp:22-24)
+    assert got[3] == 0.0  # dim mismatch -> 0
+
+
+def test_similar_pairs_and_topk(nodes_df):
+    emb = nodes_df.filter(F.col("embedding").isNotNull()).select(
+        F.col("id").alias("vec_id"), "embedding")
+    pairs = {(r["a"], r["b"]): r["similarity"]
+             for r in V.similar_pairs(emb, 0.95).collect()}
+    assert (1, 6) in pairs and math.isclose(pairs[(1, 6)], 1.0)
+    assert (1, 2) in pairs  # cos ≈ 0.9939
+    assert not any(5 in p for p in pairs)  # zero vector similar to nothing
+
+    top = V.topk_similar(emb, 1, k=2).collect()
+    assert [r["vec_id"] for r in top] == [6, 2]
+
+
+def test_ann_lsh_recall_on_exact_neighbors(spark):
+    import random
+
+    random.seed(7)
+    base = [[random.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        # planted near-duplicate partner
+        rows.append((100 + i, [x + random.gauss(0, 0.01) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["a"], r["b"]) for r in V.similar_pairs(emb, 0.99).collect()}
+    approx = {(r["a"], r["b"]) for r in
+              V.ann_lsh_pairs(emb, 0.99, dim=16, n_planes=6, n_tables=6).collect()}
+    assert approx <= exact  # re-check guarantees no false positives
+    assert len(approx) >= 0.8 * len(exact)  # high recall on near-identical pairs

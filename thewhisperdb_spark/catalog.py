@@ -1,0 +1,52 @@
+"""Table loaders for the driver testdata plus the engine's own state tables.
+
+The reference keeps four state collections in one JSON file — nodes, nodeFiles,
+tagBank, and per-node adjacency (``include/core/GraphDB.hpp:68-70``,
+``include/core/GNode.hpp:59``). Here each becomes a DataFrame; persistence is
+columnar Parquet snapshots (see ``io.py``), partition-friendly at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables we always broadcast in joins (bounded size even at
+# high SF: region=5, nation=25, supplier is tiny in this testdata).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown testdata table: {name}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong=true surfaces TIMESTAMP(NANOS) as long nanos; convert to
+        # microsecond timestamps (truncating, same as DuckDB's ns->us cast)
+        from pyspark.sql import functions as F
+
+        # integer `div`, NOT `/`: nanos exceed 2^53, double division drifts 1us
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}

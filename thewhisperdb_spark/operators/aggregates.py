@@ -1,0 +1,61 @@
+"""Counts and aggregations (SURVEY §2.4, A1-A8).
+
+The reference only counts (``src/core/GraphDB.cpp:195-230``) and builds tag
+histograms per cluster (``src/tagging/TagService.cpp:199-238``). All shapes
+here are hash aggregates with map-side partial aggregation — Spark emits
+partial_count/partial_sum before the shuffle, so the shuffled volume is
+O(groups), not O(rows): the property that makes these safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def count_nodes(df: DataFrame) -> DataFrame:
+    """A1/A2 as a 1-row DataFrame (callers that need the scalar use .count())."""
+    return df.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def distinct_values(df: DataFrame, col: str) -> DataFrame:
+    """A7: distinct subject list (documented usage, ``CURL_TESTS.md:514``)."""
+    return df.select(col).distinct()
+
+
+def tag_histogram(df: DataFrame, tags_col: str = "tags",
+                  group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """A4: per-(group,) tag occurrence counts via explode + hash-agg
+    (``src/tagging/TagService.cpp:199-213``)."""
+    exploded = df.select(*group_cols, F.explode(F.col(tags_col)).alias("tag"))
+    return exploded.groupBy(*group_cols, "tag").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def shared_tags_per_cluster(nodes_with_cluster: DataFrame,
+                            tags_col: str = "tags",
+                            cluster_col: str = "cluster_id") -> DataFrame:
+    """A5: within each multi-node cluster keep tags occurring >= 2 times;
+    a single-node cluster keeps all its tags (``src/tagging/TagService.cpp:225-238``).
+
+    Returns (cluster_id, tag) rows.
+    """
+    sizes = nodes_with_cluster.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("_csize"))
+    hist = tag_histogram(nodes_with_cluster, tags_col, (cluster_col,))
+    joined = hist.join(sizes, cluster_col)
+    kept = joined.filter((F.col("_csize") == 1) | (F.col("cnt") >= 2))
+    return kept.select(cluster_col, "tag").distinct()
+
+
+def cluster_sizes(nodes_with_cluster: DataFrame,
+                  cluster_col: str = "cluster_id") -> DataFrame:
+    """A6: clusters sorted by size desc, renumbered 1..n
+    (``src/tagging/TagService.cpp:243-252``). row_number over a global window
+    is single-partition — fine for cluster *summaries* (#clusters << #rows);
+    never applied to raw rows."""
+    from pyspark.sql import Window
+
+    sizes = nodes_with_cluster.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("size"))
+    w = Window.orderBy(F.col("size").desc(), F.col(cluster_col).asc())
+    return sizes.withColumn("cluster_rank", F.row_number().over(w))

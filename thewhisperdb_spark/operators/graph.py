@@ -1,0 +1,83 @@
+"""Graph kernels: adjacency build, connected components, cluster reports
+(SURVEY §2.7 G1-G3).
+
+The reference does recursive DFS/BFS over in-memory adjacency
+(``src/embedding/Clustering.cpp:55-107``, ``src/tagging/TagService.cpp:169-255``).
+The distributed analog is iterative min-label propagation over an edges
+DataFrame: each round every vertex adopts the smallest component id among
+itself and its neighbors; converges in O(diameter) rounds (alternating
+large-star/small-star would give O(log n) — diameter is small for similarity
+graphs, so the simple kernel wins on constant factors). ``localCheckpoint``
+cuts lineage each round so plans don't grow unboundedly — the standard
+iterative-DataFrame pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirect(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Symmetrize an edge list (both directions), self-loops dropped."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def adjacency_lists(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """G1 ``buildAdjacencyList`` (``src/embedding/Clustering.cpp:55-66``):
+    (id, neighbors sorted array) from an undirected edge set."""
+    und = undirect(edges, src, dst)
+    return und.groupBy(F.col("src").alias("id")).agg(
+        F.array_sort(F.collect_set("dst")).alias("neighbors"))
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         id_col: str = "id", max_iter: int = 50) -> DataFrame:
+    """G2/G3 connected components (``src/embedding/Clustering.cpp:68-107``,
+    ``src/tagging/TagService.cpp:169-255``): returns (id, component) where
+    component = min vertex id in the component. Vertices with no edges are
+    singleton components (reference includes them:
+    ``src/embedding/Clustering.cpp:97-105``).
+
+    Pure-DataFrame iterative min-label propagation; each iteration is one
+    shuffle on the edge key. Convergence check is an aggregate (changed-count),
+    not a collect of data rows.
+    """
+    und = undirect(edges).localCheckpoint(eager=True)
+    labels = vertices.select(F.col(id_col).alias("id"),
+                             F.col(id_col).cast("long").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # candidate label for each dst = min over incoming neighbor labels
+        nbr_min = (
+            und.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component"))
+                        ).alias("component"),
+                (F.coalesce(F.col("nbr_component"), F.col("component"))
+                 < F.col("component")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def clusters_from_pairs(vertices: DataFrame, pairs: DataFrame,
+                        id_col: str = "id") -> DataFrame:
+    """G7 support: similarity pairs (a, b) -> (id, component) over all
+    vertices, singletons included."""
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return connected_components(vertices, edges, id_col)

@@ -1,0 +1,113 @@
+"""Text derivations + text-analysis operators (SURVEY §2.9, §2.11).
+
+Tokenization here is the shared building block: ``documents.text`` stands in
+for the reference's tag arrays (FIXTURES.md §2 mapping), so ``tags_of`` =
+distinct whitespace tokens. Everything stays in built-in SQL functions
+(whole-stage codegen, no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small multilingual stopword list for the quality / language heuristics.
+# Deterministic + public knowledge; good enough for the synthetic corpus.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empty strings dropped."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+def tags_of(col: Column) -> Column:
+    """Distinct token set — the documents-table analog of node ``tags``."""
+    return F.array_distinct(tokens(col))
+
+
+def with_tags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tags", tags_of(F.col(text_col)))
+
+
+def token_count(col: Column) -> Column:
+    """Token counting (north-star text analysis): whitespace tokens."""
+    return F.size(tokens(col))
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Character n-gram shingles (dedup building block). Pure SQL:
+    sequence over offsets -> substring -> distinct."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1))),
+            lambda i: F.substring(col, i, n),  # noqa: B023 — substring(col, start, len)
+        )
+    )
+
+
+def truncate_text(col: Column, limit: int = 8000, ellipsis: bool = False) -> Column:
+    """S8 truncation semantics: extract caps at 8000 chars
+    (``src/embedding/TextExtractor.cpp:10,19-24``); the tagging path uses a
+    2000-char cap + ``"..."`` suffix (``src/tagging/TagService.cpp:32-36``)."""
+    cut = F.substring(col, 1, limit)
+    if not ellipsis:
+        return cut
+    return F.when(F.length(col) > limit, F.concat(cut, F.lit("..."))).otherwise(col)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """North-star quality scoring: length, token stats, stopword ratio,
+    punctuation ratio, alpha ratio — all codegen'd column expressions."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return df.select(
+        *df.columns,
+        n_chars.alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        (n_chars.cast("double") / F.greatest(n_tok, F.lit(1))).alias("q_avg_token_len"),
+        (n_stop.cast("double") / F.greatest(n_tok, F.lit(1))).alias("q_stopword_ratio"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("q_punct_ratio"),
+        (n_alpha.cast("double") / F.greatest(n_chars, F.lit(1))).alias("q_alpha_ratio"),
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprinting (north-star): order-insensitive 64-bit content
+    fingerprint = XOR of token hashes of the distinct token set (XOR, not sum:
+    ANSI mode rejects long overflow). Deterministic, distributed-friendly
+    (xxhash64 is a built-in JVM function)."""
+    return F.aggregate(
+        F.transform(tags_of(col), lambda t: F.xxhash64(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """North-star language-ID heuristic: pick the language whose stopword set
+    overlaps the token set most. The synthetic corpus is English-vocab, so this
+    is exercised structurally (scores + argmax) rather than linguistically."""
+    profiles = {
+        "en": ("the", "and", "of", "to"),
+        "es": ("el", "la", "de", "que"),
+        "fr": ("le", "la", "et", "que"),
+        "de": ("der", "die", "und", "das"),
+    }
+    toks = F.array_distinct(F.transform(tokens(F.col(text_col)), F.lower))
+    scores = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in profiles]),
+        F.array(*[
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+            for words in profiles.values()
+        ]),
+    )
+    entries = F.map_entries(scores)
+    best = F.array_max(F.transform(entries, lambda e: F.struct(e["value"].alias("s"), e["key"].alias("k"))))
+    return df.select(*df.columns, best["k"].alias("predicted_lang"), best["s"].alias("lang_score"))

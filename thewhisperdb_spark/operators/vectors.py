@@ -1,0 +1,166 @@
+"""Embedding / vector operators: cosine similarity, threshold self-join,
+top-k nearest neighbors, and scale-path approximate variants
+(SURVEY §2.3 J5-J7, §2.11 similarity search).
+
+The reference computes cosine in a hand loop and joins by O(n²) nested loops
+(``src/embedding/Clustering.cpp:7-53``; k-NN ``src/main.cpp:518-577``).
+Spark-first shape: cosine as a codegen'd higher-order-function expression over
+double arrays (no Python), pre-normalized vectors so the join predicate is a
+plain dot product, and top-k via TakeOrderedAndProject. The exact pair join is
+a block cross-join — correct at oracle scale; the 100 TB path is the LSH
+bucketing in ``ann_lsh_*`` which turns the cross product into an equi-join on
+bucket ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left-fold — deterministic order, double precision."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """J5 cosine with the reference's edge rules: 0.0 on dimension mismatch or
+    zero norm (``src/embedding/Clustering.cpp:7-27``)."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return (
+        F.when((F.size(a) != F.size(b)) | (na == 0.0) | (nb == 0.0), F.lit(0.0))
+        .otherwise(d / (na * nb))
+    )
+
+
+def with_unit_vector(df: DataFrame, vec_col: str = "embedding",
+                     out_col: str = "unit") -> DataFrame:
+    """Pre-normalize once so every downstream pair computation is a single dot
+    product — at n² pair scale this halves the flops and lets the norm be
+    computed in the scan stage instead of inside the join."""
+    v = F.col(vec_col).cast("array<double>")
+    n = norm(v)
+    unit = F.when(n == 0.0, v).otherwise(F.transform(v, lambda x: x / n))
+    return df.withColumn(out_col, unit)
+
+
+def similar_pairs(embeddings: DataFrame, threshold: float,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """J6 ``findSimilarPairs``: unordered pairs (a < b) with cosine >= θ
+    (``src/embedding/Clustering.cpp:29-53``). Exact; O(n²) pairs but the
+    per-pair work is one codegen'd dot product on pre-normalized vectors.
+    Returns (a, b, similarity)."""
+    lhs = with_unit_vector(embeddings.select(F.col(id_col).alias("a"),
+                                             F.col(vec_col).alias("va")), "va", "ua")
+    rhs = with_unit_vector(embeddings.select(F.col(id_col).alias("b"),
+                                             F.col(vec_col).alias("vb")), "vb", "ub")
+    pairs = lhs.join(rhs, F.col("a") < F.col("b"))
+    sim = dot(F.col("ua"), F.col("ub"))
+    return (
+        pairs.select("a", "b", sim.alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
+def topk_similar(embeddings: DataFrame, query_id: int, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """J7 k-NN for one node: cosine vs every other embedded node, top-k desc
+    (``src/main.cpp:518-577``, default k=10). The probe vector is a broadcast
+    1-row side; the scan side streams — one pass, TakeOrderedAndProject top-k,
+    never a full sort. Returns (vec_id, similarity)."""
+    probe = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"))
+    scored = (
+        embeddings.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), F.col("_qvec")).alias("similarity"))
+    )
+    return scored.orderBy(F.col("similarity").desc(), F.col(id_col).asc()).limit(k)
+
+
+def brute_force_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
+                         q_id: str = "vec_id", c_id: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """North-star ANN baseline: exact top-k per query via cross join +
+    per-query window rank. Returns (query_id, neighbor_id, similarity, rank)."""
+    from pyspark.sql import Window
+
+    q = with_unit_vector(
+        queries.select(F.col(q_id).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv", "qu")
+    c = with_unit_vector(
+        corpus.select(F.col(c_id).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv", "cu")
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dot(F.col("qu"), F.col("cu")).alias("similarity"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _rp_signs(vec: Column, dim: int, n_planes: int, seed: int) -> Column:
+    """Sign bits of <v, r_j> for deterministic pseudo-random hyperplanes.
+
+    r_j[i] is derived from xxhash64(seed, j, i) mapped to ±1 — reproducible
+    across engines/runs without materializing a plane matrix (the planes are
+    re-derived inside codegen, nothing is broadcast)."""
+    v = vec.cast("array<double>")
+    def plane_dot(j: Column) -> Column:
+        prods = F.zip_with(
+            v,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, i: x * F.when(
+                F.pmod(F.xxhash64(F.lit(seed), j, i), F.lit(2)) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda j: F.when(plane_dot(j) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def ann_lsh_buckets(df: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane (SimHash-family) LSH bucketing for cosine similarity:
+    adds a ``bucket`` column. At scale, candidate generation is an equi-join on
+    bucket instead of a cross join; multiple (seed) tables raise recall."""
+    bits = _rp_signs(F.col(vec_col), dim, n_planes, seed)
+    bucket = F.aggregate(bits, F.lit(0).cast("long"),
+                         lambda acc, b: acc * 2 + b)
+    return df.withColumn("bucket", bucket)
+
+
+def ann_lsh_pairs(embeddings: DataFrame, threshold: float, dim: int,
+                  n_planes: int = 8, n_tables: int = 4,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate J6 at scale: union of per-table bucket equi-joins, exact
+    cosine re-check on candidates, distinct pairs. Candidate volume is
+    Σ_buckets n_b² per table instead of n²."""
+    cand = None
+    for t in range(n_tables):
+        b = ann_lsh_buckets(embeddings.select(id_col, vec_col), dim, n_planes,
+                            seed=42 + t, vec_col=vec_col)
+        lhs = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                       F.col("bucket"))
+        rhs = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                       F.col("bucket"))
+        p = lhs.join(rhs, ["bucket"]).filter(F.col("a") < F.col("b")).drop("bucket")
+        cand = p if cand is None else cand.union(p)
+    cand = cand.dropDuplicates(["a", "b"])
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.select("a", "b", sim.alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )
