@@ -1,0 +1,74 @@
+"""BENCH harness (BASELINE.md protocol): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Per query: one warm-up run then median of 3 timed runs (each run is a full
+re-execution — count() action — so scan+shuffle cost is included; nothing is
+cached between runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from thewhisperdb_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (scan/filter, agg, joins, window,
+# sessionize, tag join, jaccard join, vector pair join, kNN, graph, dedup).
+HEADLINE = [
+    "filter_conjunction",
+    "sort_offset_limit",
+    "tag_histogram",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "revenue_by_region",
+    "window_top_orders_per_customer",
+    "events_windowed_agg",
+    "events_sessionize",
+    "shared_tag_join",
+    "jaccard_pairs",
+    "similar_pairs_threshold",
+    "topk_similar",
+    "knn_join",
+    "connected_components",
+    "dedup_exact",
+    "minhash_lsh_dedup",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = qs[key]
+        fn(spark, sf_dir).count()  # warm-up (JIT, code cache, file listing)
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        timings[key] = round(statistics.median(runs), 3)
+        print(f"# {key}: {timings[key]}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()
