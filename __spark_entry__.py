@@ -213,6 +213,15 @@ def topk_by_field(spark, sf_dir):
                    "n_chars", 10, tie_col="doc_id")
 
 
+@q("sort_by_field",
+   "SELECT doc_id, source, n_chars FROM documents ORDER BY source, doc_id")
+def sort_by_field(spark, sf_dir):
+    # O1 whitelisted-key sort, unknown key -> id fallback, id tie-break
+    # (src/core/GraphDB.cpp:60-82; field key ≙ source)
+    return O.sort_nodes(_docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+                        "source", ascending=True, id_col="doc_id")
+
+
 # ---- §2.4 aggregations -----------------------------------------------------
 
 @q("count_all", "SELECT count(*) AS cnt FROM documents")
@@ -295,6 +304,34 @@ def jaccard_threshold_join(spark, sf_dir):
     # raised to 0.9 here because the synthetic token sets overlap heavily)
     return TG.jaccard_partners(_docs_tagged(spark, sf_dir), 0, threshold=0.9,
                                id_col="doc_id")
+
+
+@q("tagbank_union_distinct",
+   f"SELECT DISTINCT tag FROM ("
+   f"SELECT unnest({_SQL_TOKENS}) AS tag FROM documents WHERE source = 'src1' "
+   f"UNION ALL SELECT unnest({_SQL_TOKENS}) AS tag FROM documents WHERE source = 'src2')")
+def tagbank_union_distinct(spark, sf_dir):
+    # A8/U2 tag-bank distinct union (src/core/GraphDB.cpp:499-506): bank =
+    # src1 docs' tags, incoming = src2 docs' tags
+    d = _docs_tagged(spark, sf_dir)
+    bank = (d.filter(F.col("source") == "src1")
+            .select(F.explode("tags").alias("tag")).distinct())
+    new = (d.filter(F.col("source") == "src2")
+           .select(F.explode("tags").alias("tag")).distinct())
+    return TG.tag_bank_union(bank, new)
+
+
+@q("batch_jaccard_relink",
+   f"WITH {_JACCARD_SQL_BODY} "
+   "SELECT a AS src, b AS dst FROM jac WHERE jaccard >= 0.95 "
+   "UNION SELECT b, a FROM jac WHERE jaccard >= 0.95")
+def batch_jaccard_relink(spark, sf_dir):
+    # G5 batch tag-based relink (src/tagging/TagService.cpp:136-167): ONE
+    # threshold self-join emits the whole bidirectional edge set — replaces
+    # the reference's per-node J4 loop (quadratic in queries)
+    pairs = TG.jaccard_pairs(_docs_tagged(spark, sf_dir), id_col="doc_id",
+                             threshold=0.95)
+    return G.undirect(pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
 
 
 # ---- §2.3 vector ops -------------------------------------------------------
@@ -404,6 +441,64 @@ def cluster_sizes(spark, sf_dir):
                       F.col("cluster_rank").cast("long").alias("cluster_rank"))
 
 
+_CLUSTER_TAG_SQL = _CC_SQL + f""",
+csz AS (SELECT component, CAST(count(*) AS BIGINT) AS size,
+               array_to_string(list_sort(list(id)), ',') AS members_csv
+        FROM comp GROUP BY component),
+tok2 AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tag FROM documents),
+hist AS (SELECT c.component AS component, t.tag AS tag, count(*) AS cnt
+         FROM comp c JOIN tok2 t ON t.doc_id = c.id GROUP BY 1, 2),
+kept AS (SELECT h.component, h.tag FROM hist h JOIN csz ON h.component = csz.component
+         WHERE csz.size = 1 OR h.cnt >= 2)"""
+
+
+def _cluster_labels(spark, sf_dir):
+    """(id, component) over the cosine-threshold graph; doc_id ≡ vec_id."""
+    e = _emb(spark, sf_dir)
+    pairs = V.similar_pairs(e, COS_EDGE_THRESHOLD)
+    return G.clusters_from_pairs(e.select(F.col("vec_id").alias("id")), pairs)
+
+
+@q("cluster_shared_tags",
+   _CLUSTER_TAG_SQL + " SELECT DISTINCT component, tag FROM kept")
+def cluster_shared_tags(spark, sf_dir):
+    # A5 (src/tagging/TagService.cpp:225-238): multi-node clusters keep tags
+    # held by >= 2 members; singleton clusters keep all their tags
+    from thewhisperdb_spark.operators.aggregates import shared_tags_per_cluster
+    labels = _cluster_labels(spark, sf_dir)
+    tagged = _docs_tagged(spark, sf_dir).select(F.col("doc_id").alias("id"), "tags")
+    return shared_tags_per_cluster(tagged.join(labels, "id"),
+                                   cluster_col="component")
+
+
+@q("clusters_report",
+   _CLUSTER_TAG_SQL + """,
+shared AS (SELECT component, count(DISTINCT tag) AS n_shared FROM kept GROUP BY component)
+SELECT c.component, c.size, c.members_csv,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_tags,
+       CAST(row_number() OVER (ORDER BY c.size DESC, c.component) AS BIGINT) AS cluster_rank
+FROM csz c LEFT JOIN shared s ON c.component = s.component""")
+def clusters_report(spark, sf_dir):
+    # G3 composite cluster report (src/tagging/TagService.cpp:169-255):
+    # members + shared-tag count (A5) + size ordering/renumbering (A6)
+    from pyspark.sql import Window
+    from thewhisperdb_spark.operators.aggregates import shared_tags_per_cluster
+    labels = _cluster_labels(spark, sf_dir)
+    tagged = _docs_tagged(spark, sf_dir).select(F.col("doc_id").alias("id"), "tags")
+    csz = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size"),
+        F.array_join(F.array_sort(F.collect_list("id")), ",").alias("members_csv"))
+    shared = (shared_tags_per_cluster(tagged.join(labels, "id"),
+                                      cluster_col="component")
+              .groupBy("component")
+              .agg(F.count_distinct("tag").alias("n_shared")))
+    w = Window.orderBy(F.col("size").desc(), F.col("component").asc())
+    return (csz.join(shared, "component", "left")
+            .select("component", "size", "members_csv",
+                    F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared_tags"))
+            .withColumn("cluster_rank", F.row_number().over(w).cast("long")))
+
+
 # ---- north-star: dedup -----------------------------------------------------
 
 @q("dedup_exact",
@@ -411,6 +506,22 @@ def cluster_sizes(spark, sf_dir):
    "GROUP BY text HAVING count(*) > 1")
 def dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir))
+
+
+@q("dedup_drop_exact",
+   "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text")
+def dedup_drop_exact(spark, sf_dir):
+    # keep-min-id exact dedup (north-star): one shuffle on text hash
+    return D.drop_exact_duplicates(_docs(spark, sf_dir)).select("doc_id")
+
+
+@q("embedding_cosine_near_dup",
+   f"WITH {_cos_pairs_sql(0.45)} SELECT a, b, round(sim, 6) AS similarity FROM pairs")
+def embedding_cosine_near_dup(spark, sf_dir):
+    # north-star embedding-cosine near-dup (exact kernel; ann_lsh_pairs /
+    # ivf_knn are the approximate scale paths)
+    out = D.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+    return out.select("a", "b", F.round("similarity", 6).alias("similarity"))
 
 
 @q("ngram_jaccard_dedup",
@@ -682,6 +793,15 @@ def ann_lsh_pairs_q(spark, sf_dir):
     # approximate J6: LSH-bucketed candidate generation + exact re-check
     return V.ann_lsh_pairs(_emb(spark, sf_dir), threshold=COS_EDGE_THRESHOLD,
                            dim=64, n_planes=8, n_tables=4)
+
+
+@q("ivf_knn", None)
+def ivf_knn(spark, sf_dir):
+    # approximate J7 at scale: IVF inverted-list k-NN (recall measured vs the
+    # brute-force kernel in tests/test_tags_vectors.py)
+    e = _emb(spark, sf_dir)
+    return V.ivf_knn_join(e.filter(F.col("vec_id") < 20), e, k=5,
+                          n_cells=16, n_probe=4)
 
 
 @q("doc_fingerprint", None)

@@ -74,3 +74,30 @@ def test_ann_lsh_recall_on_exact_neighbors(spark):
               V.ann_lsh_pairs(emb, 0.99, dim=16, n_planes=6, n_tables=6).collect()}
     assert approx <= exact  # re-check guarantees no false positives
     assert len(approx) >= 0.8 * len(exact)  # high recall on near-identical pairs
+
+
+def test_ivf_knn_recall(spark):
+    # 40 deterministic 8-dim vectors; IVF probing half the cells must recover
+    # most of brute-force top-3 (structural recall check, not exactness)
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in V.brute_force_knn_join(queries, df, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in V.ivf_knn_join(queries, df, k=3, n_cells=4, n_probe=2).collect()}
+    # every query answered with k rows
+    assert len(approx) == 15
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_assign_covers_all_rows(spark):
+    rows = [(i, [float(i % 5), float(i % 3)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, centroids = V.ivf_assign(df, n_cells=5)
+    assert assigned.count() == 30  # every vector lands in exactly one cell
+    assert centroids.count() == 5
+    assert assigned.select("cell").distinct().count() <= 5

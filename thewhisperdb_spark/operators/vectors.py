@@ -142,6 +142,85 @@ def ann_lsh_buckets(df: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
     return df.withColumn("bucket", bucket)
 
 
+def ivf_assign(embeddings: DataFrame, n_cells: int,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer (north-star ANN scale path): partition the vector
+    space into ``n_cells`` inverted lists keyed by nearest centroid.
+
+    Centroids default to a deterministic pseudo-random subsample: the
+    ``n_cells`` rows minimizing ``xxhash64(id)`` — a TakeOrderedAndProject
+    top-k (per-partition top-k + single merge, no global sort), scalable and
+    RNG-free. It stands in for a k-means codebook (pyspark.ml KMeans can be
+    dropped in; assignment below is identical either way). The centroid set is
+    tiny (≈√n) so assignment is a broadcast join + per-row argmax: one scan of
+    the corpus, no shuffle of the big side.
+
+    Returns (assigned, centroids) where assigned = embeddings + ``cell`` column
+    and centroids = (cell, cvec).
+    """
+    if centroids is None:
+        centroids = (
+            embeddings.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+        )
+    cent_u = with_unit_vector(centroids, "cvec", "cu").select("cell", "cu")
+    emb_u = with_unit_vector(embeddings, vec_col, "_u")
+    scored = emb_u.join(F.broadcast(cent_u))
+    best = (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(dot(F.col("_u"), F.col("cu")).alias("sim"),
+                            F.col("cell"))).alias("_best"))
+        .select(F.col(id_col), F.col("_best.cell").alias("cell"))
+    )
+    return embeddings.join(best, id_col), centroids
+
+
+def ivf_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
+                 n_cells: int = 16, n_probe: int = 4,
+                 q_id: str = "vec_id", c_id: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate k-NN join via IVF: corpus vectors bucketed into inverted
+    lists; each query probes its ``n_probe`` nearest cells and ranks exact
+    cosine only within those lists. Candidate volume ≈ n·(n_probe/n_cells) per
+    query instead of n — the 100 TB path where the corpus inverted lists are a
+    partitioned table reused across query batches.
+
+    Returns (query_id, neighbor_id, similarity, rank); recall < 1 by design
+    (tests measure it against brute_force_knn_join).
+    """
+    from pyspark.sql import Window
+
+    assigned, centroids = ivf_assign(corpus, n_cells, c_id, vec_col)
+    cent_u = with_unit_vector(centroids, "cvec", "cu").select("cell", "cu")
+    q_u = with_unit_vector(
+        queries.select(F.col(q_id).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv", "qu")
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("cell").asc())
+    probes = (
+        q_u.join(F.broadcast(cent_u))
+        .select("query_id", "qu", "cell", dot(F.col("qu"), F.col("cu")).alias("_csim"))
+        .withColumn("_crk", F.row_number().over(wq))
+        .filter(F.col("_crk") <= n_probe)
+        .select("query_id", "qu", "cell")
+    )
+    corp_u = with_unit_vector(
+        assigned.select(F.col(c_id).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                        "cell"), "cv", "cu2")
+    scored = (
+        probes.join(corp_u, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                dot(F.col("qu"), F.col("cu2")).alias("similarity"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_lsh_pairs(embeddings: DataFrame, threshold: float, dim: int,
                   n_planes: int = 8, n_tables: int = 4,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
