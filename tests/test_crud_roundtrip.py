@@ -1,0 +1,122 @@
+"""E2E CRUD round-trip mirroring the reference's scripted tests
+(CURL_TESTS.md:389-445 create->get->update->verify->count->delete->gone;
+:447-477 file flows; :326-383 error paths)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+
+from thewhisperdb_spark.crud import GraphEngine
+from thewhisperdb_spark.storage import read_file, save_file, storage_rel_path
+
+
+@pytest.fixture()
+def engine(spark):
+    return GraphEngine(spark)
+
+
+def test_crud_roundtrip(engine, tmp_path):
+    # create (201 path)
+    nid = engine.ingest_node({"title": "Test Node", "author": "tester",
+                              "subject": "qa", "course": "42",
+                              "tags": "alpha, beta ,", "description": "d"})
+    assert nid == 1
+    # get
+    node = engine.find(nid)
+    assert node["title"] == "Test Node"
+    assert node["course"] == 42            # string->int coercion
+    assert node["tags"] == ["alpha", "beta"]  # CSV split, empties dropped
+    assert node["linked_nodes"] == []
+    # update (partial patch; bad-typed field silently skipped)
+    engine.update_node(nid, {"title": "Renamed", "course": "not-an-int",
+                             "bogus_field": 1})
+    node = engine.find(nid)
+    assert node["title"] == "Renamed"
+    assert node["course"] == 42            # unparseable course patch skipped
+    # count
+    nid2 = engine.ingest_node({"title": "Second", "author": "a", "subject": "s"})
+    assert nid2 == 2                       # monotonic contiguous ids
+    assert engine.count() == 2
+    # persistence round-trip
+    engine.save(str(tmp_path / "db"))
+    loaded = GraphEngine.load(engine.spark, str(tmp_path / "db"))
+    assert loaded.count() == 2
+    assert loaded.find(1)["title"] == "Renamed"
+    # serialize is id-ordered JSON (S4)
+    ids = [json.loads(s)["id"] for s in loaded.serialize()]
+    assert ids == [1, 2]
+    # delete + verify-gone (404 path)
+    engine.delete_node(nid)
+    assert not engine.exists(nid)
+    assert engine.count() == 1
+    with pytest.raises(KeyError):
+        engine.find(nid)
+
+
+def test_ingest_validation_errors(engine):
+    # 400 paths: missing/empty required fields (UploadHandler.cpp:83-155)
+    with pytest.raises(ValueError):
+        engine.ingest_node({"author": "a", "subject": "s"})
+    with pytest.raises(ValueError):
+        engine.ingest_node({"title": "  ", "author": "a", "subject": "s"})
+    with pytest.raises(KeyError):
+        engine.update_node(999, {"title": "x"})
+    with pytest.raises(KeyError):
+        engine.delete_node(999)
+
+
+def test_file_flow(engine, tmp_path):
+    root = str(tmp_path / "store")
+    nid = engine.ingest_node({"title": "Doc", "author": "a", "subject": "s"})
+    p1 = engine.add_file(nid, "notes.PDF", b"pdf-bytes", storage_root=root)
+    # first file sets storage_path (GraphDB.cpp:424-427); extension lowercased
+    assert engine.find(nid)["storage_path"] == p1
+    assert p1.endswith(".pdf")
+    assert read_file(root, p1) == b"pdf-bytes"
+    p2 = engine.add_file(nid, "extra.txt", b"t", storage_root=root)
+    assert engine.find(nid)["storage_path"] == p1   # unchanged on second file
+    # remove first -> storage_path moves to a remaining file
+    engine.remove_file(nid, p1, storage_root=root)
+    assert engine.find(nid)["storage_path"] == p2
+    # remove last -> cleared (GraphDB.cpp:468-471)
+    engine.remove_file(nid, p2, storage_root=root)
+    assert engine.find(nid)["storage_path"] is None
+    assert engine.node_files.count() == 0
+
+
+def test_delete_cascades_files(engine, tmp_path):
+    root = str(tmp_path / "store")
+    nid = engine.ingest_node({"title": "Doc", "author": "a", "subject": "s"},
+                             files=[("a.txt", b"x"), ("b.txt", b"y")],
+                             storage_root=root)
+    assert engine.node_files.count() == 2
+    engine.delete_node(nid, storage_root=root)
+    assert engine.node_files.count() == 0
+
+
+def test_storage_path_shape():
+    d = datetime.date(2026, 3, 4)
+    rel = storage_rel_path("My File.TXT", when=d, token="abcd1234")
+    assert rel == "2026/03/04/My File_abcd1234.txt"
+
+
+def test_update_links_and_embedding(engine):
+    a = engine.ingest_node({"title": "A", "author": "x", "subject": "s"})
+    b = engine.ingest_node({"title": "B", "author": "x", "subject": "s"})
+    # bidirectional link write (src/tagging/TagService.cpp:109-134)
+    engine.update_node(a, {"linked_nodes": [b]})
+    engine.update_node(b, {"linked_nodes": [a]})
+    edges = {(r["src"], r["dst"]) for r in engine.edges().collect()}
+    assert edges == {(a, b), (b, a)}
+    engine.update_node(a, {"embedding": [0.1, 0.2]})
+    emb = engine.find(a)["embedding"]
+    assert len(emb) == 2 and abs(emb[0] - 0.1) < 1e-6
+
+
+def test_tag_bank_union(engine):
+    engine.add_tags_to_bank(["a", "b"])
+    engine.add_tags_to_bank(["b", "c"])
+    assert sorted(r["tag"] for r in engine.tag_bank.collect()) == ["a", "b", "c"]

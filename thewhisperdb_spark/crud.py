@@ -1,0 +1,301 @@
+"""Snapshot-transform CRUD engine (SURVEY §2.8 M1-M6, §2.1 S1-S4).
+
+The reference mutates an in-memory node map and rewrites the whole JSON file
+on every mutation (``src/core/GraphDB.cpp:326-374``, called from
+``:188,388,412,429,446,473,496,505``). DataFrames are immutable, so every
+mutation here is a snapshot transformation — read state, produce the next
+state — which is exactly the reference's persistence model, minus the
+O(DB-size) synchronous rewrite per write: persistence is an explicit
+``save()`` of columnar Parquet, partitionable at scale.
+
+Single-writer semantics throughout (the reference is a single-threaded server,
+``src/server/wserver.cpp:112-293``): id generation is ``max(id)+1``
+(``src/core/GraphDB.cpp:485-491``), NOT ``monotonically_increasing_id`` —
+contiguity is part of the observable contract.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thewhisperdb_spark.schemas import (
+    NODE_FILES_SCHEMA,
+    NODE_SCHEMA,
+    REQUIRED_NODE_FIELDS,
+    TAG_BANK_SCHEMA,
+)
+
+_TABLES = ("nodes", "node_files", "tag_bank")
+
+# Patch-field type validators mirroring the reference's partial-update rules
+# (``src/core/GNode.cpp:148-205``): a field is applied only when present AND
+# type-valid; invalid-typed fields are silently skipped, not errors.
+_STRING_FIELDS = ("title", "author", "subject", "description", "date",
+                  "storage_path")
+
+
+def _valid_course(v: Any) -> int | None:
+    """int, or string parseable as int; else None (skip). ``GNode.cpp:156-168``."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, str):
+        try:
+            return int(v)
+        except ValueError:
+            return None
+    return None
+
+
+def _valid_tags(v: Any) -> list[str] | None:
+    """array of strings, or CSV string -> trimmed non-empty list
+    (``src/core/GNode.cpp:32-48,170-180``)."""
+    if isinstance(v, str):
+        parts = [t.strip() for t in v.split(",")]
+        return [t for t in parts if t]
+    if isinstance(v, list) and all(isinstance(t, str) for t in v):
+        return [t.strip() for t in v if t.strip()]
+    return None
+
+
+class GraphEngine:
+    """State tables as DataFrames + snapshot-transform mutations.
+
+    ``nodes`` carries ``linked_nodes`` (adjacency embedded per row, like the
+    reference's ``LinkedNodes``); ``edges()`` derives the normalized view.
+    """
+
+    def __init__(self, spark: SparkSession, nodes: DataFrame | None = None,
+                 node_files: DataFrame | None = None,
+                 tag_bank: DataFrame | None = None):
+        self.spark = spark
+        self.nodes = nodes if nodes is not None else \
+            spark.createDataFrame([], NODE_SCHEMA)
+        self.node_files = node_files if node_files is not None else \
+            spark.createDataFrame([], NODE_FILES_SCHEMA)
+        self.tag_bank = tag_bank if tag_bank is not None else \
+            spark.createDataFrame([], TAG_BANK_SCHEMA)
+
+    # ---- S1-S3 persistence -------------------------------------------------
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "GraphEngine":
+        """S1 with the corrupt-fallback semantics of ``GraphDB.cpp:247-301``:
+        unreadable/absent state -> fresh empty DB."""
+        dfs = {}
+        for t in _TABLES:
+            try:
+                dfs[t] = spark.read.parquet(os.path.join(path, t))
+            except Exception:
+                dfs[t] = None
+        return cls(spark, dfs["nodes"], dfs["node_files"], dfs["tag_bank"])
+
+    def save(self, path: str) -> None:
+        """S2: snapshot write, nodes ordered by id (``GraphDB.cpp:326-374``).
+        Parquet per table; at scale, partition ``nodes`` by a stable key and
+        let writers emit one file per partition."""
+        self.nodes.orderBy("id").write.mode("overwrite").parquet(
+            os.path.join(path, "nodes"))
+        self.node_files.write.mode("overwrite").parquet(
+            os.path.join(path, "node_files"))
+        self.tag_bank.write.mode("overwrite").parquet(
+            os.path.join(path, "tag_bank"))
+
+    def serialize(self) -> list[str]:
+        """S4 ``serialize`` (``GraphDB.cpp:232-245``): JSON rows ordered by id.
+        Driver-side collect by design — this is the API-response path."""
+        return self.nodes.orderBy("id").toJSON().collect()
+
+    # ---- reads -------------------------------------------------------------
+
+    def find(self, node_id: int) -> dict:
+        """F7 PK lookup; raises KeyError if missing (``GraphDB.cpp:30-38``)."""
+        rows = self.nodes.filter(F.col("id") == node_id).limit(1).collect()
+        if not rows:
+            raise KeyError(node_id)
+        return rows[0].asDict()
+
+    def exists(self, node_id: int) -> bool:
+        """F8 (``GraphDB.cpp:40-43``)."""
+        return bool(self.nodes.filter(F.col("id") == node_id).limit(1).count())
+
+    def count(self) -> int:
+        """A1 (``GraphDB.cpp:195-197``)."""
+        return self.nodes.count()
+
+    def next_id(self) -> int:
+        """M1 id generation: smallest unused int > max (``GraphDB.cpp:485-491``).
+        One scalar aggregate; single-writer, same contract as the reference."""
+        row = self.nodes.agg(F.max("id").alias("m")).collect()[0]
+        return int(row["m"] or 0) + 1
+
+    # ---- M1/M6 ingest ------------------------------------------------------
+
+    def ingest_node(self, meta: dict[str, Any],
+                    files: list[tuple[str, bytes]] | None = None,
+                    storage_root: str | None = None) -> int:
+        """M6 upload pipeline (``src/server/UploadHandler.cpp:14-81``):
+        validate required fields -> coerce -> default date -> M1 add -> M4
+        per file. Returns the new node id; raises ValueError on validation
+        failure (the 400 path, ``UploadHandler.cpp:83-155``)."""
+        for fld in REQUIRED_NODE_FIELDS:
+            v = meta.get(fld)
+            if not isinstance(v, str) or not v.strip():
+                raise ValueError(f"missing or empty required field: {fld}")
+        course = _valid_course(meta.get("course", 0))
+        tags = _valid_tags(meta.get("tags", []))
+        date = meta.get("date")
+        if not isinstance(date, str) or not date:
+            import datetime as _dt
+
+            date = _dt.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        new_id = self.next_id()
+        row = {
+            "id": new_id,
+            "title": meta["title"],
+            "author": meta["author"],
+            "subject": meta["subject"],
+            "course": course if course is not None else 0,
+            "description": meta.get("description", "") if
+            isinstance(meta.get("description", ""), str) else "",
+            "date": date,
+            "tags": tags if tags is not None else [],
+            "storage_path": None,
+            "linked_nodes": [],
+            "embedding": None,
+        }
+        new_df = self.spark.createDataFrame([row], NODE_SCHEMA)
+        self.nodes = self.nodes.unionByName(new_df)
+        for orig_name, content in (files or []):
+            self.add_file(new_id, orig_name, content, storage_root)
+        return new_id
+
+    # ---- M2 partial update -------------------------------------------------
+
+    def update_node(self, node_id: int, patch: dict[str, Any]) -> None:
+        """M2: patch only present-and-type-valid fields; id immutable
+        (stripped at the API layer, ``src/main.cpp:275``; field rules
+        ``src/core/GNode.cpp:148-205``). Raises KeyError if absent."""
+        if not self.exists(node_id):
+            raise KeyError(node_id)
+        df = self.nodes
+        hit = F.col("id") == node_id
+
+        def apply(col: str, value) -> None:
+            nonlocal df
+            field_type = dict((f.name, f.dataType) for f in NODE_SCHEMA.fields)[col]
+            df = df.withColumn(
+                col, F.when(hit, F.lit(value).cast(field_type)).otherwise(F.col(col)))
+
+        for fld in _STRING_FIELDS:
+            if fld in patch and isinstance(patch[fld], str):
+                apply(fld, patch[fld])
+        if "course" in patch:
+            c = _valid_course(patch["course"])
+            if c is not None:
+                apply("course", c)
+        if "tags" in patch:
+            t = _valid_tags(patch["tags"])
+            if t is not None:
+                df = df.withColumn(
+                    "tags", F.when(hit, F.array(*[F.lit(x) for x in t])
+                                   if t else F.array().cast("array<string>"))
+                    .otherwise(F.col("tags")))
+        if "linked_nodes" in patch and isinstance(patch["linked_nodes"], list):
+            ln = [int(x) for x in patch["linked_nodes"]]
+            df = df.withColumn(
+                "linked_nodes",
+                F.when(hit, F.array(*[F.lit(x).cast("long") for x in ln])
+                       if ln else F.array().cast("array<long>"))
+                .otherwise(F.col("linked_nodes")))
+        if "embedding" in patch and isinstance(patch["embedding"], list):
+            emb = [float(x) for x in patch["embedding"]]
+            df = df.withColumn(
+                "embedding",
+                F.when(hit, F.array(*[F.lit(x).cast("float") for x in emb])
+                       if emb else F.lit(None).cast("array<float>"))
+                .otherwise(F.col("embedding")))
+        self.nodes = df
+
+    # ---- M3 delete ---------------------------------------------------------
+
+    def delete_node(self, node_id: int, storage_root: str | None = None) -> None:
+        """M3: remove node + cascade its files (``GraphDB.cpp:392-414``)."""
+        if not self.exists(node_id):
+            raise KeyError(node_id)
+        if storage_root:
+            from thewhisperdb_spark.storage import delete_file
+
+            for r in self.node_files.filter(F.col("node_id") == node_id).collect():
+                delete_file(storage_root, r["file_path"])
+        self.nodes = self.nodes.filter(F.col("id") != node_id)
+        self.node_files = self.node_files.filter(F.col("node_id") != node_id)
+
+    # ---- M4/M5 file attachment --------------------------------------------
+
+    def add_file(self, node_id: int, orig_name: str, content: bytes,
+                 storage_root: str | None = None) -> str:
+        """M4 (``GraphDB.cpp:416-448``): save bytes (S5), append path row,
+        first file sets ``storage_path``."""
+        if not self.exists(node_id):
+            raise KeyError(node_id)
+        from thewhisperdb_spark.storage import save_file
+
+        rel_path = save_file(storage_root, orig_name, content) if storage_root \
+            else orig_name
+        new_row = self.spark.createDataFrame(
+            [(node_id, rel_path)], NODE_FILES_SCHEMA)
+        had_files = bool(
+            self.node_files.filter(F.col("node_id") == node_id).limit(1).count())
+        self.node_files = self.node_files.unionByName(new_row)
+        if not had_files:
+            self.nodes = self.nodes.withColumn(
+                "storage_path",
+                F.when(F.col("id") == node_id, F.lit(rel_path))
+                .otherwise(F.col("storage_path")))
+        return rel_path
+
+    def remove_file(self, node_id: int, rel_path: str,
+                    storage_root: str | None = None) -> None:
+        """M5 (``GraphDB.cpp:450-475``): drop path row (+disk), clear
+        ``storage_path`` when the last file goes."""
+        if storage_root:
+            from thewhisperdb_spark.storage import delete_file
+
+            delete_file(storage_root, rel_path)
+        self.node_files = self.node_files.filter(
+            ~((F.col("node_id") == node_id) & (F.col("file_path") == rel_path)))
+        remaining = (self.node_files.filter(F.col("node_id") == node_id)
+                     .orderBy("file_path").limit(1).collect())
+        new_sp = remaining[0]["file_path"] if remaining else None
+        self.nodes = self.nodes.withColumn(
+            "storage_path",
+            F.when(F.col("id") == node_id, F.lit(new_sp))
+            .otherwise(F.col("storage_path")))
+
+    # ---- edges / tag bank --------------------------------------------------
+
+    def edges(self) -> DataFrame:
+        """Normalized undirected edge view of ``linked_nodes``."""
+        return (self.nodes
+                .select(F.col("id").alias("src"),
+                        F.explode_outer("linked_nodes").alias("dst"))
+                .filter(F.col("dst").isNotNull()))
+
+    def add_tags_to_bank(self, tags: list[str]) -> None:
+        """A8 (``GraphDB.cpp:499-506``)."""
+        from thewhisperdb_spark.operators.tags import tag_bank_union
+
+        new = self.spark.createDataFrame([(t,) for t in tags], TAG_BANK_SCHEMA)
+        self.tag_bank = tag_bank_union(self.tag_bank, new)
+
+    def checkpoint(self) -> None:
+        """Cut lineage after a mutation burst: long withColumn/union chains
+        grow the logical plan; localCheckpoint keeps planning O(1) per op."""
+        self.nodes = self.nodes.localCheckpoint(eager=True)
+        self.node_files = self.node_files.localCheckpoint(eager=True)
