@@ -1,0 +1,83 @@
+"""Streaming twins verified against their batch equivalents: the same rows
+through readStream must produce the same aggregates as the batch query."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from thewhisperdb_spark.streaming import jobs as SJ
+
+
+def _t(minute: int) -> dt.datetime:
+    return dt.datetime(2026, 1, 1, 12, 0) + dt.timedelta(minutes=minute)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    rows = [
+        # user 1: two sessions (gap > 30 min between minute 10 and 50)
+        (1, _t(0), 1, "click", 1.0, ""),
+        (2, _t(10), 1, "click", 2.0, ""),
+        (3, _t(50), 1, "view", 3.0, ""),
+        # user 2: one session
+        (4, _t(5), 2, "click", 4.0, ""),
+        (5, _t(20), 2, "view", 5.0, ""),
+        # next hour bucket
+        (6, _t(70), 1, "click", 6.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    df.repartition(2).write.parquet(path)
+    return path
+
+
+def test_windowed_counts_match_batch(spark, event_dir):
+    stream = SJ.stream_events_from_dir(spark, event_dir)
+    assert stream.isStreaming
+    out = SJ.run_to_memory(
+        SJ.windowed_event_counts(stream, "1 hour"), "win_counts", "complete")
+    got = {(r["win_start"].minute + 60 * r["win_start"].hour, r["event_type"]): r["n"]
+           for r in out.collect()}
+    batch = spark.read.parquet(event_dir)
+    expect = {(r["h"].minute + 60 * r["h"].hour, r["event_type"]): r["n"]
+              for r in batch.groupBy(F.date_trunc("hour", "ts").alias("h"),
+                                     "event_type")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == expect and len(got) == 3
+
+
+def test_sessionize_stream(spark, event_dir):
+    stream = SJ.stream_events_from_dir(spark, event_dir)
+    out = SJ.run_to_memory(
+        SJ.sessionize_stream(stream, gap="30 minutes"), "sessions", "complete")
+    sessions = sorted((r["user_id"], r["n_events"]) for r in out.collect())
+    # user 1: {0,10} then {50,70} (20-min gap < 30 merges them); user 2: {5,20}
+    assert sessions == [(1, 2), (1, 2), (2, 2)]
+
+
+def test_stateful_running_totals(spark, event_dir):
+    stream = SJ.stream_events_from_dir(spark, event_dir)
+    out = SJ.run_to_memory(
+        SJ.sessionize_with_state(stream), "user_state", "update")
+    # last update per user = final running totals
+    final = {r["user_id"]: (r["n_events"], r["total_value"])
+             for r in out.orderBy("n_batches").collect()}
+    assert final[1] == (4, 12.0)
+    assert final[2] == (2, 9.0)
+
+
+def test_real_events_table_replay(spark, tmp_path):
+    # end-to-end on driver testdata: replay sf0.001 events as a stream and
+    # compare totals to the batch count
+    sf = "/root/testdata/sf0.001"
+    path = SJ.events_to_stream_dir(spark, sf, str(tmp_path), n_chunks=3)
+    stream = SJ.stream_events_from_dir(spark, path, max_files_per_trigger=1)
+    out = SJ.run_to_memory(
+        SJ.windowed_event_counts(stream, "1 hour"), "real_win", "complete")
+    total_streamed = out.agg(F.sum("n")).collect()[0][0]
+    assert total_streamed == spark.read.parquet(path).count()

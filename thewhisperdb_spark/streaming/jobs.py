@@ -1,0 +1,150 @@
+"""Structured Streaming jobs (Spark-native extension; SURVEY §2.10 notes the
+reference has NO streaming — all its jobs are request-triggered batch,
+``src/main.cpp:441-476``. These are the streaming twins of the batch event
+queries in ``__spark_entry__.py``: same logical shapes, incremental
+execution).
+
+Design for scale: event-time watermarks bound state; windowed aggregates are
+partial-aggregated before the shuffle; sessionization uses the built-in
+``session_window`` (state-store backed, merge-on-overlap) with a custom
+``applyInPandasWithState`` variant as the extension point for richer
+per-session state (the pattern for reference-style "jobs" that need
+imperative per-key logic).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def stream_events_from_dir(spark: SparkSession, path: str,
+                           max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source event stream with a declared schema (streaming requires
+    one — no inference). At scale this is the Kafka source with the same
+    downstream plan."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``events_windowed_agg``: tumbling event-time window,
+    watermark bounds late data AND state size (state per (window, type) only
+    until watermark passes — the property that holds at 100 TB/day)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"),
+                "event_type", "n", "total_value")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``events_sessionize``: gap-based sessions via the
+    built-in session_window (merging state store windows per user)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select("user_id",
+                F.col("sess.start").alias("t_start"),
+                F.col("sess.end").alias("t_end"),
+                "n_events", "total_value")
+    )
+
+
+_STATE_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+    StructField("n_batches", IntegerType()),
+])
+_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+    StructField("batches", IntegerType()),
+])
+
+
+def _accumulate_user_state(key, pdf_iter, state):
+    """Per-user running totals — the custom-stateful-operator pattern
+    (imperative per-key logic the built-in aggregates can't express, e.g.
+    the reference's per-node job bookkeeping in
+    ``src/embedding/EmbeddingService.cpp:140-193``)."""
+    n, total, batches = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    batches += 1
+    state.update((n, total, batches))
+    import pandas as pd
+
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "total_value": [total], "n_batches": [batches]})
+
+
+def sessionize_with_state(events: DataFrame,
+                          timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    aggregate with explicit GroupState (Arrow-batched; one state row per key).
+    Output mode must be update/append at the sink."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _accumulate_user_state,
+            outputStructType=_STATE_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "update") -> DataFrame:
+    """Drive a streaming DataFrame over all currently-available input and
+    materialize to an in-memory table (test/smoke harness)."""
+    q = (stream_df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def events_to_stream_dir(spark: SparkSession, sf_dir: str, out_dir: str,
+                         n_chunks: int = 4) -> str:
+    """Re-emit the batch events table as ``n_chunks`` parquet files so a file
+    source can replay it as a multi-trigger stream (nanos ts normalized)."""
+    from thewhisperdb_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(out_dir, "events_stream")
+    ev.repartition(n_chunks).write.mode("overwrite").parquet(path)
+    return path
