@@ -795,6 +795,28 @@ def ann_lsh_pairs_q(spark, sf_dir):
                            dim=64, n_planes=8, n_tables=4)
 
 
+@q("embed_documents_fallback", None)
+def embed_documents_fallback(spark, sf_dir):
+    # §2.10 embedding transform with the deterministic local fallback: fill
+    # embeddings for documents via batched mapInPandas (hashing-trick
+    # embedder stands in for the OpenAI client, EmbeddingClient.cpp:51-122)
+    from thewhisperdb_spark.functions.llm import embed_missing, hash_embedder
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = embed_missing(d, "text", hash_embedder(32), dim=32)
+    return out.select("doc_id", F.size("embedding").cast("long").alias("dim"))
+
+
+@q("generate_tags_fallback", None)
+def generate_tags_fallback(spark, sf_dir):
+    # §2.10 controlled-vocabulary tagger fallback (TagClient.cpp:62-99
+    # contract: vocab tags first, max 3 new, normalized)
+    from thewhisperdb_spark.functions.llm import generate_tags, keyword_tagger
+    tagger = keyword_tagger(["spark", "join", "window", "stream"], max_new=3)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = generate_tags(d, "text", tagger)
+    return out.select("doc_id", F.size("generated_tags").cast("long").alias("n_tags"))
+
+
 @q("ivf_knn", None)
 def ivf_knn(spark, sf_dir):
     # approximate J7 at scale: IVF inverted-list k-NN (recall measured vs the

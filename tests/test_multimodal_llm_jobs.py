@@ -1,0 +1,144 @@
+"""Multimodal plumbing, LLM-fallback transforms, and composite jobs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from thewhisperdb_spark.functions.llm import (
+    assemble_node_text,
+    embed_missing,
+    generate_tags,
+    hash_embedder,
+    keyword_tagger,
+)
+from thewhisperdb_spark.plans.jobs import relink_by_tags, run_clustering
+from thewhisperdb_spark.sources.multimodal import (
+    deterministic_fake_decoder,
+    extract_image_features,
+    extract_text,
+    read_binary_files,
+    sample_frames,
+    with_media_metadata,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("media")
+    (root / "a.txt").write_bytes(b"hello multimodal world")
+    (root / "b.md").write_bytes(b"# heading\nbody " + b"x" * 9000)
+    (root / "c.png").write_bytes(b"\x89PNG-fake-bytes-0123456789")
+    (root / "d.mp4").write_bytes(bytes(range(256)) * 1024)  # 256 KiB
+    (root / "e.bin").write_bytes(b"\x00\x01")
+    return with_media_metadata(read_binary_files(spark, str(root)))
+
+
+def test_media_metadata(media_df):
+    rows = {r["path"].rsplit("/", 1)[-1]: (r["modality"], r["mime"], r["n_bytes"])
+            for r in media_df.collect()}
+    assert rows["a.txt"] == ("text", "text/plain", 22)
+    assert rows["c.png"][0] == "image"
+    assert rows["d.mp4"][0] == "video"
+    assert rows["e.bin"] == ("unknown", "application/octet-stream", 2)
+
+
+def test_extract_text_cap(media_df):
+    got = {r["path"].rsplit("/", 1)[-1]: r["extracted"]
+           for r in extract_text(media_df, cap=100).collect()}
+    assert got["a.txt"] == "hello multimodal world"
+    assert len(got["b.md"]) == 100          # truncation semantics (S8)
+    assert got["c.png"] == ""               # non-text -> empty
+
+
+def test_image_features_deterministic(media_df):
+    out = extract_image_features(media_df, deterministic_fake_decoder).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["height"], r["width"]) == (8, 8)
+    assert 0.0 < r["mean_intensity"] < 1.0
+    assert abs(sum(r["histogram"]) - 1.0) < 1e-9
+    # decode without a codec hook is an explicit NotImplementedError gate
+    with pytest.raises(Exception):
+        extract_image_features(media_df, None).collect()
+
+
+def test_frame_sampling(media_df):
+    frames = sample_frames(media_df, every_n_bytes=1 << 16, frame_bytes=64).collect()
+    assert len(frames) == 4                 # 256 KiB / 64 KiB
+    assert all(len(r["frame"]) == 64 for r in frames)
+    assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2, 3]
+
+
+def test_hash_embedder_and_embed_missing(spark):
+    df = spark.createDataFrame(
+        [(1, "spark sql engine", [0.5] * 4), (2, "vector search", None),
+         (3, "", None)],
+        "id long, txt string, embedding array<float>")
+    out = embed_missing(df, "txt", hash_embedder(8), dim=8)
+    rows = {r["id"]: r["embedding"] for r in out.collect()}
+    assert rows[1] == [0.5] * 4             # present rows never re-embedded
+    assert len(rows[2]) == 8
+    n = sum(x * x for x in rows[2])
+    assert abs(n - 1.0) < 1e-5              # L2-normalized
+    assert rows[3] == [0.0] * 8             # empty text -> zero vector
+    # determinism across invocations
+    again = {r["id"]: r["embedding"]
+             for r in embed_missing(df, "txt", hash_embedder(8), dim=8).collect()}
+    assert again[2] == rows[2]
+
+
+def test_keyword_tagger_contract(spark):
+    tagger = keyword_tagger(["spark", "Graph Algo"], max_tags=4, max_new=2)
+    df = spark.createDataFrame(
+        [(1, "spark streaming with watermark watermark checkpoint")],
+        "id long, txt string")
+    [row] = generate_tags(df, "txt", tagger).collect()
+    tags = row["generated_tags"]
+    assert tags[0] == "spark"               # vocabulary tags first
+    assert "graph-algo" not in tags         # vocab tag not in text excluded
+    assert len([t for t in tags if t not in ("spark",)]) <= 2  # max_new
+    assert "watermark" in tags              # most-frequent new token
+
+
+def test_run_clustering_replaces_links(spark):
+    rows = [
+        (1, "a", [1.0, 0.0], [9]),   # pre-linked to 9; will match 2
+        (2, "b", [1.0, 0.01], []),
+        (3, "c", [0.0, 1.0], [9]),   # isolated in similarity graph
+        (9, "z", None, [1, 3]),      # no embedding
+    ]
+    nodes = spark.createDataFrame(
+        rows, "id long, title string, embedding array<float>, linked_nodes array<long>")
+    out = run_clustering(nodes, threshold=0.9)
+    links = {r["id"]: list(r["linked_nodes"]) for r in out["nodes"].collect()}
+    assert links[1] == [2]                  # REPLACED (old link to 9 gone)
+    assert links[2] == [1]
+    assert links[3] == [9]                  # untouched (no new edges)
+    assert links[9] == [1, 3]
+    stats = out["stats"].collect()[0]
+    assert stats["linksCreated"] == 1 and stats["clustersFound"] == 1
+    comp = {r["id"]: r["component"] for r in out["labels"].collect()}
+    assert comp[1] == comp[2] and comp[3] != comp[1]
+
+
+def test_run_clustering_embeds_missing(spark):
+    nodes = spark.createDataFrame(
+        [(1, "same text", None, []), (2, "same text", None, [])],
+        "id long, title string, embedding array<float>, linked_nodes array<long>")
+    out = run_clustering(nodes, threshold=0.99, embedder=hash_embedder(16), dim=16)
+    stats = out["stats"].collect()[0]
+    assert stats["embeddingsGenerated"] == 2
+    links = {r["id"]: list(r["linked_nodes"]) for r in out["nodes"].collect()}
+    assert links == {1: [2], 2: [1]}        # identical text -> cosine 1.0
+
+
+def test_relink_by_tags_merges(spark):
+    nodes = spark.createDataFrame(
+        [(1, ["x", "y"], [5]), (2, ["x", "y"], []), (5, ["q"], [1])],
+        "id long, tags array<string>, linked_nodes array<long>")
+    out = relink_by_tags(nodes, threshold=0.9)
+    links = {r["id"]: list(r["linked_nodes"]) for r in out.collect()}
+    assert links[1] == [2, 5]               # MERGED: old 5 + new 2
+    assert links[2] == [1]
+    assert links[5] == [1]

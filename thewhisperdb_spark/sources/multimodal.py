@@ -1,0 +1,215 @@
+"""Binary / multimodal column pipelines (SURVEY §2.1 S6/S8 + north-star
+multimodal columns).
+
+Media are opaque ``binary`` columns plus typed metadata, moved through
+Arrow-batched ``mapInPandas`` stages. The reference's only binary handling is
+attachment bytes on disk + pdftotext extraction
+(``src/server/FileStorage.cpp``, ``src/embedding/TextExtractor.cpp:26-81``);
+here the same shape generalizes to image/audio/video feature pipelines.
+
+Decode stubs: the container has no image/audio codecs, so ``_decode_image``
+raises NotImplementedError unless a codec hook is injected; the
+DETERMINISTIC_FAKE hook derives reproducible pseudo-pixels from the byte
+content so the Spark-side plumbing (schemas, batching, partitioning, UDF
+signatures) is fully real and tested without codecs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# media row: bytes + typed metadata (mime sniffed from magic bytes / extension)
+MEDIA_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("modality", StringType()),   # text|image|audio|video|unknown
+    StructField("mime", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("content", BinaryType()),
+])
+
+_EXT_MODALITY = {
+    ".txt": ("text", "text/plain"), ".md": ("text", "text/markdown"),
+    ".text": ("text", "text/plain"), ".pdf": ("text", "application/pdf"),
+    ".png": ("image", "image/png"), ".jpg": ("image", "image/jpeg"),
+    ".jpeg": ("image", "image/jpeg"), ".wav": ("audio", "audio/wav"),
+    ".mp3": ("audio", "audio/mpeg"), ".mp4": ("video", "video/mp4"),
+}
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """S6 at scale: the binaryFile source (path, modificationTime, length,
+    content). Partition-parallel reads; pushdown on pathGlobFilter."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def with_media_metadata(binary_df: DataFrame) -> DataFrame:
+    """binaryFile rows -> MEDIA_SCHEMA shape: modality/mime from the lowercased
+    extension (``src/embedding/TextExtractor.cpp:12-17``), all JVM-side."""
+    ext = F.lower(F.regexp_extract(F.col("path"), r"(\.[^.\/]+)$", 1))
+    modality = F.lit("unknown")
+    mime = F.lit("application/octet-stream")
+    for e, (m, mi) in reversed(_EXT_MODALITY.items()):
+        modality = F.when(ext == e, F.lit(m)).otherwise(modality)
+        mime = F.when(ext == e, F.lit(mi)).otherwise(mime)
+    return binary_df.select(
+        "path", modality.alias("modality"), mime.alias("mime"),
+        F.col("length").cast("long").alias("n_bytes"), "content")
+
+
+# ---- text extraction (S8) --------------------------------------------------
+
+_TEXT_CAP = 8000  # chars (src/embedding/TextExtractor.cpp:10)
+
+
+def _pdf_to_text(content: bytes) -> str:
+    """pdftotext subprocess pipe, mirroring ``TextExtractor.cpp:41-46``;
+    empty string when the tool is unavailable (graceful, like the reference's
+    empty-extraction fallback)."""
+    try:
+        proc = subprocess.run(["pdftotext", "-", "-"], input=content,
+                              capture_output=True, timeout=30)
+        return proc.stdout.decode("utf-8", errors="replace") if proc.returncode == 0 else ""
+    except (FileNotFoundError, subprocess.TimeoutExpired):
+        return ""
+
+
+def extract_text(media: DataFrame, cap: int = _TEXT_CAP) -> DataFrame:
+    """S8 dispatch-on-extension extraction (``TextExtractor.cpp:26-81``):
+    text/* decoded as UTF-8, application/pdf piped through pdftotext, others
+    empty; result truncated to ``cap`` chars. Arrow-batched mapInPandas —
+    one Python roundtrip per batch, schema declared up front."""
+    out_schema = StructType([
+        StructField("path", StringType()),
+        StructField("extracted", StringType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = []
+            for mime, content in zip(pdf["mime"], pdf["content"]):
+                if content is None:
+                    texts.append("")
+                elif mime.startswith("text/"):
+                    texts.append(bytes(content).decode("utf-8", errors="replace")[:cap])
+                elif mime == "application/pdf":
+                    texts.append(_pdf_to_text(bytes(content))[:cap])
+                else:
+                    texts.append("")
+            yield pd.DataFrame({"path": pdf["path"], "extracted": texts})
+
+    return media.select("path", "mime", "content").mapInPandas(extract, out_schema)
+
+
+# ---- image pipeline (stubbed decode, real plumbing) ------------------------
+
+ImageDecoder = Callable[[bytes], "list[list[float]]"]
+
+
+def deterministic_fake_decoder(content: bytes, h: int = 8, w: int = 8):
+    """Codec-free stand-in: derive an h×w pseudo-grayscale raster from the
+    byte content (sha256 expansion) — stable across runs/machines, so feature
+    tests assert exact values."""
+    need, out, counter = h * w, [], 0
+    seed = hashlib.sha256(content).digest()
+    while len(out) < need:
+        block = hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+        out.extend(b / 255.0 for b in block)
+        counter += 1
+    return [out[r * w:(r + 1) * w] for r in range(h)]
+
+
+IMAGE_FEATURE_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("height", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("mean_intensity", DoubleType()),
+    StructField("histogram", ArrayType(DoubleType())),  # 8-bin intensity hist
+])
+
+
+def extract_image_features(media: DataFrame,
+                           decoder: ImageDecoder | None = None) -> DataFrame:
+    """Decode -> feature-extract for image rows. ``decoder`` is the injectable
+    codec hook (None -> NotImplementedError at execution time, documenting the
+    missing-codec gate; tests inject ``deterministic_fake_decoder``)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"path": [], "height": [], "width": [],
+                    "mean_intensity": [], "histogram": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                if decoder is None:
+                    raise NotImplementedError(
+                        "no image codec in this environment: inject a decoder "
+                        "(e.g. PIL-based) or use deterministic_fake_decoder")
+                raster = decoder(bytes(content))
+                flat = [p for row in raster for p in row]
+                hist = [0.0] * 8
+                for p in flat:
+                    hist[min(int(p * 8), 7)] += 1
+                n = len(flat) or 1
+                rows["path"].append(path)
+                rows["height"].append(len(raster))
+                rows["width"].append(len(raster[0]) if raster else 0)
+                rows["mean_intensity"].append(sum(flat) / n)
+                rows["histogram"].append([c / n for c in hist])
+            yield pd.DataFrame(rows)
+
+    img = media.filter(F.col("modality") == "image").select("path", "content")
+    return img.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 1 << 16,
+                  frame_bytes: int = 256, max_frames: int = 16) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame. Without a
+    codec the "frame" is the raw byte slice at the sample offset — the row
+    explosion, batch shape, and partition behavior are exactly what a real
+    ffmpeg-backed sampler produces."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"path": [], "frame_idx": [], "frame": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                for i, off in enumerate(range(0, len(data), every_n_bytes)):
+                    if i >= max_frames:
+                        break
+                    rows["path"].append(path)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(data[off:off + frame_bytes])
+            yield pd.DataFrame(rows)
+
+    vid = media.filter(F.col("modality") == "video").select("path", "content")
+    return vid.mapInPandas(run, FRAME_SCHEMA)
+
+
+def media_from_storage(spark: SparkSession, root: str) -> DataFrame:
+    """Read an engine attachment tree (storage.py layout) as media rows."""
+    return with_media_metadata(
+        read_binary_files(spark, os.path.join(root, "*/*/*/*")))
