@@ -61,11 +61,24 @@ def shingle_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.9,
 
 def minhash_signature(set_col: Column, n_hashes: int = 64, seed: int = 42) -> Column:
     """MinHash signature over a string-array column: h_i(S) = min over elements
-    of xxhash64(seed+i, element). Array of n_hashes longs."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(set_col, lambda s: F.xxhash64(F.lit(seed) + i, s))),
+    of xxhash64(seed+i, element). Array of n_hashes longs.
+
+    Single pass over the set: one fold whose accumulator is the running
+    element-wise min of the n_hashes-wide hash row per element. (The naive
+    ``transform(i -> array_min(transform(set, hash_i)))`` shape re-evaluates
+    the set expression once per hash function — Catalyst's project collapse
+    inlines it — turning O(|S|·k) work into O(|S|·k²-ish); the fold keeps the
+    set column referenced exactly once.)"""
+    idxs = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    max_long = F.lit((1 << 63) - 1).cast("long")
+    return F.aggregate(
+        set_col,
+        F.array_repeat(max_long, n_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(idxs, lambda i: F.xxhash64(F.lit(seed) + i, s)),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -77,9 +90,13 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
     bucket — Σ bucket² work — then scored by estimated Jaccard (fraction of
     agreeing minhashes). Returns (a, b, est_jaccard)."""
     rows_per_band = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(char_ngrams(F.col(text_col), shingle_n), n_hashes).alias("sig"),
+    # materialize shingles as a column BEFORE the per-hash transform: inlining
+    # the ngram expression into the hash lambda would re-evaluate the array
+    # construction once per hash function (n_hashes× the work)
+    sig = (
+        df.select(F.col(id_col).alias("id"),
+                  char_ngrams(F.col(text_col), shingle_n).alias("sh"))
+        .select("id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
     )
     banded = sig.select(
         "id", "sig",
@@ -96,15 +113,23 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"),
+    # candidate dedup on ids ONLY — carrying the signatures through the
+    # band-join + distinct would shuffle 2×n_hashes longs per candidate row;
+    # the sigs are re-attached afterwards with two slim joins
+    slim = banded.select("id", "band", "bucket")
+    cand_ids = (
+        slim.alias("x")
+        .join(slim.alias("y"),
               (F.col("x.band") == F.col("y.band"))
               & (F.col("x.bucket") == F.col("y.bucket"))
               & (F.col("x.id") < F.col("y.id")))
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
-                F.col("x.sig").alias("siga"), F.col("y.sig").alias("sigb"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .dropDuplicates(["a", "b"])
+    )
+    cand = (
+        cand_ids
+        .join(sig.select(F.col("id").alias("a"), F.col("sig").alias("siga")), "a")
+        .join(sig.select(F.col("id").alias("b"), F.col("sig").alias("sigb")), "b")
     )
     est = (
         F.size(F.filter(F.zip_with(F.col("siga"), F.col("sigb"),
@@ -117,34 +142,45 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
     )
 
 
-def simhash(set_col: Column, bits: int = 64) -> Column:
+def simhash(set_col: Column, bits: int = 32) -> Column:
     """SimHash fingerprint of a string-array column: sign-sum of per-element
     hash bits, packed to a long. Near-dup candidates = equal values (or equal
     band slices for Hamming-distance tolerance).
 
     Each bit uses an independent element hash (xxhash64 seeded with the bit
-    index) — equivalent to projecting on independent random hyperplanes, and it
-    keeps everything one codegen'd expression per document."""
-    def vote_fn(j):
-        # bind j by closure — the lambda itself must take exactly (acc, e)
-        return lambda acc, e: acc + F.when(
-            F.pmod(F.xxhash64(F.lit(j), e), F.lit(2)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    fp = F.lit(0).cast("long")
-    for j in range(bits):
-        vote = F.aggregate(set_col, F.lit(0), vote_fn(j))
-        fp = fp + F.when(vote >= 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long"))
-    return fp
+    index) — equivalent to projecting on independent random hyperplanes.
+    Single fold over the set (one evaluation of ``set_col``; see
+    minhash_signature for why per-bit folds would re-evaluate it ``bits``
+    times), accumulator = per-bit vote vector, packed MSB-first by a
+    multiply-accumulate fold (signed-long packing caps bits at 63)."""
+    assert 0 < bits <= 63, "signed-long packing supports at most 63 bits"
+    idxs = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        set_col,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, e: F.zip_with(
+            acc,
+            F.transform(idxs, lambda j: F.when(
+                F.pmod(F.xxhash64(j, e), F.lit(2)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))),
+            lambda a, v: a + v,
+        ),
+    )
+    bitvals = F.transform(votes, lambda v: F.when(v >= 0, F.lit(1).cast("long"))
+                          .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(F.reverse(bitvals), F.lit(0).cast("long"),
+                       lambda acc, b: acc * 2 + b)
 
 
 def simhash_duplicates(df: DataFrame, bits: int = 32,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash near-dup groups: docs whose token-set simhash collides.
     Returns (simhash, n_docs, member_ids_csv) for groups of size > 1."""
-    h = df.select(F.col(id_col).alias("id"),
-                  simhash(tags_of(F.col(text_col)), bits).alias("simhash"))
+    # token set materialized once (see minhash_lsh_pairs: inlined expressions
+    # are re-evaluated per bit inside the fold)
+    h = (df.select(F.col(id_col).alias("id"),
+                   tags_of(F.col(text_col)).alias("toks"))
+         .select("id", simhash(F.col("toks"), bits).alias("simhash")))
     return (
         h.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"),
