@@ -715,6 +715,144 @@ def window_top_orders(spark, sf_dir):
             .filter(F.col("rk") <= 3))
 
 
+@q("semi_join_active_customers",
+   "SELECT c_custkey, c_name FROM customer c "
+   "WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)")
+def semi_join_active_customers(spark, sf_dir):
+    # left-semi join (EXISTS) — relational surface certification
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return (c.join(ev, c.c_custkey == ev.user_id, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@q("anti_join_inactive_customers",
+   "SELECT c_custkey, c_name FROM customer c "
+   "WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)")
+def anti_join_inactive_customers(spark, sf_dir):
+    # left-anti join (NOT EXISTS)
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return (c.join(ev, c.c_custkey == ev.user_id, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@q("outer_join_customer_order_counts",
+   "SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders, "
+   "CAST(coalesce(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_spend "
+   "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+   "GROUP BY c.c_custkey")
+def outer_join_customer_order_counts(spark, sf_dir):
+    # left-outer join preserving zero-order customers
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,6)"))
+                 .cast("double").alias("total_spend")))
+
+
+@q("rollup_revenue_region_nation",
+   "SELECT r.r_name, n.n_name, "
+   "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * "
+   "(CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue, "
+   "count(*) AS n_items "
+   "FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey "
+   "JOIN customer c ON c.c_nationkey = n.n_nationkey "
+   "JOIN orders o ON o.o_custkey = c.c_custkey "
+   "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+   "GROUP BY ROLLUP(r.r_name, n.n_name)")
+def rollup_revenue_region_nation(spark, sf_dir):
+    # hierarchical grouping-sets aggregation (region -> nation -> grand total)
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    return (joined.rollup("r_name", "n_name")
+            .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@q("pivot_event_type_values",
+   "SELECT user_id, "
+   + ", ".join(
+       f"CAST(coalesce(SUM(CAST(value AS DECIMAL(18,6))) "
+       f"FILTER (WHERE event_type = '{t}'), 0) AS DOUBLE) AS {t}_value"
+       for t in ("click", "view", "purchase")) +
+   " FROM events GROUP BY user_id")
+def pivot_event_type_values(spark, sf_dir):
+    # pivot: one column per event type (fixed value list -> single-pass agg)
+    ev = load_table(spark, sf_dir, "events")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return ev.groupBy("user_id").agg(*[
+        F.coalesce(F.sum(F.when(F.col("event_type") == t, _dec("value"))), zero)
+        .cast("double").alias(f"{t}_value")
+        for t in ("click", "view", "purchase")])
+
+
+@q("asof_join_last_order",
+   """WITH j AS (
+  SELECT e.event_id, o.o_orderdate, o.o_orderkey
+  FROM events e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts),
+agg AS (SELECT event_id, max(o_orderdate) AS asof_o_orderdate,
+               CAST(count(o_orderkey) AS BIGINT) AS n_prior
+        FROM j GROUP BY event_id)
+SELECT a.event_id, max(j.o_orderkey) AS asof_o_orderkey, a.asof_o_orderdate, a.n_prior
+FROM agg a LEFT JOIN j ON j.event_id = a.event_id AND j.o_orderdate = a.asof_o_orderdate
+GROUP BY a.event_id, a.asof_o_orderdate, a.n_prior""")
+def asof_join_last_order(spark, sf_dir):
+    # as-of join (backward): for each event, the user's most recent prior
+    # order. union+window kernel — linear, no per-key range-join blowup
+    from thewhisperdb_spark.operators.relational import asof_join
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (load_table(spark, sf_dir, "orders")
+         .select(F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"))
+    out = asof_join(ev, o, key="user_id", left_ts="ts", right_ts="o_orderdate",
+                    right_vals=("o_orderkey", "o_orderdate"))
+    return out.select("event_id", F.col("asof_o_orderkey"),
+                      F.col("asof_o_orderdate"), "n_prior")
+
+
+@q("tfidf_top_terms",
+   f"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                    t -> t <> '')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / idf.df), 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, idf.df ASC, tf.term) AS rk
+      FROM tf JOIN idf USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk FROM s WHERE rk <= 3""")
+def tfidf_top_terms(spark, sf_dir):
+    # text analysis: tf-idf scoring, top-3 terms per doc. Rank order uses the
+    # exact integers (tf desc, df asc) so it is float-drift-free; the float
+    # tfidf is carried as a rounded score column
+    from pyspark.sql import Window
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.count()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    s = (tf.join(idf, "term")
+         .select("doc_id", "term",
+                 F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6)
+                 .alias("tfidf"),
+                 F.row_number().over(w).cast("long").alias("rk")))
+    return s.filter(F.col("rk") <= 3)
+
+
 # ---- events: windowed agg + sessionization ---------------------------------
 
 @q("events_windowed_agg",
@@ -778,9 +916,11 @@ def events_user_stats(spark, sf_dir):
 @q("minhash_lsh_dedup", None)
 def minhash_lsh_dedup(spark, sf_dir):
     # MinHash+LSH near-dup at scale (hash functions aren't portable to the
-    # oracle; correctness covered by tests/test_dedup.py vs exact Jaccard)
+    # oracle; correctness covered by tests/test_graph_dedup.py vs exact
+    # Jaccard). θ=0.8 is the near-dup operating point the 8×4 banding is
+    # calibrated for (collision prob ≈ 98.5% at j=0.8, ≈ 40% at j=0.5)
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=32, bands=8,
-                               threshold=0.5)
+                               threshold=0.8)
 
 
 @q("simhash_dedup", None)

@@ -1,0 +1,64 @@
+"""As-of join and bucketed range join unit semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from thewhisperdb_spark.operators.relational import asof_join, range_join_bucketed
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2026, 1, day, hour)
+
+
+def test_asof_backward(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", _ts(5)), (2, "A", _ts(10)), (3, "B", _ts(5)), (4, "C", _ts(5))],
+        "trade_id long, sym string, t timestamp")
+    quotes = spark.createDataFrame(
+        [("A", _ts(4), 10.0), ("A", _ts(5), 11.0), ("A", _ts(7), 12.0),
+         ("B", _ts(6), 20.0)],
+        "sym string, qt timestamp, px double")
+    out = asof_join(trades, quotes, key="sym", left_ts="t", right_ts="qt",
+                    right_vals=("px",))
+    got = {r["trade_id"]: (r["asof_px"], r["n_prior"]) for r in out.collect()}
+    assert got[1] == (11.0, 2)   # equal timestamp matches (<= semantics)
+    assert got[2] == (12.0, 3)
+    assert got[3] == (None, 0)   # B's only quote is later
+    assert got[4] == (None, 0)   # no quotes for C at all
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, "A", _ts(5))], "id long, k string, t timestamp")
+    right = spark.createDataFrame(
+        [("A", _ts(3), 1.0), ("A", _ts(6), 2.0), ("A", _ts(9), 3.0)],
+        "k string, rt timestamp, v double")
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="rt",
+                    right_vals=("v",), direction="forward")
+    [r] = out.collect()
+    assert r["asof_v"] == 2.0    # next value at/after t, not the latest
+
+
+def test_asof_tie_break_deterministic(spark):
+    left = spark.createDataFrame([(1, "A", _ts(5))], "id long, k string, t timestamp")
+    right = spark.createDataFrame(
+        [("A", _ts(5), 7.0), ("A", _ts(5), 9.0)], "k string, rt timestamp, v double")
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="rt",
+                    right_vals=("v",))
+    [r] = out.collect()
+    assert r["asof_v"] == 9.0    # greatest value tuple wins the tie
+
+
+def test_range_join_bucketed(spark):
+    intervals = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 25), (3, 100, 110)], "iv long, lo long, hi long")
+    points = spark.createDataFrame(
+        [(1, 7), (2, 10), (3, 26), (4, 105)], "pt long, x long")
+    out = range_join_bucketed(intervals, points,
+                              F.col("lo"), F.col("hi"), F.col("x"),
+                              bucket_width=8)
+    got = sorted((r["iv"], r["pt"]) for r in out.collect())
+    # 7 in [0,10] & [5,25]; 10 in [0,10] & [5,25]; 26 nowhere; 105 in [100,110]
+    assert got == [(1, 1), (1, 2), (2, 1), (2, 2), (3, 4)]
