@@ -715,6 +715,43 @@ def window_top_orders(spark, sf_dir):
             .filter(F.col("rk") <= 3))
 
 
+@q("brand_type_revenue",
+   "SELECT p.p_brand, p.p_type, "
+   "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * "
+   "(CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue, "
+   "count(*) AS n_items "
+   "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+   "GROUP BY p.p_brand, p.p_type")
+def brand_type_revenue(spark, sf_dir):
+    # part-dimension certification: fact->dim broadcast join + grouped agg
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand", "p_type")
+            .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@q("top_suppliers_by_revenue",
+   "SELECT s.s_suppkey, s.s_name, "
+   "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * "
+   "(CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue "
+   "FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+   "GROUP BY s.s_suppkey, s.s_name "
+   "ORDER BY revenue DESC, s.s_suppkey LIMIT 10")
+def top_suppliers_by_revenue(spark, sf_dir):
+    # supplier-dimension certification: agg then TakeOrderedAndProject top-k
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
+                 .cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("s_suppkey").asc())
+            .limit(10))
+
+
 @q("semi_join_active_customers",
    "SELECT c_custkey, c_name FROM customer c "
    "WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)")
@@ -909,6 +946,29 @@ def events_user_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col("user_id")).alias("n_users"),
         _sum_dec("value", "total_value"))
+
+
+@q("streaming_windowed_counts",
+   "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, "
+   "event_type, count(*) AS n FROM events GROUP BY 1, event_type")
+def streaming_windowed_counts(spark, sf_dir):
+    # the Structured Streaming twin of events_windowed_agg, driven through a
+    # real readStream (file replay, availableNow) and checked against the
+    # BATCH oracle — streamed counts must equal the batch aggregation
+    import tempfile
+
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    out_dir = tempfile.mkdtemp(prefix="whisper_stream_")
+    path = SJ.events_to_stream_dir(spark, sf_dir, out_dir, n_chunks=4)
+    stream = SJ.stream_events_from_dir(spark, path)
+    counts = SJ.windowed_event_counts(stream, "1 hour")
+    name = "q_stream_win_counts"
+    q = (counts.select("win_start", "event_type", "n")
+         .writeStream.outputMode("complete").format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"SELECT win_start, event_type, n FROM {name}")
 
 
 # ---- rows-only entries (no SQL-expressible oracle) -------------------------

@@ -146,24 +146,65 @@ def topk_similar(embeddings: DataFrame, query_id: int, k: int = 10,
 def brute_force_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
                          q_id: str = "vec_id", c_id: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
-    """North-star ANN baseline: exact top-k per query via cross join +
-    per-query window rank. Returns (query_id, neighbor_id, similarity, rank)."""
+    """North-star ANN baseline: exact top-k per query. The query matrix is
+    broadcast to every corpus partition; each Arrow batch computes one BLAS
+    matmul (|Q|×d @ d×|batch|) and emits only its local top-k per query, so
+    the shuffle carries |Q|·k rows per partition, then a per-query window
+    keeps the global top-k. Scales with the corpus partition count; the
+    cross-join + per-pair fold shape this replaces interprets |Q|·|C| array
+    folds. The query side is driver-collected for the broadcast (same
+    contract as F.broadcast: it must be the small side — for query sets too
+    large to broadcast, fall back to ``similar_pairs``-style blocking or
+    ``ivf_knn_join``). Returns (query_id, neighbor_id, similarity, rank)."""
+    import pandas as pd
     from pyspark.sql import Window
 
-    q = with_unit_vector(
-        queries.select(F.col(q_id).alias("query_id"), F.col(vec_col).alias("qv")),
-        "qv", "qu")
-    c = with_unit_vector(
-        corpus.select(F.col(c_id).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        "cv", "cu")
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", dot(F.col("qu"), F.col("cu")).alias("similarity"))
-    )
+    q_rows = queries.select(F.col(q_id).alias("query_id"),
+                            F.col(vec_col).alias("qv")).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, similarity double, rank long")
+    import numpy as np
+
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    qm = np.array([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = np.inf
+    qm = qm / qn[:, None]
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, qm))
+
+    kk = int(k)
+
+    def score(batches):
+        ids_q, mat_q = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mc = np.array([np.asarray(x, dtype=np.float64) for x in pdf["cv"]])
+            cn = np.linalg.norm(mc, axis=1)
+            cn[cn == 0.0] = np.inf
+            sims = mat_q @ (mc / cn[:, None]).T            # |Q| × batch
+            c_ids = pdf["neighbor_id"].to_numpy()
+            mask = ids_q[:, None] == c_ids[None, :]        # self-match exclusion
+            sims[mask] = -np.inf
+            top = min(kk, sims.shape[1])
+            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            rows_q = np.repeat(np.arange(len(ids_q)), top)
+            rows_c = part.ravel()
+            sel = sims[rows_q, rows_c]
+            keep = sel > -np.inf
+            yield pd.DataFrame({"query_id": ids_q[rows_q[keep]],
+                                "neighbor_id": c_ids[rows_c[keep]],
+                                "similarity": sel[keep]})
+
+    local_top = corpus.select(F.col(c_id).alias("neighbor_id"),
+                              F.col(vec_col).alias("cv")).mapInPandas(
+        score, "query_id long, neighbor_id long, similarity double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("similarity").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (local_top.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 def _rp_signs(vec: Column, dim: int, n_planes: int, seed: int) -> Column:
