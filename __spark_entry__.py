@@ -936,6 +936,67 @@ def events_sessionize(spark, sf_dir):
                  F.min("ts").alias("t_start"), F.max("ts").alias("t_end")))
 
 
+@q("json_extract_props_sum",
+   "SELECT event_type, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_total, "
+   "count(*) AS n FROM events GROUP BY event_type")
+def json_extract_props_sum(spark, sf_dir):
+    # semi-structured extraction: JSON props column -> typed field -> agg
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_total"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@q("users_click_and_purchase",
+   "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+   "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'")
+def users_click_and_purchase(spark, sf_dir):
+    # INTERSECT set op
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(buys)
+
+
+@q("users_click_no_purchase",
+   "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+   "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'")
+def users_click_no_purchase(spark, sf_dir):
+    # EXCEPT set op
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.exceptAll(buys).distinct()
+
+
+@q("running_revenue_per_customer",
+   "SELECT o_custkey, o_orderkey, "
+   "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER "
+   "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+   "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend FROM orders")
+def running_revenue_per_customer(spark, sf_dir):
+    # cumulative window frame (running total per customer over order time)
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return o.select("o_custkey", "o_orderkey",
+                    F.sum(_dec("o_totalprice")).over(w)
+                    .cast("double").alias("running_spend"))
+
+
+@q("normalize_tags_scalar",
+   "SELECT doc_id, regexp_replace(regexp_replace(lower(trim(source || ' ' || lang)), "
+   "'\\s+', '-', 'g'), '-+$', '', 'g') AS norm_tag FROM documents")
+def normalize_tags_scalar(spark, sf_dir):
+    # §2.9 scalar surface: the reference's tag normalization
+    # (src/tagging/TagClient.cpp:101-124) applied as a column expression
+    from thewhisperdb_spark.schemas import normalize_tag
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    normalize_tag(F.concat_ws(" ", "source", "lang")).alias("norm_tag"))
+
+
 @q("events_user_stats",
    "SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users, "
    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value FROM events "

@@ -120,3 +120,15 @@ def test_tag_bank_union(engine):
     engine.add_tags_to_bank(["a", "b"])
     engine.add_tags_to_bank(["b", "c"])
     assert sorted(r["tag"] for r in engine.tag_bank.collect()) == ["a", "b", "c"]
+
+
+def test_json_persistence_roundtrip(engine, tmp_path):
+    nid = engine.ingest_node({"title": "J", "author": "a", "subject": "s",
+                              "tags": ["t1", "t2"]})
+    engine.save_json(str(tmp_path / "jdb"))
+    loaded = GraphEngine.load_json(engine.spark, str(tmp_path / "jdb"))
+    node = loaded.find(nid)
+    assert node["title"] == "J" and node["tags"] == ["t1", "t2"]
+    # corrupt/absent path -> fresh empty DB (GraphDB.cpp:247-301 semantics)
+    empty = GraphEngine.load_json(engine.spark, str(tmp_path / "missing"))
+    assert empty.count() == 0

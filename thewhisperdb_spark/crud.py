@@ -106,6 +106,36 @@ class GraphEngine:
         self.tag_bank.write.mode("overwrite").parquet(
             os.path.join(path, "tag_bank"))
 
+    def save_json(self, path: str) -> None:
+        """S2, JSON-faithful variant: the reference persists one JSON document
+        per database (``GraphDB.cpp:326-374``); here each table is a JSON
+        *directory* (one file per partition at scale), nodes id-ordered."""
+        self.nodes.orderBy("id").write.mode("overwrite").json(
+            os.path.join(path, "nodes"))
+        self.node_files.write.mode("overwrite").json(
+            os.path.join(path, "node_files"))
+        self.tag_bank.write.mode("overwrite").json(
+            os.path.join(path, "tag_bank"))
+
+    @classmethod
+    def load_json(cls, spark: SparkSession, path: str) -> "GraphEngine":
+        """S1 JSON load with declared schemas (no inference — the lenient
+        coercions happen at ingest, not at rest) and the corrupt-fallback."""
+        from pyspark.sql.types import StructType as _St
+
+        def rd(sub: str, schema: _St):
+            try:
+                df = spark.read.schema(schema).json(os.path.join(path, sub))
+                df.first()
+                return df
+            except Exception:
+                return None
+
+        return cls(spark,
+                   rd("nodes", NODE_SCHEMA),
+                   rd("node_files", NODE_FILES_SCHEMA),
+                   rd("tag_bank", TAG_BANK_SCHEMA))
+
     def serialize(self) -> list[str]:
         """S4 ``serialize`` (``GraphDB.cpp:232-245``): JSON rows ordered by id.
         Driver-side collect by design — this is the API-response path."""
