@@ -1,0 +1,68 @@
+"""Scale-pattern guarantees asserted on physical plans: bucketed joins must
+not shuffle, salted joins must preserve join semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from thewhisperdb_spark.catalog import save_bucketed
+from thewhisperdb_spark.operators.relational import salted_join
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    # saveAsTable needs a warehouse; session fixture already has one under cwd
+    return spark
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    o = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a"))
+    li = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("k"), (F.col("id") % 13).alias("b"))
+    save_bucketed(o, "t_orders_b", "k", n_buckets=8)
+    save_bucketed(li, "t_lineitem_b", "k", n_buckets=8)
+    # disable auto-broadcast: at test sizes the planner would broadcast (and
+    # rightly skip bucketing); the no-shuffle property matters for the
+    # big-to-big sort-merge case
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_b").join(spark.table("t_lineitem_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, \
+            f"bucketed join still shuffles:\n{plan}"
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 5000
+        # contrast: the same join on plain (unbucketed) inputs does shuffle
+        plain = o.join(li, "k")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_agg_has_no_shuffle(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+    save_bucketed(df, "t_agg_b", "k", n_buckets=4)
+    agg = spark.table("t_agg_b").groupBy("k").agg(F.sum("v").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, \
+        f"bucketed agg still shuffles:\n{plan}"
+    assert agg.count() == 100
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavy skew: 90% of left rows share key 0
+    left = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"))
+    right = spark.createDataFrame(
+        [(0, "hot"), (950, "cold"), (999, "cold")], "k long, rv string")
+    got = salted_join(left, right, "k", n_salts=4)
+    plain = left.join(right, "k")
+    assert got.count() == plain.count() == 902
+    assert (sorted(r["lv"] for r in got.filter(F.col("rv") == "cold").collect())
+            == [950, 999])

@@ -50,3 +50,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def save_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16,
+                  sort: bool = True) -> None:
+    """Persist a table bucketed (and sorted) by its join key so later joins
+    on ``key`` between co-bucketed tables need NO shuffle — the physical plan
+    reads pre-hashed buckets on both sides (SortMergeJoin without Exchange).
+    This is the at-rest analog of ``repartition``: pay the partitioning once
+    at write time, reuse it across every downstream join/agg on the key."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous session may have left the managed location behind (in-memory
+    # catalog forgets the table but not the directory)
+    import shutil
+
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), table)
+    shutil.rmtree(loc, ignore_errors=True)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

@@ -67,6 +67,26 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.col("n_prior").cast("long").alias("n_prior"))
 
 
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                n_salts: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-mitigated equi-join: left rows get a deterministic salt
+    (hash of the full row spread across ``n_salts``), right rows are
+    replicated once per salt, and the join key becomes (key, salt) — a hot
+    key's rows now land on ``n_salts`` reducers instead of one.
+
+    Use when a handful of keys dominate (AQE's skew-join split handles
+    partition-level skew, but a single giant key inside one partition still
+    serializes without salting). Cost: right side × n_salts replication —
+    pick the smaller side as ``right``.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                  F.lit(n_salts)).cast("int")
+    l_s = left.withColumn("_salt", salt)
+    r_s = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return l_s.join(r_s, [key, "_salt"], how).drop("_salt")
+
+
 def range_join_bucketed(left: DataFrame, right: DataFrame,
                         left_lo: Column, left_hi: Column,
                         right_pt: Column, bucket_width: int) -> DataFrame:
