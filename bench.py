@@ -40,6 +40,12 @@ HEADLINE = [
     "connected_components",
     "dedup_exact",
     "minhash_lsh_dedup",
+    "asof_join_last_order",
+    "rollup_revenue_region_nation",
+    "brand_type_revenue",
+    "running_revenue_per_customer",
+    "tfidf_top_terms",
+    "ivf_knn",
 ]
 
 
