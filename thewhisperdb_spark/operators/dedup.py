@@ -59,25 +59,39 @@ def shingle_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.9,
     return out
 
 
-def minhash_signature(set_col: Column, n_hashes: int = 64, seed: int = 42) -> Column:
-    """MinHash signature over a string-array column: h_i(S) = min over elements
-    of xxhash64(seed+i, element). Array of n_hashes longs.
+_MERSENNE31 = (1 << 31) - 1
 
-    Single pass over the set: one fold whose accumulator is the running
-    element-wise min of the n_hashes-wide hash row per element. (The naive
+
+def minhash_signature(set_col: Column, n_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature over a string-array column, as an array of n_hashes
+    longs in [0, 2³¹-1).
+
+    Classic universal-hashing construction: each element is string-hashed
+    ONCE (xxhash64 folded into the Mersenne-31 domain), and the k hash
+    functions are affine derivations h_i = (a_i·h + b_i) mod p with literal
+    (a_i, b_i) drawn deterministically from ``seed`` driver-side — so per
+    element the k-wide row costs one real hash + k multiply-adds, not k
+    string hashes. The whole signature is a single fold over the set with a
+    running element-wise-min accumulator; the set expression is evaluated
+    exactly once per row. (Both properties matter: the naive
     ``transform(i -> array_min(transform(set, hash_i)))`` shape re-evaluates
-    the set expression once per hash function — Catalyst's project collapse
-    inlines it — turning O(|S|·k) work into O(|S|·k²-ish); the fold keeps the
-    set column referenced exactly once.)"""
-    idxs = F.sequence(F.lit(0), F.lit(n_hashes - 1))
-    max_long = F.lit((1 << 63) - 1).cast("long")
+    the set construction per hash function after Catalyst project-collapse,
+    and per-row constant arrays would re-hash the seeds per element.)"""
+    import random
+
+    rnd = random.Random(seed)
+    p = _MERSENNE31
+    coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(n_hashes)]
+    consts = F.array(*[
+        F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+        for a, b in coeffs])
     return F.aggregate(
-        set_col,
-        F.array_repeat(max_long, n_hashes),
-        lambda acc, s: F.zip_with(
+        F.transform(set_col, lambda s: F.pmod(F.xxhash64(s), F.lit(p))),
+        F.array_repeat(F.lit(p).cast("long"), n_hashes),
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(idxs, lambda i: F.xxhash64(F.lit(seed) + i, s)),
-            lambda a, b: F.least(a, b),
+            F.transform(consts, lambda c: F.pmod(c["a"] * h + c["b"], F.lit(p))),
+            lambda x, y: F.least(x, y),
         ),
     )
 
@@ -113,9 +127,10 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # candidate dedup on ids ONLY — carrying the signatures through the
-    # band-join + distinct would shuffle 2×n_hashes longs per candidate row;
-    # the sigs are re-attached afterwards with two slim joins
+    # candidate dedup on ids ONLY (16-byte rows through the Σ bucket²
+    # shuffle), then signatures re-attach via broadcast joins — the sig table
+    # is n rows of n_hashes longs, broadcastable far beyond any corpus whose
+    # candidate stream is the actual cost
     slim = banded.select("id", "band", "bucket")
     cand_ids = (
         slim.alias("x")
@@ -128,8 +143,10 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
     )
     cand = (
         cand_ids
-        .join(sig.select(F.col("id").alias("a"), F.col("sig").alias("siga")), "a")
-        .join(sig.select(F.col("id").alias("b"), F.col("sig").alias("sigb")), "b")
+        .join(F.broadcast(sig.select(F.col("id").alias("a"),
+                                     F.col("sig").alias("siga"))), "a")
+        .join(F.broadcast(sig.select(F.col("id").alias("b"),
+                                     F.col("sig").alias("sigb"))), "b")
     )
     est = (
         F.size(F.filter(F.zip_with(F.col("siga"), F.col("sigb"),
