@@ -936,6 +936,22 @@ def events_sessionize(spark, sf_dir):
                  F.min("ts").alias("t_start"), F.max("ts").alias("t_end")))
 
 
+@q("price_quartiles_by_priority",
+   "SELECT o_orderpriority, "
+   "round(quantile_cont(o_totalprice, 0.25), 6) AS p25, "
+   "round(quantile_cont(o_totalprice, 0.50), 6) AS p50, "
+   "round(quantile_cont(o_totalprice, 0.75), 6) AS p75, "
+   "count(*) AS n FROM orders GROUP BY o_orderpriority")
+def price_quartiles_by_priority(spark, sf_dir):
+    # exact interpolated percentiles per group (ordered-agg surface)
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+                 F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("p50"),
+                 F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("p75"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 @q("json_extract_props_sum",
    "SELECT event_type, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_total, "
    "count(*) AS n FROM events GROUP BY event_type")

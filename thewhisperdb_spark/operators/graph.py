@@ -56,7 +56,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        prop = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
@@ -66,6 +66,17 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                 (F.coalesce(F.col("nbr_component"), F.col("component"))
                  < F.col("component")).alias("_changed"),
             )
+        )
+        # path compression (pointer doubling): jump each vertex to its
+        # component representative's CURRENT label, collapsing chains in
+        # O(log n) rounds instead of O(diameter)
+        rep = prop.select(F.col("id").alias("component"),
+                          F.col("component").alias("_rep_label"))
+        new_labels = (
+            prop.join(rep, "component", "left")
+            .select("id",
+                    F.coalesce("_rep_label", "component").alias("component"),
+                    "_changed")
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
