@@ -1055,9 +1055,14 @@ def minhash_lsh_dedup(spark, sf_dir):
     # MinHash+LSH near-dup at scale (hash functions aren't portable to the
     # oracle; correctness covered by tests/test_graph_dedup.py vs exact
     # Jaccard). θ=0.8 is the near-dup operating point the 8×4 banding is
-    # calibrated for (collision prob ≈ 98.5% at j=0.8, ≈ 40% at j=0.5)
+    # calibrated for (collision prob ≈ 98.5% at j=0.8, ≈ 40% at j=0.5).
+    # Word-5-gram shingles: the web-scale-dedup standard — ~6× fewer shingles
+    # per doc than char-3-grams and far less background overlap, so both the
+    # signature stage and the candidate stream shrink
+    from thewhisperdb_spark.operators.text import word_ngrams
+
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=32, bands=8,
-                               threshold=0.8)
+                               threshold=0.8, shingler=word_ngrams)
 
 
 @q("simhash_dedup", None)

@@ -98,20 +98,42 @@ def minhash_signature(set_col: Column, n_hashes: int = 64, seed: int = 42) -> Co
 
 def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.8, shingle_n: int = 3,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      shingler=None) -> DataFrame:
     """MinHash+LSH near-dup (shingle -> minhash -> band -> bucket equi-join ->
     exact-signature Jaccard re-check). Candidate pairs are generated per band
     bucket — Σ bucket² work — then scored by estimated Jaccard (fraction of
-    agreeing minhashes). Returns (a, b, est_jaccard)."""
+    agreeing minhashes). Returns (a, b, est_jaccard).
+
+    ``shingler`` overrides the default char-n-gram shingling (e.g.
+    ``text.word_ngrams`` for the word-5-gram operating point of web-scale
+    dedup pipelines — fewer shingles, less background overlap).
+
+    Candidate pruning is threshold-derived and **lossless**: a pair passing the
+    final check agrees on ≥ ceil(θ·k) of k hashes, so its ≤ k−ceil(θ·k)
+    disagreements can break at most that many bands — it must collide in at
+    least ``bands − (k − ceil(θ·k))`` bands. Counting band collisions per pair
+    (the same shuffle the candidate dedup needs anyway) and filtering below
+    that floor drops the one-band-fluke bulk of the candidate stream before
+    signatures are re-attached, without changing the result set."""
+    import math
+
     rows_per_band = n_hashes // bands
+    min_bands = max(1, bands - (n_hashes - math.ceil(threshold * n_hashes - 1e-9)))
     # materialize shingles as a column BEFORE the per-hash transform: inlining
     # the ngram expression into the hash lambda would re-evaluate the array
     # construction once per hash function (n_hashes× the work)
+    shingle = (shingler(F.col(text_col)) if shingler is not None
+               else char_ngrams(F.col(text_col), shingle_n))
     sig = (
-        df.select(F.col(id_col).alias("id"),
-                  char_ngrams(F.col(text_col), shingle_n).alias("sh"))
+        df.select(F.col(id_col).alias("id"), shingle.alias("sh"))
         .select("id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
     )
+    # materialize signatures once: the plan references ``sig`` from the band
+    # explode, both sides of the candidate self-join, and both re-attach
+    # joins — without a barrier, projection collapse would re-run the
+    # shingle+minhash fold at every reference
+    sig = sig.localCheckpoint(eager=True)
     banded = sig.select(
         "id", "sig",
         F.explode(
@@ -139,7 +161,8 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
               & (F.col("x.bucket") == F.col("y.bucket"))
               & (F.col("x.id") < F.col("y.id")))
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .dropDuplicates(["a", "b"])
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("_nb"))
+        .filter(F.col("_nb") >= min_bands).drop("_nb")
     )
     cand = (
         cand_ids

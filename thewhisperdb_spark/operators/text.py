@@ -46,6 +46,28 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(col: Column, n: int = 5) -> Column:
+    """Word n-gram shingles (dedup building block) — the operating point the
+    published web-scale dedup pipelines use (word 5-grams): ~6× fewer shingles
+    per document than char-3-grams on English text, and far less cross-document
+    background overlap. Docs shorter than ``n`` words yield one whole-doc
+    shingle.
+
+    The token array is bound through a single-element ``transform`` lambda so
+    it is evaluated once per row: referencing the ``tokens(col)`` expression
+    directly inside the per-shingle lambda would re-run the split for every
+    shingle after Catalyst's projection collapse (measured ~10× slower)."""
+    def ngrams_of(tk: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        )
+
+    return F.array_distinct(
+        F.element_at(F.transform(F.array(tokens(col)), ngrams_of), 1)
+    )
+
+
 def truncate_text(col: Column, limit: int = 8000, ellipsis: bool = False) -> Column:
     """S8 truncation semantics: extract caps at 8000 chars
     (``src/embedding/TextExtractor.cpp:10,19-24``); the tagging path uses a
