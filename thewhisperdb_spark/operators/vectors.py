@@ -30,15 +30,23 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """J5 cosine with the reference's edge rules: 0.0 on dimension mismatch or
-    zero norm (``src/embedding/Clustering.cpp:7-27``)."""
+    zero norm (``src/embedding/Clustering.cpp:7-27``).
+
+    The three folds (dot, both norms) are bound once through a single-element
+    ``transform`` lambda: referencing a fold expression twice in the output
+    expression would re-evaluate it after projection collapse."""
     a = a.cast("array<double>")
     b = b.cast("array<double>")
-    d = dot(a, b)
-    na, nb = norm(a), norm(b)
-    return (
-        F.when((F.size(a) != F.size(b)) | (na == 0.0) | (nb == 0.0), F.lit(0.0))
-        .otherwise(d / (na * nb))
-    )
+
+    def _cos(s: Column) -> Column:
+        return (
+            F.when((F.size(a) != F.size(b)) | (s["na"] == 0.0) | (s["nb"] == 0.0),
+                   F.lit(0.0))
+            .otherwise(s["d"] / (s["na"] * s["nb"]))
+        )
+
+    parts = F.struct(dot(a, b).alias("d"), norm(a).alias("na"), norm(b).alias("nb"))
+    return F.element_at(F.transform(F.array(parts), _cos), 1)
 
 
 def with_unit_vector(df: DataFrame, vec_col: str = "embedding",
@@ -47,8 +55,13 @@ def with_unit_vector(df: DataFrame, vec_col: str = "embedding",
     product — at n² pair scale this halves the flops and lets the norm be
     computed in the scan stage instead of inside the join."""
     v = F.col(vec_col).cast("array<double>")
-    n = norm(v)
-    unit = F.when(n == 0.0, v).otherwise(F.transform(v, lambda x: x / n))
+
+    # bind the norm once via a lambda variable: referencing the norm fold
+    # inside the per-element division would re-evaluate it |v| times per row
+    def _unit(n: Column) -> Column:
+        return F.when(n == 0.0, v).otherwise(F.transform(v, lambda x: x / n))
+
+    unit = F.element_at(F.transform(F.array(norm(v)), _unit), 1)
     return df.withColumn(out_col, unit)
 
 
