@@ -952,6 +952,72 @@ def price_quartiles_by_priority(spark, sf_dir):
                  F.count(F.lit(1)).alias("n")))
 
 
+@q("cube_revenue_flag_status",
+   "SELECT l_returnflag, l_linestatus, "
+   "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue, "
+   "count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)")
+def cube_revenue_flag_status(spark, sf_dir):
+    # full grouping-sets lattice (CUBE): all four grouping combinations in one
+    # pass — Catalyst expands to a single shuffle with a grouping-id column
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(_sum_dec("l_extendedprice", "revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@q("order_price_deciles",
+   "WITH d AS (SELECT o_totalprice, ntile(10) OVER "
+   "(ORDER BY o_totalprice, o_orderkey) AS decile FROM orders) "
+   "SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n, "
+   "MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi "
+   "FROM d GROUP BY decile")
+def order_price_deciles(spark, sf_dir):
+    # ntile windowing + re-aggregation (distribution summary surface)
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+            .groupBy(F.col("decile").cast("bigint").alias("decile"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi")))
+
+
+@q("correlated_order_item_count",
+   "SELECT o_orderkey, o_totalprice, "
+   "(SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items "
+   "FROM orders o")
+def correlated_order_item_count(spark, sf_dir):
+    # correlated scalar subquery — Catalyst de-correlates it into a left outer
+    # aggregate join (the plan a hand-written join+agg would produce)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice, "
+        "(SELECT count(*) FROM v_lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items "
+        "FROM v_orders o")
+
+
+@q("range_window_user_activity",
+   "WITH ev AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us "
+   "FROM events) "
+   "SELECT event_id, user_id, CAST(count(*) OVER "
+   "(PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING "
+   "AND CURRENT ROW) AS BIGINT) AS n_trailing_1h FROM ev")
+def range_window_user_activity(spark, sf_dir):
+    # RANGE (value-based) window frame: per event, how many events the same
+    # user produced in the trailing hour. Ordered on epoch microseconds so the
+    # frame bounds are exact and engine-independent
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")))
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select("event_id", "user_id",
+                     F.count(F.lit(1)).over(w).alias("n_trailing_1h"))
+
+
 @q("json_extract_props_sum",
    "SELECT event_type, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_total, "
    "count(*) AS n FROM events GROUP BY event_type")
