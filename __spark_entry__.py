@@ -552,6 +552,18 @@ def token_count(spark, sf_dir):
         "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tokens"))
 
 
+@q("token_count_bpe",
+   "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+   "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) "
+   "AS BIGINT) AS n_bpe_tokens FROM documents")
+def token_count_bpe(spark, sf_dir):
+    # BPE-ish pre-tokenizer count (LLM token-budget proxy); the pattern is
+    # restricted to the Java-regex ∩ RE2 subset so the oracle counts match
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"))
+
+
 @q("quality_score",
    "SELECT doc_id, CAST(length(text) AS BIGINT) AS q_chars, "
    "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS q_tokens, "
@@ -1112,6 +1124,32 @@ def streaming_windowed_counts(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.sql(f"SELECT win_start, event_type, n FROM {name}")
+
+
+@q("streaming_dedup",
+   "WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events) "
+   "SELECT DISTINCT event_id, user_id, event_type FROM doubled")
+def streaming_dedup(spark, sf_dir):
+    # streaming exact dedup: replay the events table TWICE through readStream
+    # (every event_id arrives twice), dropDuplicatesWithinWatermark keeps the
+    # first — checked against the batch DISTINCT oracle
+    import tempfile
+
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    out_dir = tempfile.mkdtemp(prefix="whisper_stream_")
+    path = SJ.events_to_stream_dir(spark, sf_dir, out_dir, n_chunks=2)
+    ev = spark.read.parquet(path)
+    dup_path = os.path.join(out_dir, "events_doubled")
+    ev.union(ev).repartition(4).write.mode("overwrite").parquet(dup_path)
+    stream = SJ.stream_events_from_dir(spark, dup_path)
+    deduped = SJ.dedup_stream(stream)
+    name = "q_stream_dedup"
+    q = (deduped.select("event_id", "user_id", "event_type")
+         .writeStream.outputMode("append").format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"SELECT event_id, user_id, event_type FROM {name}")
 
 
 # ---- rows-only entries (no SQL-expressible oracle) -------------------------

@@ -81,3 +81,14 @@ def test_real_events_table_replay(spark, tmp_path):
         SJ.windowed_event_counts(stream, "1 hour"), "real_win", "complete")
     total_streamed = out.agg(F.sum("n")).collect()[0][0]
     assert total_streamed == spark.read.parquet(path).count()
+
+
+def test_dedup_stream_drops_repeats(spark, event_dir, tmp_path):
+    # duplicate the event files so every event_id appears twice in the stream
+    dup = str(tmp_path / "dup_events")
+    base = spark.read.parquet(event_dir)
+    base.union(base).repartition(3).write.parquet(dup)
+    stream = SJ.stream_events_from_dir(spark, dup)
+    out = SJ.run_to_memory(SJ.dedup_stream(stream), "dedup_ev", "append")
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3, 4, 5, 6]

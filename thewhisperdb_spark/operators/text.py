@@ -35,6 +35,20 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs shared by Java
+# regex (Spark) and RE2 (DuckDB oracle): contractions, space-prefixed letter
+# runs, digit runs, punctuation runs, residual whitespace. No lookahead (RE2
+# has none).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token counting, BPE-ish flavor (north-star text analysis): counts
+    pre-tokenizer segments — the standard proxy for LLM token budgets when the
+    real vocabulary isn't at hand. One codegen'd regexp_count, no Python."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Character n-gram shingles (dedup building block). Pure SQL:
     sequence over offsets -> substring -> distinct."""

@@ -127,6 +127,17 @@ def sessionize_with_state(events: DataFrame,
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence per key, with state
+    bounded by the event-time watermark (``dropDuplicatesWithinWatermark`` —
+    a key's state is dropped once the watermark passes it, so the dedup map
+    never grows unboundedly the way a global ``dropDuplicates`` would on an
+    infinite stream). Streaming twin of ``dedup.drop_exact_duplicates``."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "update") -> DataFrame:
     """Drive a streaming DataFrame over all currently-available input and
