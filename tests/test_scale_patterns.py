@@ -66,3 +66,28 @@ def test_salted_join_matches_plain_join(spark):
     assert got.count() == plain.count() == 902
     assert (sorted(r["lv"] for r in got.filter(F.col("rv") == "cold").collect())
             == [950, 999])
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    from thewhisperdb_spark.catalog import load_table, save_partitioned
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev = ev.withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    save_partitioned(ev, path, "day")
+
+    one_day = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (directory pruning, not row filter)
+    assert "PartitionFilters: [" in plan and "day" in plan.split(
+        "PartitionFilters")[1][:120]
+    got = one_day.count()
+    expect = ev.filter(F.to_date("ts") == "2024-01-02").count()
+    assert got == expect > 0
+
+    # and a row-level predicate on the same read still pushes down to parquet
+    pushed = spark.read.parquet(path).filter(
+        (F.col("day") == "2024-01-02") & (F.col("event_type") == "click"))
+    pplan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in pplan and "event_type" in pplan.split(
+        "PushedFilters")[1][:200]

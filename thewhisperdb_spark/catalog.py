@@ -72,3 +72,13 @@ def save_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16,
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def save_partitioned(df: DataFrame, path: str, *cols: str) -> None:
+    """Persist hive-partitioned parquet (one directory level per partition
+    column). Reads filtered on a partition column never touch non-matching
+    files — the scan's PartitionFilters prune directories at planning time,
+    which at 100 TB is the difference between scanning a day and scanning
+    the archive. Mirrors the reference's date-sharded attachment layout
+    (``src/server/FileStorage.cpp:134-143``) at the table level."""
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
