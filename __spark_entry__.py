@@ -1174,6 +1174,16 @@ def simhash_dedup(spark, sf_dir):
     return D.simhash_duplicates(_docs(spark, sf_dir), bits=32)
 
 
+@q("simhash_band_pairs", None)
+def simhash_band_pairs_q(spark, sf_dir):
+    # Hamming-tolerant simhash near-dup: lossless banded candidates
+    # (pigeonhole over band slices), bit_count(xor) verification. 60 bits /
+    # 15-bit slices: wide enough to separate this vocabulary-dense corpus,
+    # slices wide enough that buckets stay small as the corpus grows
+    return D.simhash_band_pairs(_docs(spark, sf_dir), bits=60, bands=4,
+                                max_hamming=3)
+
+
 @q("ann_lsh_pairs", None)
 def ann_lsh_pairs_q(spark, sf_dir):
     # approximate J6: LSH-bucketed candidate generation + exact re-check

@@ -82,3 +82,15 @@ def test_clusters_from_pairs_roundtrip(nodes_df):
     # 1,2,6 form one component; 3 and 5 are singletons
     assert labels[1] == labels[2] == labels[6] == 1
     assert labels[3] == 3 and labels[5] == 5
+
+
+def test_simhash_band_pairs_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "theta eta zeta epsilon delta gamma beta alpha"),   # same set
+         (3, "totally different words nothing in common whatsoever here")],
+        "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["hamming"] for r in
+           D.simhash_band_pairs(df, bits=32, bands=4, max_hamming=3).collect()}
+    assert got.get((1, 2)) == 0            # identical token sets -> hamming 0
+    assert not any(3 in p for p in got)    # unrelated doc never pairs

@@ -229,6 +229,47 @@ def simhash_duplicates(df: DataFrame, bits: int = 32,
     )
 
 
+def simhash_band_pairs(df: DataFrame, bits: int = 32, bands: int = 4,
+                       max_hamming: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hamming-tolerant SimHash near-dup: pairs whose ``bits``-bit simhash
+    differs in at most ``max_hamming`` positions. Candidates come from band
+    equi-joins (pigeonhole: d differing bits can break at most d of ``bands``
+    band slices, so any pair within ``max_hamming`` collides on at least
+    ``bands - max_hamming`` bands — the candidate generation is **lossless**
+    while ``max_hamming < bands``), verified with ``bit_count(xor)``.
+    Returns (a, b, hamming)."""
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    band_bits = bits // bands
+    h = (df.select(F.col(id_col).alias("id"),
+                   tags_of(F.col(text_col)).alias("toks"))
+         .select("id", simhash(F.col("toks"), bits).alias("simhash"))
+         .localCheckpoint(eager=True))  # referenced by bands and both join sides
+    banded = h.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("simhash", b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("slice"),
+            ) for b in range(bands)])).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"),
+             F.col("bb.slice").alias("slice"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"),
+              (F.col("x.band") == F.col("y.band"))
+              & (F.col("x.slice") == F.col("y.slice"))
+              & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"))
+        .dropDuplicates(["a", "b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.select("a", "b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
