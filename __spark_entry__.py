@@ -984,13 +984,48 @@ def cube_revenue_flag_status(spark, sf_dir):
    "MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi "
    "FROM d GROUP BY decile")
 def order_price_deciles(spark, sf_dir):
-    # ntile windowing + re-aggregation (distribution summary surface)
+    # ntile windowing + re-aggregation (distribution summary surface).
+    #
+    # A naive `ntile(10) OVER (ORDER BY ...)` is a GLOBAL window: Spark moves
+    # every row to ONE partition to assign buckets — a non-starter at 100 TB.
+    # Instead we compute the exact global rank distributively:
+    #   1. range-partition by the sort key (each partition = contiguous key
+    #      range, so partition order == global order),
+    #   2. per-partition row counts -> cumulative offsets (metadata-sized,
+    #      one row per partition),
+    #   3. global rank = offset + within-partition row_number (window
+    #      partitioned BY partition id — parallel, no single-partition stage),
+    #   4. ANSI ntile bucket from (rank, N): with q, rem = divmod(N, 10),
+    #      the first `rem` buckets hold q+1 rows, the rest q rows.
+    # The sort key (o_totalprice, o_orderkey) is a strict total order, so the
+    # result is deterministic and matches the oracle's ntile exactly.
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
-            .groupBy(F.col("decile").cast("bigint").alias("decile"))
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranged = (o.repartitionByRange(32, "o_totalprice", "o_orderkey")
+              .withColumn("pid", F.spark_partition_id()))
+    # per-range counts: tiny (one row per partition); the window below runs
+    # over <=32 rows so its single-partition execution is metadata-scale
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding,
+                                              Window.unboundedFollowing)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(w_all).alias("n_total"))
+
+    w_local = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    ranked = (ranged.join(F.broadcast(offsets), "pid")
+              .select("o_totalprice", "n_total",
+                      (F.col("offset") + F.row_number().over(w_local)).alias("r")))
+    q_ = F.floor(F.col("n_total") / 10)
+    rem = F.col("n_total") % 10
+    big = rem * (q_ + F.lit(1))  # rows covered by the q+1-sized buckets
+    decile = F.when(
+        F.col("r") <= big, F.floor((F.col("r") - 1) / (q_ + 1)) + 1
+    ).otherwise(rem + F.floor((F.col("r") - 1 - big) / q_) + 1)
+    return (ranked.select(decile.cast("bigint").alias("decile"), "o_totalprice")
+            .groupBy("decile")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("o_totalprice").alias("lo"),
                  F.max("o_totalprice").alias("hi")))
