@@ -44,6 +44,7 @@ HEADLINE = [
     "rollup_revenue_region_nation",
     "brand_type_revenue",
     "running_revenue_per_customer",
+    "order_price_deciles",
     "tfidf_top_terms",
     "ivf_knn",
 ]
