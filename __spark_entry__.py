@@ -1138,6 +1138,24 @@ def events_user_stats(spark, sf_dir):
         _sum_dec("value", "total_value"))
 
 
+@q("events_distinct_users_hll", None)
+def events_distinct_users_hll(spark, sf_dir):
+    # Sketch surface for the 100 TB posture: per-type distinct users via an
+    # HLL sketch (Datasketches HllSketch under `hll_sketch_agg`). Unlike
+    # count(DISTINCT ...), the sketch is a MERGEABLE partial aggregate —
+    # map-side partials combine without re-shuffling raw user ids, and stored
+    # sketches can be unioned across days/partitions (`hll_union_agg`) for
+    # rollups without touching raw data. Approximate, so rows-only for the
+    # driver; tests/test_scale_patterns.py asserts the estimate lands within
+    # HLL error bounds of the exact count at lgK=14.
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.hll_sketch_estimate(
+                     F.hll_sketch_agg(F.col("user_id"), F.lit(14))
+                 ).alias("n_users_approx")))
+
+
 @q("streaming_windowed_counts",
    "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, "
    "event_type, count(*) AS n FROM events GROUP BY 1, event_type")

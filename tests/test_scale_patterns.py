@@ -91,3 +91,25 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     pplan = pushed._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in pplan and "event_type" in pplan.split(
         "PushedFilters")[1][:200]
+
+
+def test_hll_sketch_distinct_within_error_bounds(spark):
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in
+           entrymod.queries()["events_distinct_users_hll"](spark, sf).collect()}
+    from thewhisperdb_spark.catalog import load_table
+    exact = {r["event_type"]: r["n_users"] for r in
+             load_table(spark, sf, "events").groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n_users")).collect()}
+    assert set(got) == set(exact) and len(got) > 0
+    for et, row in got.items():
+        # HLL at lgK=14: rse ~ 1.04/sqrt(2^14) ~ 0.8%; allow 3 sigma
+        assert abs(row["n_users_approx"] - exact[et]) <= max(3, 0.025 * exact[et])
+
+    # the sketch aggregate must partial-aggregate map-side (mergeable), not
+    # expand to a distinct-style double shuffle
+    plan = (entrymod.queries()["events_distinct_users_hll"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
