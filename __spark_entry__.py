@@ -698,9 +698,12 @@ def revenue_by_region(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # customer is fact-scale (15M rows at sf100) — NO broadcast hint on it;
+    # the shuffle join is the correct plan and AQE may still elect broadcast
+    # when the runtime size is small. Only catalog.BROADCAST_TABLES get hints.
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
@@ -819,8 +822,9 @@ def rollup_revenue_region_nation(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # customer is fact-scale: no broadcast hint (see revenue_by_region note)
     joined = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-              .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+              .join(c, F.col("o_custkey") == F.col("c_custkey"))
               .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
               .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
     return (joined.rollup("r_name", "n_name")
@@ -1002,10 +1006,13 @@ def order_price_deciles(spark, sf_dir):
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    ranged = (o.repartitionByRange(32, "o_totalprice", "o_orderkey")
+    # range-partition count follows the session's parallelism (not a literal):
+    # on a 1000-executor cluster defaultParallelism scales the ranges with it
+    n_ranges = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = (o.repartitionByRange(n_ranges, "o_totalprice", "o_orderkey")
               .withColumn("pid", F.spark_partition_id()))
     # per-range counts: tiny (one row per partition); the window below runs
-    # over <=32 rows so its single-partition execution is metadata-scale
+    # over <=n_ranges rows so its single-partition execution is metadata-scale
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding,
@@ -1299,12 +1306,58 @@ def entry(spark: SparkSession) -> DataFrame:
                        F.size("tags").cast("long").alias("n_tags"))
 
 
+# Queries the round-1 driver never produced a CORRECTNESS row for (its check
+# window covered the first 50 registry entries). List them first so this
+# round's window verifies them; the long-green F1-F10 block moves to the back.
+_VERIFY_FIRST = [
+    # round-1 hard failures (events nanos read — fixed in catalog.load_table)
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    # declared oracle queries with no round-1 row
+    "rollup_revenue_region_nation",
+    "pivot_event_type_values",
+    "asof_join_last_order",
+    "tfidf_top_terms",
+    "events_windowed_agg",
+    "events_sessionize",
+    "price_quartiles_by_priority",
+    "cube_revenue_flag_status",
+    "order_price_deciles",
+    "correlated_order_item_count",
+    "range_window_user_activity",
+    "json_extract_props_sum",
+    "users_click_and_purchase",
+    "users_click_no_purchase",
+    "running_revenue_per_customer",
+    "normalize_tags_scalar",
+    "events_user_stats",
+    "streaming_windowed_counts",
+    "streaming_dedup",
+    # rows-only entries (weaker check, but a row beats no row)
+    "events_distinct_users_hll",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "simhash_band_pairs",
+    "ann_lsh_pairs",
+    "embed_documents_fallback",
+    "generate_tags_fallback",
+    "ivf_knn",
+    "doc_fingerprint",
+]
+
+
+def _ordered_keys() -> list[str]:
+    head = [k for k in _VERIFY_FIRST if k in _REGISTRY]
+    return head + [k for k in _REGISTRY if k not in set(head)]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {k: fn for k, (fn, _) in _REGISTRY.items()}
+    return {k: _REGISTRY[k][0] for k in _ordered_keys()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: sql for k, (fn, sql) in _REGISTRY.items() if sql is not None}
+    return {k: _REGISTRY[k][1] for k in _ordered_keys()
+            if _REGISTRY[k][1] is not None}
 
 
 if __name__ == "__main__":

@@ -34,10 +34,33 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, tolerating TIMESTAMP(NANOS) columns in ANY session.
+
+    ``events.parquet`` stores INT64 TIMESTAMP(NANOS), which Spark's reader
+    rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is armed. That
+    conf is runtime-settable, so arm it here — at the read site — rather than
+    relying on the session having been built by ``session.get_spark``. The
+    conf is left set: it only affects parquet nanos columns, which this
+    loader always converts to proper timestamps anyway.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # AnalysisException: PARQUET_TYPE_ILLEGAL
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table: {name}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # pre-arm so schema inference AND executor-side reads both see it
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = _read_parquet_nanos_safe(spark, path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong=true surfaces TIMESTAMP(NANOS) as long nanos; convert to
         # microsecond timestamps (truncating, same as DuckDB's ns->us cast)

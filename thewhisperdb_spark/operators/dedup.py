@@ -150,9 +150,11 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # candidate dedup on ids ONLY (16-byte rows through the Σ bucket²
-    # shuffle), then signatures re-attach via broadcast joins — the sig table
-    # is n rows of n_hashes longs, broadcastable far beyond any corpus whose
-    # candidate stream is the actual cost
+    # shuffle), then signatures re-attach. The re-attach join is a plain
+    # shuffle join by default: at pipeline scale the sig table is fact-sized
+    # (1B docs × 32 longs ≈ 250 GB — nowhere near broadcastable). Broadcast is
+    # only a size-gated fast path for small corpora, where the count is cheap
+    # because ``sig`` is already materialized by the checkpoint above.
     slim = banded.select("id", "band", "bucket")
     cand_ids = (
         slim.alias("x")
@@ -164,13 +166,15 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
         .groupBy("a", "b").agg(F.count(F.lit(1)).alias("_nb"))
         .filter(F.col("_nb") >= min_bands).drop("_nb")
     )
-    cand = (
-        cand_ids
-        .join(F.broadcast(sig.select(F.col("id").alias("a"),
-                                     F.col("sig").alias("siga"))), "a")
-        .join(F.broadcast(sig.select(F.col("id").alias("b"),
-                                     F.col("sig").alias("sigb"))), "b")
-    )
+    # ≈ 8 bytes × n_hashes per row; keep the broadcast well under the 64 MB
+    # auto-threshold => cap rows so rows × n_hashes × 8 ≤ ~32 MB
+    broadcast_sig_max_rows = (32 << 20) // (8 * n_hashes)
+    small_sig = sig.count() <= broadcast_sig_max_rows
+    sig_a = sig.select(F.col("id").alias("a"), F.col("sig").alias("siga"))
+    sig_b = sig.select(F.col("id").alias("b"), F.col("sig").alias("sigb"))
+    if small_sig:
+        sig_a, sig_b = F.broadcast(sig_a), F.broadcast(sig_b)
+    cand = cand_ids.join(sig_a, "a").join(sig_b, "b")
     est = (
         F.size(F.filter(F.zip_with(F.col("siga"), F.col("sigb"),
                                    lambda x, y: x == y), lambda m: m))

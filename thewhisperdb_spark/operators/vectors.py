@@ -158,7 +158,8 @@ def topk_similar(embeddings: DataFrame, query_id: int, k: int = 10,
 
 def brute_force_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
                          q_id: str = "vec_id", c_id: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         max_query_rows: int = 65_536) -> DataFrame:
     """North-star ANN baseline: exact top-k per query. The query matrix is
     broadcast to every corpus partition; each Arrow batch computes one BLAS
     matmul (|Q|×d @ d×|batch|) and emits only its local top-k per query, so
@@ -168,10 +169,21 @@ def brute_force_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
     folds. The query side is driver-collected for the broadcast (same
     contract as F.broadcast: it must be the small side — for query sets too
     large to broadcast, fall back to ``similar_pairs``-style blocking or
-    ``ivf_knn_join``). Returns (query_id, neighbor_id, similarity, rank)."""
+    ``ivf_knn_join``). The contract is ENFORCED: the query side is counted
+    before the collect and anything above ``max_query_rows`` raises instead
+    of silently OOMing the driver (at 64 k rows × 64-dim doubles the
+    broadcast is ~32 MB — inside the executor-memory envelope; 10× that is
+    not). Returns (query_id, neighbor_id, similarity, rank)."""
     import pandas as pd
     from pyspark.sql import Window
 
+    n_queries = queries.count()
+    if n_queries > max_query_rows:
+        raise ValueError(
+            f"brute_force_knn_join: query side has {n_queries} rows, above the "
+            f"driver-collect cap of {max_query_rows}. Use ivf_knn_join (IVF "
+            f"inverted-list probe) or ann_lsh_pairs (bucketed LSH) for large "
+            f"query sets, or raise max_query_rows explicitly.")
     q_rows = queries.select(F.col(q_id).alias("query_id"),
                             F.col(vec_col).alias("qv")).collect()
     if not q_rows:
