@@ -219,7 +219,8 @@ def sort_by_field(spark, sf_dir):
     # O1 whitelisted-key sort, unknown key -> id fallback, id tie-break
     # (src/core/GraphDB.cpp:60-82; field key ≙ source)
     return O.sort_nodes(_docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
-                        "source", ascending=True, id_col="doc_id")
+                        "source", ascending=True, id_col="doc_id",
+                        allowed=("source", "n_chars"))
 
 
 # ---- §2.4 aggregations -----------------------------------------------------

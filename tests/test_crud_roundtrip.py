@@ -78,9 +78,10 @@ def test_file_flow(engine, tmp_path):
     assert read_file(root, p1) == b"pdf-bytes"
     p2 = engine.add_file(nid, "extra.txt", b"t", storage_root=root)
     assert engine.find(nid)["storage_path"] == p1   # unchanged on second file
-    # remove first -> storage_path moves to a remaining file
+    # remove first -> storage_path NOT re-pointed (reference semantics,
+    # GraphDB.cpp:450-475: it only ever clears on last-file removal)
     engine.remove_file(nid, p1, storage_root=root)
-    assert engine.find(nid)["storage_path"] == p2
+    assert engine.find(nid)["storage_path"] == p1
     # remove last -> cleared (GraphDB.cpp:468-471)
     engine.remove_file(nid, p2, storage_root=root)
     assert engine.find(nid)["storage_path"] is None
@@ -120,6 +121,79 @@ def test_tag_bank_union(engine):
     engine.add_tags_to_bank(["a", "b"])
     engine.add_tags_to_bank(["b", "c"])
     assert sorted(r["tag"] for r in engine.tag_bank.collect()) == ["a", "b", "c"]
+
+
+def test_save_to_same_path_after_mutation(engine, tmp_path):
+    # rewrite-in-place persistence (the reference's model): load -> mutate ->
+    # save BACK to the load path must not destroy the DB. A naive
+    # mode('overwrite') deletes the parquet files the lazy state still reads
+    # mid-write; save() must temp-write + rename instead.
+    db = str(tmp_path / "db")
+    engine.ingest_node({"title": "One", "author": "a", "subject": "s"})
+    engine.add_tags_to_bank(["t1"])
+    engine.save(db)
+
+    loaded = GraphEngine.load(engine.spark, db)
+    loaded.ingest_node({"title": "Two", "author": "b", "subject": "s"})
+    loaded.add_tags_to_bank(["t2"])
+    loaded.save(db)                      # same path, state still lazy
+    assert loaded.count() == 2           # post-save state usable
+    again = GraphEngine.load(engine.spark, db)
+    assert again.count() == 2
+    assert sorted(r["tag"] for r in again.tag_bank.collect()) == ["t1", "t2"]
+    # and the json variant honors the same contract
+    jdb = str(tmp_path / "jdb")
+    again.save_json(jdb)
+    j = GraphEngine.load_json(engine.spark, jdb)
+    j.ingest_node({"title": "Three", "author": "c", "subject": "s"})
+    j.save_json(jdb)
+    assert GraphEngine.load_json(engine.spark, jdb).count() == 3
+
+
+def test_checkpoint_covers_all_state_tables(engine, tmp_path):
+    db = str(tmp_path / "db")
+    engine.ingest_node({"title": "N", "author": "a", "subject": "s"})
+    engine.add_tags_to_bank(["x"])
+    engine.save(db)
+    loaded = GraphEngine.load(engine.spark, db)
+    loaded.checkpoint()                  # must checkpoint tag_bank too
+    loaded.save(db)                      # would FILE_NOT_EXIST if it didn't
+    assert GraphEngine.load(engine.spark, db).tag_bank.count() == 1
+
+
+def test_storage_paths_confined_to_root(engine, tmp_path):
+    import os
+
+    from thewhisperdb_spark.storage import delete_file, save_file
+
+    root = str(tmp_path / "store")
+    outside = tmp_path / "secret.txt"
+    outside.write_bytes(b"keep me")
+    save_file(root, "ok.txt", b"fine")
+    # '..' traversal and absolute paths must be rejected, not honored
+    with pytest.raises(ValueError):
+        read_file(root, "../secret.txt")
+    with pytest.raises(ValueError):
+        delete_file(root, "../secret.txt")
+    with pytest.raises(ValueError):
+        read_file(root, str(outside))
+    assert outside.exists()
+    assert os.path.exists(str(tmp_path / "secret.txt"))
+
+
+def test_sort_key_whitelist(spark):
+    from pyspark.sql import functions as F
+
+    from thewhisperdb_spark.operators.sorting import sort_nodes
+
+    df = spark.createDataFrame(
+        [(2, "b", [9]), (1, "a", [1])], "id long, title string, embedding array<int>")
+    # whitelisted key sorts by it
+    assert [r["id"] for r in sort_nodes(df, "title").collect()] == [1, 2]
+    # non-whitelisted key (embedding) falls back to id, like the reference's
+    # unknown-key branch (GraphDB.cpp:60-82)
+    assert [r["id"] for r in sort_nodes(df, "embedding", ascending=False)
+            .collect()] == [2, 1]
 
 
 def test_json_persistence_roundtrip(engine, tmp_path):

@@ -95,27 +95,67 @@ class GraphEngine:
                 dfs[t] = None
         return cls(spark, dfs["nodes"], dfs["node_files"], dfs["tag_bank"])
 
+    def _save_atomic(self, path: str, fmt: str) -> None:
+        """Write-temp-then-rename snapshot save.
+
+        A direct ``mode("overwrite")`` to the load path is a data-loss bug:
+        DataFrames are lazy, so the overwrite deletes the very parquet files
+        the un-materialized state still needs mid-write — the reference's
+        rewrite-in-place persistence (``GraphDB.cpp:326-374``) must therefore
+        be temp-dir + rename here. Each table is written to a hidden temp
+        sibling first (reading the OLD files while they still exist), then
+        swapped into place, then the in-memory state is re-pointed at the
+        fresh snapshot so no lineage references the replaced files."""
+        import shutil
+        import uuid as _uuid
+
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, f".tmp-{_uuid.uuid4().hex[:8]}")
+        ordered = {"nodes": self.nodes.orderBy("id"),
+                   "node_files": self.node_files,
+                   "tag_bank": self.tag_bank}
+        try:
+            for t, df in ordered.items():
+                getattr(df.write.mode("overwrite"), fmt)(os.path.join(tmp, t))
+            for t in _TABLES:
+                final = os.path.join(path, t)
+                old = final + ".old"
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.exists(final):
+                    os.rename(final, old)
+                os.rename(os.path.join(tmp, t), final)
+                shutil.rmtree(old, ignore_errors=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        # re-point state at the snapshot just written (schemas preserved:
+        # parquet is self-describing; json re-reads under the declared schema)
+        if fmt == "parquet":
+            self.nodes = self.spark.read.parquet(os.path.join(path, "nodes"))
+            self.node_files = self.spark.read.parquet(
+                os.path.join(path, "node_files"))
+            self.tag_bank = self.spark.read.parquet(
+                os.path.join(path, "tag_bank"))
+        else:
+            self.nodes = self.spark.read.schema(NODE_SCHEMA).json(
+                os.path.join(path, "nodes"))
+            self.node_files = self.spark.read.schema(NODE_FILES_SCHEMA).json(
+                os.path.join(path, "node_files"))
+            self.tag_bank = self.spark.read.schema(TAG_BANK_SCHEMA).json(
+                os.path.join(path, "tag_bank"))
+
     def save(self, path: str) -> None:
         """S2: snapshot write, nodes ordered by id (``GraphDB.cpp:326-374``).
         Parquet per table; at scale, partition ``nodes`` by a stable key and
-        let writers emit one file per partition."""
-        self.nodes.orderBy("id").write.mode("overwrite").parquet(
-            os.path.join(path, "nodes"))
-        self.node_files.write.mode("overwrite").parquet(
-            os.path.join(path, "node_files"))
-        self.tag_bank.write.mode("overwrite").parquet(
-            os.path.join(path, "tag_bank"))
+        let writers emit one file per partition. Safe to call with the same
+        path the engine loaded from (temp-write + rename, see _save_atomic)."""
+        self._save_atomic(path, "parquet")
 
     def save_json(self, path: str) -> None:
         """S2, JSON-faithful variant: the reference persists one JSON document
         per database (``GraphDB.cpp:326-374``); here each table is a JSON
-        *directory* (one file per partition at scale), nodes id-ordered."""
-        self.nodes.orderBy("id").write.mode("overwrite").json(
-            os.path.join(path, "nodes"))
-        self.node_files.write.mode("overwrite").json(
-            os.path.join(path, "node_files"))
-        self.tag_bank.write.mode("overwrite").json(
-            os.path.join(path, "tag_bank"))
+        *directory* (one file per partition at scale), nodes id-ordered.
+        Same-path-safe (see _save_atomic)."""
+        self._save_atomic(path, "json")
 
     @classmethod
     def load_json(cls, spark: SparkSession, path: str) -> "GraphEngine":
@@ -159,8 +199,13 @@ class GraphEngine:
         return self.nodes.count()
 
     def next_id(self) -> int:
-        """M1 id generation: smallest unused int > max (``GraphDB.cpp:485-491``).
-        One scalar aggregate; single-writer, same contract as the reference."""
+        """M1 id generation: ``max(id) + 1`` — one scalar aggregate,
+        single-writer. Intentional divergence from the reference
+        (``GraphDB.cpp:485-491``): its static counter restarts at 1 per
+        process and re-fills gaps left by deletions after a restart; here
+        ids of deleted nodes are NEVER reused (monotone over the life of the
+        stored snapshot), which is the safer contract when ids leak into
+        edges, files, and external references."""
         row = self.nodes.agg(F.max("id").alias("m")).collect()[0]
         return int(row["m"] or 0) + 1
 
@@ -292,21 +337,24 @@ class GraphEngine:
 
     def remove_file(self, node_id: int, rel_path: str,
                     storage_root: str | None = None) -> None:
-        """M5 (``GraphDB.cpp:450-475``): drop path row (+disk), clear
-        ``storage_path`` when the last file goes."""
+        """M5 (``GraphDB.cpp:450-475``): drop path row (+disk). Matching the
+        reference exactly: ``storage_path`` is cleared only when the LAST
+        file goes (``GraphDB.cpp:468-471``) — removing a non-current file
+        leaves ``storage_path`` untouched, even if it pointed at the removed
+        file (the reference never re-points it)."""
         if storage_root:
             from thewhisperdb_spark.storage import delete_file
 
             delete_file(storage_root, rel_path)
         self.node_files = self.node_files.filter(
             ~((F.col("node_id") == node_id) & (F.col("file_path") == rel_path)))
-        remaining = (self.node_files.filter(F.col("node_id") == node_id)
-                     .orderBy("file_path").limit(1).collect())
-        new_sp = remaining[0]["file_path"] if remaining else None
-        self.nodes = self.nodes.withColumn(
-            "storage_path",
-            F.when(F.col("id") == node_id, F.lit(new_sp))
-            .otherwise(F.col("storage_path")))
+        has_files = bool(
+            self.node_files.filter(F.col("node_id") == node_id).limit(1).count())
+        if not has_files:
+            self.nodes = self.nodes.withColumn(
+                "storage_path",
+                F.when(F.col("id") == node_id, F.lit(None).cast("string"))
+                .otherwise(F.col("storage_path")))
 
     # ---- edges / tag bank --------------------------------------------------
 
@@ -326,6 +374,9 @@ class GraphEngine:
 
     def checkpoint(self) -> None:
         """Cut lineage after a mutation burst: long withColumn/union chains
-        grow the logical plan; localCheckpoint keeps planning O(1) per op."""
+        grow the logical plan; localCheckpoint keeps planning O(1) per op.
+        ALL state tables are checkpointed — tag_bank included, so a
+        checkpointed engine can save back to its own load path."""
         self.nodes = self.nodes.localCheckpoint(eager=True)
         self.node_files = self.node_files.localCheckpoint(eager=True)
+        self.tag_bank = self.tag_bank.localCheckpoint(eager=True)

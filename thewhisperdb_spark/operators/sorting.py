@@ -17,10 +17,15 @@ SORTABLE_KEYS = ("id", "title", "author", "subject", "course", "date")
 
 
 def sort_nodes(df: DataFrame, key: str, ascending: bool = True,
-               id_col: str = "id") -> DataFrame:
-    """O1: sort by one whitelisted key; unknown key falls back to id
-    (``src/core/GraphDB.cpp:60-82``); id tie-break appended for determinism."""
-    if key not in df.columns:
+               id_col: str = "id",
+               allowed: tuple[str, ...] | None = None) -> DataFrame:
+    """O1: sort by one WHITELISTED key; non-whitelisted or absent keys fall
+    back to id (``src/core/GraphDB.cpp:60-82`` — the reference rejects e.g.
+    ``embedding``/``LinkedNodes`` as sort keys, so must we); id tie-break
+    appended for determinism. ``allowed`` overrides the default whitelist for
+    non-node tables (pass the sortable columns of that table)."""
+    whitelist = set(allowed if allowed is not None else SORTABLE_KEYS) | {id_col}
+    if key not in whitelist or key not in df.columns:
         key = id_col
     primary = F.col(key).asc() if ascending else F.col(key).desc()
     if key == id_col:

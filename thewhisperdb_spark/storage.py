@@ -38,16 +38,31 @@ def save_file(root: str, orig_name: str, content: bytes,
     return rel
 
 
+def _resolve_under_root(root: str, rel_path: str) -> str:
+    """Resolve ``root/rel_path`` and require it to stay under ``root``.
+
+    Table-stored paths flow into read/delete (delete_node cascades via
+    node_files rows), so ``..`` traversal or an absolute rel_path — which
+    ``os.path.join`` would silently let escape the storage root — must be
+    rejected, not honored."""
+    rootr = os.path.realpath(root)
+    full = os.path.realpath(os.path.join(rootr, rel_path))
+    if full != rootr and not full.startswith(rootr + os.sep):
+        raise ValueError(f"storage path escapes root: {rel_path!r}")
+    return full
+
+
 def read_file(root: str, rel_path: str) -> bytes:
-    """S6 (``FileStorage.cpp:73-82``)."""
-    with open(os.path.join(root, rel_path), "rb") as f:
+    """S6 (``FileStorage.cpp:73-82``); rel_path confined to root."""
+    with open(_resolve_under_root(root, rel_path), "rb") as f:
         return f.read()
 
 
 def delete_file(root: str, rel_path: str) -> bool:
-    """S7 (``FileStorage.cpp:84-86``); True if removed."""
+    """S7 (``FileStorage.cpp:84-86``); True if removed. rel_path confined to
+    root."""
     try:
-        os.remove(os.path.join(root, rel_path))
+        os.remove(_resolve_under_root(root, rel_path))
         return True
     except FileNotFoundError:
         return False
