@@ -1134,6 +1134,31 @@ def normalize_tags_scalar(spark, sf_dir):
                     normalize_tag(F.concat_ws(" ", "source", "lang")).alias("norm_tag"))
 
 
+@q("llm_tag_extraction",
+   "SELECT doc_id, CASE WHEN n_chars % 10 = 0 THEN '' "
+   "ELSE 'data-processing,' || source || ',' || lang END AS tags_csv "
+   "FROM documents")
+def llm_tag_extraction(spark, sf_dir):
+    # §2.9 LLM JSON-array extraction (src/tagging/TagClient.cpp:126-157):
+    # synthesize a noisy model completion per row (with a parse-failure
+    # branch every 10th row), then run the PRODUCTION parse path — the
+    # regexp_extract + from_json + tag-normalization column expression that
+    # generate_tags_from_model_output applies to real completions. The
+    # oracle computes the expected tag list directly, certifying extraction
+    # + normalization end-to-end ("Data Processing" -> "data-processing",
+    # failure -> empty list).
+    from thewhisperdb_spark.functions.llm import extract_tag_array
+    d = _docs(spark, sf_dir)
+    raw = (F.when(F.col("n_chars") % 10 == 0,
+                  F.lit("Sorry, I could not produce tags for this text."))
+           .otherwise(F.concat(
+               F.lit('Sure! Here are the tags: ["Data Processing", "'),
+               F.col("source"), F.lit('", "'), F.col("lang"),
+               F.lit('"]. Let me know if you need more.'))))
+    tags = F.coalesce(extract_tag_array(raw), F.array().cast("array<string>"))
+    return d.select("doc_id", F.array_join(tags, ",").alias("tags_csv"))
+
+
 @q("events_user_stats",
    "SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users, "
    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value FROM events "
@@ -1331,6 +1356,7 @@ _VERIFY_FIRST = [
     "users_click_no_purchase",
     "running_revenue_per_customer",
     "normalize_tags_scalar",
+    "llm_tag_extraction",
     "events_user_stats",
     "streaming_windowed_counts",
     "streaming_dedup",

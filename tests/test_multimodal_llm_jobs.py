@@ -12,7 +12,11 @@ from thewhisperdb_spark.functions.llm import (
     hash_embedder,
     keyword_tagger,
 )
-from thewhisperdb_spark.plans.jobs import relink_by_tags, run_clustering
+from thewhisperdb_spark.plans.jobs import (
+    relink_by_embedding,
+    relink_by_tags,
+    run_clustering,
+)
 from thewhisperdb_spark.sources.multimodal import (
     deterministic_fake_decoder,
     extract_image_features,
@@ -142,3 +146,99 @@ def test_relink_by_tags_merges(spark):
     assert links[1] == [2, 5]               # MERGED: old 5 + new 2
     assert links[2] == [1]
     assert links[5] == [1]
+
+
+def test_relink_by_embedding_merges_vs_clustering_replaces(spark):
+    # G6 (EmbeddingService.cpp:117-134 updateLinks, MERGE) vs G7
+    # (EmbeddingService.cpp:177-187, REPLACE) on the SAME input — the
+    # replace-vs-merge split SURVEY §7 flags as a correctness trap.
+    rows = [
+        (1, [1.0, 0.0], [9]),    # pre-linked to 9; will match 2
+        (2, [1.0, 0.01], []),
+        (9, [0.0, 1.0], [1]),    # dissimilar to both
+    ]
+    nodes = spark.createDataFrame(
+        rows, "id long, embedding array<float>, linked_nodes array<long>")
+    merged = relink_by_embedding(nodes, threshold=0.9)
+    m = {r["id"]: list(r["linked_nodes"]) for r in merged.collect()}
+    assert m[1] == [2, 9]                   # MERGE: old 9 survives, new 2 added
+    assert m[2] == [1]
+    assert m[9] == [1]
+    replaced = run_clustering(nodes.withColumn("title", F.lit("t")),
+                              threshold=0.9)["nodes"]
+    r = {row["id"]: list(row["linked_nodes"]) for row in replaced.collect()}
+    assert r[1] == [2]                      # REPLACE: old 9 gone
+    assert m[1] != r[1]                     # the two modes genuinely diverge
+
+
+def test_model_output_tag_extraction(spark):
+    # full LLM tagging path: raw completions -> column-side JSON-array parse
+    from thewhisperdb_spark.functions.llm import (
+        extract_tag_array,
+        generate_tags_from_model_output,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark doc"), (2, "broken doc"), (3, "other doc")],
+        "id long, text string")
+
+    def fake_model(texts):
+        out = []
+        for t in texts:
+            if "broken" in t:
+                out.append("I'm sorry, I can't tag that.")
+            else:
+                out.append(f'Tags: ["Big Data", "{t.split()[0]}"] — cheers!')
+        return out
+
+    got = {r["id"]: list(r["generated_tags"])
+           for r in generate_tags_from_model_output(df, "text", fake_model)
+           .collect()}
+    assert got[1] == ["big-data", "spark"]  # normalized (space -> '-')
+    assert got[2] == []                     # parse failure -> empty, not null
+    assert got[3] == ["big-data", "other"]
+    # scalar: malformed JSON inside brackets -> NULL from from_json
+    bad = spark.range(1).select(
+        extract_tag_array(F.lit("x [not json] y")).alias("t")).collect()[0]["t"]
+    assert bad is None
+
+
+def test_synthetic_generator_matches_reference_shape(spark):
+    # S9 (utils/generate_db.py:1-20): id 1..N, Node{i}, /tmp/node_{i}
+    from thewhisperdb_spark.sources.synthetic import (
+        synthetic_full_nodes,
+        synthetic_nodes,
+    )
+
+    df = synthetic_nodes(spark, 5)
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    assert rows[3]["title"] == "Node3"
+    assert rows[3]["description"] == "/tmp/node_3"
+    # full-schema variant feeds GraphEngine / operators directly
+    from thewhisperdb_spark.schemas import NODE_SCHEMA
+
+    full = synthetic_full_nodes(spark, 50, embed_dim=8)
+    assert {f.name for f in full.schema.fields} == \
+        {f.name for f in NODE_SCHEMA.fields}
+    emb = full.filter(F.col("id") == 7).collect()[0]["embedding"]
+    norm = sum(x * x for x in emb) ** 0.5
+    assert abs(norm - 1.0) < 1e-5           # unit-norm, deterministic
+
+
+def test_synthetic_generator_drives_operators_at_larger_n(spark):
+    # S9's purpose in the reference is load testing; use it to exercise the
+    # CC kernel and minhash far above the parquet fixtures' row counts.
+    from thewhisperdb_spark.operators.graph import clusters_from_pairs
+    from thewhisperdb_spark.sources.synthetic import synthetic_full_nodes
+
+    n = 20_000
+    nodes = synthetic_full_nodes(spark, n, n_tags=50, tags_per_node=3)
+    # ring edges 1-2, 2-3, ..., plus a long-range chord every 1000
+    ids = nodes.select("id")
+    ring = ids.select(F.col("id").alias("a"),
+                      (F.col("id") % n + 1).alias("b"))
+    labels = clusters_from_pairs(ids, ring)
+    assert labels.count() == n
+    # a ring is one component
+    assert labels.select("component").distinct().count() == 1

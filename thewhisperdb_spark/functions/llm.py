@@ -126,6 +126,50 @@ def keyword_tagger(vocabulary: list[str], max_tags: int = 5,
     return tag_batch
 
 
+def extract_tag_array(raw, normalize: bool = True):
+    """Model-output parse step (``src/tagging/TagClient.cpp:126-157``): the
+    real LLM tagger returns free text containing a JSON array; extract the
+    first ``[...]`` region and parse it as ``array<string>``. Unparseable /
+    array-free output yields NULL (the reference's parse failure returns an
+    empty tag list — callers ``coalesce`` to empty as needed). Pure column
+    expression (``from_json(regexp_extract(...))``, SURVEY §2.9) — JVM-side,
+    no Python in the parse path. Normalization applies the reference's tag
+    rules (``TagClient.cpp:101-124``) to every parsed element."""
+    from thewhisperdb_spark.schemas import normalize_tag
+
+    arr = F.from_json(F.regexp_extract(raw, r"(\[[^\]]*\])", 1),
+                      "array<string>")
+    if normalize:
+        arr = F.transform(arr, normalize_tag)
+    return arr
+
+
+def generate_tags_from_model_output(df: DataFrame, text_col: str,
+                                    model: Callable[[list[str]], list[str]],
+                                    out_col: str = "generated_tags",
+                                    raw_col: str | None = None) -> DataFrame:
+    """The full LLM tagging path of the reference (``TagClient.cpp:159-211``):
+    batched model calls return RAW completion text; the JSON-array parse +
+    normalization happens as a column expression (``extract_tag_array``), so
+    only the network call crosses into Python. ``model`` maps a batch of
+    input texts to a batch of raw model-output strings."""
+    tmp = raw_col or "_raw_model_output"
+    out_schema = StructType(df.schema.fields + [StructField(tmp, StringType())])
+    cols = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[tmp] = model(list(pdf[text_col].fillna("")))
+            yield pdf[cols]
+
+    raw = df.mapInPandas(run, out_schema)
+    out = raw.withColumn(
+        out_col, F.coalesce(extract_tag_array(F.col(tmp)),
+                            F.array().cast("array<string>")))
+    return out if raw_col else out.drop(tmp)
+
+
 def generate_tags(df: DataFrame, text_col: str,
                   tagger: Callable[[list[str]], list[list[str]]],
                   out_col: str = "generated_tags") -> DataFrame:

@@ -80,6 +80,35 @@ def run_clustering(nodes: DataFrame, threshold: float = 0.75,
     return {"nodes": merged, "labels": labels, "stats": stats}
 
 
+def relink_by_embedding(nodes: DataFrame, threshold: float = 0.75,
+                        id_col: str = "id") -> DataFrame:
+    """G6 merge-mode embedding relink (``src/embedding/EmbeddingService.cpp:
+    86-138`` -> ``updateLinks`` ``:117-134``): cosine threshold pairs (J6)
+    over the embedded nodes -> undirected edges -> MERGED into existing
+    ``linked_nodes`` (union-distinct, U1).
+
+    This is the merge-preserving twin of ``run_clustering``'s REPLACE path
+    (SURVEY §7's replace-vs-merge correctness trap): a node's pre-existing
+    links always survive here, whereas ``run_clustering`` overwrites the
+    link set of every node matched by the new adjacency.
+
+    Returns the new nodes DataFrame."""
+    embedded = nodes.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+    pairs = similar_pairs(embedded, threshold, id_col=id_col,
+                          vec_col="embedding")
+    new_edges = undirect(pairs.select(F.col("a").alias("src"),
+                                      F.col("b").alias("dst")))
+    all_edges = _links_view(nodes, id_col).union(new_edges).distinct()
+    new_adj = _collect_links(all_edges)
+    return (nodes.alias("n")
+            .join(new_adj.alias("a"), F.col("n." + id_col) == F.col("a.id"), "left")
+            .select(*[F.col("n." + c) for c in nodes.columns if c != "linked_nodes"],
+                    F.coalesce(F.col("a.linked_nodes"),
+                               F.array().cast("array<long>"))
+                    .alias("linked_nodes")))
+
+
 def relink_by_tags(nodes: DataFrame, threshold: float = 0.3,
                    id_col: str = "id") -> DataFrame:
     """G5 batch tag-relink (``src/tagging/TagService.cpp:136-167``): one
