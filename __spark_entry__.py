@@ -1212,6 +1212,73 @@ def streaming_windowed_counts(spark, sf_dir):
     return spark.sql(f"SELECT win_start, event_type, n FROM {name}")
 
 
+@q("lead_lag_order_gaps",
+   "SELECT o_custkey, o_orderkey, "
+   "lag(o_orderkey) OVER w AS prev_orderkey, "
+   "CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) - "
+   "lag(CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)) OVER w AS gap_s "
+   "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)")
+def lead_lag_order_gaps(spark, sf_dir):
+    # lead/lag window surface: seconds between a customer's consecutive
+    # orders (first order per customer -> NULL gap)
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ep = F.unix_timestamp("o_orderdate")
+    return o.select("o_custkey", "o_orderkey",
+                    F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+                    (ep - F.lag(ep).over(w)).alias("gap_s"))
+
+
+@q("streaming_sessionize",
+   "WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), "
+   "flagged AS (SELECT user_id, ts, "
+   "CASE WHEN lag(ts) OVER w IS NULL OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE "
+   "THEN 1 ELSE 0 END AS new_session FROM ev WINDOW w AS "
+   "(PARTITION BY user_id ORDER BY ts)), "
+   "sess AS (SELECT user_id, ts, "
+   "SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts "
+   "ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged) "
+   "SELECT user_id, min(ts) AS t_start, "
+   "max(ts) + INTERVAL 30 MINUTE AS t_end, count(*) AS n_events "
+   "FROM sess GROUP BY user_id, session_id")
+def streaming_sessionize(spark, sf_dir):
+    # Structured Streaming twin of events_sessionize via the built-in
+    # session_window (merge-on-overlap state store), replayed with
+    # availableNow and checked against a batch gap-sessionization oracle.
+    # session_window's merge rule is ts < last_ts + gap (end-exclusive), so
+    # the oracle's new-session predicate is >= gap, and t_end = max(ts)+gap.
+    import tempfile
+
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    out_dir = tempfile.mkdtemp(prefix="whisper_stream_")
+    path = SJ.events_to_stream_dir(spark, sf_dir, out_dir, n_chunks=4)
+    stream = SJ.stream_events_from_dir(spark, path)
+    sessions = SJ.sessionize_stream(stream, gap="30 minutes")
+    name = "q_stream_sessionize"
+    q_ = (sessions.select("user_id", "t_start", "t_end",
+                          F.col("n_events").cast("long").alias("n_events"))
+          .writeStream.outputMode("complete").format("memory").queryName(name)
+          .trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return spark.sql(
+        f"SELECT user_id, t_start, t_end, n_events FROM {name}")
+
+
+@q("near_dup_drop", None)
+def near_dup_drop(spark, sf_dir):
+    # end-to-end near-dedup pipeline: MinHash+LSH pairs -> connected
+    # components -> keep min-id doc per duplicate group (hash-based, so
+    # rows-only for the driver; pytest checks it against exact-Jaccard
+    # grouping on the same corpus)
+    from thewhisperdb_spark.operators.text import word_ngrams
+
+    out = D.drop_near_duplicates(_docs(spark, sf_dir), n_hashes=32, bands=8,
+                                 threshold=0.8, shingler=word_ngrams)
+    return out.select("doc_id")
+
+
 @q("streaming_dedup",
    "WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events) "
    "SELECT DISTINCT event_id, user_id, event_type FROM doubled")
@@ -1360,6 +1427,9 @@ _VERIFY_FIRST = [
     "events_user_stats",
     "streaming_windowed_counts",
     "streaming_dedup",
+    "streaming_sessionize",
+    "lead_lag_order_gaps",
+    "near_dup_drop",
     # rows-only entries (weaker check, but a row beats no row)
     "events_distinct_users_hll",
     "minhash_lsh_dedup",

@@ -84,6 +84,34 @@ def test_clusters_from_pairs_roundtrip(nodes_df):
     assert labels[3] == 3 and labels[5] == 5
 
 
+def test_near_dup_groups_transitive_chain(spark):
+    # A~B and B~C but no A~C pair: components must still put all three in
+    # ONE group with one survivor (pairs alone would keep A and C)
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "y")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    got = {r["doc_id"]: (r["group"], r["keep"])
+           for r in D.near_dup_groups(df, pairs).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False), 9: (9, True)}
+
+
+def test_drop_near_duplicates_end_to_end(spark):
+    # minhash pairs -> CC -> canonical keep must agree with exact-Jaccard
+    # grouping on a corpus of near-identical docs + distinct docs
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(1, base), (2, base), (3, base + " today"),
+            (10, "completely different content about spark shuffles and joins"),
+            (11, "another unrelated document mentioning windows and watermarks")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  D.drop_near_duplicates(df, n_hashes=32, bands=8,
+                                         threshold=0.8).collect())
+    assert kept == [1, 10, 11]              # 2 and 3 collapse into group 1
+    # schema passes through unchanged
+    out = D.drop_near_duplicates(df, threshold=0.8)
+    assert set(out.columns) == {"doc_id", "text"}
+
+
 def test_simhash_band_pairs_hamming(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta eta theta"),

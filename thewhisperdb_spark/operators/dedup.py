@@ -282,3 +282,39 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
     from thewhisperdb_spark.operators.vectors import similar_pairs
 
     return similar_pairs(embeddings, threshold, id_col, vec_col)
+
+
+def near_dup_groups(df: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup PAIRS into dedup GROUPS: connected components over
+    the pair graph, so transitive chains (A~B, B~C but A≁C) collapse into one
+    group with one canonical survivor — the verdict a training-data pipeline
+    actually needs (pairs alone over-delete or under-delete chains).
+
+    Returns (id, group, keep): ``group`` = min id of the component, ``keep``
+    = id == group. Every input row appears (non-duplicates are their own
+    singleton group, keep=true)."""
+    from thewhisperdb_spark.operators.graph import clusters_from_pairs
+
+    ids = df.select(F.col(id_col).alias("id"))
+    labels = clusters_from_pairs(ids, pairs.select("a", "b"))
+    return labels.select(
+        F.col("id").alias(id_col), F.col("component").alias("group"),
+        (F.col("id") == F.col("component")).alias("keep"))
+
+
+def drop_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n_hashes: int = 32,
+                         bands: int = 8, threshold: float = 0.8,
+                         shingler=None) -> DataFrame:
+    """End-to-end near-dedup: MinHash+LSH candidate pairs -> connected
+    components -> keep the min-id document per duplicate group. This is the
+    full web-scale dedup pipeline shape (shingle -> signature -> band bucket
+    join -> transitive closure -> canonical keep): every stage is equi-join /
+    iterative-join shaped, no cross join anywhere, so the same plan runs at
+    corpus scale. Returns the deduplicated rows of ``df``."""
+    pairs = minhash_lsh_pairs(df, n_hashes=n_hashes, bands=bands,
+                              threshold=threshold, id_col=id_col,
+                              text_col=text_col, shingler=shingler)
+    verdict = near_dup_groups(df, pairs.select("a", "b"), id_col)
+    return df.join(verdict.filter(F.col("keep")).select(id_col), id_col)

@@ -177,10 +177,12 @@ def brute_force_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
     import pandas as pd
     from pyspark.sql import Window
 
-    n_queries = queries.count()
+    # limit(cap+1) bounds the guard's cost: we never scan more than cap+1
+    # rows to learn "too big", however large the query side actually is
+    n_queries = queries.limit(max_query_rows + 1).count()
     if n_queries > max_query_rows:
         raise ValueError(
-            f"brute_force_knn_join: query side has {n_queries} rows, above the "
+            f"brute_force_knn_join: query side exceeds the "
             f"driver-collect cap of {max_query_rows}. Use ivf_knn_join (IVF "
             f"inverted-list probe) or ann_lsh_pairs (bucketed LSH) for large "
             f"query sets, or raise max_query_rows explicitly.")
