@@ -1212,6 +1212,55 @@ def streaming_windowed_counts(spark, sf_dir):
     return spark.sql(f"SELECT win_start, event_type, n FROM {name}")
 
 
+@q("range_join_clicks_before_purchase",
+   # floor(epoch(...)) on the oracle side: DuckDB epoch() keeps fractional
+   # seconds while Spark unix_timestamp floors — both sides must floor or
+   # boundary membership and secs_before drift
+   "WITH p AS (SELECT event_id, user_id, "
+   "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ps "
+   "FROM events WHERE event_type = 'purchase'), "
+   "c AS (SELECT event_id, user_id, "
+   "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS cs "
+   "FROM events WHERE event_type = 'click') "
+   "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+   "p.ps - c.cs AS secs_before "
+   "FROM p JOIN c ON c.user_id = p.user_id "
+   "AND c.cs BETWEEN p.ps - 3600 AND p.ps")
+def range_join_clicks_before_purchase(spark, sf_dir):
+    # banded range join (attribution shape): same-user clicks in the hour
+    # before each purchase. The oracle states the naive theta join; the
+    # Spark plan is the bucketed candidate equi-join on (user, hour bucket)
+    # + exact re-check — linear in matches, never |purchases|×|clicks|
+    # (operators/relational.py range_join_bucketed).
+    from thewhisperdb_spark.operators.relational import range_join_bucketed
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.unix_timestamp("ts").alias("ps")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"), "user_id",
+                 F.unix_timestamp("ts").alias("cs")))
+    out = range_join_bucketed(
+        p, c, left_lo=F.col("ps") - 3600, left_hi=F.col("ps"),
+        right_pt=F.col("cs"), bucket_width=3600, keys=["user_id"])
+    return out.select("purchase_id", "click_id",
+                      (F.col("ps") - F.col("cs")).alias("secs_before"))
+
+
+@q("price_quartiles_approx", None)
+def price_quartiles_approx(spark, sf_dir):
+    # scale path for price_quartiles_by_priority: percentile_approx is a
+    # MERGEABLE quantile sketch — map-side partials combine without a global
+    # sort, so the plan stays one shuffle at any data size (the exact
+    # interpolated percentile needs the full group materialized). Approximate
+    # -> rows-only; tests/test_relational.py bounds the rank error vs exact.
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000)
+                 .alias("approx_quartiles"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 @q("lead_lag_order_gaps",
    "SELECT o_custkey, o_orderkey, "
    "lag(o_orderkey) OVER w AS prev_orderkey, "
@@ -1429,7 +1478,9 @@ _VERIFY_FIRST = [
     "streaming_dedup",
     "streaming_sessionize",
     "lead_lag_order_gaps",
+    "range_join_clicks_before_purchase",
     "near_dup_drop",
+    "price_quartiles_approx",
     # rows-only entries (weaker check, but a row beats no row)
     "events_distinct_users_hll",
     "minhash_lsh_dedup",

@@ -62,3 +62,56 @@ def test_range_join_bucketed(spark):
     got = sorted((r["iv"], r["pt"]) for r in out.collect())
     # 7 in [0,10] & [5,25]; 10 in [0,10] & [5,25]; 26 nowhere; 105 in [100,110]
     assert got == [(1, 1), (1, 2), (2, 1), (2, 2), (3, 4)]
+
+
+def test_range_join_keyed_matches_naive_theta_join(spark):
+    # the bucketed plan must produce exactly the rows of the naive
+    # key + range theta join on real data (same-user click-before-purchase)
+    from thewhisperdb_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.unix_timestamp("ts").alias("ps")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"), "user_id",
+                 F.unix_timestamp("ts").alias("cs")))
+    got = range_join_bucketed(
+        p, c, left_lo=F.col("ps") - 3600, left_hi=F.col("ps"),
+        right_pt=F.col("cs"), bucket_width=3600, keys=["user_id"])
+    naive = (p.join(c, "user_id")
+             .filter((F.col("cs") >= F.col("ps") - 3600)
+                     & (F.col("cs") <= F.col("ps"))))
+    g = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
+    n = {(r["purchase_id"], r["click_id"]) for r in naive.collect()}
+    assert g == n and len(g) > 0
+
+
+def test_percentile_approx_within_rank_error(spark):
+    # the mergeable sketch must land within its accuracy bound of the exact
+    # interpolated percentile (accuracy=10000 -> rank error <= n/10000)
+    from thewhisperdb_spark.catalog import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    approx = {r["o_orderpriority"]: r["q"] for r in
+              o.groupBy("o_orderpriority")
+              .agg(F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75],
+                                       10000).alias("q")).collect()}
+    exact = {r["o_orderpriority"]: (r["p25"], r["p50"], r["p75"]) for r in
+             o.groupBy("o_orderpriority")
+             .agg(F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+                  F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
+                  F.percentile("o_totalprice", F.lit(0.75)).alias("p75"))
+             .collect()}
+    vals = o.select("o_orderpriority", "o_totalprice").collect()
+    by_prio: dict = {}
+    for r in vals:
+        by_prio.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    for prio, qs in approx.items():
+        xs = sorted(by_prio[prio])
+        n = len(xs)
+        for q_approx, pct in zip(qs, (0.25, 0.5, 0.75)):
+            # rank of the approx answer must be within n/10000 + 1 of target
+            import bisect
+            rank = bisect.bisect_left(xs, q_approx)
+            assert abs(rank - pct * n) <= n / 10000 + 2, (prio, pct)

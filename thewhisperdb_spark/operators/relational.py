@@ -89,15 +89,22 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
 
 def range_join_bucketed(left: DataFrame, right: DataFrame,
                         left_lo: Column, left_hi: Column,
-                        right_pt: Column, bucket_width: int) -> DataFrame:
+                        right_pt: Column, bucket_width: int,
+                        keys: list[str] | None = None) -> DataFrame:
     """Interval × point range join via bucketing: each interval explodes to
     its covered buckets, points map to one bucket, the join becomes an
-    equi-join on bucket + exact re-check — Σ bucket² work instead of |L|·|R|
-    (the same candidate-generation idea as the LSH joins)."""
+    equi-join on (keys +) bucket + exact re-check — Σ bucket² work instead of
+    |L|·|R| (the same candidate-generation idea as the LSH joins). A point
+    lands in exactly one bucket, so no pair is produced twice.
+
+    ``keys`` adds equi-join columns (same name on both sides) to the bucket
+    key — the common shape "same user within ±1 h" — which also keeps each
+    bucket's population per-key, not global."""
     l_b = left.withColumn(
         "_bucket",
-        F.explode(F.sequence((left_lo / bucket_width).cast("long"),
-                             (left_hi / bucket_width).cast("long"))))
-    r_b = right.withColumn("_bucket", (right_pt / bucket_width).cast("long"))
-    joined = l_b.join(r_b, "_bucket").drop("_bucket")
+        F.explode(F.sequence(F.floor(left_lo / bucket_width).cast("long"),
+                             F.floor(left_hi / bucket_width).cast("long"))))
+    r_b = right.withColumn("_bucket",
+                           F.floor(right_pt / bucket_width).cast("long"))
+    joined = l_b.join(r_b, (keys or []) + ["_bucket"]).drop("_bucket")
     return joined.filter((right_pt >= left_lo) & (right_pt <= left_hi))
