@@ -1424,6 +1424,17 @@ def ivf_knn(spark, sf_dir):
                           n_cells=16, n_probe=4)
 
 
+@q("pq_knn", None)
+def pq_knn(spark, sf_dir):
+    # PQ-compressed ANN (train -> encode to m-byte codes -> ADC table-lookup
+    # scan -> exact re-rank): the I/O-bound scale path where the corpus scan
+    # reads 32x fewer bytes than raw vectors. Recall vs brute force measured
+    # in tests/test_tags_vectors.py.
+    e = _emb(spark, sf_dir)
+    return V.pq_knn_join(e.filter(F.col("vec_id") < 20), e, k=5,
+                         m=8, n_centroids=32, rerank=64)
+
+
 @q("doc_fingerprint", None)
 def doc_fingerprint(spark, sf_dir):
     # rolling/content fingerprint via xxhash64 (not portable to DuckDB)
@@ -1490,6 +1501,7 @@ _VERIFY_FIRST = [
     "embed_documents_fallback",
     "generate_tags_fallback",
     "ivf_knn",
+    "pq_knn",
     "doc_fingerprint",
 ]
 

@@ -94,6 +94,48 @@ def test_ivf_knn_recall(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_pq_knn_recall_with_rerank(spark):
+    # PQ codes only have to get the candidate NEIGHBORHOOD right — the exact
+    # cosine re-rank fixes the order — so recall of brute-force top-3 should
+    # be high even with coarse 16-centroid codebooks
+    import random
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in V.brute_force_knn_join(queries, df, k=3).collect()}
+    approx_rows = V.pq_knn_join(queries, df, k=3, m=4, n_centroids=16,
+                                rerank=20).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    assert len(approx) == 15               # k rows per query
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall too low: {recall}"
+    # re-ranked similarity is the EXACT cosine: for pairs in both sets the
+    # reported value must match brute force to float tolerance
+    bf = {(r["query_id"], r["neighbor_id"]): r["similarity"]
+          for r in V.brute_force_knn_join(queries, df, k=3).collect()}
+    for r in approx_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(r["similarity"] - bf[key]) < 1e-9
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = V.pq_train(df, m=4, n_centroids=8, sample_size=30)
+    assert cb.shape == (4, 8, 2)
+    codes = {r["id"]: list(r["codes"]) for r in V.pq_encode(df, cb).collect()}
+    assert len(codes) == 30
+    assert all(len(c) == 4 for c in codes.values())
+    assert all(0 <= x < 8 for c in codes.values() for x in c)
+    # deterministic: retrain + re-encode yields identical codes
+    cb2 = V.pq_train(df, m=4, n_centroids=8, sample_size=30)
+    codes2 = {r["id"]: list(r["codes"]) for r in V.pq_encode(df, cb2).collect()}
+    assert codes == codes2
+
+
 def test_ivf_assign_covers_all_rows(spark):
     rows = [(i, [float(i % 5), float(i % 3)]) for i in range(30)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")

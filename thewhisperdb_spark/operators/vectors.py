@@ -346,6 +346,179 @@ def ivf_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# ---- product quantization (PQ) ANN ----------------------------------------
+
+def pq_train(corpus: DataFrame, m: int = 8, n_centroids: int = 16,
+             sample_size: int = 10_000, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Train PQ codebooks on a bounded corpus sample (driver-side numpy
+    k-means — metadata-scale by construction: the sample is capped, and the
+    codebook is m × n_centroids × (d/m) floats, a few KB).
+
+    The sample is the ``sample_size`` rows minimizing ``xxhash64(id)`` — a
+    TakeOrderedAndProject (per-partition top-k + merge), deterministic and
+    uniform-ish without an RNG over the data. Vectors are unit-normalized
+    first so PQ inner-product tables approximate cosine. Returns a numpy
+    array of shape (m, n_centroids, d//m)."""
+    import numpy as np
+
+    rows = (corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+            .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+            .limit(sample_size).collect())
+    X = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0.0] = np.inf
+    X = X / norms[:, None]
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    k = min(n_centroids, len(X))
+    rng = np.random.RandomState(seed)
+    codebooks = np.zeros((m, k, dsub))
+    for j in range(m):
+        sub = X[:, j * dsub:(j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(10):                       # Lloyd iterations
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                pts = sub[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(0)
+        codebooks[j] = cent
+    return codebooks
+
+
+def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode each (unit-normalized) vector as ``m`` small codes — nearest
+    codebook centroid per subspace — via Arrow-batched mapInPandas argmin.
+    At 100 TB this is the point of PQ: a 64-dim float32 corpus (256 B/vec)
+    scans as m = 8 one-byte codes, a 32× I/O and memory reduction for the
+    candidate pass. Returns (id, codes array<int>)."""
+    import numpy as np
+    import pandas as pd
+
+    sc = corpus.sparkSession.sparkContext
+    bcb = sc.broadcast(codebooks)
+    mm, _, dsub = codebooks.shape
+
+    def enc(batches):
+        cb = bcb.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0.0] = np.inf
+            X = X / norms[:, None]
+            codes = np.empty((len(X), mm), dtype=np.int32)
+            for j in range(mm):
+                sub = X[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                "codes": list(codes.tolist())})
+
+    return (corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .mapInPandas(enc, "id long, codes array<int>"))
+
+
+def pq_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
+                m: int = 8, n_centroids: int = 16, rerank: int = 64,
+                q_id: str = "vec_id", c_id: str = "vec_id",
+                vec_col: str = "embedding",
+                max_query_rows: int = 65_536) -> DataFrame:
+    """Approximate k-NN via PQ + ADC scan + exact re-rank:
+
+    1. train codebooks on a corpus sample (driver, metadata-scale);
+    2. encode the corpus once (m bytes/vector — the pass over 100 TB of
+       vectors becomes a pass over ~3 TB of codes);
+    3. per query, precompute the m × n_centroids inner-product table and
+       score every corpus code by table lookup (ADC) — no float vector is
+       touched in the scan; keep the top ``rerank`` candidates per query;
+    4. re-rank candidates with exact cosine on the true vectors, take top-k.
+
+    The re-rank step joins only |Q|·rerank rows back to the corpus, so the
+    lossy code distance only has to get the neighborhood right, not the
+    order. Returns (query_id, neighbor_id, similarity, rank) like
+    brute_force_knn_join (similarity = exact cosine)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    n_queries = queries.limit(max_query_rows + 1).count()
+    if n_queries > max_query_rows:
+        raise ValueError(
+            f"pq_knn_join: query side exceeds the broadcast cap of "
+            f"{max_query_rows} rows; shard the query set or raise the cap.")
+    codebooks = pq_train(corpus, m=m, n_centroids=n_centroids,
+                         id_col=c_id, vec_col=vec_col)
+    codes = pq_encode(corpus, codebooks, id_col=c_id, vec_col=vec_col)
+
+    q_rows = queries.select(F.col(q_id).alias("query_id"),
+                            F.col(vec_col).alias("qv")).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, similarity double, rank long")
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    qm = np.array([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = np.inf
+    qm = qm / qn[:, None]
+    mm, kk, dsub = codebooks.shape
+    # ADC tables: T[q, j, c] = <q_subj, codebook[j, c]>
+    tables = np.einsum("qjd,jcd->qjc",
+                       qm.reshape(len(qm), mm, dsub), codebooks)
+    sc = corpus.sparkSession.sparkContext
+    bt = sc.broadcast((q_ids, tables))
+    rr = int(rerank)
+
+    def adc_scan(batches):
+        ids_q, T = bt.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)   # (B, m)
+            c_ids = pdf["id"].to_numpy()
+            # sims[q, b] = Σ_j T[q, j, C[b, j]]
+            sims = np.zeros((len(ids_q), len(C)))
+            for j in range(T.shape[1]):
+                sims += T[:, j, :][:, C[:, j]]
+            mask = ids_q[:, None] == c_ids[None, :]
+            sims[mask] = -np.inf
+            top = min(rr, sims.shape[1])
+            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            rows_q = np.repeat(np.arange(len(ids_q)), top)
+            rows_c = part.ravel()
+            sel = sims[rows_q, rows_c]
+            keep = sel > -np.inf
+            yield pd.DataFrame({"query_id": ids_q[rows_q[keep]],
+                                "neighbor_id": c_ids[rows_c[keep]],
+                                "approx_sim": sel[keep]})
+
+    local = codes.mapInPandas(
+        adc_scan, "query_id long, neighbor_id long, approx_sim double")
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc())
+    cand = (local.withColumn("_r", F.row_number().over(w_cand))
+            .filter(F.col("_r") <= rerank).drop("_r", "approx_sim"))
+    # exact re-rank: candidates join back to true vectors (|Q|·rerank rows)
+    qdf = queries.select(F.col(q_id).alias("query_id"),
+                         F.col(vec_col).alias("_qv"))
+    cvec = corpus.select(F.col(c_id).alias("neighbor_id"),
+                         F.col(vec_col).alias("_cv"))
+    scored = (cand.join(cvec, "neighbor_id")
+              .join(F.broadcast(qdf), "query_id")
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("_qv"), F.col("_cv")).alias("similarity")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def ann_lsh_pairs(embeddings: DataFrame, threshold: float, dim: int,
                   n_planes: int = 8, n_tables: int = 4,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
