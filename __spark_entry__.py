@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from thewhisperdb_spark.catalog import load_table
 from thewhisperdb_spark.operators import dedup as D
+from thewhisperdb_spark.operators import sampling as SM
 from thewhisperdb_spark.operators import filters as FL
 from thewhisperdb_spark.operators import graph as G
 from thewhisperdb_spark.operators import sorting as O
@@ -1442,6 +1443,234 @@ def doc_fingerprint(spark, sf_dir):
         "doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+# ---- training-pipeline surface round 2: sampling, decontamination, skew ----
+
+@q("deterministic_sample",
+   "SELECT doc_id, lang, source, n_chars FROM documents "
+   "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'")
+def deterministic_sample(spark, sf_dir):
+    # md5-prefix sample (0x28/256 = 15.6%): reproducible across engines and
+    # runs (a property of the data, not the run), filter-only so it rides the
+    # scan with zero shuffle
+    return SM.hash_sample(_docs(spark, sf_dir), keep_bytes=0x28).select(
+        "doc_id", "lang", "source", "n_chars")
+
+
+@q("stratified_sample_by_lang",
+   "SELECT doc_id, lang, rk FROM ("
+   "SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang "
+   "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) "
+   "WHERE rk <= 20")
+def stratified_sample_by_lang(spark, sf_dir):
+    # fixed-N-per-language eval draw in deterministic md5 order; rank pushdown
+    # keeps per-stratum state bounded even when one language dominates
+    return SM.stratified_sample(_docs(spark, sf_dir), "lang", 20).select(
+        "doc_id", "lang", "rk")
+
+
+@q("grouping_sets_revenue",
+   "SELECT COALESCE(o_orderstatus, 'ALL') AS status, "
+   "COALESCE(o_orderpriority, 'ALL') AS priority, "
+   "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue, "
+   "COUNT(*) AS n_orders FROM orders "
+   "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())")
+def grouping_sets_revenue(spark, sf_dir):
+    # explicit GROUPING SETS (finer than rollup/cube, §2.6 family): one
+    # shuffle computes all three granularities via grouping-id expansion
+    o = load_table(spark, sf_dir, "orders")
+    g = (o.groupingSets([["o_orderstatus", "o_orderpriority"],
+                         ["o_orderstatus"], []],
+                        "o_orderstatus", "o_orderpriority")
+         .agg(_sum_dec("o_totalprice", "revenue"),
+              F.count(F.lit(1)).alias("n_orders")))
+    return g.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "revenue", "n_orders")
+
+
+@q("word_freq_topk",
+   "WITH t AS (SELECT unnest(list_filter(string_split(lower(text), ' '), "
+   "t -> t <> '')) AS word FROM documents) "
+   "SELECT word, COUNT(*) AS cnt FROM t GROUP BY word "
+   "ORDER BY cnt DESC, word LIMIT 50")
+def word_freq_topk(spark, sf_dir):
+    # corpus vocabulary head: explode -> count -> top-k with deterministic
+    # tiebreak; partial aggregation absorbs the Zipf head map-side, so the
+    # hot words never concentrate raw rows on one reducer
+    t = (_docs(spark, sf_dir)
+         .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+         .filter(F.col("word") != ""))
+    return (t.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("word")).limit(50))
+
+
+@q("decontaminate_train_test",
+   "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+   "t -> t <> '') AS ws FROM documents), "
+   "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+   "generate_series(1, greatest(len(ws) - 7, 1)), "
+   "i -> array_to_string(ws[i:i+7], ' ')))) AS sh FROM w) "
+   "SELECT DISTINCT t.doc_id FROM sh t "
+   "JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 <> 0) tr "
+   "ON t.sh = tr.sh WHERE t.doc_id % 10 = 0")
+def decontaminate_train_test(spark, sf_dir):
+    # eval-leakage check: test docs (doc_id % 10 == 0) sharing any word
+    # 8-gram with the train split; shingle equi-join, never doc x doc
+    return D.cross_split_contamination(
+        _docs(spark, sf_dir), F.col("doc_id") % 10 == 0, n=8)
+
+
+@q("repetition_ratio",
+   "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+   "t -> t <> '') AS ws FROM documents), "
+   "g AS (SELECT doc_id, list_transform(generate_series(1, "
+   "greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+2], ' ')) AS grams "
+   "FROM w) "
+   "SELECT doc_id, 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / "
+   "len(grams) AS rep_ratio FROM g")
+def repetition_ratio_q(spark, sf_dir):
+    # Gopher-style repeated-trigram fraction (quality filter signal);
+    # exact-integer division -> bit-identical on both engines
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.repetition_ratio(F.col("text"), 3).alias("rep_ratio"))
+
+
+@q("boilerplate_prefix_groups",
+   "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+   "t -> t <> '') AS ws FROM documents) "
+   "SELECT array_to_string(ws[1:10], ' ') AS prefix, COUNT(*) AS n_docs, "
+   "MIN(doc_id) AS keeper FROM w GROUP BY 1 HAVING COUNT(*) > 1")
+def boilerplate_prefix_groups(spark, sf_dir):
+    # shared leading-10-token prefixes (template/boilerplate detector);
+    # single hash shuffle on the prefix, min-id keeper like exact dedup
+    toks = TX.tokens(F.col("text"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.concat_ws(" ", F.slice(toks, 1, 10)).alias("prefix"))
+            .groupBy("prefix")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+            .filter(F.col("n_docs") > 1))
+
+
+@q("skew_safe_distinct_users",
+   "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+   "FROM events GROUP BY event_type")
+def skew_safe_distinct_users(spark, sf_dir):
+    # two-shuffle COUNT DISTINCT rewrite: dedup on (type, user) spreads a hot
+    # type across buckets; phase 2 is a stateless count
+    ev = load_table(spark, sf_dir, "events")
+    return SM.skew_safe_count_distinct(ev, "event_type", "user_id", "n_users")
+
+
+@q("salted_user_event_totals",
+   "SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS "
+   "total_value, COUNT(*) AS n_events FROM events GROUP BY user_id")
+def salted_user_event_totals(spark, sf_dir):
+    # explicit salted two-phase SUM/COUNT (the AQE skew-split shape, spelled
+    # out); decimal partials make the merge order-insensitive so the result
+    # is bit-identical to the direct groupBy
+    ev = load_table(spark, sf_dir, "events")
+    out = SM.salted_sum(ev, "user_id", _dec("value"), F.col("event_id"), 16,
+                        "total_value", "n_events")
+    return out.select("user_id",
+                      F.col("total_value").cast("double").alias("total_value"),
+                      "n_events")
+
+
+@q("first_last_event_per_user",
+   "WITH r AS (SELECT user_id, event_type, ts, "
+   "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf, "
+   "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl "
+   "FROM events) "
+   "SELECT f.user_id, f.event_type AS first_type, f.ts AS first_ts, "
+   "l.event_type AS last_type, l.ts AS last_ts "
+   "FROM (SELECT * FROM r WHERE rf = 1) f "
+   "JOIN (SELECT * FROM r WHERE rl = 1) l USING (user_id)")
+def first_last_event_per_user(spark, sf_dir):
+    # first/last event per user via MIN/MAX over (ts, event_id, payload)
+    # structs — a single partial-aggregating shuffle (struct comparison is
+    # lexicographic, event_id breaks ts ties), vs. the oracle's two window
+    # sorts + self-join. Same result, one pass, map-side combinable.
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("f"),
+        F.max(F.struct("ts", "event_id", "event_type")).alias("l"))
+    return agg.select(
+        "user_id",
+        F.col("f.event_type").alias("first_type"), F.col("f.ts").alias("first_ts"),
+        F.col("l.event_type").alias("last_type"), F.col("l.ts").alias("last_ts"))
+
+
+@q("events_sliding_window_counts",
+   "WITH g AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, event_type "
+   "FROM events), "
+   "u AS (SELECT b AS wstart, event_type FROM g "
+   "UNION ALL SELECT b - INTERVAL '5 minutes', event_type FROM g) "
+   "SELECT wstart, event_type, COUNT(*) AS n FROM u "
+   "GROUP BY wstart, event_type")
+def events_sliding_window_counts(spark, sf_dir):
+    # hopping windows (10 min span / 5 min slide): F.window assigns each
+    # event its span/slide = 2 windows; the oracle reconstructs the same
+    # assignment as two shifted tumbling grids (both engines 5-min-aligned
+    # to a common epoch). The same expression runs under readStream for the
+    # streaming twin of this query.
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("wstart"), "event_type", "n"))
+
+
+@q("set_intersect_sources",
+   "SELECT source FROM documents WHERE lang = 'en' "
+   "INTERSECT SELECT source FROM documents WHERE n_chars > 500")
+def set_intersect_sources(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (d.filter(F.col("lang") == "en").select("source")
+            .intersect(d.filter(F.col("n_chars") > 500).select("source")))
+
+
+@q("set_except_sources",
+   "SELECT source FROM documents "
+   "EXCEPT SELECT source FROM documents WHERE n_chars > 500")
+def set_except_sources(spark, sf_dir):
+    # SQL EXCEPT is SET difference -> subtract (exceptAll would keep
+    # multiplicity-surplus rows)
+    d = _docs(spark, sf_dir)
+    return d.select("source").subtract(
+        d.filter(F.col("n_chars") > 500).select("source"))
+
+
+@q("events_zscore_outliers",
+   "WITH s AS (SELECT event_type, COUNT(*) AS n, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) "
+   "AS DOUBLE) AS svv FROM events GROUP BY event_type), "
+   "p AS (SELECT event_type, sv / n AS mu, "
+   "sqrt((svv - sv * sv / n) / (n - 1)) AS sd FROM s) "
+   "SELECT e.event_id, e.event_type, ROUND((e.value - mu) / sd, 4) AS z "
+   "FROM events e JOIN p USING (event_type) "
+   "WHERE ABS((e.value - mu) / sd) > 2.5")
+def events_zscore_outliers(spark, sf_dir):
+    # per-type z-score outliers via single-pass algebraic moments (n, Σx,
+    # Σx²) — decimal sums make the moments bit-identical regardless of
+    # partial-merge order, then mu/sd derive in double identically on both
+    # engines. Stats table is group-count-sized -> broadcast joins back.
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _sum_dec("value", "sv"),
+        F.sum(_dec("value") * _dec("value")).cast("double").alias("svv"))
+    p = s.select(
+        "event_type", (F.col("sv") / F.col("n")).alias("mu"),
+        F.sqrt((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+               / (F.col("n") - 1)).alias("sd"))
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (ev.join(F.broadcast(p), "event_type")
+            .filter(F.abs(z) > 2.5)
+            .select("event_id", "event_type", F.round(z, 4).alias("z")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1492,6 +1721,21 @@ _VERIFY_FIRST = [
     "range_join_clicks_before_purchase",
     "near_dup_drop",
     "price_quartiles_approx",
+    # round-2 additions (never had a CORRECTNESS row)
+    "deterministic_sample",
+    "stratified_sample_by_lang",
+    "grouping_sets_revenue",
+    "word_freq_topk",
+    "decontaminate_train_test",
+    "repetition_ratio",
+    "boilerplate_prefix_groups",
+    "skew_safe_distinct_users",
+    "salted_user_event_totals",
+    "first_last_event_per_user",
+    "events_sliding_window_counts",
+    "set_intersect_sources",
+    "set_except_sources",
+    "events_zscore_outliers",
     # rows-only entries (weaker check, but a row beats no row)
     "events_distinct_users_hll",
     "minhash_lsh_dedup",

@@ -1,0 +1,99 @@
+"""Round-2 training-pipeline surface: deterministic sampling, skew-safe
+aggregation, decontamination, repetition stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thewhisperdb_spark.operators import sampling as SM
+from thewhisperdb_spark.operators import text as TX
+from thewhisperdb_spark.operators.dedup import cross_split_contamination
+
+
+def _docs(spark):
+    rows = [
+        (0, "a b c a b c a b c"),          # heavy repetition
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "one two three four five six seven eight different tail"),
+        (3, "short"),
+        (10, "one two three four five six seven eight nine ten"),  # = doc 1
+        (20, "totally unique words here nothing shared at all ok"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = sorted(r.doc_id for r in SM.hash_sample(df, 0x28).collect())
+    s2 = sorted(r.doc_id for r in SM.hash_sample(df, 0x28).collect())
+    assert s1 == s2                      # reproducible
+    frac = len(s1) / 2000
+    assert 0.10 < frac < 0.22            # ~40/256 = 15.6%
+    # nested property: a tighter cut is a subset of a looser one
+    s_small = set(r.doc_id for r in SM.hash_sample(df, 0x10).collect())
+    assert s_small <= set(s1)
+
+
+def test_stratified_sample_bounds(spark):
+    df = (spark.range(0, 300).withColumnRenamed("id", "doc_id")
+          .withColumn("lang", F.when(F.col("doc_id") % 7 == 0, "rare")
+                      .otherwise("common")))
+    out = SM.stratified_sample(df, "lang", 5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert set(by_lang) == {"rare", "common"}
+    assert all(len(v) == 5 for v in by_lang.values())
+    again = SM.stratified_sample(df, "lang", 5).collect()
+    assert sorted((r.lang, r.doc_id) for r in out) == sorted(
+        (r.lang, r.doc_id) for r in again)
+
+
+def test_skew_safe_count_distinct_matches_direct(spark):
+    ev = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", i % 17) for i in range(400)],
+        "event_id long, event_type string, user_id long")
+    direct = {r.event_type: r.n for r in
+              ev.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n")).collect()}
+    rewritten = {r.event_type: r.n_users for r in
+                 SM.skew_safe_count_distinct(ev, "event_type", "user_id",
+                                             "n_users").collect()}
+    assert direct == rewritten
+
+
+def test_salted_sum_matches_direct(spark):
+    ev = spark.createDataFrame(
+        [(i, i % 13, float(i % 7) + 0.25) for i in range(500)],
+        "event_id long, user_id long, value double")
+    dec = F.col("value").cast("decimal(18,6)")
+    direct = {r.user_id: (float(r.s), r.c) for r in
+              ev.groupBy("user_id")
+              .agg(F.sum(dec).cast("double").alias("s"),
+                   F.count(F.lit(1)).alias("c")).collect()}
+    salted = {r.user_id: (float(r.s), r.c) for r in
+              SM.salted_sum(ev, "user_id", dec, F.col("event_id"), 8,
+                            "s", "c")
+              .select("user_id", F.col("s").cast("double").alias("s"), "c")
+              .collect()}
+    assert direct == salted
+
+
+def test_cross_split_contamination(spark):
+    d = _docs(spark)
+    # test split = ids divisible by 10; doc 10 duplicates train doc 1, doc 0
+    # and 20 share no 8-gram with any train doc
+    flagged = sorted(r.doc_id for r in cross_split_contamination(
+        d, F.col("doc_id") % 10 == 0, n=8).collect())
+    assert flagged == [10]
+
+
+def test_repetition_ratio_values(spark):
+    d = _docs(spark)
+    out = {r.doc_id: r.rep for r in
+           d.select("doc_id", TX.repetition_ratio(F.col("text"), 3)
+                    .alias("rep")).collect()}
+    # doc 0: 9 tokens -> 7 trigrams, 3 distinct ("a b c","b c a","c a b")
+    assert abs(out[0] - (1 - 3 / 7)) < 1e-12
+    assert out[1] == 0.0                  # all-distinct trigrams
+    assert out[3] == 0.0                  # short doc: single whole-doc gram

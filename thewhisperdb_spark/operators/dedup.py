@@ -284,6 +284,30 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
     return similar_pairs(embeddings, threshold, id_col, vec_col)
 
 
+def cross_split_contamination(df: DataFrame, test_pred: Column, n: int = 8,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Train/test decontamination: test-split documents sharing any word
+    ``n``-gram with a train-split document (the eval-leakage check every
+    training pipeline runs before a data release). ``test_pred`` marks the
+    test rows; everything else is train.
+
+    Shape: one shingle explode over the corpus, then a shingle equi-join
+    between the two splits — Σ df(shingle)² bounded like every other
+    candidate join here, never a doc×doc cross join. At corpus scale, join
+    on xxhash64(shingle) instead of the string to slim the shuffle (kept as
+    raw strings here for oracle parity). Returns distinct flagged test ids
+    as (doc_id)."""
+    from thewhisperdb_spark.operators.text import word_ngrams
+
+    sh = df.select(F.col(id_col).alias("id"), test_pred.alias("is_test"),
+                   F.explode(word_ngrams(F.col(text_col), n)).alias("sh"))
+    test = sh.filter(F.col("is_test")).select("id", "sh")
+    train = sh.filter(~F.col("is_test")).select(F.col("sh").alias("sh_t")).distinct()
+    return (test.join(train, test["sh"] == train["sh_t"])
+            .select(F.col("id").alias(id_col)).distinct())
+
+
 def near_dup_groups(df: DataFrame, pairs: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
     """Resolve near-dup PAIRS into dedup GROUPS: connected components over

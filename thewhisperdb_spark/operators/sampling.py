@@ -1,0 +1,75 @@
+"""Deterministic sampling + skew-safe aggregation (training-pipeline surface).
+
+A 100 TB corpus is sampled constantly — eval slices, ablation subsets, manual
+QA draws — and `rand()`-based sampling is non-reproducible across runs and
+engines. Everything here keys off a content hash (md5 of the row id), so the
+same row lands in the same sample on any engine, any partitioning, any day:
+the sample is a *property of the data*, not of the run. All expressions are
+built-in SQL (JVM codegen, embarrassingly parallel, no shuffle for the flat
+sample; one bounded shuffle for the stratified variant).
+
+Skew-safe aggregation: two-phase rewrites that keep a hot key (one user with
+10% of all events, one language with 90% of the corpus) from pinning a single
+reducer. Spark's map-side partial aggregation already handles skewed
+`SUM`/`COUNT`; the rewrites that matter are the ones with per-key state —
+COUNT(DISTINCT) and collect-like aggregates — where phase 1 spreads the hot
+key's state across `(key, salt)` or `(key, value)` groups and phase 2 merges
+bounded partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_key(id_col: Column) -> Column:
+    """Deterministic per-row sample key in [0, 256): the first byte of
+    md5(id-as-string). md5 is bit-identical everywhere (engine, platform,
+    version), unlike `rand(seed)`, whose stream depends on partitioning."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 2), 16, 10).cast("int")
+
+
+def hash_sample(df: DataFrame, keep_bytes: int, id_col: str = "doc_id") -> DataFrame:
+    """Keep rows whose sample key < keep_bytes, i.e. a keep_bytes/256 fraction.
+    Filter-only: pushes to the scan, no shuffle, reproducible across engines."""
+    return df.filter(sample_key(F.col(id_col)) < keep_bytes)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """First n_per_stratum rows per stratum in deterministic md5 order (a
+    uniform draw within each stratum, reproducible). One shuffle on the
+    stratum key; per-stratum state is a bounded top-n heap (rank pushdown),
+    so a giant stratum costs memory O(n_per_stratum), not O(|stratum|)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (df.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= n_per_stratum))
+
+
+def skew_safe_count_distinct(df: DataFrame, key_col: str, distinct_col: str,
+                             alias: str = "n_distinct") -> DataFrame:
+    """COUNT(DISTINCT x) GROUP BY k as two shuffles with bounded state:
+    phase 1 dedups on (k, x) — the hot key's distinct set is spread across
+    every (k, x) hash bucket instead of materializing in one reducer's
+    hash set — phase 2 counts rows per k (stateless sum). Same result as
+    the direct form; at 100 TB the direct form's per-key distinct set is
+    the thing that OOMs."""
+    return (df.select(key_col, distinct_col).distinct()
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias(alias)))
+
+
+def salted_sum(df: DataFrame, key_col: str, value_col: Column, salt_col: Column,
+               salt_mod: int, sum_alias: str, count_alias: str = "n_rows") -> DataFrame:
+    """SUM + COUNT per key via explicit (key, salt) partials then a per-key
+    merge of ``salt_mod`` bounded partials. The explicit form of what AQE
+    skew-split does at runtime; result is identical to the direct groupBy
+    when ``value_col`` is exactly additive (use a decimal cast for doubles —
+    float partial merge order would otherwise perturb low bits)."""
+    salted = df.withColumn("_salt", F.pmod(salt_col, F.lit(salt_mod)))
+    p1 = salted.groupBy(key_col, "_salt").agg(
+        F.sum(value_col).alias("_psum"), F.count(F.lit(1)).alias("_pn"))
+    return p1.groupBy(key_col).agg(
+        F.sum("_psum").alias(sum_alias), F.sum("_pn").alias(count_alias))

@@ -82,6 +82,32 @@ def word_ngrams(col: Column, n: int = 5) -> Column:
     )
 
 
+def word_ngrams_all(col: Column, n: int = 3) -> Column:
+    """Word n-grams WITH multiplicity (repetition analysis needs the
+    duplicates that the shingle variant's array_distinct drops). Same
+    bind-once trick as word_ngrams. Docs shorter than ``n`` words yield one
+    whole-doc gram."""
+    def ngrams_of(tk: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), ngrams_of), 1)
+
+
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of word n-gram occurrences
+    that are repeats, 1 - distinct/total (0 = no repetition). Exact-integer
+    division -> bit-identical across engines. Pure SQL over one bound gram
+    array; embarrassingly parallel."""
+    grams = word_ngrams_all(col, n)
+    stat = F.transform(
+        F.array(grams),
+        lambda g: F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g))
+    return F.element_at(stat, 1)
+
+
 def truncate_text(col: Column, limit: int = 8000, ellipsis: bool = False) -> Column:
     """S8 truncation semantics: extract caps at 8000 chars
     (``src/embedding/TextExtractor.cpp:10,19-24``); the tagging path uses a
