@@ -169,25 +169,25 @@ def brute_force_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
     folds. The query side is driver-collected for the broadcast (same
     contract as F.broadcast: it must be the small side — for query sets too
     large to broadcast, fall back to ``similar_pairs``-style blocking or
-    ``ivf_knn_join``). The contract is ENFORCED: the query side is counted
-    before the collect and anything above ``max_query_rows`` raises instead
-    of silently OOMing the driver (at 64 k rows × 64-dim doubles the
-    broadcast is ~32 MB — inside the executor-memory envelope; 10× that is
-    not). Returns (query_id, neighbor_id, similarity, rank)."""
+    ``ivf_knn_join``). The contract is ENFORCED: the collect itself is capped
+    at ``max_query_rows + 1`` rows — one job learns both the data and whether
+    the cap is blown (a limit never pulls more than cap+1 rows to the driver,
+    however large the query side actually is), and overflow raises instead of
+    silently OOMing the driver (at 64 k rows × 64-dim doubles the broadcast
+    is ~32 MB — inside the executor-memory envelope; 10× that is not).
+    Returns (query_id, neighbor_id, similarity, rank)."""
     import pandas as pd
     from pyspark.sql import Window
 
-    # limit(cap+1) bounds the guard's cost: we never scan more than cap+1
-    # rows to learn "too big", however large the query side actually is
-    n_queries = queries.limit(max_query_rows + 1).count()
-    if n_queries > max_query_rows:
+    q_rows = (queries.select(F.col(q_id).alias("query_id"),
+                             F.col(vec_col).alias("qv"))
+              .limit(max_query_rows + 1).collect())
+    if len(q_rows) > max_query_rows:
         raise ValueError(
             f"brute_force_knn_join: query side exceeds the "
             f"driver-collect cap of {max_query_rows}. Use ivf_knn_join (IVF "
             f"inverted-list probe) or ann_lsh_pairs (bucketed LSH) for large "
             f"query sets, or raise max_query_rows explicitly.")
-    q_rows = queries.select(F.col(q_id).alias("query_id"),
-                            F.col(vec_col).alias("qv")).collect()
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, similarity double, rank long")
@@ -448,17 +448,18 @@ def pq_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
     import pandas as pd
     from pyspark.sql import Window
 
-    n_queries = queries.limit(max_query_rows + 1).count()
-    if n_queries > max_query_rows:
+    # capped collect doubles as the size guard (one job, never pulls more
+    # than cap+1 rows — see brute_force_knn_join)
+    q_rows = (queries.select(F.col(q_id).alias("query_id"),
+                             F.col(vec_col).alias("qv"))
+              .limit(max_query_rows + 1).collect())
+    if len(q_rows) > max_query_rows:
         raise ValueError(
             f"pq_knn_join: query side exceeds the broadcast cap of "
             f"{max_query_rows} rows; shard the query set or raise the cap.")
     codebooks = pq_train(corpus, m=m, n_centroids=n_centroids,
                          id_col=c_id, vec_col=vec_col)
     codes = pq_encode(corpus, codebooks, id_col=c_id, vec_col=vec_col)
-
-    q_rows = queries.select(F.col(q_id).alias("query_id"),
-                            F.col(vec_col).alias("qv")).collect()
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, similarity double, rank long")
