@@ -1671,6 +1671,62 @@ def events_zscore_outliers(spark, sf_dir):
             .select("event_id", "event_type", F.round(z, 4).alias("z")))
 
 
+@q("streaming_sliding_counts",
+   "WITH g AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, event_type "
+   "FROM events), "
+   "u AS (SELECT b AS wstart, event_type FROM g "
+   "UNION ALL SELECT b - INTERVAL '5 minutes', event_type FROM g) "
+   "SELECT wstart, event_type, COUNT(*) AS n FROM u "
+   "GROUP BY wstart, event_type")
+def streaming_sliding_counts(spark, sf_dir):
+    # hopping-window streaming twin of events_sliding_window_counts, driven
+    # through a real readStream replay and checked against the batch oracle
+    import tempfile
+
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    out_dir = tempfile.mkdtemp(prefix="whisper_stream_")
+    path = SJ.events_to_stream_dir(spark, sf_dir, out_dir, n_chunks=4)
+    stream = SJ.stream_events_from_dir(spark, path)
+    counts = SJ.hopping_event_counts(stream, "10 minutes", "5 minutes")
+    name = "q_stream_sliding_counts"
+    q_ = (counts.writeStream.outputMode("complete").format("memory")
+          .queryName(name).trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return spark.sql(f"SELECT wstart, event_type, n FROM {name}")
+
+
+@q("streaming_click_purchase_join",
+   "WITH p AS (SELECT event_id, user_id, "
+   "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ps "
+   "FROM events WHERE event_type = 'purchase'), "
+   "c AS (SELECT event_id, user_id, "
+   "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS cs "
+   "FROM events WHERE event_type = 'click') "
+   "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+   "p.ps - c.cs AS secs_before "
+   "FROM p JOIN c ON c.user_id = p.user_id "
+   "AND c.cs BETWEEN p.ps - 3600 AND p.ps")
+def streaming_click_purchase_join(spark, sf_dir):
+    # stream-stream interval join twin of range_join_clicks_before_purchase:
+    # both sides are real streams (watermarked state-store buffers, eviction
+    # derived from the time-range predicate), replayed with availableNow and
+    # checked against the same batch theta-join oracle
+    import tempfile
+
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    out_dir = tempfile.mkdtemp(prefix="whisper_stream_")
+    path = SJ.events_to_stream_dir(spark, sf_dir, out_dir, n_chunks=4)
+    stream = SJ.stream_events_from_dir(spark, path)
+    joined = SJ.click_purchase_interval_join(stream, max_gap_s=3600)
+    name = "q_stream_cp_join"
+    q_ = (joined.writeStream.outputMode("append").format("memory")
+          .queryName(name).trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return spark.sql(f"SELECT purchase_id, click_id, secs_before FROM {name}")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1736,6 +1792,8 @@ _VERIFY_FIRST = [
     "set_intersect_sources",
     "set_except_sources",
     "events_zscore_outliers",
+    "streaming_sliding_counts",
+    "streaming_click_purchase_join",
     # rows-only entries (weaker check, but a row beats no row)
     "events_distinct_users_hll",
     "minhash_lsh_dedup",

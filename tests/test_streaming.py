@@ -92,3 +92,51 @@ def test_dedup_stream_drops_repeats(spark, event_dir, tmp_path):
     out = SJ.run_to_memory(SJ.dedup_stream(stream), "dedup_ev", "append")
     ids = sorted(r["event_id"] for r in out.collect())
     assert ids == [1, 2, 3, 4, 5, 6]
+
+
+def test_hopping_counts_match_batch(spark, event_dir):
+    stream = SJ.stream_events_from_dir(spark, event_dir)
+    out = SJ.run_to_memory(
+        SJ.hopping_event_counts(stream, "10 minutes", "5 minutes"),
+        "hop_counts", "complete")
+    got = {(r["wstart"].hour * 60 + r["wstart"].minute, r["event_type"]): r["n"]
+           for r in out.collect()}
+    batch = spark.read.parquet(event_dir)
+    expect = {(r["w"]["start"].hour * 60 + r["w"]["start"].minute,
+               r["event_type"]): r["n"]
+              for r in batch.groupBy(F.window("ts", "10 minutes", "5 minutes")
+                                     .alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == expect
+    # every event appears in exactly window/slide = 2 windows
+    assert sum(got.values()) == 2 * batch.count()
+
+
+def test_stream_stream_interval_join(spark, event_dir, tmp_path_factory):
+    import os
+
+    rows = [
+        # purchase at minute 30; clicks at 0 (1800s before) and 29;
+        # click at minute 31 is AFTER the purchase -> excluded
+        (10, _t(0), 7, "click", 0.0, ""),
+        (11, _t(29), 7, "click", 0.0, ""),
+        (12, _t(30), 7, "purchase", 9.0, ""),
+        (13, _t(31), 7, "click", 0.0, ""),
+        # other user's click must not attribute
+        (14, _t(29), 8, "click", 0.0, ""),
+        # click 61 min before purchase -> outside the 3600 s window
+        (15, _t(120), 9, "purchase", 1.0, ""),
+        (16, _t(59), 9, "click", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    path = str(tmp_path_factory.mktemp("sj") / "events")
+    df.repartition(2).write.parquet(path)
+    stream = SJ.stream_events_from_dir(spark, path)
+    out = SJ.run_to_memory(
+        SJ.click_purchase_interval_join(stream, max_gap_s=3600),
+        "cp_join", "append")
+    got = sorted((r["purchase_id"], r["click_id"], r["secs_before"])
+                 for r in out.collect())
+    assert got == [(12, 10, 1800), (12, 11, 60)]

@@ -64,6 +64,55 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def hopping_event_counts(events: DataFrame, window: str = "10 minutes",
+                         slide: str = "5 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``events_sliding_window_counts``: hopping windows
+    (each event lands in window/slide overlapping windows). Same watermark
+    state bound as the tumbling variant — per-(window, type) state only
+    until the watermark passes the window end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+    )
+
+
+def click_purchase_interval_join(events: DataFrame, max_gap_s: int = 3600,
+                                 watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join (attribution): each purchase joined to the
+    same user's clicks in the preceding ``max_gap_s`` seconds. BOTH sides are
+    unbounded streams, so this is the real stream-stream join machinery:
+    each side buffers rows in the state store only within its watermark, and
+    the time-range predicate lets Spark derive when a buffered click can
+    never match a future purchase and evict it. Timestamps are floored to
+    whole seconds BEFORE the watermark so boundary membership matches the
+    batch oracle's floor(epoch()) arithmetic exactly.
+
+    Returns (purchase_id, click_id, secs_before)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.date_trunc("second", F.col("ts")).alias("c_ts"))
+        .withWatermark("c_ts", watermark))
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.date_trunc("second", F.col("ts")).alias("p_ts"))
+        .withWatermark("p_ts", watermark))
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap_s} SECOND")))
+    return (purchases.join(clicks, cond, "inner")
+            .select("purchase_id", "click_id",
+                    (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+                    .alias("secs_before")))
+
+
 def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
                       watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of ``events_sessionize``: gap-based sessions via the
