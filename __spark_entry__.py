@@ -1671,6 +1671,24 @@ def events_zscore_outliers(spark, sf_dir):
             .select("event_id", "event_type", F.round(z, 4).alias("z")))
 
 
+@q("kmeans_clusters", None)
+def kmeans_clusters(spark, sf_dir):
+    # distributed spherical k-means (literal-centroid argmax assign, one
+    # map-side-combined shuffle per iteration); deterministic init -> stable
+    # rows; pytest checks blob recovery + determinism
+    return V.kmeans_assign(_emb(spark, sf_dir), k=10, max_iter=5)
+
+
+@q("kmeans_diverse_sample", None)
+def kmeans_diverse_sample(spark, sf_dir):
+    # diversity-aware subsampling: cluster the embedding space, then draw a
+    # fixed-N deterministic sample per cluster — the curation pattern for
+    # balancing a training mix across semantic regions
+    lab = V.kmeans_assign(_emb(spark, sf_dir), k=10, max_iter=5)
+    return (SM.stratified_sample(lab, "cluster", 5, id_col="vec_id")
+            .select("vec_id", "cluster", "rk"))
+
+
 @q("streaming_sliding_counts",
    "WITH g AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, event_type "
    "FROM events), "
@@ -1794,6 +1812,8 @@ _VERIFY_FIRST = [
     "events_zscore_outliers",
     "streaming_sliding_counts",
     "streaming_click_purchase_join",
+    "kmeans_clusters",
+    "kmeans_diverse_sample",
     # rows-only entries (weaker check, but a row beats no row)
     "events_distinct_users_hll",
     "minhash_lsh_dedup",

@@ -143,3 +143,29 @@ def test_ivf_assign_covers_all_rows(spark):
     assert assigned.count() == 30  # every vector lands in exactly one cell
     assert centroids.count() == 5
     assert assigned.select("cell").distinct().count() <= 5
+
+
+def test_kmeans_recovers_blobs_and_is_deterministic(spark):
+    from thewhisperdb_spark.operators.vectors import kmeans_assign
+
+    # three tight, well-separated blobs on the unit sphere
+    import random
+
+    rnd = random.Random(7)
+    centers = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]
+    rows = []
+    for i in range(90):
+        cx, cy, cz = centers[i % 3]
+        rows.append((i, [cx + rnd.uniform(-0.05, 0.05),
+                         cy + rnd.uniform(-0.05, 0.05),
+                         cz + rnd.uniform(-0.05, 0.05)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lab = kmeans_assign(df, k=3, max_iter=5)
+    got = {r.vec_id: r.cluster for r in lab.collect()}
+    # every blob lands in exactly one cluster, and the three are distinct
+    blob_clusters = [{got[i] for i in range(90) if i % 3 == b} for b in range(3)]
+    assert all(len(s) == 1 for s in blob_clusters)
+    assert len(set().union(*blob_clusters)) == 3
+    # deterministic end-to-end (init, iteration order, tiebreaks)
+    lab2 = kmeans_assign(df, k=3, max_iter=5)
+    assert got == {r.vec_id: r.cluster for r in lab2.collect()}

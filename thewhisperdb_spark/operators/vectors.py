@@ -303,6 +303,88 @@ def ivf_assign(embeddings: DataFrame, n_cells: int,
     return embeddings.join(best, id_col), centroids
 
 
+def _nearest_cell(u: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Argmax-cosine cell id for unit-vector column ``u`` against LITERAL
+    centroids: transform each (cell, unit-centroid) literal to a (sim, cell)
+    struct, take array_max (lexicographic -> max sim, cell breaks ties, same
+    rule as ivf_assign's struct max). Pure codegen'd map — no join, no
+    shuffle, no broadcast variable."""
+    cent_arr = F.array(*[
+        F.struct(F.lit(cell).cast("long").alias("cell"),
+                 F.array(*[F.lit(float(x)) for x in cu]).alias("cu"))
+        for cell, cu in cents])
+    scored = F.transform(
+        cent_arr,
+        lambda ce: F.struct(
+            F.aggregate(F.zip_with(u, ce["cu"], lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x).alias("sim"),
+            ce["cell"].alias("cell")))
+    return F.array_max(scored)["cell"]
+
+
+def kmeans_fit(embeddings: DataFrame, k: int = 10, max_iter: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column (spherical:
+    cosine assignment on unit vectors) — the document-clustering /
+    IVF-codebook kernel.
+
+    Every step is DataFrame-shaped and scales to a 1000-executor corpus —
+    per iteration the corpus is scanned once and shuffled never:
+
+    - **init**: the k rows minimizing ``xxhash64(id)`` — TakeOrderedAndProject
+      (per-partition top-k + merge), deterministic, no RNG, no global sort;
+    - **assign**: centroids are k·dim floats and live on the driver between
+      iterations, so they inline as LITERAL expressions — assignment is a
+      codegen'd per-row argmax (``_nearest_cell``), not a join;
+    - **update**: per-dimension ``avg`` unrolled over the (small, known) dim —
+      ONE partial-aggregating shuffle of k·dim running sums per iteration,
+      combined map-side, no explode;
+    - the driver round-trip also cuts lineage, so the plan doesn't nest
+      ``max_iter`` levels deep.
+
+    Clusters that lose all members drop out (k may shrink); callers needing
+    exactly k re-seed. Returns a (cell, cvec) centroid DataFrame; feed to
+    ``ivf_assign(embeddings, k, centroids=...)`` (or ``kmeans_assign``) to
+    label rows."""
+    import numpy as np
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    spark = embeddings.sparkSession
+    emb_u = with_unit_vector(embeddings, vec_col, "_u").select(
+        F.col(id_col).alias("_id"), "_u")
+    # k-means re-scans the unit vectors max_iter times; materialize once
+    emb_u = emb_u.localCheckpoint(eager=True)
+    init = (emb_u.orderBy(F.xxhash64(F.col("_id")).asc(), F.col("_id").asc())
+            .limit(k).collect())
+    cents = [(int(r["_id"]), list(r["_u"])) for r in init]
+
+    def unit(v):
+        n = float(np.linalg.norm(v))
+        return [x / n for x in v] if n > 0 else v
+
+    for _ in range(max_iter):
+        lits = [(c, unit(v)) for c, v in cents]
+        new = (emb_u
+               .select(_nearest_cell(F.col("_u"), lits).alias("cell"), "_u")
+               .groupBy("cell")
+               .agg(*[F.avg(F.col("_u")[i]).alias(f"_c{i}") for i in range(dim)])
+               .collect())
+        cents = [(int(r["cell"]), [float(r[f"_c{i}"]) for i in range(dim)])
+                 for r in new]
+    return spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell long, cvec array<double>")
+
+
+def kmeans_assign(embeddings: DataFrame, k: int = 10, max_iter: int = 5,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Fit + label: every row gets its nearest (cosine) final centroid.
+    Returns (id_col, cluster)."""
+    cent = kmeans_fit(embeddings, k, max_iter, id_col, vec_col)
+    assigned, _ = ivf_assign(embeddings, k, id_col, vec_col, centroids=cent)
+    return assigned.select(id_col, F.col("cell").alias("cluster"))
+
+
 def ivf_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
                  n_cells: int = 16, n_probe: int = 4,
                  q_id: str = "vec_id", c_id: str = "vec_id",
