@@ -1671,6 +1671,71 @@ def events_zscore_outliers(spark, sf_dir):
             .select("event_id", "event_type", F.round(z, 4).alias("z")))
 
 
+@q("mixture_sample_by_lang",
+   "SELECT doc_id, lang, source FROM documents WHERE "
+   "CASE lang WHEN 'en' THEN TRUE "
+   "WHEN 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' "
+   "ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40' END")
+def mixture_sample_by_lang(spark, sf_dir):
+    # training-mix resampling: en kept whole, de at 50%, the rest at 25% —
+    # deterministic, nested (raising a rate only grows the kept set), and
+    # filter-only so it rides the scan
+    return SM.mixture_sample(
+        _docs(spark, sf_dir), {"en": 1.0, "de": 0.5}, "lang",
+        default_rate=0.25).select("doc_id", "lang", "source")
+
+
+@q("quality_filter_pipeline",
+   "WITH w AS (SELECT doc_id, lang, n_chars, "
+   "list_filter(string_split(text, ' '), t -> t <> '') AS ws FROM documents), "
+   "g AS (SELECT *, list_transform(generate_series(1, "
+   "greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+2], ' ')) AS grams "
+   "FROM w) "
+   "SELECT doc_id, lang, n_chars FROM g "
+   "WHERE len(ws) >= 10 AND n_chars BETWEEN 50 AND 5000 "
+   "AND CAST(len(list_filter(ws, t -> list_contains("
+   "['the','a','of','and','to','in','is','it'], lower(t)))) AS DOUBLE) / "
+   "greatest(len(ws), 1) >= 0.05 "
+   "AND 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) <= 0.2")
+def quality_filter_pipeline(spark, sf_dir):
+    # C4-style cleaning recipe as ONE conjunctive filter pass: length window,
+    # minimum token count, stopword-ratio floor (natural-language check),
+    # repetition-ratio ceiling (boilerplate check). All codegen'd SQL over
+    # one bound token array — a single corpus scan, no Python, no shuffle.
+    c = F.col("text")
+    toks = TX.tokens(c)
+    stop = F.array(*[F.lit(s) for s in TX.STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    stop_ratio = n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1))
+    return (_docs(spark, sf_dir)
+            .filter((F.size(toks) >= 10)
+                    & F.col("n_chars").between(50, 5000)
+                    & (stop_ratio >= 0.05)
+                    & (TX.repetition_ratio(c, 3) <= 0.2))
+            .select("doc_id", "lang", "n_chars"))
+
+
+@q("incremental_prefix_dedup",
+   "WITH w AS (SELECT doc_id, array_to_string((list_filter(string_split("
+   "text, ' '), t -> t <> ''))[1:10], ' ') AS p FROM documents) "
+   "SELECT n.doc_id, MIN(c.doc_id) AS dup_of FROM w n "
+   "JOIN w c ON n.p = c.p AND c.doc_id < 400 "
+   "WHERE n.doc_id >= 400 GROUP BY n.doc_id")
+def incremental_prefix_dedup(spark, sf_dir):
+    # incremental dedup: a new crawl batch (doc_id >= 400) checked against
+    # the existing corpus by leading-10-token prefix — the daily-ingest shape
+    # where the corpus side is a pre-bucketed historical index and only the
+    # batch is new. Prefix equi-join; at scale join on xxhash64(prefix).
+    toks = TX.tokens(F.col("text"))
+    w = _docs(spark, sf_dir).select(
+        "doc_id", F.concat_ws(" ", F.slice(toks, 1, 10)).alias("p"))
+    corpus = w.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("c_id"), F.col("p").alias("cp"))
+    batch = w.filter(F.col("doc_id") >= 400)
+    return (batch.join(corpus, batch["p"] == corpus["cp"])
+            .groupBy("doc_id").agg(F.min("c_id").alias("dup_of")))
+
+
 @q("kmeans_clusters", None)
 def kmeans_clusters(spark, sf_dir):
     # distributed spherical k-means (literal-centroid argmax assign, one
@@ -1814,6 +1879,9 @@ _VERIFY_FIRST = [
     "streaming_click_purchase_join",
     "kmeans_clusters",
     "kmeans_diverse_sample",
+    "mixture_sample_by_lang",
+    "quality_filter_pipeline",
+    "incremental_prefix_dedup",
     # rows-only entries (weaker check, but a row beats no row)
     "events_distinct_users_hll",
     "minhash_lsh_dedup",

@@ -97,3 +97,23 @@ def test_repetition_ratio_values(spark):
     assert abs(out[0] - (1 - 3 / 7)) < 1e-12
     assert out[1] == 0.0                  # all-distinct trigrams
     assert out[3] == 0.0                  # short doc: single whole-doc gram
+
+
+def test_mixture_sample_rates_and_nesting(spark):
+    df = (spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+          .withColumn("src", F.element_at(
+              F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+              (F.col("doc_id") % 3 + 1).cast("int"))))
+    out = SM.mixture_sample(df, {"a": 1.0, "b": 0.5}, "src",
+                            default_rate=0.25).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.src, set()).add(r.doc_id)
+    assert len(by["a"]) == 1000                      # rate 1.0 keeps all
+    assert 0.4 < len(by["b"]) / 1000 < 0.6
+    assert 0.17 < len(by["c"]) / 1000 < 0.33
+    # nested: raising c's rate only ADDS rows, never swaps them
+    wider = SM.mixture_sample(df, {"a": 1.0, "b": 0.5}, "src",
+                              default_rate=0.5).collect()
+    c_wide = {r.doc_id for r in wider if r.src == "c"}
+    assert by["c"] <= c_wide and len(c_wide) > len(by["c"])

@@ -48,6 +48,23 @@ def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
             .filter(F.col("rk") <= n_per_stratum))
 
 
+def mixture_sample(df: DataFrame, rates: dict[str, float], strata_col: str,
+                   default_rate: float = 0.0,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Training-mix resampling: keep each stratum at its configured rate
+    (e.g. web 0.5, code 1.0, forums 0.25 — the knob every pretraining data
+    recipe turns). Rates quantize to 256ths of the md5 sample key, so the
+    draw is deterministic AND nested: raising a rate strictly grows the kept
+    set without reshuffling rows already in it (ablations stay comparable).
+    Filter-only -> rides the scan, no shuffle."""
+    key = sample_key(F.col(id_col))
+    thresh = F.lit(int(round(default_rate * 256)))
+    for value, rate in rates.items():
+        br = F.lit(int(round(rate * 256)))
+        thresh = F.when(F.col(strata_col) == value, br).otherwise(thresh)
+    return df.filter(key < thresh)
+
+
 def skew_safe_count_distinct(df: DataFrame, key_col: str, distinct_col: str,
                              alias: str = "n_distinct") -> DataFrame:
     """COUNT(DISTINCT x) GROUP BY k as two shuffles with bounded state:
