@@ -47,6 +47,10 @@ HEADLINE = [
     "order_price_deciles",
     "tfidf_top_terms",
     "ivf_knn",
+    # round-2 training-pipeline headliners
+    "decontaminate_train_test",
+    "quality_filter_pipeline",
+    "word_freq_topk",
 ]
 
 
