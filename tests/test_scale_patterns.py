@@ -176,3 +176,79 @@ def test_hll_sketch_distinct_within_error_bounds(spark):
     plan = (entrymod.queries()["events_distinct_users_hll"](spark, sf)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1
+
+
+def _nplan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_deterministic_samples_are_shuffle_free(spark):
+    # flat + mixture sampling must ride the scan: no Exchange anywhere
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators.sampling import hash_sample, mixture_sample
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for df in (hash_sample(docs, 0x28),
+               mixture_sample(docs, {"en": 1.0}, "lang", default_rate=0.25)):
+        plan = _nplan(df)
+        assert "Exchange" not in plan, f"sample plan shuffles:\n{plan}"
+
+
+def test_quality_filter_is_single_scan(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["quality_filter_pipeline"](
+        spark, "/root/testdata/sf0.001")
+    plan = _nplan(df)
+    assert "Exchange" not in plan, f"quality filter shuffles:\n{plan}"
+    assert "BatchScan" in plan or "FileScan" in plan or "Scan parquet" in plan
+
+
+def test_skew_rewrites_have_bounded_shuffles(spark):
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators.sampling import (salted_sum,
+                                                       skew_safe_count_distinct)
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    two_phase = skew_safe_count_distinct(ev, "event_type", "user_id")
+    assert _nplan(two_phase).count("Exchange") == 2
+    salted = salted_sum(ev, "user_id", F.col("value").cast("decimal(18,6)"),
+                        F.col("event_id"), 16, "s")
+    assert _nplan(salted).count("Exchange") == 2
+
+
+def test_first_last_struct_agg_single_shuffle(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["first_last_event_per_user"](
+        spark, "/root/testdata/sf0.001")
+    plan = _nplan(df)
+    # one partial-aggregating shuffle; crucially NO window sort + self-join
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_incremental_dedup_is_equi_join(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["incremental_prefix_dedup"](
+        spark, "/root/testdata/sf0.001")
+    plan = _nplan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_kmeans_assignment_is_pure_map(spark):
+    # literal-centroid argmax: the per-iteration assignment projects, never
+    # joins or broadcasts
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators.vectors import (_nearest_cell,
+                                                      with_unit_vector)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    u = with_unit_vector(emb, "embedding", "_u")
+    df = u.select(_nearest_cell(F.col("_u"), [(0, [1.0] * 64),
+                                              (1, [-1.0] * 64)]).alias("cell"))
+    plan = _nplan(df)
+    assert "Join" not in plan and "Exchange" not in plan, plan
