@@ -1671,6 +1671,26 @@ def events_zscore_outliers(spark, sf_dir):
             .select("event_id", "event_type", F.round(z, 4).alias("z")))
 
 
+@q("jsonl_roundtrip_by_lang",
+   "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+   "FROM documents GROUP BY lang")
+def jsonl_roundtrip_by_lang(spark, sf_dir):
+    # line-delimited JSON ingest path: documents written as JSONL, read back
+    # through the declared-schema PERMISSIVE reader (no inference scan, bad
+    # lines quarantined, none here), aggregated — must equal the parquet
+    # truth the oracle reads
+    import tempfile
+
+    from thewhisperdb_spark.sources import textio
+
+    out = tempfile.mkdtemp(prefix="whisper_jsonl_")
+    _docs(spark, sf_dir).write.mode("overwrite").json(out)
+    clean, bad = textio.split_quarantine(textio.read_jsonl(spark, out))
+    return (clean.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
 @q("mixture_sample_by_lang",
    "SELECT doc_id, lang, source FROM documents WHERE "
    "CASE lang WHEN 'en' THEN TRUE "
@@ -1882,6 +1902,7 @@ _VERIFY_FIRST = [
     "mixture_sample_by_lang",
     "quality_filter_pipeline",
     "incremental_prefix_dedup",
+    "jsonl_roundtrip_by_lang",
     # rows-only entries (weaker check, but a row beats no row)
     "events_distinct_users_hll",
     "minhash_lsh_dedup",
