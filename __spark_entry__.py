@@ -1671,6 +1671,36 @@ def events_zscore_outliers(spark, sf_dir):
             .select("event_id", "event_type", F.round(z, 4).alias("z")))
 
 
+@q("triangle_count",
+   f"""WITH {_cos_pairs_sql(COS_EDGE_THRESHOLD)},
+ce AS (SELECT a, b FROM pairs),
+w AS (SELECT x.a AS a, x.b AS b, y.b AS c FROM ce x JOIN ce y ON x.b = y.a)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM w JOIN ce z ON w.a = z.a AND w.c = z.b""")
+def triangle_count_q(spark, sf_dir):
+    # clustering-coefficient numerator over the cosine similarity graph:
+    # canonical a<b<c edge orientation counts each triangle exactly once via
+    # two equi-joins (wedge close), never an all-pairs pass
+    pairs = V.similar_pairs(_emb(spark, sf_dir), COS_EDGE_THRESHOLD)
+    return G.triangle_count(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+
+
+@q("pagerank_top", None)
+def pagerank_top(spark, sf_dir):
+    # PageRank over the similarity graph (dangling mass redistributed so
+    # ranks stay a distribution); float-iterative -> rows-only; pytest pins
+    # exact ranks on known graphs. Top-20 hubs with id tiebreak.
+    e = _emb(spark, sf_dir)
+    pairs = V.similar_pairs(e, COS_EDGE_THRESHOLD)
+    ranks = G.pagerank(e.select(F.col("vec_id").alias("id")),
+                       pairs.select(F.col("a").alias("src"),
+                                    F.col("b").alias("dst")),
+                       n_iter=10)
+    return (ranks.orderBy(F.col("rank").desc(), F.col("id")).limit(20)
+            .select("id", F.round("rank", 6).alias("rank")))
+
+
 @q("jsonl_roundtrip_by_lang",
    "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
    "FROM documents GROUP BY lang")
@@ -1903,6 +1933,8 @@ _VERIFY_FIRST = [
     "quality_filter_pipeline",
     "incremental_prefix_dedup",
     "jsonl_roundtrip_by_lang",
+    "triangle_count",
+    "pagerank_top",
     # rows-only entries (weaker check, but a row beats no row)
     "events_distinct_users_hll",
     "minhash_lsh_dedup",

@@ -122,3 +122,40 @@ def test_simhash_band_pairs_hamming(spark):
            D.simhash_band_pairs(df, bits=32, bands=4, max_hamming=3).collect()}
     assert got.get((1, 2)) == 0            # identical token sets -> hamming 0
     assert not any(3 in p for p in got)    # unrelated doc never pairs
+
+
+def test_triangle_count_known_graph(spark):
+    from thewhisperdb_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} has C(4,3)=4 triangles; pendant edge (4,5) adds none
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long")
+    assert triangle_count(edges).collect()[0].n_triangles == 4
+    # direction/duplication invariance: reversed + doubled edges, same count
+    rev = edges.selectExpr("dst as src", "src as dst")
+    assert triangle_count(edges.union(rev)).collect()[0].n_triangles == 4
+
+
+def test_pagerank_star_graph(spark):
+    from thewhisperdb_spark.operators.graph import pagerank
+
+    # undirected star: hub 0 <-> leaves 1..4; symmetric leaves must tie,
+    # hub must dominate, ranks must sum to 1
+    verts = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame([(0, i) for i in range(1, 5)],
+                                  "src long, dst long")
+    ranks = {r.id: r.rank for r in pagerank(verts, edges, n_iter=30).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    leaf = [ranks[i] for i in range(1, 5)]
+    assert max(leaf) - min(leaf) < 1e-12
+    assert ranks[0] > 2 * leaf[0]
+    # stationary solution for the undirected star (d=0.85, n=5):
+    # h = .03 + 3.4*l, l = .03 + .2125*h -> h = 0.47568. The alternating
+    # power iteration contracts at 0.85/step, so 30 iters leaves ~2e-3.
+    assert abs(ranks[0] - 0.47567567) < 0.01
+    # dangling redistribution: isolated vertex keeps teleport + share
+    verts6 = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    r6 = {r.id: r.rank for r in pagerank(verts6, edges, n_iter=30).collect()}
+    assert abs(sum(r6.values()) - 1.0) < 1e-9
+    assert r6[5] < min(r6[i] for i in range(1, 5))

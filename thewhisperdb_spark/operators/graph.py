@@ -107,6 +107,83 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     return labels.unionByName(singles)
 
 
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(id, degree) over the undirected edge set — one symmetrize + one
+    partial-aggregating shuffle. Degree is THE skew diagnostic for every
+    downstream graph job (a power-law hub is what blows up neighborhood
+    joins), so it runs first in any pipeline."""
+    und = undirect(edges, src, dst)
+    return und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global triangle count over the undirected graph — the standard
+    clustering-coefficient numerator, computed the scale-correct way:
+    canonical edges (a < b) joined twice, so each triangle a<b<c is counted
+    exactly once as (a,b)+(b,c)+(a,c). Two equi-joins on vertex keys, cost
+    Σ deg(v)² candidate wedges — the degree-ordered variant for power-law
+    graphs would orient edges by (degree, id) instead of raw id; the id
+    orientation keeps oracle parity and is identical in shape.
+    Returns a single row (n_triangles)."""
+    e = (undirect(edges, src, dst)
+         .filter(F.col("src") < F.col("dst"))
+         .select(F.col("src").alias("a"), F.col("dst").alias("b")))
+    wedges = (e.alias("x").join(e.alias("y"), F.col("x.b") == F.col("y.a"))
+              .select(F.col("x.a").alias("wa"), F.col("x.b").alias("wb"),
+                      F.col("y.b").alias("wc")))
+    closed = wedges.join(
+        e.alias("z"),
+        (F.col("wa") == F.col("z.a")) & (F.col("wc") == F.col("z.b")))
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def pagerank(vertices: DataFrame, edges: DataFrame, id_col: str = "id",
+             damping: float = 0.85, n_iter: int = 10) -> DataFrame:
+    """PageRank over the undirected similarity graph (both directions count),
+    fixed-iteration power method — the GraphX/Pregel kernel re-expressed as
+    DataFrame joins:
+
+    - out-degrees computed once and cached with the edge list;
+    - per iteration: one join (rank -> contributions along edges) + one
+      aggregation (sum contributions per dst) + the damping blend — two
+      shuffles, lineage cut per round;
+    - dangling (edgeless) vertices' mass is redistributed uniformly each
+      iteration (one metadata-sized aggregate), preserving Σ rank = 1 —
+      without it, a similarity graph (where most vertices match nothing)
+      leaks almost all its mass.
+
+    Deterministic for a fixed iteration count up to float merge order
+    (~1e-15); rows-only at the driver, pytest pins known-graph ranks.
+    Returns (id, rank) with Σ rank ≈ 1."""
+    und = undirect(edges).localCheckpoint(eager=True)
+    n = vertices.count()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    out = (und.join(deg.withColumnRenamed("id", "src"), "src")
+           .select("src", "dst", "deg").localCheckpoint(eager=True))
+    has_out = deg.select("id")
+    ranks = vertices.select(F.col(id_col).alias("id"),
+                            F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        dangling = (ranks.join(has_out, "id", "left_anti")
+                    .agg(F.sum("rank")).collect()[0][0] or 0.0)
+        spread = dangling / n
+        contrib = (out.join(ranks.withColumnRenamed("id", "src"), "src")
+                   .groupBy(F.col("dst").alias("id"))
+                   .agg(F.sum(F.col("rank") / F.col("deg")).alias("c")))
+        ranks = (vertices.select(F.col(id_col).alias("id"))
+                 .join(contrib, "id", "left")
+                 .select("id", (F.lit(base) + F.lit(damping)
+                                * (F.coalesce(F.col("c"), F.lit(0.0))
+                                   + F.lit(spread)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks
+
+
 def clusters_from_pairs(vertices: DataFrame, pairs: DataFrame,
                         id_col: str = "id") -> DataFrame:
     """G7 support: similarity pairs (a, b) -> (id, component) over all
