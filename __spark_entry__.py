@@ -1671,6 +1671,52 @@ def events_zscore_outliers(spark, sf_dir):
             .select("event_id", "event_type", F.round(z, 4).alias("z")))
 
 
+@q("streaming_enrich_segment_totals",
+   "SELECT c_mktsegment AS segment, COUNT(*) AS n, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
+   "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+   "GROUP BY c_mktsegment")
+def streaming_enrich_segment_totals(spark, sf_dir):
+    # stream-static join: the event stream enriched per micro-batch with the
+    # static customer dim (broadcast, no state store), then aggregated —
+    # checked against the batch join oracle
+    import tempfile
+
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    out_dir = tempfile.mkdtemp(prefix="whisper_stream_")
+    path = SJ.events_to_stream_dir(spark, sf_dir, out_dir, n_chunks=4)
+    stream = SJ.stream_events_from_dir(spark, path)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    enriched = SJ.enrich_with_dim(stream, cust, "user_id", "c_custkey")
+    agg = (enriched.groupBy(F.col("c_mktsegment").alias("segment"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                _sum_dec("value", "total_value")))
+    name = "q_stream_enrich"
+    q_ = (agg.writeStream.outputMode("complete").format("memory")
+          .queryName(name).trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return spark.sql(f"SELECT segment, n, total_value FROM {name}")
+
+
+@q("unigram_surprisal_score",
+   "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+   "t -> t <> '')) AS w FROM documents), "
+   "freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w), "
+   "tot AS (SELECT SUM(cnt) AS total FROM freq), "
+   "surp AS (SELECT doc_id, CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / total), 9) "
+   "AS DECIMAL(18,9)) AS s FROM tok JOIN freq USING (w) CROSS JOIN tot) "
+   "SELECT doc_id, COUNT(*) AS n_tokens, "
+   "ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 4) AS avg_surprisal "
+   "FROM surp GROUP BY doc_id")
+def unigram_surprisal_score(spark, sf_dir):
+    # corpus-trained unigram LM scoring (perplexity-proxy quality filter):
+    # high mean token surprisal = rare-token noise candidate. Decimal-summed
+    # rounded surprisals keep the mean order-insensitive on both engines.
+    return TX.unigram_surprisal(_docs(spark, sf_dir))
+
+
 @q("triangle_count",
    f"""WITH {_cos_pairs_sql(COS_EDGE_THRESHOLD)},
 ce AS (SELECT a, b FROM pairs),
@@ -1935,6 +1981,8 @@ _VERIFY_FIRST = [
     "jsonl_roundtrip_by_lang",
     "triangle_count",
     "pagerank_top",
+    "unigram_surprisal_score",
+    "streaming_enrich_segment_totals",
     # rows-only entries (weaker check, but a row beats no row)
     "events_distinct_users_hll",
     "minhash_lsh_dedup",

@@ -140,3 +140,15 @@ def test_stream_stream_interval_join(spark, event_dir, tmp_path_factory):
     got = sorted((r["purchase_id"], r["click_id"], r["secs_before"])
                  for r in out.collect())
     assert got == [(12, 10, 1800), (12, 11, 60)]
+
+
+def test_stream_static_enrichment(spark, event_dir):
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id_d long, tier string")
+    stream = SJ.stream_events_from_dir(spark, event_dir)
+    out = SJ.run_to_memory(
+        SJ.enrich_with_dim(stream, dim, "user_id", "user_id_d")
+        .groupBy("tier").count(),
+        "enriched", "complete")
+    got = {r.tier: r["count"] for r in out.collect()}
+    assert got == {"gold": 4, "silver": 2}

@@ -108,6 +108,37 @@ def repetition_ratio(col: Column, n: int = 3) -> Column:
     return F.element_at(stat, 1)
 
 
+def unigram_surprisal(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-trained unigram LM scoring — the cheap stand-in for the
+    perplexity quality filter every pretraining pipeline runs: documents made
+    of globally-rare tokens score high (gibberish/noise candidates), ones
+    made of common tokens score low.
+
+    Two passes over the corpus, both scale-shaped: (1) token frequencies =
+    explode + partial-aggregated count (the Zipf head combines map-side);
+    (2) score = token->frequency equi-join + per-doc mean of -ln(p). The
+    frequency table is vocab-sized: broadcast it when bounded, shuffle-join
+    when web-scale. Per-token surprisals are rounded to 9 dp and summed as
+    DECIMAL so the per-doc mean is independent of partial-merge order.
+    Returns (id_col, n_tokens, avg_surprisal)."""
+    tok = df.select(F.col(id_col).alias("_id"),
+                    F.explode(tokens(F.col(text_col))).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    surp = (tok.join(freq, "w")
+            .crossJoin(F.broadcast(total))
+            .select("_id",
+                    F.round(-F.log(F.col("cnt").cast("double")
+                                   / F.col("total")), 9)
+                    .cast("decimal(18,9)").alias("s")))
+    return (surp.groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round((F.sum("s").cast("double")
+                          / F.count(F.lit(1))), 4).alias("avg_surprisal"))
+            .select(F.col("_id").alias(id_col), "n_tokens", "avg_surprisal"))
+
+
 def truncate_text(col: Column, limit: int = 8000, ellipsis: bool = False) -> Column:
     """S8 truncation semantics: extract caps at 8000 chars
     (``src/embedding/TextExtractor.cpp:10,19-24``); the tagging path uses a

@@ -113,6 +113,18 @@ def click_purchase_interval_join(events: DataFrame, max_gap_s: int = 3600,
                     .alias("secs_before")))
 
 
+def enrich_with_dim(stream: DataFrame, dim: DataFrame,
+                    stream_key: str, dim_key: str) -> DataFrame:
+    """Stream-static join: enrich an unbounded stream with a bounded
+    dimension table. The static side is planned per micro-batch as a normal
+    batch relation — broadcast when small (the usual case for dims), no
+    state store involved (unlike stream-stream joins, nothing buffers).
+    This is the dimension-lookup shape of every event pipeline: the stream
+    never shuffles, the dim ships to it."""
+    return stream.join(F.broadcast(dim),
+                       stream[stream_key] == dim[dim_key], "inner")
+
+
 def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
                       watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of ``events_sessionize``: gap-based sessions via the
