@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from thewhisperdb_spark.catalog import load_table
 from thewhisperdb_spark.operators import dedup as D
+from thewhisperdb_spark.operators import events as EV
 from thewhisperdb_spark.operators import sampling as SM
 from thewhisperdb_spark.operators import filters as FL
 from thewhisperdb_spark.operators import graph as G
@@ -1671,6 +1672,47 @@ def events_zscore_outliers(spark, sf_dir):
             .select("event_id", "event_type", F.round(z, 4).alias("z")))
 
 
+@q("retention_cohorts",
+   "WITH active AS (SELECT DISTINCT user_id AS u, "
+   "CAST(date_trunc('day', ts) AS DATE) AS d FROM events), "
+   "cu AS (SELECT u, d, MIN(d) OVER (PARTITION BY u) AS cohort FROM active) "
+   "SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, "
+   "date_diff('day', cohort, d) AS day_offset, "
+   "COUNT(*) AS n_users FROM cu GROUP BY 1, 2")
+def retention_cohorts(spark, sf_dir):
+    # cohort-retention matrix: distinct (user, day) -> per-user min-day
+    # window on the SAME partitioning -> tiny (day, offset) count.
+    # cohort_day formatted to a string: pandas maps DuckDB DATE to
+    # datetime64 but Spark DATE to date objects, so raw dates hash-differ.
+    ev = load_table(spark, sf_dir, "events")
+    out = EV.retention_cohorts(ev)
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"), "n_users")
+
+
+@q("funnel_conversion",
+   "WITH e AS (SELECT user_id, ts, event_type FROM events), "
+   "s0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END) "
+   "OVER (PARTITION BY user_id) AS t0 FROM e), "
+   "s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t0 "
+   "THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM s0), "
+   "s2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t1 "
+   "THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM s1), "
+   "pu AS (SELECT user_id, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2 "
+   "FROM s2 GROUP BY user_id), "
+   "c AS (SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2 FROM pu) "
+   "SELECT 0 AS step_idx, 'view' AS step, n0 AS n_users FROM c "
+   "UNION ALL SELECT 1, 'click', n1 FROM c "
+   "UNION ALL SELECT 2, 'purchase', n2 FROM c")
+def funnel_conversion(spark, sf_dir):
+    # ordered view->click->purchase funnel: one shuffle on user, window-min
+    # cascade (each step's min references the previous step's column), then
+    # a 3-row unpivot of a single-row aggregate
+    ev = load_table(spark, sf_dir, "events")
+    return EV.funnel_conversion(ev, ["view", "click", "purchase"])
+
+
 @q("streaming_enrich_segment_totals",
    "SELECT c_mktsegment AS segment, COUNT(*) AS n, "
    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
@@ -1983,6 +2025,8 @@ _VERIFY_FIRST = [
     "pagerank_top",
     "unigram_surprisal_score",
     "streaming_enrich_segment_totals",
+    "retention_cohorts",
+    "funnel_conversion",
     # rows-only entries (weaker check, but a row beats no row)
     "events_distinct_users_hll",
     "minhash_lsh_dedup",
