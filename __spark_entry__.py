@@ -1672,6 +1672,57 @@ def events_zscore_outliers(spark, sf_dir):
             .select("event_id", "event_type", F.round(z, 4).alias("z")))
 
 
+@q("pack_sequences",
+   "WITH t AS (SELECT doc_id, lang, CAST(len(list_filter(string_split(text, "
+   "' '), x -> x <> '')) AS BIGINT) AS n_tok FROM documents), "
+   "c AS (SELECT lang AS shard, doc_id, n_tok, "
+   "COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) "
+   "SELECT shard, CAST(cb // 512 AS BIGINT) AS bin_id, "
+   "COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens "
+   "FROM c GROUP BY 1, 2")
+def pack_sequences(spark, sf_dir):
+    # concat-and-chunk sequence packing into 512-token training bins,
+    # sharded by lang (deterministic doc_id order within shard)
+    from thewhisperdb_spark.operators import packing as PK
+
+    return PK.pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+@q("chunk_documents",
+   "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+   "x -> x <> '') AS toks FROM documents), "
+   "s AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 48)) "
+   "AS start FROM t WHERE len(toks) > 0) "
+   "SELECT doc_id, CAST(start AS BIGINT) AS chunk_start, "
+   "CAST(len(list_slice(toks, start, start + 63)) AS BIGINT) "
+   "AS n_chunk_tokens, "
+   "md5(array_to_string(list_slice(toks, start, start + 63), ' ')) "
+   "AS chunk_hash FROM s")
+def chunk_documents(spark, sf_dir):
+    # overlapping 64-token windows at stride 48 (RAG/embedding chunking);
+    # row-local explode, chunk identity = md5 of the rejoined window
+    from thewhisperdb_spark.operators import packing as PK
+
+    return PK.chunk_documents(_docs(spark, sf_dir), width=64, stride=48)
+
+
+@q("weighted_sample",
+   "SELECT doc_id, lang, n_chars, "
+   "ROUND(-ln((((doc_id * 2654435761) % 1000003) + 1) / 1000004.0) "
+   "/ n_chars, 6) AS ekey_r "
+   "FROM documents WHERE n_chars > 0 "
+   "ORDER BY -ln((((doc_id * 2654435761) % 1000003) + 1) / 1000004.0) "
+   "/ n_chars, doc_id LIMIT 100")
+def weighted_sample(spark, sf_dir):
+    # Efraimidis–Spirakis weighted sample without replacement, k=100,
+    # weight = n_chars; deterministic integer-arithmetic uniform so both
+    # engines draw the identical sample
+    out = SM.weighted_sample_aes(_docs(spark, sf_dir), k=100)
+    return out.select("doc_id", "lang", "n_chars",
+                      F.round("ekey", 6).alias("ekey_r"))
+
+
 @q("retention_cohorts",
    "WITH active AS (SELECT DISTINCT user_id AS u, "
    "CAST(date_trunc('day', ts) AS DATE) AS d FROM events), "
@@ -2027,6 +2078,9 @@ _VERIFY_FIRST = [
     "streaming_enrich_segment_totals",
     "retention_cohorts",
     "funnel_conversion",
+    "pack_sequences",
+    "chunk_documents",
+    "weighted_sample",
     # rows-only entries (weaker check, but a row beats no row)
     "events_distinct_users_hll",
     "minhash_lsh_dedup",

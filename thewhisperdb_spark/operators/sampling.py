@@ -65,6 +65,27 @@ def mixture_sample(df: DataFrame, rates: dict[str, float], strata_col: str,
     return df.filter(key < thresh)
 
 
+def weighted_sample_aes(df: DataFrame, k: int, weight_col: str = "n_chars",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each row gets key u^(1/w) for a uniform u and weight w; the k largest
+    keys ARE a weighted sample without replacement. Ranking by
+    -ln(u)/w ascending is the same order in exact arithmetic and
+    numerically safer (no underflow for tiny u^(1/w) at large w).
+
+    u derives from the id via integer arithmetic — multiply by Knuth's
+    2654435761, mod the prime 1000003, shift into (0,1) — identical on any
+    engine, so the sample is reproducible like everything else here. Plan:
+    per-partition top-k (TakeOrderedAndProject) — no full sort, no shuffle
+    beyond the k-row merge at the driver-side limit."""
+    u = ((F.col(id_col) * F.lit(2654435761)) % F.lit(1000003) + 1) / 1000004.0
+    ekey = (-F.log(u) / F.col(weight_col))
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("ekey", ekey)
+            .orderBy("ekey", id_col)
+            .limit(k))
+
+
 def skew_safe_count_distinct(df: DataFrame, key_col: str, distinct_col: str,
                              alias: str = "n_distinct") -> DataFrame:
     """COUNT(DISTINCT x) GROUP BY k as two shuffles with bounded state:
