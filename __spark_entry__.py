@@ -1840,6 +1840,35 @@ def pagerank_top(spark, sf_dir):
             .select("id", F.round("rank", 6).alias("rank")))
 
 
+@q("graph_core_numbers", None)
+def graph_core_numbers(spark, sf_dir):
+    # k-core decomposition of the cosine similarity graph via the h-index
+    # fixpoint — density structure for curriculum/diversity decisions that
+    # component ids can't see. Iterative fixpoint -> rows-only; pytest pins
+    # exact coreness on known graphs (test_core_numbers_and_k_core).
+    e = _emb(spark, sf_dir)
+    pairs = V.similar_pairs(e, COS_EDGE_THRESHOLD)
+    return (G.core_numbers(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+        .orderBy(F.col("coreness").desc(), F.col("id")).limit(50))
+
+
+@q("label_prop_communities", None)
+def label_prop_communities(spark, sf_dir):
+    # deterministic synchronous LPA over the similarity graph; communities
+    # refine connected components when near-dup chains merge. Reports the
+    # 20 largest communities. Iterative -> rows-only; pytest pins behavior
+    # on known cliques (test_label_propagation_two_cliques).
+    e = _emb(spark, sf_dir)
+    pairs = V.similar_pairs(e, COS_EDGE_THRESHOLD)
+    labels = G.label_propagation(
+        e.select(F.col("vec_id").alias("id")),
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    return (labels.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .orderBy(F.col("n_members").desc(), F.col("label")).limit(20))
+
+
 @q("jsonl_roundtrip_by_lang",
    "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
    "FROM documents GROUP BY lang")
@@ -2092,6 +2121,8 @@ _VERIFY_FIRST = [
     "ivf_knn",
     "pq_knn",
     "doc_fingerprint",
+    "graph_core_numbers",
+    "label_prop_communities",
 ]
 
 

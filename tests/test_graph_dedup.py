@@ -159,3 +159,48 @@ def test_pagerank_star_graph(spark):
     r6 = {r.id: r.rank for r in pagerank(verts6, edges, n_iter=30).collect()}
     assert abs(sum(r6.values()) - 1.0) < 1e-9
     assert r6[5] < min(r6[i] for i in range(1, 5))
+
+
+def test_label_propagation_two_cliques(spark):
+    from thewhisperdb_spark.operators.graph import label_propagation
+
+    # two disjoint triangles + one isolated vertex: LPA must converge to one
+    # label per clique (the min id) and leave the singleton on its own id
+    verts = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)],
+        "src long, dst long")
+    labels = {r.id: r.label for r in
+              label_propagation(verts, edges).collect()}
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4] == labels[5]
+    assert labels[0] != labels[3]
+    assert labels[6] == 6
+
+
+def test_core_numbers_and_k_core(spark):
+    from thewhisperdb_spark.operators.graph import core_numbers, k_core
+
+    # K4 on {1,2,3,4} (coreness 3) + path 4-5-6 (coreness 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long")
+    core = {r.id: r.coreness for r in core_numbers(edges).collect()}
+    assert core == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1}
+    # 2-core strips the pendant path, keeps exactly K4 with inner degree 3
+    members = {r.id: r.degree for r in k_core(edges, 2).collect()}
+    assert members == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k above max coreness -> empty
+    assert k_core(edges, 4).count() == 0
+
+
+def test_h_index_expr(spark):
+    from pyspark.sql import functions as F
+
+    from thewhisperdb_spark.operators.graph import _h_index
+
+    rows = spark.createDataFrame(
+        [([5, 4, 3, 2, 1],), ([1, 1, 1],), ([10, 10],), ([0],)],
+        "arr array<long>")
+    got = [r.h for r in rows.select(_h_index(F.col("arr")).alias("h")).collect()]
+    assert got == [3, 1, 2, 0]

@@ -184,6 +184,148 @@ def pagerank(vertices: DataFrame, edges: DataFrame, id_col: str = "id",
     return ranks
 
 
+def label_propagation(vertices: DataFrame, edges: DataFrame,
+                      id_col: str = "id", max_iter: int = 20) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA): every
+    vertex adopts the most frequent label among its neighbors each round,
+    ties broken by the smallest label — fully deterministic, unlike the
+    classic randomized-order LPA. The reference's clusters are connected
+    components (``src/embedding/Clustering.cpp:68-107``); LPA is the finer
+    community refinement a training-data pipeline wants when near-dup
+    clusters chain into one giant component.
+
+    Per iteration: one edge-key join + two partial-aggregating shuffles
+    (count per (vertex,label), then max_by per vertex) — all codegen, no
+    Python. Synchronous LPA can oscillate on bipartite structures, so the
+    iteration cap is a correctness feature, not a timeout; the changed-count
+    convergence check is a metadata-sized aggregate.
+
+    Returns (id, label) for every vertex; isolated vertices keep their own
+    id as label.
+    """
+    und = undirect(edges).localCheckpoint(eager=True)
+    touched = und.select(F.col("src").alias("id")).distinct()
+    labels = touched.select(
+        "id", F.col("id").cast("long").alias("label")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        votes = (
+            und.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # mode with min-label tiebreak: max over (cnt, -label) structs keeps
+        # the whole argmax inside one hash aggregate (no window)
+        new_labels = (
+            votes.groupBy("id")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg")))
+                 .alias("m"))
+            .select("id", (-F.col("m.neg")).cast("long").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    singles = (vertices.select(F.col(id_col).alias("id"))
+               .join(touched, "id", "left_anti")
+               .select("id", F.col("id").cast("long").alias("label")))
+    return labels.unionByName(singles)
+
+
+def _h_index(arr_col):
+    """h-index of an array column: largest h such that at least h elements
+    are >= h. sort desc, then count the prefix where value[i] >= i+1 — the
+    predicate is prefix-true/suffix-false on a descending sort, so the
+    filter count IS the h-index. All array built-ins, codegen'd."""
+    desc = F.reverse(F.array_sort(arr_col))
+    idx = F.sequence(F.lit(1), F.size(desc))
+    return F.size(F.filter(F.zip_with(desc, idx, lambda v, i: v >= i),
+                           lambda x: x))
+
+
+def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
+                 max_iter: int = 50) -> DataFrame:
+    """Coreness (k-core number) per vertex via the distributed h-index
+    fixpoint (Montresor et al., "Distributed k-core decomposition"): start
+    from degree, then repeatedly set c(v) = h-index of the neighbors'
+    current estimates. Estimates are monotone non-increasing and converge
+    to the exact core number, so the same decimal label-sum convergence
+    trick as connected_components applies (one aggregate per round, no row
+    collect).
+
+    Per iteration: one join + one collect_list aggregate + the array
+    h-index. collect_list is per-vertex-degree sized — bounded for
+    similarity graphs; a power-law web graph would cap it with the
+    bucketed-h-index variant (coreness <= degree, so estimates above the
+    current h never matter).
+
+    Returns (id, coreness).
+    """
+    und = undirect(edges, src, dst).localCheckpoint(eager=True)
+    est = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+
+    def est_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("c").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev = est_sum(est)
+    for _ in range(max_iter):
+        nbr = (
+            und.join(est.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.collect_list("c").alias("cs"))
+        )
+        est = (
+            est.join(nbr, "id")
+            .select("id",
+                    F.least(F.col("c"),
+                            _h_index(F.col("cs")).cast("long")).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        cur = est_sum(est)
+        if cur == prev:
+            break
+        prev = cur
+    return est.select("id", F.col("c").alias("coreness"))
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+           max_iter: int = 50) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every vertex has
+    degree >= k, computed by iterative peeling — drop sub-k vertices,
+    recompute degrees over surviving edges, repeat to fixpoint. Survivor
+    count is monotone decreasing, so convergence is one count() per round.
+    Each round is a semi-join edge filter + one degree aggregate.
+
+    Returns (id, degree) with degree measured inside the core.
+    """
+    e = undirect(edges, src, dst).localCheckpoint(eager=True)
+    prev_n = None
+    for _ in range(max_iter):
+        deg = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("id")
+        n = keep.count()
+        if prev_n is not None and n == prev_n:
+            break
+        prev_n = n
+        if n == 0:
+            break
+        e = (e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+             .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+             .localCheckpoint(eager=True))
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"))
+    return deg.filter(F.col("degree") >= k)
+
+
 def clusters_from_pairs(vertices: DataFrame, pairs: DataFrame,
                         id_col: str = "id") -> DataFrame:
     """G7 support: similarity pairs (a, b) -> (id, component) over all
