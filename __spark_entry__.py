@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from thewhisperdb_spark.catalog import load_table
+from thewhisperdb_spark.operators import aggregates as AG
 from thewhisperdb_spark.operators import dedup as D
 from thewhisperdb_spark.operators import events as EV
 from thewhisperdb_spark.operators import sampling as SM
@@ -907,6 +908,70 @@ def tfidf_top_terms(spark, sf_dir):
                  .alias("tfidf"),
                  F.row_number().over(w).cast("long").alias("rk")))
     return s.filter(F.col("rk") <= 3)
+
+
+BM25_TERMS = ("table", "hash", "window")
+
+
+@q("bm25_search",
+   """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                    t -> t <> '')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('table', 'hash', 'window') GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '),
+                    t -> t <> '')) AS dl FROM documents),
+st AS (SELECT count(*) AS n, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+       FROM dl)
+SELECT tf.doc_id, CAST(SUM(CAST(round(
+    ln(1.0 + ((st.n - dfq.df) + 0.5) / (dfq.df + 0.5))
+    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / st.avgdl))),
+    6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+GROUP BY 1""")
+def bm25_search(spark, sf_dir):
+    # BM25 topic mining over the corpus (see operators/text.py:bm25_scores
+    # for the scale/parity analysis). k1=1.2, b=0.75 — the standard defaults.
+    return TX.bm25_scores(_docs(spark, sf_dir), list(BM25_TERMS))
+
+
+@q("vocab_overlap_langs",
+   """WITH v AS (SELECT DISTINCT lang AS g, unnest(list_filter(
+        string_split(text, ' '), t -> t <> '')) AS term FROM documents),
+sizes AS (SELECT g, count(*) AS n FROM v GROUP BY 1),
+inter AS (SELECT a.g AS ga, b.g AS gb, count(*) AS n_common
+          FROM v a JOIN v b USING (term) WHERE a.g < b.g GROUP BY 1, 2)
+SELECT ga, gb, sa.n AS n_a, sb.n AS n_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON inter.ga = sa.g JOIN sizes sb ON inter.gb = sb.g""")
+def vocab_overlap_langs(spark, sf_dir):
+    # pairwise vocabulary Jaccard between language slices — corpus-mix
+    # profiling; term-keyed equi-join bounded by (#langs)^2 per term
+    return TX.vocab_jaccard_by_group(_docs(spark, sf_dir), "lang")
+
+
+@q("per_source_cap",
+   "SELECT doc_id, source, n_chars, rk FROM ("
+   "SELECT doc_id, source, n_chars, CAST(row_number() OVER ("
+   "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk "
+   "FROM documents) WHERE rk <= 40")
+def per_source_cap(spark, sf_dir):
+    # per-domain quota: best 40 docs (longest-first) per source — the
+    # anti-domination guard of a training mix (operators/sampling.py)
+    return SM.per_stratum_cap(
+        _docs(spark, sf_dir), "source", 40, "n_chars"
+    ).select("doc_id", "source", "n_chars", "rk")
+
+
+@q("doc_length_histogram",
+   "SELECT CAST(least(floor(CAST(n_chars AS DOUBLE) / 40), 15) AS BIGINT) "
+   "AS bucket, count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total, "
+   "CAST(MIN(n_chars) AS BIGINT) AS min_v, CAST(MAX(n_chars) AS BIGINT) "
+   "AS max_v FROM documents GROUP BY 1")
+def doc_length_histogram(spark, sf_dir):
+    # corpus length profile: fixed-width histogram with clamped tail bucket;
+    # map-side combine makes this one scan at any scale (aggregates.py)
+    return AG.value_histogram(_docs(spark, sf_dir), "n_chars", 40, 16)
 
 
 # ---- events: windowed agg + sessionization ---------------------------------
@@ -2110,6 +2175,10 @@ _VERIFY_FIRST = [
     "pack_sequences",
     "chunk_documents",
     "weighted_sample",
+    "bm25_search",
+    "vocab_overlap_langs",
+    "per_source_cap",
+    "doc_length_histogram",
     # rows-only entries (weaker check, but a row beats no row)
     "events_distinct_users_hll",
     "minhash_lsh_dedup",

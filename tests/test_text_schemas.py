@@ -67,3 +67,70 @@ def test_fingerprint_order_insensitive(spark):
     got = [r["f"] for r in df.select(TX.fingerprint(F.col("text")).alias("f")).collect()]
     assert got[0] == got[1]
     assert got[0] != got[2]
+
+
+def test_bm25_scores_known_values(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "cat bird"), (3, "fish fish fish")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.bm25
+           for r in TX.bm25_scores(docs, ["cat"]).collect()}
+    # doc 3 has no query term -> absent
+    assert set(got) == {1, 2}
+
+    def ref(tf, df, dl, n=3, avgdl=8 / 3, k1=1.2, b=0.75):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert got[1] == ref(tf=2, df=2, dl=3)
+    assert got[2] == ref(tf=1, df=2, dl=2)
+    # multi-term scores are sums of rounded per-term contributions
+    two = {r.doc_id: r.bm25
+           for r in TX.bm25_scores(docs, ["cat", "bird"]).collect()}
+    assert two[2] == round(ref(tf=1, df=2, dl=2) + ref(tf=1, df=1, dl=2), 6)
+
+
+def test_vocab_jaccard_by_group(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "b c d", "y"), (3, "zz", "z")],
+        "doc_id long, text string, lang string")
+    rows = {(r.ga, r.gb): r for r in
+            TX.vocab_jaccard_by_group(docs, "lang").collect()}
+    # disjoint vocabularies never pair up (equi-join on term)
+    assert set(rows) == {("x", "y")}
+    r = rows[("x", "y")]
+    assert (r.n_a, r.n_b, r.n_common) == (3, 3, 2)  # {b,c} of {a,b,c}u{b,c,d}
+    assert r.jaccard == 0.5
+
+
+def test_per_stratum_cap(spark):
+    from thewhisperdb_spark.operators.sampling import per_stratum_cap
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 2), 100 - i) for i in range(10)],
+        "doc_id long, source string, n_chars long")
+    out = per_stratum_cap(df, "source", 3, "n_chars").collect()
+    assert len(out) == 6
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        assert len(rows) == 3
+        # best-first: kept rows are the 3 largest n_chars of the stratum
+        kept = sorted(r.n_chars for r in rows)
+        lo = min(kept)
+        assert all(r.rk <= 3 for r in rows)
+        assert lo >= 100 - 9 + 4  # the bottom 2 of each 5-row stratum dropped
+
+
+def test_value_histogram_clamps(spark):
+    from thewhisperdb_spark.operators.aggregates import value_histogram
+
+    df = spark.createDataFrame([(5,), (15,), (25,), (999,)], "v long")
+    rows = {r.bucket: r for r in value_histogram(df, "v", 10, 3).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].n == 1 and rows[0].min_v == 5
+    # bucket 2 holds 25 AND the clamped overflow 999
+    assert rows[2].n == 2 and rows[2].max_v == 999 and rows[2].total == 1024

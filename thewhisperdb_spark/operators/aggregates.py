@@ -59,3 +59,24 @@ def cluster_sizes(nodes_with_cluster: DataFrame,
         F.count(F.lit(1)).alias("size"))
     w = Window.orderBy(F.col("size").desc(), F.col(cluster_col).asc())
     return sizes.withColumn("cluster_rank", F.row_number().over(w))
+
+
+def value_histogram(df: DataFrame, value_col: str, bucket_width: int,
+                    n_buckets: int) -> DataFrame:
+    """Fixed-width histogram of a numeric column with a clamped overflow
+    bucket — corpus length/size profiling. Pure partial-aggregating
+    groupBy on a derived key: map-side combine reduces every partition to
+    <= n_buckets rows before the (tiny) shuffle, so cost is one scan at
+    any corpus size.
+
+    Returns (bucket, n, total, min_v, max_v), bucket = floor(v / width)
+    clamped to n_buckets - 1.
+    """
+    v = F.col(value_col)
+    bucket = F.least(F.floor(v.cast("double") / F.lit(bucket_width)),
+                     F.lit(n_buckets - 1)).cast("long")
+    return (df.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(v).cast("long").alias("total"),
+                 F.min(v).cast("long").alias("min_v"),
+                 F.max(v).cast("long").alias("max_v")))

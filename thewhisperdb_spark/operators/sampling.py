@@ -111,3 +111,22 @@ def salted_sum(df: DataFrame, key_col: str, value_col: Column, salt_col: Column,
         F.sum(value_col).alias("_psum"), F.count(F.lit(1)).alias("_pn"))
     return p1.groupBy(key_col).agg(
         F.sum("_psum").alias(sum_alias), F.sum("_pn").alias(count_alias))
+
+
+def per_stratum_cap(df: DataFrame, strata_col: str, cap: int, order_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-domain quota cap: keep at most ``cap`` rows per stratum, best
+    first (``order_col`` descending, id tiebreak) — the standard guard
+    against a single domain (one crawl host, one source) dominating a
+    training mix. Unlike ``stratified_sample``'s uniform draw, this is a
+    quality-ranked quota.
+
+    One shuffle on the stratum key; rank-pushdown keeps per-key state at
+    O(cap) (Spark's WindowGroupLimit prunes rows past the cap before the
+    sort spills), so a pathological million-row stratum costs the cap,
+    not the stratum.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col))
+    return (df.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= cap))

@@ -204,3 +204,80 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     entries = F.map_entries(scores)
     best = F.array_max(F.transform(entries, lambda e: F.struct(e["value"].alias("s"), e["key"].alias("k"))))
     return df.select(*df.columns, best["k"].alias("predicted_lang"), best["s"].alias("lang_score"))
+
+
+def bm25_scores(df: DataFrame, terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """BM25 relevance of every document against a fixed query term set
+    (Robertson–Spärck Jones probabilistic ranking; the Lucene-default IDF
+    variant ``ln(1 + (N - df + 0.5) / (df + 0.5))``, which is always
+    positive). The retrieval-side complement of ``tfidf``: this is what a
+    training pipeline uses to mine topic-targeted subsets from a 100 TB
+    corpus.
+
+    Scale shape: the explode is filtered to the query terms immediately
+    (so the shuffled tf table is |matching (doc, term)| rows, not the full
+    token stream); df (|terms| rows) and the global (N, avgdl) stats
+    (1 row) are broadcast back — no window, no all-pairs. avgdl is an
+    exact long-sum divided once, so it is bit-identical across engines.
+
+    Float parity: each (doc, term) contribution is rounded to 6 decimals
+    and summed as DECIMAL(18,6), making the doc score independent of both
+    term order and engine summation order.
+
+    Returns (id_col, bm25) for every doc containing >= 1 query term.
+    """
+    d = df.select(id_col, text_col)
+    tok = d.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = (tok.filter(F.col("term").isin(list(terms)))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = d.select(id_col, token_count(F.col(text_col)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    idf = F.log(F.lit(1.0) + ((F.col("n") - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                   + F.lit(b) * (F.col("dl") / F.col("avgdl"))))
+    contrib = F.round(idf * norm, 6).cast("decimal(18,6)")
+    return (tf.join(F.broadcast(dfreq), "term")
+            .join(dl, id_col)
+            .join(F.broadcast(stats))
+            .groupBy(id_col)
+            .agg(F.sum(contrib).cast("double").alias("bm25")))
+
+
+def vocab_jaccard_by_group(df: DataFrame, group_col: str,
+                           text_col: str = "text") -> DataFrame:
+    """Vocabulary overlap (Jaccard) between every pair of groups (e.g.
+    languages or sources) — the corpus-profiling op behind contamination
+    triage and language-mix sanity checks.
+
+    Scale shape: the distinct (group, term) table is one hash shuffle;
+    the pair generation is a term-keyed equi-join whose fan-out per term
+    is bounded by the number of groups (squared), NOT the corpus size —
+    with G groups the join emits <= G^2/2 rows per term. Group sizes
+    (G rows) broadcast back.
+
+    Returns (ga, gb, n_a, n_b, n_common, jaccard) for ga < gb.
+    """
+    v = (df.select(F.col(group_col).alias("g"),
+                   F.explode(tags_of(F.col(text_col))).alias("term"))
+         .distinct())
+    sizes = v.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    inter = (v.alias("a").join(v.alias("b"), "term")
+             .filter(F.col("a.g") < F.col("b.g"))
+             .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    return (inter
+            .join(F.broadcast(sizes.select(F.col("g").alias("ga"),
+                                           F.col("n").alias("n_a"))), "ga")
+            .join(F.broadcast(sizes.select(F.col("g").alias("gb"),
+                                           F.col("n").alias("n_b"))), "gb")
+            .select("ga", "gb", "n_a", "n_b", "n_common",
+                    F.round(F.col("n_common").cast("double")
+                            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                            6).alias("jaccard")))
