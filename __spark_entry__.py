@@ -974,6 +974,46 @@ def doc_length_histogram(spark, sf_dir):
     return AG.value_histogram(_docs(spark, sf_dir), "n_chars", 40, 16)
 
 
+@q("line_dedup_reconstruct",
+   """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                 x -> x <> '') AS toks FROM documents),
+n AS (SELECT doc_id, toks,
+      greatest(CAST(ceil(len(toks) / 10.0) AS BIGINT), 1) AS nu FROM t),
+ex0 AS (SELECT doc_id, toks, unnest(range(nu)) AS pos FROM n),
+ex AS (SELECT doc_id, pos, array_to_string(
+         list_slice(toks, pos * 10 + 1, pos * 10 + 10), ' ') AS unit
+       FROM ex0),
+kept AS (SELECT doc_id, pos, unit,
+         row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) = 1
+         AS is_first FROM ex)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN is_first THEN unit END, ' ' ORDER BY pos),
+           '') AS clean_text,
+  count(*) AS n_units,
+  CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM kept GROUP BY 1""")
+def line_dedup_reconstruct(spark, sf_dir):
+    # C4-style cross-corpus unit dedup: drop every repeated 10-token unit
+    # (keep the global first occurrence), reassemble docs from survivors.
+    # Window on the unit string replaces the naive seen-before self-join
+    # (operators/dedup.py:unit_dedup).
+    return D.unit_dedup(_docs(spark, sf_dir), unit_tokens=10)
+
+
+@q("cms_word_counts", None)
+def cms_word_counts(spark, sf_dir):
+    # count-min sketch point estimates for the BM25 probe terms: the
+    # mergeable-sketch path to corpus term stats (sketch <= d*w rows per
+    # shard, union+sum to combine shards). Hash-dependent (xxhash64) ->
+    # rows-only; pytest pins overestimate-only + epsilon bound + merge
+    # equivalence (test_pipeline_ops).
+    d = _docs(spark, sf_dir)
+    tok = d.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+    sketch = AG.cms_build(tok, "term")
+    terms = spark.createDataFrame([(t,) for t in BM25_TERMS], "term string")
+    return AG.cms_estimate(sketch, terms).orderBy("term")
+
+
 # ---- events: windowed agg + sessionization ---------------------------------
 
 @q("events_windowed_agg",
@@ -2179,7 +2219,9 @@ _VERIFY_FIRST = [
     "vocab_overlap_langs",
     "per_source_cap",
     "doc_length_histogram",
+    "line_dedup_reconstruct",
     # rows-only entries (weaker check, but a row beats no row)
+    "cms_word_counts",
     "events_distinct_users_hll",
     "minhash_lsh_dedup",
     "simhash_dedup",

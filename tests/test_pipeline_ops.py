@@ -117,3 +117,48 @@ def test_mixture_sample_rates_and_nesting(spark):
                               default_rate=0.5).collect()
     c_wide = {r.doc_id for r in wider if r.src == "c"}
     assert by["c"] <= c_wide and len(c_wide) > len(by["c"])
+
+
+def test_unit_dedup_drops_repeats_keeps_first(spark):
+    from thewhisperdb_spark.operators.dedup import unit_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),       # units (size 3): "a b c", "d e f"
+         (2, "a b c x y z"),       # first unit repeats doc 1 -> dropped
+         (3, "x y z")],            # repeats doc 2's second unit -> dropped
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in unit_dedup(docs, unit_tokens=3).collect()}
+    assert out[1].clean_text == "a b c d e f"
+    assert (out[1].n_units, out[1].n_kept) == (2, 2)
+    assert out[2].clean_text == "x y z"      # survivor units re-joined in order
+    assert (out[2].n_units, out[2].n_kept) == (2, 1)
+    assert out[3].clean_text == ""           # everything seen before
+    assert (out[3].n_units, out[3].n_kept) == (1, 0)
+
+
+def test_cms_overestimates_within_bound_and_merges(spark):
+    from thewhisperdb_spark.operators.aggregates import (
+        cms_build, cms_estimate, cms_merge,
+    )
+
+    words = (["apple"] * 50 + ["banana"] * 20 + ["pear"] * 5
+             + [f"noise{i}" for i in range(200)])
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+    sketch = cms_build(df, "term", depth=4, width=256)
+    terms = spark.createDataFrame(
+        [("apple",), ("banana",), ("pear",), ("absent",)], "term string")
+    est = {r.term: r.est for r in cms_estimate(sketch, terms,
+                                               depth=4, width=256).collect()}
+    true = {"apple": 50, "banana": 20, "pear": 5, "absent": 0}
+    n = len(words)
+    for t, tc in true.items():
+        assert est[t] >= tc                      # CMS never underestimates
+        assert est[t] <= tc + (2.718 * n) / 256 + 1  # eps*N slack
+    # sketch of disjoint shards merged == sketch of whole (mergeability)
+    shard_pred = F.col("term").startswith("noise")
+    a = cms_build(df.filter(shard_pred), "term", depth=4, width=256)
+    b = cms_build(df.filter(~shard_pred), "term", depth=4, width=256)
+    merged = {(r.row_idx, r.bucket): r.cnt
+              for r in cms_merge(a, b).collect()}
+    whole = {(r.row_idx, r.bucket): r.cnt for r in sketch.collect()}
+    assert merged == whole

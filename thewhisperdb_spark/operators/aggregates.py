@@ -9,7 +9,7 @@ O(groups), not O(rows): the property that makes these safe at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -80,3 +80,53 @@ def value_histogram(df: DataFrame, value_col: str, bucket_width: int,
                  F.sum(v).cast("long").alias("total"),
                  F.min(v).cast("long").alias("min_v"),
                  F.max(v).cast("long").alias("max_v")))
+
+
+# ---- count-min sketch ------------------------------------------------------
+# Mergeable frequency sketch (Cormode & Muthukrishnan 2005): d hash rows ×
+# w buckets; est(t) = min_i sketch[i][h_i(t)]. Overestimates only; error
+# <= e*N/w with prob 1 - e^-d. Stored SPARSE as (row_idx, bucket, cnt) —
+# at 100 TB each executor partial-aggregates its token stream down to
+# <= d*w rows before the shuffle, and sketches from different days/shards
+# merge by union + sum, which is the whole point of a sketch pipeline.
+
+
+def _cms_keys(term: Column, depth: int, width: int) -> Column:
+    """d (row_idx, bucket) pairs per term; bucket = xxhash64(term, row) mod w
+    (pmod: xxhash64 is signed). JVM-side, codegen'd."""
+    return F.array(*[
+        F.struct(F.lit(i).alias("row_idx"),
+                 F.pmod(F.xxhash64(term, F.lit(i)), F.lit(width))
+                 .cast("int").alias("bucket"))
+        for i in range(depth)
+    ])
+
+
+def cms_build(df: DataFrame, term_col: str, depth: int = 4,
+              width: int = 1024) -> DataFrame:
+    """Build the sparse sketch (row_idx, bucket, cnt) from a term stream."""
+    return (df.select(F.explode(_cms_keys(F.col(term_col), depth, width))
+                      .alias("k"))
+            .groupBy(F.col("k.row_idx").alias("row_idx"),
+                     F.col("k.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches of identical (depth, width): union + sum."""
+    return (a.unionByName(b).groupBy("row_idx", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, terms: DataFrame, term_col: str = "term",
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-estimate each query term: min over the d bucket counters.
+    The query side joins the sketch on (row_idx, bucket) — sketch side is
+    <= d*w rows, always broadcastable by construction."""
+    keyed = terms.select(
+        term_col, F.explode(_cms_keys(F.col(term_col), depth, width))
+        .alias("k")).select(term_col, "k.row_idx", "k.bucket")
+    return (keyed.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
+            .groupBy(term_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                 .alias("est")))

@@ -10,10 +10,10 @@ into Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from thewhisperdb_spark.operators.text import char_ngrams, tags_of
+from thewhisperdb_spark.operators.text import char_ngrams, tags_of, tokens
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -342,3 +342,46 @@ def drop_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                               text_col=text_col, shingler=shingler)
     verdict = near_dup_groups(df, pairs.select("a", "b"), id_col)
     return df.join(verdict.filter(F.col("keep")).select(id_col), id_col)
+
+
+def unit_dedup(df: DataFrame, unit_tokens: int = 10, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Cross-corpus unit-level dedup (the C4/RefinedWeb "remove duplicated
+    lines across the corpus" rule, re-based on fixed-size token units since
+    the synthetic corpus has no newlines): split every document into
+    ``unit_tokens``-token units, keep only the globally FIRST occurrence of
+    each unit (by (doc_id, position)), and reconstruct each document from
+    its surviving units in order.
+
+    Scale shape: one explode to |corpus units| rows, one hash shuffle on
+    the unit string for the first-occurrence window (per-key state is the
+    running min — bounded), then one groupBy doc to reassemble. No join at
+    all — the window subsumes the self-join a naive "seen before" lookup
+    would do. At 100 TB the unit table is the token stream / unit_tokens;
+    partial aggregation and rank-pushdown keep both shuffles lean.
+
+    Determinism: unit boundaries are positional (stride = unit_tokens), the
+    keep rule is a total order (unit, doc_id, pos) — no floats anywhere.
+
+    Returns (id_col, clean_text, n_units, n_kept).
+    """
+    toks = tokens(F.col(text_col))
+    n_units = F.greatest(
+        F.ceil(F.size(toks) / F.lit(unit_tokens)).cast("int"), F.lit(1))
+    units = F.transform(
+        F.sequence(F.lit(0), n_units - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * unit_tokens + 1, unit_tokens)))
+    ex = (df.select(id_col, F.posexplode(units).alias("pos", "unit")))
+    w = Window.partitionBy("unit").orderBy(id_col, "pos")
+    kept = (ex.withColumn("rk", F.row_number().over(w))
+            .withColumn("is_first", F.col("rk") == 1))
+    return (kept.groupBy(id_col)
+            .agg(
+                F.concat_ws(" ", F.array_compact(F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        F.col("pos"), F.when(F.col("is_first"), F.col("unit"))
+                        .alias("unit")))),
+                    lambda s: s["unit"]))).alias("clean_text"),
+                F.count(F.lit(1)).cast("long").alias("n_units"),
+                F.sum(F.col("is_first").cast("long")).alias("n_kept")))
