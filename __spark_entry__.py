@@ -1562,6 +1562,22 @@ def deterministic_sample(spark, sf_dir):
         "doc_id", "lang", "source", "n_chars")
 
 
+@q("split_assign_counts",
+   "SELECT lang, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' "
+   "THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' "
+   "THEN 'val' ELSE 'test' END AS split, count(*) AS n, "
+   "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+   "FROM documents GROUP BY 1, 2")
+def split_assign_counts(spark, sf_dir):
+    # deterministic md5-bucketed train/val/test assignment (~80/10/10) with
+    # per-(lang, split) size accounting — the reproducible-split primitive
+    # every dataset card needs (operators/sampling.py:three_way_split)
+    return (SM.three_way_split(_docs(spark, sf_dir))
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
 @q("stratified_sample_by_lang",
    "SELECT doc_id, lang, rk FROM ("
    "SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang "
@@ -2220,6 +2236,7 @@ _VERIFY_FIRST = [
     "per_source_cap",
     "doc_length_histogram",
     "line_dedup_reconstruct",
+    "split_assign_counts",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",

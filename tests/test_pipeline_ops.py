@@ -162,3 +162,18 @@ def test_cms_overestimates_within_bound_and_merges(spark):
               for r in cms_merge(a, b).collect()}
     whole = {(r.row_idx, r.bucket): r.cnt for r in sketch.collect()}
     assert merged == whole
+
+
+def test_three_way_split_deterministic_and_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    s1 = {r.doc_id: r.split for r in SM.three_way_split(df).collect()}
+    s2 = {r.doc_id: r.split
+          for r in SM.three_way_split(df.repartition(7)).collect()}
+    assert s1 == s2  # pure function of the row: partitioning-independent
+    frac_train = sum(v == "train" for v in s1.values()) / 500
+    assert 0.7 < frac_train < 0.9
+    assert set(s1.values()) == {"train", "val", "test"}
+    # growing the corpus never moves an existing row between splits
+    bigger = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    s3 = {r.doc_id: r.split for r in SM.three_way_split(bigger).collect()}
+    assert all(s3[k] == v for k, v in s1.items())

@@ -130,3 +130,19 @@ def per_stratum_cap(df: DataFrame, strata_col: str, cap: int, order_col: str,
         F.col(order_col).desc(), F.col(id_col))
     return (df.withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= cap))
+
+
+def three_way_split(df: DataFrame, train_hex: str = "cc", val_hex: str = "e6",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment from the md5 hex prefix of
+    the id: split is a pure function of the row, so every engine, run, and
+    repartitioning agrees, and growing the corpus never moves an existing
+    row between splits (the contamination-safety property random splits
+    lack). Default bounds: 'cc'/256 ~ 79.7% train, ~10.2% val, rest test.
+    Filter-free single projection — rides the scan."""
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(key < train_hex, "train")
+        .when(key < val_hex, "val")
+        .otherwise("test"))

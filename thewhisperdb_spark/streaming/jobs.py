@@ -220,3 +220,24 @@ def events_to_stream_dir(spark: SparkSession, sf_dir: str, out_dir: str,
     path = os.path.join(out_dir, "events_stream")
     ev.repartition(n_chunks).write.mode("overwrite").parquet(path)
     return path
+
+
+def idempotent_parquet_sink(stream_df: DataFrame, out_dir: str,
+                            checkpoint_dir: str):
+    """Exactly-once file sink via ``foreachBatch``: every micro-batch
+    OVERWRITES its own ``batch_id=N`` partition directory, so a batch
+    replayed after a failure (same batch_id re-delivered from the
+    checkpoint) replaces its previous partial output instead of appending
+    duplicates. This is the standard idempotent-sink recipe for sinks
+    without transactions; pair with the checkpoint for source-side replay.
+
+    Returns the started StreamingQuery (availableNow trigger — drains all
+    current input, then stops).
+    """
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    return (stream_df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
