@@ -51,6 +51,8 @@ HEADLINE = [
     "decontaminate_train_test",
     "quality_filter_pipeline",
     "word_freq_topk",
+    "bm25_search",
+    "line_dedup_reconstruct",
 ]
 
 

@@ -252,3 +252,29 @@ def test_kmeans_assignment_is_pure_map(spark):
                                               (1, [-1.0] * 64)]).alias("cell"))
     plan = _nplan(df)
     assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_per_stratum_cap_rank_pushdown(spark):
+    # the quota window must plan a WindowGroupLimit (per-key state O(cap),
+    # not O(stratum)) and exactly one shuffle
+    from thewhisperdb_spark.operators.sampling import per_stratum_cap
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("source"),
+        (F.col("id") % 97).alias("n_chars"))
+    out = per_stratum_cap(df, "source", 10, "n_chars")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_no_unconditional_big_broadcast(spark):
+    # bm25's explicit broadcasts are the term-df table (|query terms| rows)
+    # and the 1-row stats table only; the doc-keyed tf-dl join carries no
+    # hint, so at scale AQE is free to shuffle it
+    import __spark_entry__ as E
+
+    df_plan = (E.queries()["bm25_search"](spark, "/root/testdata/sf0.001")
+               ._jdf.queryExecution().analyzed().toString())
+    # exactly two ResolvedHint nodes in the logical plan
+    assert df_plan.count("ResolvedHint") == 2
