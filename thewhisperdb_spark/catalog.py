@@ -61,13 +61,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # pre-arm so schema inference AND executor-side reads both see it
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _read_parquet_nanos_safe(spark, path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosAsLong=true surfaces TIMESTAMP(NANOS) as long nanos; convert to
-        # microsecond timestamps (truncating, same as DuckDB's ns->us cast)
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        # integer `div`, NOT `/`: nanos exceed 2^53, double division drifts 1us
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if ts_type == "bigint":
+            # nanosAsLong=true surfaces TIMESTAMP(NANOS) as long nanos; convert
+            # to microsecond timestamps (truncating, same as DuckDB ns->us).
+            # integer `div`, NOT `/`: nanos exceed 2^53, double division
+            # drifts 1us
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ;
+            # normalize to TIMESTAMP so timestamp-only functions (unix_micros,
+            # to_utc_timestamp, ...) resolve — sessions here run UTC, so the
+            # cast is a pure type change, not a wall-clock shift
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
