@@ -2149,6 +2149,107 @@ def streaming_click_purchase_join(spark, sf_dir):
     return spark.sql(f"SELECT purchase_id, click_id, secs_before FROM {name}")
 
 
+@q("token_entropy_score",
+   "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+   "t -> t <> '')) AS w FROM documents), "
+   "cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w), "
+   "tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id) "
+   "SELECT cnt.doc_id AS doc_id, MAX(n) AS n_tokens, "
+   "round(CAST(SUM(CAST(round(-(c / n) * log2(c / n), 9) AS DECIMAL(18,9))) "
+   "AS DOUBLE), 4) AS entropy "
+   "FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id")
+def token_entropy_score(spark, sf_dir):
+    # per-doc Shannon entropy of the token distribution (information-density
+    # quality signal); decimal-summed contributions per the float-parity rule
+    return TX.token_entropy(_docs(spark, sf_dir))
+
+
+@q("bpe_pair_counts",
+   "WITH v AS (SELECT lower(w) AS w, COUNT(*) AS wc FROM "
+   "(SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w "
+   "FROM documents) GROUP BY lower(w)), "
+   "p AS (SELECT unnest(list_transform(range(1, length(w)), "
+   "i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, wc "
+   "FROM v WHERE length(w) >= 2) "
+   "SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p GROUP BY pair "
+   "ORDER BY cnt DESC, pair LIMIT 50")
+def bpe_pair_counts_q(spark, sf_dir):
+    # BPE trainer statistic: adjacent-char pair frequencies via the
+    # vocab-first collapse (pair explode runs over |vocab|, not |corpus|)
+    return (TX.bpe_pair_counts(_docs(spark, sf_dir))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(50))
+
+
+@q("phrase_search",
+   "WITH t AS (SELECT doc_id, lang, source, "
+   "list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents) "
+   "SELECT doc_id, lang, source FROM t "
+   "WHERE len(list_filter(range(1, len(l)), "
+   "i -> l[i] = 'table' AND l[i + 1] = 'hash')) > 0")
+def phrase_search(spark, sf_dir):
+    # positional phrase search: token-adjacency match (not substring) as a
+    # pure codegen'd EXISTS over start offsets — no shuffle, no index build
+    d = _docs(spark, sf_dir)
+    return (d.filter(TX.phrase_match(F.col("text"), "table hash"))
+            .select("doc_id", "lang", "source"))
+
+
+@q("bloom_semi_join_lineitem",
+   "SELECT l_suppkey, COUNT(*) AS n_items FROM lineitem "
+   "WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5) "
+   "GROUP BY l_suppkey")
+def bloom_semi_join_lineitem(spark, sf_dir):
+    # exact semi-join with a broadcast Bloom pre-filter (the spelled-out form
+    # of Spark's runtime bloom-filter join): the fact scan is thinned by pure
+    # bit arithmetic before any shuffle
+    from thewhisperdb_spark.operators.relational import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_suppkey", "suppkey")
+    sup = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_nationkey") < 5)
+           .select(F.col("s_suppkey").alias("suppkey")))
+    return (bloom_semi_join(li, sup, "suppkey")
+            .groupBy(F.col("suppkey").alias("l_suppkey"))
+            .agg(F.count(F.lit(1)).alias("n_items")))
+
+
+@q("scd2_point_in_time_join",
+   "WITH dim AS (SELECT o_custkey AS custkey, "
+   "make_date(CAST(year(o_orderdate) AS INTEGER), 1, 1) AS valid_from, "
+   "COUNT(*) AS yearly_orders FROM orders GROUP BY o_custkey, year(o_orderdate)), "
+   "v AS (SELECT custkey, valid_from, yearly_orders, "
+   "lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) AS valid_to "
+   "FROM dim) "
+   "SELECT o.o_orderkey, o.o_custkey, CAST(v.yearly_orders AS BIGINT) AS yearly_orders "
+   "FROM orders o JOIN v ON o.o_custkey = v.custkey "
+   "AND o.o_orderdate >= v.valid_from "
+   "AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)")
+def scd2_point_in_time_join_q(spark, sf_dir):
+    # SCD2 point-in-time dimension join: each order picks the dimension
+    # version valid at its timestamp. Versions built from the orders table
+    # itself (per-customer yearly activity), so the query is self-contained.
+    from pyspark.sql import Window
+
+    from thewhisperdb_spark.operators.relational import scd2_point_in_time_join
+
+    o = load_table(spark, sf_dir, "orders")
+    dim = (o.groupBy(F.col("o_custkey").alias("custkey"),
+                     F.year("o_orderdate").alias("yy"))
+           .agg(F.count(F.lit(1)).alias("yearly_orders"))
+           .select("custkey",
+                   F.make_date(F.col("yy"), F.lit(1), F.lit(1))
+                   .cast("timestamp").alias("valid_from"),
+                   "yearly_orders"))
+    w = Window.partitionBy("custkey").orderBy("valid_from")
+    dim = dim.withColumn("valid_to", F.lead("valid_from").over(w))
+    fact = o.select(F.col("o_custkey").alias("custkey"), "o_orderkey",
+                    "o_orderdate")
+    return (scd2_point_in_time_join(fact, dim, "custkey", "o_orderdate")
+            .select("o_orderkey", F.col("custkey").alias("o_custkey"),
+                    "yearly_orders"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2237,6 +2338,11 @@ _VERIFY_FIRST = [
     "doc_length_histogram",
     "line_dedup_reconstruct",
     "split_assign_counts",
+    "token_entropy_score",
+    "bpe_pair_counts",
+    "phrase_search",
+    "bloom_semi_join_lineitem",
+    "scd2_point_in_time_join",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",

@@ -108,3 +108,79 @@ def range_join_bucketed(left: DataFrame, right: DataFrame,
                            F.floor(right_pt / bucket_width).cast("long"))
     joined = l_b.join(r_b, (keys or []) + ["_bucket"]).drop("_bucket")
     return joined.filter((right_pt >= left_lo) & (right_pt <= left_hi))
+
+
+def _bit_mask(sh: Column) -> Column:
+    """1 << sh for a COLUMN shift amount in [0, 63] (the shiftleft builtin
+    only takes a literal shift). 2^sh is exact in doubles up to 62; bit 63 is
+    the sign bit, special-cased to Long.MIN_VALUE."""
+    return (F.when(sh == 63, F.lit(-(2 ** 63)).cast("long"))
+            .otherwise(F.pow(F.lit(2.0), sh.cast("double")).cast("long")))
+
+
+def bloom_bitmap(keys_df: DataFrame, key: str, m_words: int = 1024,
+                 k: int = 5) -> list[int]:
+    """Build a Bloom filter over a key column, returned as ``m_words`` 64-bit
+    words. The bit positions aggregate distributively (per-word bitwise OR),
+    so the build is one narrow shuffle of (word_idx, mask) pairs; the
+    collected bitmap is metadata-scale (8 KB at the default m) regardless of
+    key cardinality. With default sizing, ~1% false-positive rate up to
+    ~65k keys; callers with bigger build sides raise ``m_words``.
+    """
+    m_bits = m_words * 64
+    pos = keys_df.select(F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m_bits))
+        for s in range(k)])).alias("p"))
+    words = (pos.select((F.col("p") / 64).cast("int").alias("i"),
+                        _bit_mask(F.pmod(F.col("p"), F.lit(64))).alias("m"))
+             .groupBy("i").agg(F.bit_or("m").alias("w"))
+             .collect())
+    bitmap = [0] * m_words
+    for r in words:
+        bitmap[r["i"]] = r["w"]
+    return bitmap
+
+
+def bloom_semi_join(fact: DataFrame, keys_df: DataFrame, key: str,
+                    m_words: int = 1024, k: int = 5) -> DataFrame:
+    """Exact semi-join with a Bloom pre-filter: the fact side is first thinned
+    by a broadcast bitmap membership test (pure codegen'd bit arithmetic — no
+    shuffle, no join), then the survivors go through the real semi-join for
+    exactness. At 100 TB this is the difference between shuffling the whole
+    fact table into the join and shuffling only the ~matching slice plus the
+    Bloom's false positives: the same runtime-filter idea Spark's
+    spark.sql.optimizer.runtime.bloomFilter applies automatically, spelled
+    out as an operator so it also works across separately-computed stages.
+    """
+    bitmap = bloom_bitmap(keys_df, key, m_words=m_words, k=k)
+    words = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    m_bits = m_words * 64
+
+    def bit_set(s: int) -> Column:
+        p = F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m_bits))
+        w = F.element_at(words, ((p / 64).cast("int") + 1))
+        return w.bitwiseAND(_bit_mask(F.pmod(p, F.lit(64)))) != 0
+    maybe = fact
+    for s in range(k):
+        maybe = maybe.filter(bit_set(s))
+    return maybe.join(keys_df.select(key).distinct(), key, "left_semi")
+
+
+def scd2_point_in_time_join(fact: DataFrame, dim: DataFrame, key: str,
+                            fact_ts: str, valid_from: str = "valid_from",
+                            valid_to: str = "valid_to") -> DataFrame:
+    """Point-in-time (SCD Type 2) dimension join: each fact row picks the
+    dimension version whose validity interval contains the fact timestamp
+    (``valid_from <= ts < valid_to``; open-ended current version has NULL
+    valid_to).
+
+    Scale shape: this is an EQUI-join on the dimension key with the interval
+    predicate as a post-join residual — versions per key are bounded (a
+    dimension's change history), so the fan-out before the residual filter is
+    |fact| x versions_per_key, never a cross product. One hash shuffle on the
+    key (or none, if both sides are bucketed on it); broadcast when the whole
+    history fits.
+    """
+    resid = ((F.col(fact_ts) >= F.col(valid_from))
+             & (F.col(valid_to).isNull() | (F.col(fact_ts) < F.col(valid_to))))
+    return fact.join(dim, on=key).filter(resid)

@@ -8,6 +8,8 @@ distinct whitespace tokens. Everything stays in built-in SQL functions
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -281,3 +283,134 @@ def vocab_jaccard_by_group(df: DataFrame, group_col: str,
                     F.round(F.col("n_common").cast("double")
                             / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                             6).alias("jaccard")))
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    information-density quality signal (near-zero entropy = degenerate
+    repeated-token docs; template/boilerplate scores low, diverse prose high).
+
+    Scale shape: one explode + (doc, token) count (Zipf head combines
+    map-side), per-doc totals joined back on the doc key — two hash shuffles
+    on doc_id, no windows, no all-pairs. Float parity follows the repo rule
+    (header of ``__spark_entry__.py``): each token's -p*log2(p) contribution
+    is rounded to 9 dp and summed as DECIMAL so the per-doc entropy is
+    independent of engine/partial-merge summation order.
+
+    Returns (id_col, n_tokens, entropy) with entropy rounded to 4 dp.
+    """
+    tok = df.select(F.col(id_col).alias("_id"),
+                    F.explode(tokens(F.col(text_col))).alias("w"))
+    cnt = tok.groupBy("_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    contrib = F.round(-p * F.log2(p), 9).cast("decimal(18,9)")
+    return (cnt.join(tot, "_id")
+            .groupBy("_id")
+            .agg(F.max("n").alias("n_tokens"),
+                 F.round(F.sum(contrib).cast("double"), 4).alias("entropy"))
+            .select(F.col("_id").alias(id_col), "n_tokens", "entropy"))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    lowercase: bool = True) -> DataFrame:
+    """Adjacent-character pair frequencies over the corpus — the statistic a
+    BPE tokenizer trainer maximizes at every merge step.
+
+    Scale shape (the classic vocab-first trick): the token stream first
+    collapses to a (word, count) vocabulary table — one hash shuffle whose
+    Zipf head combines map-side, output is |vocab| rows, not |corpus| tokens.
+    Pair stats are then derived from the vocabulary weighted by word count,
+    so a 100 TB corpus pays the pair explode only over its (tiny) vocab.
+
+    Returns (pair, cnt), exact integer counts.
+    """
+    w = F.lower(F.col("w")) if lowercase else F.col("w")
+    vocab = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .select(w.alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
+    pairs_of = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("w") - 1, F.lit(1))),
+        lambda i: F.substring(F.col("w"), i, 2),  # noqa: B023
+    )
+    pairs = (vocab.filter(F.length("w") >= 2)
+             .select(F.explode(pairs_of).alias("pair"), "wc"))
+    return pairs.groupBy("pair").agg(F.sum("wc").alias("cnt"))
+
+
+def bpe_train_merges(df: DataFrame, n_merges: int = 8,
+                     text_col: str = "text") -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges over the corpus (greedy most-frequent
+    adjacent symbol pair, left-to-right merge application — the published BPE
+    algorithm, operating on the vocab-first representation).
+
+    Each round is one distributed pair-count aggregation over the
+    (symbols, count) vocabulary plus a driver-side argmax of ONE row
+    (metadata-scale collect; ties broken lexicographically so training is
+    deterministic). The merge itself is a left-fold over each word's symbol
+    array — pure codegen'd SQL, no Python in the data path.
+
+    Returns the ordered merge list [(left, right), ...].
+    """
+    spark = df.sparkSession
+    vocab = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .select(F.lower("w").alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+             .select(F.split("w", "").alias("syms"), "wc"))
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_cnt = (vocab.select(
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("syms") - 1, F.lit(1))),
+                lambda i: F.struct(F.element_at("syms", i).alias("a"),
+                                   F.element_at("syms", i + 1).alias("b")),
+            )).alias("p"), "wc")
+            .filter(F.size("syms") >= 2)
+            .groupBy("p").agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+            .limit(1).collect())
+        if not pair_cnt:
+            break
+        a, b = pair_cnt[0]["p"]["a"], pair_cnt[0]["p"]["b"]
+        merges.append((a, b))
+        merged = F.aggregate(
+            "syms", F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.concat(F.element_at(acc, -1), s))),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = (vocab.select(merged.alias("syms"), "wc")
+                 .localCheckpoint(eager=True))
+    return merges
+
+
+def phrase_match(col: Column, phrase: str) -> Column:
+    """Token-adjacency phrase predicate: true when the phrase's words appear
+    consecutively in the document's token stream (positional-index phrase
+    search semantics, NOT substring match — 'big data' does not match
+    'bigger database').
+
+    Pure codegen'd SQL: one tokenize per row (bound once through the
+    transform-array trick, see word_ngrams) and an EXISTS over start
+    offsets; embarrassingly parallel, no shuffle.
+    """
+    words = phrase.split()
+    n = len(words)
+
+    def found(tk: Column) -> Column:
+        hit = F.exists(
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1))),
+            lambda i: reduce(
+                lambda acc, j: acc & (F.element_at(tk, i + j) == F.lit(words[j])),
+                range(1, n),
+                F.element_at(tk, i + 0) == F.lit(words[0]),
+            ),
+        )
+        return F.when(F.size(tk) >= n, hit).otherwise(F.lit(False))
+
+    return F.element_at(F.transform(F.array(tokens(col)), found), 1)
