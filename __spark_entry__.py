@@ -2250,6 +2250,18 @@ def scd2_point_in_time_join_q(spark, sf_dir):
                     "yearly_orders"))
 
 
+@q("pretraining_pipeline_stats", None)
+def pretraining_pipeline_stats(spark, sf_dir):
+    # end-to-end pretraining-data pipeline (ingest -> quality -> lang ->
+    # exact dedup -> minhash near-dedup -> split -> decontaminate -> pack)
+    # with per-stage survivor accounting. Rows-only: the near-dup stage is
+    # iterative connected components, not SQL-expressible; each individual
+    # stage operator has its own oracle-checked query elsewhere.
+    from thewhisperdb_spark.plans.pipeline import pipeline_stage_counts
+
+    return pipeline_stage_counts(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2343,6 +2355,7 @@ _VERIFY_FIRST = [
     "phrase_search",
     "bloom_semi_join_lineitem",
     "scd2_point_in_time_join",
+    "pretraining_pipeline_stats",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",
