@@ -2250,6 +2250,25 @@ def scd2_point_in_time_join_q(spark, sf_dir):
                     "yearly_orders"))
 
 
+@q("orc_roundtrip_by_source",
+   "SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+   "FROM documents GROUP BY source")
+def orc_roundtrip_by_source(spark, sf_dir):
+    # ORC egress/ingest round-trip: documents -> ORC -> re-read -> aggregate;
+    # hash-matching the direct-parquet oracle proves values survive the
+    # format conversion bit-for-bit
+    import tempfile
+
+    from thewhisperdb_spark.sources.textio import read_orc, write_orc
+
+    out = tempfile.mkdtemp(prefix="whisper_orc_")
+    write_orc(_docs(spark, sf_dir), out)
+    return (read_orc(spark, out)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
 @q("pretraining_pipeline_stats", None)
 def pretraining_pipeline_stats(spark, sf_dir):
     # end-to-end pretraining-data pipeline (ingest -> quality -> lang ->
@@ -2356,6 +2375,7 @@ _VERIFY_FIRST = [
     "bloom_semi_join_lineitem",
     "scd2_point_in_time_join",
     "pretraining_pipeline_stats",
+    "orc_roundtrip_by_source",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",

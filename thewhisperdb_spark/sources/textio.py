@@ -90,3 +90,43 @@ def write_compacted(df: DataFrame, path: str, target_rows_per_file: int,
     n_files = max(1, math.ceil(n / target_rows_per_file))
     df.repartition(n_files).write.mode("overwrite").parquet(path)
     return n_files
+
+
+def read_text_lines(spark: SparkSession, path: str,
+                    source_tag: str | None = None) -> DataFrame:
+    """Raw line-oriented corpus reader (one document per line — the WET/LM
+    plain-text interchange shape): ``spark.read.text`` plus a deterministic
+    per-line id derived from (file, byte-order position is NOT stable across
+    splits, so the id is the xxhash64 of file + line content + per-file line
+    rank). Keeps file provenance for per-source accounting.
+
+    Scale note: .text splits large files on line boundaries for free; the
+    window for the per-file line rank shuffles on the file name — at 100 TB
+    prefer ids minted upstream, or hash-only ids when exact rank is not
+    needed."""
+    from pyspark.sql import Window
+
+    df = (spark.read.text(path)
+          .withColumn("source_file", F.input_file_name()))
+    w = Window.partitionBy("source_file").orderBy(F.col("value"))
+    out = (df.withColumn("line_rank", F.row_number().over(w).cast("long"))
+           .select(
+               F.xxhash64("source_file", "value", "line_rank").alias("doc_id"),
+               F.col("value").alias("text"),
+               "source_file", "line_rank"))
+    if source_tag is not None:
+        out = out.withColumn("source", F.lit(source_tag))
+    return out
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC egress (zlib by default): the other columnar interchange format a
+    warehouse neighbor may require. Same writer contract as parquet."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source. Predicate pushdown + column pruning work as with parquet
+    (Spark's OrcScan exposes PushedFilters), so downstream operators keep
+    their scan-pruning behavior."""
+    return spark.read.orc(path)
