@@ -169,3 +169,26 @@ def test_kmeans_recovers_blobs_and_is_deterministic(spark):
     # deterministic end-to-end (init, iteration order, tiebreaks)
     lab2 = kmeans_assign(df, k=3, max_iter=5)
     assert got == {r.vec_id: r.cluster for r in lab2.collect()}
+
+
+def test_ivf_index_persist_probe_matches_online(spark, tmp_path):
+    """Persisted IVF index returns the same neighbors as the online
+    ivf_knn_join (same centroids), and the probed scan partition-prunes."""
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import vectors as V
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.limit(10)
+    path = str(tmp_path / "ivf")
+    V.ivf_index_build(emb, path, n_cells=8)
+    got = V.ivf_index_probe(spark, path, q, k=5, n_probe=2)
+    # same centroids as the build (deterministic ivf_assign default), so the
+    # online join must agree row-for-row
+    want = V.ivf_knn_join(q, emb, k=5, n_cells=8, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # static partition pruning: the lists scan carries a PartitionFilters
+    # entry restricting `cell`
+    plan = (spark.read.parquet(f"{path}/lists")
+            .filter(F.col("cell").isin([1, 2]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "cell" in plan
