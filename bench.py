@@ -53,6 +53,12 @@ HEADLINE = [
     "word_freq_topk",
     "bm25_search",
     "line_dedup_reconstruct",
+    # round-2 second-wave headliners (tokenizer/retrieval/relational/layout)
+    "token_entropy_score",
+    "bpe_pair_counts",
+    "phrase_search",
+    "scd2_point_in_time_join",
+    "orc_roundtrip_by_source",
 ]
 
 

@@ -153,7 +153,10 @@ def bloom_semi_join(fact: DataFrame, keys_df: DataFrame, key: str,
     out as an operator so it also works across separately-computed stages.
     """
     bitmap = bloom_bitmap(keys_df, key, m_words=m_words, k=k)
-    words = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    # F.lit(list) -> ONE array Literal node; an F.array of m_words literal
+    # children would re-enter analysis/codegen per reference and dominate
+    # planning time
+    words = F.lit(bitmap)
     m_bits = m_words * 64
 
     def bit_set(s: int) -> Column:
