@@ -169,3 +169,49 @@ def test_zorder_write_prunes_better_than_single_sort(spark):
     finally:
         shutil.rmtree(zdir, ignore_errors=True)
         shutil.rmtree(sdir, ignore_errors=True)
+
+
+def test_phrase_match_randomized_vs_python_reference(spark):
+    """200 random token sequences, one DataFrame pass, compared against a
+    plain-Python adjacency scan."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["big", "data", "fast", "table"]
+    docs = [" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8)))
+            for _ in range(200)]
+    phrase = ["big", "data"]
+
+    def ref(text):
+        t = [w for w in text.split() if w]
+        return any(t[i:i + 2] == phrase for i in range(len(t) - 1))
+
+    df = _docs(spark, docs)
+    got = {r["doc_id"] for r in
+           df.filter(TX.phrase_match(F.col("text"), "big data")).collect()}
+    want = {i for i, d in enumerate(docs) if ref(d)}
+    assert got == want
+
+
+def test_token_entropy_randomized_vs_python_reference(spark):
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+            for _ in range(100)]
+
+    def ref(text):
+        c = Counter(text.split())
+        n = sum(c.values())
+        return sum(-(v / n) * math.log2(v / n) for v in c.values())
+
+    got = {r["doc_id"]: r["entropy"]
+           for r in TX.token_entropy(_docs(spark, docs)).collect()}
+    want = {i: ref(d) for i, d in enumerate(docs)}
+    assert got.keys() == want.keys()
+    # the engine quantizes per-token contributions to 9 dp (order-independent
+    # decimal sum), so agreement is to rounding, not bit-exact
+    assert all(abs(got[i] - want[i]) < 1e-3 for i in got), (got, want)

@@ -278,3 +278,57 @@ def test_bm25_no_unconditional_big_broadcast(spark):
                ._jdf.queryExecution().analyzed().toString())
     # exactly two ResolvedHint nodes in the logical plan
     assert df_plan.count("ResolvedHint") == 2
+
+
+def test_bloom_prefilter_runs_before_shuffle(spark):
+    """The Bloom bit tests must sit in the fact scan's filter (before any
+    Exchange), and the bitmap must appear as one literal, not a CreateArray
+    of m_words children (which would dominate planning/codegen time)."""
+    from thewhisperdb_spark.operators.relational import bloom_semi_join
+
+    fact = spark.range(0, 10000).select((F.col("id") % 997).alias("k"))
+    keys = spark.range(0, 50).select((F.col("id") * 11).alias("k"))
+    out = bloom_semi_join(fact, keys, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the filter stage references the hash probe; grab everything before the
+    # first Exchange and check the bit-test filter is already applied there
+    pre_shuffle = plan.split("Exchange")[-1]
+    assert "xxhash64" in pre_shuffle, plan
+    assert "might_contain" in plan or "element_at" in plan
+
+
+def test_phrase_and_zvalue_have_no_shuffle(spark):
+    from thewhisperdb_spark.operators import layout as LY
+    from thewhisperdb_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "big data rocks")], "doc_id long, text string")
+    p = docs.filter(TX.phrase_match(F.col("text"), "big data"))
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    grid = spark.range(0, 100).select(
+        (F.col("id") % 10).alias("x"), (F.col("id") / 10).cast("long").alias("y"))
+    z = grid.select(LY.zvalue(F.col("x"), F.col("y"), bits=4).alias("z"))
+    zplan = z._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in zplan, zplan
+
+
+def test_scd2_join_is_single_key_equijoin(spark):
+    """SCD2 join must plan as an equi-join on the dimension key (hash/sort
+    -merge/broadcast on `k`) with the interval check as a residual filter —
+    never a cartesian/broadcast-nested-loop."""
+    from thewhisperdb_spark.operators.relational import scd2_point_in_time_join
+
+    dim = spark.createDataFrame(
+        [(i, f"2020-0{1 + i % 8}-01", None) for i in range(100)],
+        "k long, valid_from string, valid_to string",
+    ).select("k", F.col("valid_from").cast("timestamp").alias("valid_from"),
+             F.col("valid_to").cast("timestamp").alias("valid_to"))
+    fact = spark.range(0, 1000).select(
+        (F.col("id") % 100).alias("k"),
+        F.lit("2021-01-01").cast("timestamp").alias("ts"))
+    out = scd2_point_in_time_join(fact, dim, "k", "ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
