@@ -2269,6 +2269,54 @@ def orc_roundtrip_by_source(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
 
+@q("rolling_active_users_7d",
+   "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), "
+   "expl AS (SELECT user_id, CAST(unnest(generate_series(d, d + INTERVAL 6 DAY, "
+   "INTERVAL 1 DAY)) AS DATE) AS day FROM ud) "
+   "SELECT strftime(day, '%Y-%m-%d') AS day, "
+   "count(DISTINCT user_id) AS active_7d FROM expl GROUP BY 1")
+def rolling_active_users_7d(spark, sf_dir):
+    # rolling 7-day distinct actives (DAU->WAU shape). COUNT(DISTINCT) over a
+    # RANGE window isn't supported by any engine at scale; the standard
+    # rewrite: dedupe to (user, day), explode each activity day into the <= 7
+    # window days it contributes to (bounded fan-out), then one distinct agg
+    # per day. Two hash shuffles, no self-join, no window state.
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    expl = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(d, date_add(d, 6), interval 1 day)"))
+        .alias("day"))
+    # day formatted to a string: pandas maps DuckDB DATE to datetime64 but
+    # Spark DATE to date objects, so raw dates hash-differ (see
+    # retention_cohorts)
+    return (expl.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+            .agg(F.count_distinct("user_id").alias("active_7d")))
+
+
+@q("part_cooccurrence_top",
+   "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+   "SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_orders "
+   "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
+   "AND a.l_partkey < b.l_partkey "
+   "GROUP BY a.l_partkey, b.l_partkey "
+   "ORDER BY n_orders DESC, pa, pb LIMIT 20")
+def part_cooccurrence_top(spark, sf_dir):
+    # market-basket co-occurrence: unordered part pairs sharing an order.
+    # Self equi-join on the order key — Σ per-order-size² work, bounded by
+    # basket size, never |lineitem|²; top-k via TakeOrderedAndProject.
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    pairs = (li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("pa"),
+                 F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_orders")))
+    return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
+
+
 @q("pretraining_pipeline_stats", None)
 def pretraining_pipeline_stats(spark, sf_dir):
     # end-to-end pretraining-data pipeline (ingest -> quality -> lang ->
@@ -2376,6 +2424,8 @@ _VERIFY_FIRST = [
     "scd2_point_in_time_join",
     "pretraining_pipeline_stats",
     "orc_roundtrip_by_source",
+    "rolling_active_users_7d",
+    "part_cooccurrence_top",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",
