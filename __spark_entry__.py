@@ -2317,6 +2317,31 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+@q("streaming_daily_actives",
+   "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) "
+   "SELECT strftime(d, '%Y-%m-%d') AS day, COUNT(*) AS dau "
+   "FROM ud GROUP BY 1")
+def streaming_daily_actives(spark, sf_dir):
+    # streaming DAU twin: watermark-bounded (user, day) first-seen dedup,
+    # then a windowed daily count — exact distinct with bounded state;
+    # replayed through a real readStream and checked against the batch oracle
+    import tempfile
+
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    out_dir = tempfile.mkdtemp(prefix="whisper_stream_")
+    path = SJ.events_to_stream_dir(spark, sf_dir, out_dir, n_chunks=4)
+    stream = SJ.stream_events_from_dir(spark, path)
+    dau = SJ.daily_active_users(stream)
+    name = "q_stream_dau"
+    # complete mode: append would hold back the trailing windows the
+    # watermark hasn't passed when the replay ends
+    q_ = (dau.writeStream.outputMode("complete").format("memory")
+          .queryName(name).trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return spark.sql(f"SELECT day, dau FROM {name}")
+
+
 @q("pretraining_pipeline_stats", None)
 def pretraining_pipeline_stats(spark, sf_dir):
     # end-to-end pretraining-data pipeline (ingest -> quality -> lang ->
@@ -2426,6 +2451,7 @@ _VERIFY_FIRST = [
     "orc_roundtrip_by_source",
     "rolling_active_users_7d",
     "part_cooccurrence_top",
+    "streaming_daily_actives",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",

@@ -241,3 +241,22 @@ def idempotent_parquet_sink(stream_df: DataFrame, out_dir: str,
     return (stream_df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+def daily_active_users(events: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Streaming twin of a per-day distinct-user count: first-seen
+    deduplication of (user, day) pairs bounded by the watermark (the state
+    store holds one entry per distinct pair only until the watermark passes),
+    then a watermarked daily count of the survivors. Exact distinct counting
+    on an unbounded stream is otherwise impossible with bounded state — the
+    dedup-then-count split is the standard shape (approximate alternative:
+    HLL partials per window)."""
+    deduped = (events
+               .withColumn("day", F.date_trunc("day", "ts"))
+               .withWatermark("day", watermark)
+               .dropDuplicatesWithinWatermark(["user_id", "day"]))
+    return (deduped
+            .groupBy(F.window("day", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("dau"))
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+                    "dau"))
