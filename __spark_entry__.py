@@ -2317,6 +2317,32 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+@q("window_analytics_suite",
+   "SELECT o_orderkey, o_orderpriority, "
+   "round(percent_rank() OVER w, 6) AS pr, "
+   "round(cume_dist() OVER w, 6) AS cd, "
+   "nth_value(o_orderkey, 3) OVER "
+   "(PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key "
+   "FROM orders "
+   "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)")
+def window_analytics_suite(spark, sf_dir):
+    # analytic-window surface certification: percent_rank, cume_dist,
+    # nth_value on one partitioned ordered window (deterministic tiebreak by
+    # key). One shuffle on the partition key, in-partition sort — the same
+    # frame reused by all three functions.
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"))
+
+
 @q("streaming_daily_actives",
    "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) "
    "SELECT strftime(d, '%Y-%m-%d') AS day, COUNT(*) AS dau "
@@ -2452,6 +2478,7 @@ _VERIFY_FIRST = [
     "rolling_active_users_7d",
     "part_cooccurrence_top",
     "streaming_daily_actives",
+    "window_analytics_suite",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",
