@@ -2317,6 +2317,19 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+@q("fuzzy_vocab_pairs",
+   "WITH v AS (SELECT DISTINCT unnest(list_filter(string_split(lower(text), "
+   "' '), t -> t <> '')) AS w FROM documents) "
+   "SELECT a.w AS wa, b.w AS wb, CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist "
+   "FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2")
+def fuzzy_vocab_pairs_q(spark, sf_dir):
+    # fuzzy (edit-distance <= 2) vocabulary self-join via SymSpell deletion-
+    # neighborhood blocking + exact levenshtein verify; the oracle runs the
+    # naive quadratic form (fine at vocab scale), proving the blocked
+    # candidate set is lossless
+    return TX.fuzzy_vocab_pairs(_docs(spark, sf_dir), max_dist=2)
+
+
 @q("window_analytics_suite",
    "SELECT o_orderkey, o_orderpriority, "
    "round(percent_rank() OVER w, 6) AS pr, "
@@ -2479,6 +2492,7 @@ _VERIFY_FIRST = [
     "part_cooccurrence_top",
     "streaming_daily_actives",
     "window_analytics_suite",
+    "fuzzy_vocab_pairs",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",

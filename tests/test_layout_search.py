@@ -215,3 +215,30 @@ def test_token_entropy_randomized_vs_python_reference(spark):
     # the engine quantizes per-token contributions to 9 dp (order-independent
     # decimal sum), so agreement is to rounding, not bit-exact
     assert all(abs(got[i] - want[i]) < 1e-3 for i in got), (got, want)
+
+
+def test_fuzzy_vocab_pairs_matches_naive(spark):
+    """Deletion-neighborhood blocking is lossless vs the naive quadratic
+    edit-distance join (includes insert/delete/substitute and transposed-ish
+    cases at distance 2)."""
+    import itertools
+
+    words = ["spark", "spak", "sprk", "shark", "spork", "query", "queries",
+             "table", "cable", "fable", "zzz", "z"]
+    df = _docs(spark, [" ".join(words)])
+    got = sorted((r["wa"], r["wb"], r["dist"]) for r in
+                 TX.fuzzy_vocab_pairs(df, max_dist=2).collect())
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = sorted((a, b, lev(a, b))
+                  for a, b in itertools.combinations(sorted(set(words)), 2)
+                  if lev(a, b) <= 2)
+    assert got == want

@@ -414,3 +414,56 @@ def phrase_match(col: Column, phrase: str) -> Column:
         return F.when(F.size(tk) >= n, hit).otherwise(F.lit(False))
 
     return F.element_at(F.transform(F.array(tokens(col)), found), 1)
+
+
+def deletion_variants(col: Column, k: int = 2) -> Column:
+    """SymSpell deletion neighborhood: the word plus every string reachable
+    by deleting up to ``k`` characters. Two words within Levenshtein
+    distance k always share a variant, so equality on variants is a LOSSLESS
+    candidate blocking key for a fuzzy join (false positives allowed,
+    verified later; false negatives impossible). Pure codegen'd SQL."""
+    if k not in (1, 2):
+        raise ValueError("k must be 1 or 2")
+
+    def deletes(word: Column) -> Column:
+        # all single-character deletions of `word` (empty array for "")
+        return F.when(
+            F.length(word) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(word), F.lit(1))),
+                lambda i: F.concat(F.substring(word, 1, i - 1),  # noqa: B023
+                                   word.substr(i + 1, F.length(word))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    d1 = deletes(col)
+    out = F.concat(F.array(col), d1)
+    if k == 2:
+        d2 = F.flatten(F.transform(d1, deletes))
+        out = F.concat(out, d2)
+    return F.array_distinct(out)
+
+
+def fuzzy_vocab_pairs(df: DataFrame, text_col: str = "text",
+                      max_dist: int = 2) -> DataFrame:
+    """Fuzzy (edit-distance) vocabulary self-join — the typo/variant-merging
+    step of entity resolution and query-spelling pipelines.
+
+    Scale shape (the SymSpell trick distributed): the corpus collapses to a
+    distinct vocabulary first; each word explodes to its deletion
+    neighborhood; candidates are an EQUI-join on the variant key (Σ per-
+    variant-bucket², never |vocab|²); the exact ``levenshtein`` verifies.
+    Everything after the vocab collapse is vocabulary-sized, not
+    corpus-sized. Returns (wa, wb, dist) with wa < wb.
+    """
+    vocab = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .select(F.lower("w").alias("w")).distinct())
+    v = vocab.select(
+        "w", F.explode(deletion_variants(F.col("w"), max_dist)).alias("v"))
+    cand = (v.alias("a").join(v.alias("b"), "v")
+            .filter(F.col("a.w") < F.col("b.w"))
+            .select(F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
+            .distinct())
+    return (cand
+            .withColumn("dist", F.levenshtein("wa", "wb").cast("long"))
+            .filter(F.col("dist") <= max_dist))
