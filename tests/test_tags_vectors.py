@@ -192,3 +192,53 @@ def test_ivf_index_persist_probe_matches_online(spark, tmp_path):
             .filter(F.col("cell").isin([1, 2]))
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_ivf_index_append_matches_full_build(spark, tmp_path):
+    """Appending a delta to a persisted index == building the index over the
+    full corpus with the SAME centroids (assignment is centroid-determined,
+    so the split point can't matter)."""
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import vectors as V
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") < 300)
+    delta = emb.filter(F.col("vec_id") >= 300)
+    q = emb.limit(8)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    V.ivf_index_build(first, inc_path, n_cells=8)
+    V.ivf_index_append(spark, inc_path, delta)
+
+    cents = spark.read.parquet(f"{inc_path}/centroids")
+    full_path = str(tmp_path / "ivf_full")
+    V.ivf_index_build(emb, full_path, n_cells=8, centroids=cents)
+
+    got = V.ivf_index_probe(spark, inc_path, q, k=5, n_probe=2)
+    want = V.ivf_index_probe(spark, full_path, q, k=5, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_append_to_ivf(spark, tmp_path):
+    """Vectors arriving as a stream land in the same inverted lists as a
+    batch append."""
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import vectors as V
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") < 300)
+    delta = emb.filter(F.col("vec_id") >= 300)
+    path = str(tmp_path / "ivf_s")
+    V.ivf_index_build(first, path, n_cells=8)
+
+    stream_src = str(tmp_path / "src")
+    delta.repartition(2).write.parquet(stream_src)
+    stream = (spark.readStream.schema(delta.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_src))
+    q_ = SJ.stream_append_to_ivf(stream, path, str(tmp_path / "ckpt"))
+    q_.awaitTermination()
+
+    lists = spark.read.parquet(f"{path}/lists")
+    assert lists.count() == emb.count()
+    assert lists.select("vec_id").distinct().count() == emb.count()

@@ -690,3 +690,21 @@ def ivf_index_probe(spark, path: str, queries: DataFrame, k: int,
         F.col("similarity").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivf_index_append(spark, path: str, new_vectors: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Incremental index maintenance: assign NEW vectors to the index's
+    EXISTING centroids and append them to the partitioned inverted lists —
+    the arriving-corpus path (a nightly crawl delta, a stream batch) that
+    avoids rebuilding the index. Assignment is the same broadcast-centroid
+    argmax as the build; the write is an append of only the delta's
+    partitions. Centroid drift is the accepted tradeoff (rebuild cadence is
+    the knob, exactly as in production IVF systems)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    n_cells = cents.count()
+    assigned, _ = ivf_assign(new_vectors, n_cells, id_col, vec_col,
+                             centroids=cents)
+    (assigned.write.mode("append").partitionBy("cell")
+     .parquet(f"{path}/lists"))

@@ -260,3 +260,24 @@ def daily_active_users(events: DataFrame, watermark: str = "2 days") -> DataFram
             .agg(F.count(F.lit(1)).alias("dau"))
             .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
                     "dau"))
+
+
+def stream_append_to_ivf(stream: DataFrame, index_path: str,
+                         checkpoint_dir: str, id_col: str = "vec_id",
+                         vec_col: str = "embedding"):
+    """Streaming IVF index maintenance: each micro-batch of arriving vectors
+    is assigned to the index's existing centroids and appended to the
+    partitioned inverted lists via foreachBatch (the checkpoint gives
+    exactly-once batch tracking; the append touches only the delta's cell
+    partitions). Returns the started StreamingQuery."""
+    from thewhisperdb_spark.operators.vectors import ivf_index_append
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_index_append(batch_df.sparkSession, index_path, batch_df,
+                         id_col=id_col, vec_col=vec_col)
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
