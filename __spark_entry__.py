@@ -2317,6 +2317,24 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+@q("dedup_exact_seeded",
+   "WITH dup AS (SELECT doc_id + 100000 AS doc_id, text FROM documents "
+   "WHERE md5(CAST(doc_id AS VARCHAR)) < '2'), "
+   "ad AS (SELECT doc_id, text FROM documents UNION ALL "
+   "SELECT doc_id, text FROM dup) "
+   "SELECT text, COUNT(*) AS n_dups, MIN(doc_id) AS keeper FROM ad "
+   "GROUP BY text HAVING COUNT(*) > 1")
+def dedup_exact_seeded(spark, sf_dir):
+    # exact-dedup exercised with NON-EMPTY output: plant a deterministic
+    # ~12.5% md5-keyed duplicate slice (re-identified), then find groups.
+    # The unseeded dedup_exact proves the no-duplicates corpus yields zero
+    # groups; this one proves the grouping actually groups.
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = (d.filter(F.md5(F.col("doc_id").cast("string")) < "2")
+           .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return D.exact_duplicates(d.unionByName(dup))
+
+
 @q("fuzzy_vocab_pairs",
    "WITH v AS (SELECT DISTINCT unnest(list_filter(string_split(lower(text), "
    "' '), t -> t <> '')) AS w FROM documents) "
@@ -2493,6 +2511,7 @@ _VERIFY_FIRST = [
     "streaming_daily_actives",
     "window_analytics_suite",
     "fuzzy_vocab_pairs",
+    "dedup_exact_seeded",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",
