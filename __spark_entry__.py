@@ -2317,6 +2317,26 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+# One ANSI string, two engines: the Spark implementation runs EXACTLY the
+# oracle text through spark.sql over registered views — the SQL-dialect
+# surface demonstrated with zero translation.
+_SQL_DEMO = (
+    "SELECT r_name, COUNT(*) AS n_customers, "
+    "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal "
+    "FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_name")
+
+
+@q("sql_interface_demo", _SQL_DEMO)
+def sql_interface_demo(spark, sf_dir):
+    from thewhisperdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_DEMO)
+
+
 @q("dedup_exact_seeded",
    "WITH dup AS (SELECT doc_id + 100000 AS doc_id, text FROM documents "
    "WHERE md5(CAST(doc_id AS VARCHAR)) < '2'), "
@@ -2512,6 +2532,7 @@ _VERIFY_FIRST = [
     "window_analytics_suite",
     "fuzzy_vocab_pairs",
     "dedup_exact_seeded",
+    "sql_interface_demo",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",

@@ -84,6 +84,16 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every testdata table as a temp view so users can drive the
+    engine with plain ``spark.sql(...)`` text — the SQL-dialect surface the
+    reference lacks entirely (its only query interface is the REST filter
+    whitelist, ``src/main.cpp:72-102``). Views are lazy: registering costs
+    nothing until a query scans one."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
 def save_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16,
                   sort: bool = True) -> None:
     """Persist a table bucketed (and sorted) by its join key so later joins
