@@ -35,6 +35,7 @@ def media_df(spark, tmp_path_factory):
     (root / "c.png").write_bytes(b"\x89PNG-fake-bytes-0123456789")
     (root / "d.mp4").write_bytes(bytes(range(256)) * 1024)  # 256 KiB
     (root / "e.bin").write_bytes(b"\x00\x01")
+    (root / "f.wav").write_bytes(b"RIFF-fake-audio-payload-9876543210")
     return with_media_metadata(read_binary_files(spark, str(root)))
 
 
@@ -242,3 +243,28 @@ def test_synthetic_generator_drives_operators_at_larger_n(spark):
     assert labels.count() == n
     # a ring is one component
     assert labels.select("component").distinct().count() == 1
+
+
+def test_audio_features_deterministic(media_df):
+    from thewhisperdb_spark.sources.multimodal import (
+        deterministic_fake_audio_decoder,
+        extract_audio_features,
+    )
+
+    out = extract_audio_features(
+        media_df, deterministic_fake_audio_decoder).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["path"].endswith("f.wav")
+    assert r["sample_rate"] == 8000
+    assert abs(r["duration_s"] - 1024 / 8000) < 1e-12
+    assert 0.0 < r["rms"] < 1.0
+    assert 0.0 < r["zero_crossing_rate"] < 1.0
+    # deterministic: a second run reproduces the exact features
+    again = extract_audio_features(
+        media_df, deterministic_fake_audio_decoder).collect()[0]
+    assert (again["rms"], again["zero_crossing_rate"]) == \
+        (r["rms"], r["zero_crossing_rate"])
+    # decode without a codec hook is an explicit NotImplementedError gate
+    with pytest.raises(Exception):
+        extract_audio_features(media_df, None).collect()

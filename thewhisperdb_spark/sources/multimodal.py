@@ -213,3 +213,64 @@ def media_from_storage(spark: SparkSession, root: str) -> DataFrame:
     """Read an engine attachment tree (storage.py layout) as media rows."""
     return with_media_metadata(
         read_binary_files(spark, os.path.join(root, "*/*/*/*")))
+
+
+AudioDecoder = Callable[[bytes], "tuple[int, list[float]]"]
+
+
+def deterministic_fake_audio_decoder(content: bytes,
+                                     sample_rate: int = 8000,
+                                     n_samples: int = 1024):
+    """Codec-free stand-in for an audio decoder: derive (sample_rate, PCM
+    floats in [-1, 1]) from the byte content via sha256 expansion — stable
+    across runs/machines so feature tests assert exact values."""
+    out, counter = [], 0
+    seed = hashlib.sha256(content).digest()
+    while len(out) < n_samples:
+        block = hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+        out.extend((b / 127.5) - 1.0 for b in block)
+        counter += 1
+    return sample_rate, out[:n_samples]
+
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_s", DoubleType()),
+    StructField("rms", DoubleType()),
+    StructField("zero_crossing_rate", DoubleType()),
+])
+
+
+def extract_audio_features(media: DataFrame,
+                           decoder: AudioDecoder | None = None) -> DataFrame:
+    """Decode -> feature-extract for audio rows (duration, RMS level,
+    zero-crossing rate — the standard cheap audio-quality triage features).
+    Same injectable-codec contract as ``extract_image_features``: None ->
+    NotImplementedError at execution time (documented missing-codec gate);
+    tests inject ``deterministic_fake_audio_decoder``. Arrow-batched
+    mapInPandas — the Spark-side shape is real regardless of codec."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"path": [], "sample_rate": [], "duration_s": [],
+                    "rms": [], "zero_crossing_rate": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                if decoder is None:
+                    raise NotImplementedError(
+                        "no audio codec in this environment: inject a decoder "
+                        "(e.g. soundfile-based) or use "
+                        "deterministic_fake_audio_decoder")
+                rate, pcm = decoder(bytes(content))
+                n = len(pcm) or 1
+                rms = (sum(x * x for x in pcm) / n) ** 0.5
+                zc = sum(1 for a, b in zip(pcm, pcm[1:])
+                         if (a >= 0) != (b >= 0))
+                rows["path"].append(path)
+                rows["sample_rate"].append(rate)
+                rows["duration_s"].append(len(pcm) / rate if rate else 0.0)
+                rows["rms"].append(rms)
+                rows["zero_crossing_rate"].append(zc / max(n - 1, 1))
+            yield pd.DataFrame(rows)
+
+    aud = media.filter(F.col("modality") == "audio").select("path", "content")
+    return aud.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
