@@ -31,6 +31,36 @@ def frame_hash(pdf: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
+def duck_connection(sf_dir: str):
+    """DuckDB connection with the driver's table views registered."""
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def compare_key(spark, con, qs, oracles, key: str, sf_dir: str):
+    """Run one queries() entry on Spark and its oracle on DuckDB; return a
+    list of problem strings (empty = parity). Rows-only keys return [] iff
+    the Spark side runs and yields a frame."""
+    sdf = qs[key](spark, sf_dir).toPandas()
+    if key not in oracles:
+        return []
+    odf = con.execute(oracles[key]).df()
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+    else:
+        hs, ho = frame_hash(sdf), frame_hash(odf)
+        if hs != ho:
+            problems.append(f"hash {hs} vs {ho}")
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
