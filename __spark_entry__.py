@@ -2317,6 +2317,69 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+@q("hybrid_search_rrf",
+   """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                    t -> t <> '')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('table', 'hash', 'window') GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '),
+                    t -> t <> '')) AS dl FROM documents),
+st AS (SELECT count(*) AS n, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+       FROM dl),
+bm AS (SELECT tf.doc_id, CAST(SUM(CAST(round(
+    ln(1.0 + ((st.n - dfq.df) + 0.5) / (dfq.df + 0.5))
+    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / st.avgdl))),
+    6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1),
+tr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS tr
+       FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100)),
+vs AS (SELECT y.vec_id AS doc_id, round("""
+   + _SQL_COS.format(a="CAST(x.embedding AS DOUBLE[])",
+                     b="CAST(y.embedding AS DOUBLE[])") +
+   """, 6) AS sim FROM embeddings x JOIN embeddings y
+       ON x.vec_id = 0 AND y.vec_id <> 0),
+vr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS vr
+       FROM (SELECT * FROM vs ORDER BY sim DESC, doc_id LIMIT 100)),
+f AS (SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+      round(COALESCE(1.0 / (60 + tr.tr), 0)
+            + COALESCE(1.0 / (60 + vr.vr), 0), 9) AS rrf
+      FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id)
+SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20""")
+def hybrid_search_rrf(spark, sf_dir):
+    # Hybrid retrieval: BM25 lexical ranking fused with vector-similarity
+    # ranking by reciprocal-rank fusion (RRF, k=60) — the standard two-tower
+    # retrieval merge. Both candidate lists are top-100 cuts (TakeOrdered,
+    # bounded — the rank windows then run over <= 100 rows, not the corpus);
+    # ranks are computed on ROUNDED scores so both engines order identically.
+    from pyspark.sql import Window
+
+    bm = TX.bm25_scores(_docs(spark, sf_dir), list(BM25_TERMS))
+    t_cand = bm.orderBy(F.col("bm25").desc(), "doc_id").limit(100)
+    wt = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    t_rank = t_cand.withColumn("tr", F.row_number().over(wt)).select("doc_id", "tr")
+
+    emb = _emb(spark, sf_dir)
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qvec"))
+    sims = (emb.filter(F.col("vec_id") != 0)
+            .join(F.broadcast(probe))
+            .select(F.col("vec_id").alias("doc_id"),
+                    F.round(V.cosine(F.col("embedding"), F.col("_qvec")), 6)
+                    .alias("sim")))
+    v_cand = sims.orderBy(F.col("sim").desc(), "doc_id").limit(100)
+    wv = Window.orderBy(F.col("sim").desc(), "doc_id")
+    v_rank = v_cand.withColumn("vr", F.row_number().over(wv)).select("doc_id", "vr")
+
+    fused = (t_rank.join(v_rank, "doc_id", "full_outer")
+             .select("doc_id",
+                     F.round(F.coalesce(F.lit(1.0) / (F.col("tr") + 60), F.lit(0.0))
+                             + F.coalesce(F.lit(1.0) / (F.col("vr") + 60), F.lit(0.0)),
+                             9).alias("rrf")))
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
 # One ANSI string, two engines: the Spark implementation runs EXACTLY the
 # oracle text through spark.sql over registered views — the SQL-dialect
 # surface demonstrated with zero translation.
@@ -2533,6 +2596,7 @@ _VERIFY_FIRST = [
     "fuzzy_vocab_pairs",
     "dedup_exact_seeded",
     "sql_interface_demo",
+    "hybrid_search_rrf",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",
