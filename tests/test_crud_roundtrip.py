@@ -206,3 +206,38 @@ def test_json_persistence_roundtrip(engine, tmp_path):
     # corrupt/absent path -> fresh empty DB (GraphDB.cpp:247-301 semantics)
     empty = GraphEngine.load_json(engine.spark, str(tmp_path / "missing"))
     assert empty.count() == 0
+
+
+def test_versioned_snapshots_time_travel(spark, tmp_path):
+    from thewhisperdb_spark.crud import (
+        GraphEngine,
+        list_versions,
+        prune_versions,
+    )
+
+    path = str(tmp_path / "vdb")
+    eng = GraphEngine(spark)
+    eng.ingest_node({"title": "t1", "author": "a", "subject": "s"})
+    v1 = eng.save_version(path)
+    eng.ingest_node({"title": "t2", "author": "a", "subject": "s"})
+    v2 = eng.save_version(path)
+    assert (v1, v2) == (1, 2)
+    assert list_versions(path) == [1, 2]
+
+    # latest resolves through the pointer; pinned version time-travels
+    assert GraphEngine.load_version(spark, path).count() == 2
+    assert GraphEngine.load_version(spark, path, version=1).count() == 1
+
+    # old snapshot survives later saves (append-only isolation)
+    eng.ingest_node({"title": "t3", "author": "a", "subject": "s"})
+    eng.save_version(path)
+    assert GraphEngine.load_version(spark, path, version=1).count() == 1
+
+    # pruning keeps the newest and never the pointer target
+    dropped = prune_versions(path, keep=1)
+    assert dropped == [1, 2]
+    assert list_versions(path) == [3]
+    assert GraphEngine.load_version(spark, path).count() == 3
+
+    # empty directory -> fresh engine (S3 bootstrap semantics)
+    assert GraphEngine.load_version(spark, str(tmp_path / "nope")).count() == 0

@@ -380,3 +380,90 @@ class GraphEngine:
         self.nodes = self.nodes.localCheckpoint(eager=True)
         self.node_files = self.node_files.localCheckpoint(eager=True)
         self.tag_bank = self.tag_bank.localCheckpoint(eager=True)
+
+    # ---- versioned snapshots (time travel) ---------------------------------
+    # Lakehouse-style versioning over the reference's whole-DB-rewrite model
+    # (src/core/GraphDB.cpp:326-374). Each save appends an immutable v=<n>
+    # directory (never touching the files the lazy in-memory state still
+    # reads — append-only needs no temp-and-rename dance), then swings the
+    # _LATEST pointer atomically (write-temp + os.replace). Readers of any
+    # pinned version are isolated from concurrent saves; pruning is an
+    # explicit, pointer-respecting GC (prune_versions).
+
+    def save_version(self, path: str) -> int:
+        vs = _version_dirs(path)
+        n = (vs[-1] + 1) if vs else 1
+        vdir = os.path.join(path, f"v={n}")
+        ordered = {"nodes": self.nodes.orderBy("id"),
+                   "node_files": self.node_files,
+                   "tag_bank": self.tag_bank}
+        for t, df in ordered.items():
+            df.write.mode("errorifexists").parquet(os.path.join(vdir, t))
+        tmp = os.path.join(path, f"._LATEST.{n}")
+        with open(tmp, "w") as f:
+            f.write(str(n))
+        os.replace(tmp, os.path.join(path, "_LATEST"))
+        # re-point in-memory state at the immutable snapshot just written
+        self.nodes = self.spark.read.parquet(os.path.join(vdir, "nodes"))
+        self.node_files = self.spark.read.parquet(
+            os.path.join(vdir, "node_files"))
+        self.tag_bank = self.spark.read.parquet(os.path.join(vdir, "tag_bank"))
+        return n
+
+    @classmethod
+    def load_version(cls, spark: SparkSession, path: str,
+                     version: int | None = None) -> "GraphEngine":
+        """Open a snapshot: ``version=None`` resolves the ``_LATEST`` pointer
+        (falling back to the highest directory if the pointer is missing);
+        a pinned int time-travels to that exact state."""
+        if version is None:
+            version = _read_latest_pointer(path)
+        if version is None:
+            vs = _version_dirs(path)
+            version = vs[-1] if vs else None
+        if version is None:
+            return cls(spark)  # no snapshots yet -> empty DB (S3 semantics)
+        vdir = os.path.join(path, f"v={version}")
+        dfs = {}
+        for t in _TABLES:
+            try:
+                dfs[t] = spark.read.parquet(os.path.join(vdir, t))
+            except Exception:
+                dfs[t] = None
+        return cls(spark, dfs["nodes"], dfs["node_files"], dfs["tag_bank"])
+
+
+# ---- versioned snapshots (time travel) -------------------------------------
+
+def _version_dirs(path: str) -> list[int]:
+    try:
+        return sorted(int(d.split("=", 1)[1]) for d in os.listdir(path)
+                      if d.startswith("v=") and d.split("=", 1)[1].isdigit())
+    except FileNotFoundError:
+        return []
+
+
+def list_versions(path: str) -> list[int]:
+    """All snapshot versions present under ``path``, ascending."""
+    return _version_dirs(path)
+
+
+def prune_versions(path: str, keep: int = 3) -> list[int]:
+    """Drop all but the newest ``keep`` versions; returns the pruned ids.
+    Never touches the version the ``_LATEST`` pointer names."""
+    import shutil
+
+    vs = _version_dirs(path)
+    latest = _read_latest_pointer(path)
+    drop = [v for v in vs[:-keep] if v != latest] if keep > 0 else []
+    for v in drop:
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    return drop
+
+
+def _read_latest_pointer(path: str) -> int | None:
+    try:
+        with open(os.path.join(path, "_LATEST")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
