@@ -241,3 +241,29 @@ def test_versioned_snapshots_time_travel(spark, tmp_path):
 
     # empty directory -> fresh engine (S3 bootstrap semantics)
     assert GraphEngine.load_version(spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_merge_nodes_upsert(spark):
+    from thewhisperdb_spark.crud import GraphEngine
+    from thewhisperdb_spark.schemas import NODE_SCHEMA
+
+    eng = GraphEngine(spark)
+    eng.ingest_node({"title": "keep", "author": "a", "subject": "s"})
+    eng.ingest_node({"title": "old", "author": "a", "subject": "s"})
+    ids = sorted(r["id"] for r in eng.nodes.select("id").collect())
+
+    updates = spark.createDataFrame([
+        # replace node ids[1], insert a brand-new node 99
+        (ids[1], "new-title", "a", "s", 7, "2024-01-01 00:00:00", "", ["t"],
+         None, [], None),
+        (99, "inserted", "b", "s2", 0, "2024-01-01 00:00:00", "", [],
+         None, [], None),
+    ], NODE_SCHEMA)
+    eng.merge_nodes(updates)
+
+    rows = {r["id"]: r for r in eng.nodes.collect()}
+    assert set(rows) == {ids[0], ids[1], 99}
+    assert rows[ids[0]]["title"] == "keep"       # untouched passes through
+    assert rows[ids[1]]["title"] == "new-title"  # matched replaced
+    assert rows[ids[1]]["course"] == 7
+    assert rows[99]["title"] == "inserted"       # unmatched inserted

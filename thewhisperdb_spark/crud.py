@@ -297,6 +297,25 @@ class GraphEngine:
                 .otherwise(F.col("embedding")))
         self.nodes = df
 
+    def merge_nodes(self, updates) -> None:
+        """Batch MERGE INTO (upsert): one full-outer join on id — matched
+        rows are replaced by the update row, unmatched update rows are
+        inserted, untouched rows pass through. This is the set-oriented form
+        of M1/M2: where the reference pays a whole-DB rewrite PER mutation
+        (``src/core/GraphDB.cpp:388,412``) and ``update_node`` patches one
+        row per call, a 10M-row delta costs ONE shuffle join and one
+        snapshot write. ``updates`` must carry the full node schema."""
+        up = updates.select(*[F.col(f.name).cast(f.dataType)
+                              for f in NODE_SCHEMA.fields])
+        o = self.nodes.alias("o")
+        u = up.withColumn("_is_up", F.lit(True)).alias("u")
+        joined = o.join(u, F.col("o.id") == F.col("u.id"), "full_outer")
+        merged = joined.select(*[
+            F.when(F.col("u._is_up").isNotNull(), F.col(f"u.{c}"))
+            .otherwise(F.col(f"o.{c}")).alias(c)
+            for c in [f.name for f in NODE_SCHEMA.fields]])
+        self.nodes = merged
+
     # ---- M3 delete ---------------------------------------------------------
 
     def delete_node(self, node_id: int, storage_root: str | None = None) -> None:
