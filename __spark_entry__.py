@@ -2317,6 +2317,26 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+@q("bfs_hops",
+   f"""WITH RECURSIVE {_cos_pairs_sql(COS_EDGE_THRESHOLD)},
+und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+bfs(id, lvl) AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS lvl
+  UNION
+  SELECT und.dst, bfs.lvl + 1 FROM bfs JOIN und ON und.src = bfs.id
+  WHERE bfs.lvl < 15
+)
+SELECT id, CAST(MIN(lvl) AS BIGINT) AS hops FROM bfs GROUP BY id""")
+def bfs_hops(spark, sf_dir):
+    # BFS hop levels from vertex 0 over the cosine similarity graph —
+    # frontier-expansion joins vs the oracle's bounded recursive CTE
+    e = _emb(spark, sf_dir)
+    pairs = V.similar_pairs(e, COS_EDGE_THRESHOLD)
+    lv = G.bfs_levels(pairs.select(F.col("a").alias("src"),
+                                   F.col("b").alias("dst")), source=0)
+    return lv.select("id", F.col("hops").cast("long").alias("hops"))
+
+
 @q("hybrid_search_rrf",
    """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
                     t -> t <> '')) AS term FROM documents),
@@ -2597,6 +2617,7 @@ _VERIFY_FIRST = [
     "dedup_exact_seeded",
     "sql_interface_demo",
     "hybrid_search_rrf",
+    "bfs_hops",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",

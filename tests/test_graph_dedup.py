@@ -204,3 +204,17 @@ def test_h_index_expr(spark):
         "arr array<long>")
     got = [r.h for r in rows.select(_h_index(F.col("arr")).alias("h")).collect()]
     assert got == [3, 1, 2, 0]
+
+
+def test_bfs_levels_path_and_isolation(spark):
+    from thewhisperdb_spark.operators.graph import bfs_levels
+
+    # path 0-1-2-3, triangle 0-4-5(-0), isolated component 8-9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 0), (8, 9)],
+        "src long, dst long")
+    got = {r["id"]: r["hops"] for r in bfs_levels(edges, source=0).collect()}
+    assert got == {0: 0, 1: 1, 4: 1, 5: 1, 2: 2, 3: 3}
+    # direction-agnostic: reaching "upstream" edges works too
+    got3 = {r["id"]: r["hops"] for r in bfs_levels(edges, source=3).collect()}
+    assert got3 == {3: 0, 2: 1, 1: 2, 0: 3, 4: 4, 5: 4}

@@ -107,6 +107,38 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     return labels.unionByName(singles)
 
 
+def bfs_levels(edges: DataFrame, source: int, max_iter: int = 20,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Hop distance from ``source`` over the undirected edge set — frontier-
+    expanding BFS as iterative DataFrame joins (the SSSP/reachability kernel
+    next to connected_components' min-label loop).
+
+    Per round: one equi-join of the frontier against the edges, an anti-join
+    against already-visited vertices, a checkpoint (bounded lineage), and a
+    metadata-scale emptiness probe. Work per round is |frontier-adjacent
+    edges|, total Σ = |edges| — each edge relaxes at most twice. Unreachable
+    vertices are absent from the result (match the reference's sparse
+    adjacency semantics rather than emitting infinities).
+
+    Returns (id, hops).
+    """
+    spark = edges.sparkSession
+    und = undirect(edges, src, dst).localCheckpoint(eager=True)
+    levels = spark.createDataFrame([(int(source), 0)], "id long, hops int")
+    frontier = levels.select("id")
+    for hop in range(1, max_iter + 1):
+        nxt = (und.join(frontier.withColumnRenamed("id", "src"), "src")
+               .select(F.col("dst").alias("id")).distinct()
+               .join(levels, "id", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        levels = levels.unionByName(
+            nxt.withColumn("hops", F.lit(hop))).localCheckpoint(eager=True)
+        frontier = nxt
+    return levels
+
+
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(id, degree) over the undirected edge set — one symmetrize + one
     partial-aggregating shuffle. Degree is THE skew diagnostic for every
