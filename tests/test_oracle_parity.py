@@ -34,6 +34,8 @@ ROUND2_KEYS = [
     "fuzzy_vocab_pairs",
     "dedup_exact_seeded",
     "sql_interface_demo",
+    "hybrid_search_rrf",
+    "bfs_hops",
 ]
 
 
