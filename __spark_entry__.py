@@ -2317,6 +2317,76 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+@q("event_trigrams_top",
+   "WITH s AS (SELECT user_id, event_type, "
+   "lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3 "
+   "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ) "
+   "SELECT event_type || '>' || e2 || '>' || e3 AS trigram, "
+   "COUNT(*) AS n FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL "
+   "GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20")
+def event_trigrams_top(spark, sf_dir):
+    # behavioral sequence mining: most common 3-event paths per user stream.
+    # One shuffle on user_id (window), then a tiny global count — the event
+    # n-gram table is |events| rows, combined map-side like any Zipf head.
+    # Deterministic ordering: (ts, event_id) is a unique sort key.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (ev.select("user_id", "event_type",
+                   F.lead("event_type", 1).over(w).alias("e2"),
+                   F.lead("event_type", 2).over(w).alias("e3"))
+         .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull()))
+    tri = F.concat_ws(">", "event_type", "e2", "e3").alias("trigram")
+    return (s.select(tri).groupBy("trigram")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "trigram").limit(20))
+
+
+@q("snapshot_diff_cdc",
+   "WITH new_snap AS (SELECT doc_id, lang, source, "
+   "CASE WHEN md5(CAST(doc_id AS VARCHAR)) BETWEEN '1' AND '3' "
+   "THEN n_chars + 7 ELSE n_chars END AS n_chars "
+   "FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) >= '1' "
+   "UNION ALL SELECT doc_id + 100000, lang, source, n_chars FROM documents "
+   "WHERE md5(CAST(doc_id AS VARCHAR)) < '1'), "
+   "old_snap AS (SELECT doc_id, lang, source, n_chars FROM documents) "
+   "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+   "CASE WHEN o.doc_id IS NULL THEN 'insert' "
+   "WHEN n.doc_id IS NULL THEN 'delete' ELSE 'update' END AS change "
+   "FROM old_snap o FULL JOIN new_snap n ON o.doc_id = n.doc_id "
+   "WHERE o.doc_id IS NULL OR n.doc_id IS NULL "
+   "OR (o.lang, o.source, o.n_chars) <> (n.lang, n.source, n.n_chars)")
+def snapshot_diff_cdc(spark, sf_dir):
+    # change-data-capture diff between two table snapshots: one full-outer
+    # join on the key classifies every row as insert/delete/update (unchanged
+    # rows drop out). The 'new' snapshot is a deterministic mutation of the
+    # old (md5-keyed deletes, modifications, and re-keyed inserts) so the
+    # diff is reproducible on both engines.
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    key = F.md5(F.col("doc_id").cast("string"))
+    new_snap = (d.filter(key >= "1")
+                .withColumn("n_chars",
+                            F.when(key.between("1", "3"),
+                                   F.col("n_chars") + 7)
+                            .otherwise(F.col("n_chars")))
+                .unionByName(d.filter(key < "1")
+                             .withColumn("doc_id", F.col("doc_id") + 100000)))
+    o = d.alias("o")
+    n = new_snap.alias("n")
+    j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    change = (F.when(F.col("o.doc_id").isNull(), "insert")
+              .when(F.col("n.doc_id").isNull(), "delete")
+              .otherwise("update"))
+    differs = (F.col("o.doc_id").isNull() | F.col("n.doc_id").isNull()
+               | (F.col("o.lang") != F.col("n.lang"))
+               | (F.col("o.source") != F.col("n.source"))
+               | (F.col("o.n_chars") != F.col("n.n_chars")))
+    return (j.filter(differs)
+            .select(F.coalesce(F.col("o.doc_id"), F.col("n.doc_id"))
+                    .alias("doc_id"), change.alias("change")))
+
+
 @q("bfs_hops",
    f"""WITH RECURSIVE {_cos_pairs_sql(COS_EDGE_THRESHOLD)},
 und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
@@ -2618,6 +2688,8 @@ _VERIFY_FIRST = [
     "sql_interface_demo",
     "hybrid_search_rrf",
     "bfs_hops",
+    "event_trigrams_top",
+    "snapshot_diff_cdc",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",
