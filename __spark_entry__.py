@@ -2317,6 +2317,27 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+@q("lineitem_stats_moments",
+   "SELECT l_returnflag, "
+   "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
+   "round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price, "
+   "round(stddev_pop(l_discount), 6) AS sd_discount, "
+   "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag")
+def lineitem_stats_moments(spark, sf_dir):
+    # statistical-aggregate surface: per-group Pearson correlation,
+    # population covariance, and stddev — one partial-aggregating shuffle
+    # (all three are single-pass moment computations, map-side combinable).
+    # Rounding absorbs engine-specific accumulation-order drift (~1e-12).
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                 .alias("corr_qty_price"),
+                 F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4)
+                 .alias("covar_qty_price"),
+                 F.round(F.stddev_pop("l_discount"), 6).alias("sd_discount"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 @q("event_trigrams_top",
    "WITH s AS (SELECT user_id, event_type, "
    "lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3 "
@@ -2690,6 +2711,7 @@ _VERIFY_FIRST = [
     "bfs_hops",
     "event_trigrams_top",
     "snapshot_diff_cdc",
+    "lineitem_stats_moments",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",
