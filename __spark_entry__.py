@@ -2317,6 +2317,32 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+@q("order_key_skew_report",
+   "WITH c AS (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1) "
+   "SELECT COUNT(*) AS n_keys, CAST(MAX(cnt) AS BIGINT) AS max_cnt, "
+   "round(CAST(quantile_cont(cnt, 0.99) AS DOUBLE), 6) AS p99_cnt, "
+   "round(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS avg_cnt, "
+   "round(CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*)), 6) "
+   "AS skew_ratio FROM c")
+def order_key_skew_report(spark, sf_dir):
+    # join-key skew diagnostic: per-key counts, then max / p99 / mean and the
+    # max-to-mean skew ratio — the number that decides between a plain
+    # shuffle join, AQE skew splitting, and explicit salting
+    # (operators/relational.py salted_join). Two partial-agg shuffles, the
+    # second over |distinct keys| rows only.
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_cnt"),
+        F.round(F.sum("cnt").cast("double") / F.count(F.lit(1)), 6)
+        .alias("avg_cnt"),
+        F.round(F.max("cnt").cast("double")
+                / (F.sum("cnt").cast("double") / F.count(F.lit(1))), 6)
+        .alias("skew_ratio"))
+
+
 @q("lineitem_stats_moments",
    "SELECT l_returnflag, "
    "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
@@ -2712,6 +2738,7 @@ _VERIFY_FIRST = [
     "event_trigrams_top",
     "snapshot_diff_cdc",
     "lineitem_stats_moments",
+    "order_key_skew_report",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",
