@@ -21,21 +21,33 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# Keys the round-1 driver verified (CORRECTNESS_r01 green) — skip here.
+_DRIVER_GREEN_R1 = {
+    "scan_nodes", "filter_subject_eq", "filter_author_eq", "filter_course_eq",
+    "filter_title_contains", "filter_tag_membership", "filter_conjunction",
+    "point_lookup_id", "filter_has_embedding", "project_node_shape",
+    "sort_offset_limit", "topk_by_field", "sort_by_field", "count_all",
+    "count_filtered", "distinct_subjects", "tag_histogram", "nodes_by_tag",
+    "shared_tag_join", "jaccard_pairs", "jaccard_threshold_join",
+    "tagbank_union_distinct", "batch_jaccard_relink", "cosine_similarity",
+    "similar_pairs_threshold", "topk_similar", "knn_join",
+    "adjacency_from_pairs", "connected_components", "cluster_sizes",
+    "cluster_shared_tags", "clusters_report", "dedup_exact",
+    "dedup_drop_exact", "embedding_cosine_near_dup", "ngram_jaccard_dedup",
+    "token_count", "token_count_bpe", "quality_score",
+    "text_extract_truncate", "language_id", "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority", "revenue_by_region",
+    "window_top_orders_per_customer", "brand_type_revenue",
+    "top_suppliers_by_revenue", "outer_join_customer_order_counts",
+}
+
+# Streaming twins replay real readStream jobs (slow; several already sit
+# inside the driver's CORRECTNESS window) — skip here.
+_STREAMING = {k for k in entrymod.queries() if k.startswith("streaming_")}
+
 ROUND2_KEYS = [
-    "token_entropy_score",
-    "bpe_pair_counts",
-    "phrase_search",
-    "bloom_semi_join_lineitem",
-    "scd2_point_in_time_join",
-    "orc_roundtrip_by_source",
-    "rolling_active_users_7d",
-    "part_cooccurrence_top",
-    "window_analytics_suite",
-    "fuzzy_vocab_pairs",
-    "dedup_exact_seeded",
-    "sql_interface_demo",
-    "hybrid_search_rrf",
-    "bfs_hops",
+    k for k in entrymod.oracle_sql()
+    if k not in _DRIVER_GREEN_R1 and k not in _STREAMING
 ]
 
 
