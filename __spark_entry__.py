@@ -2317,6 +2317,21 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+@q("table_checksum_documents",
+   "SELECT COUNT(*) AS n_rows, "
+   "bit_xor(CAST('0x' || substr(md5(concat_ws('|', "
+   "CAST(doc_id AS VARCHAR), lang, source, CAST(n_chars AS VARCHAR))), "
+   "1, 15) AS BIGINT)) AS checksum FROM documents")
+def table_checksum_documents(spark, sf_dir):
+    # order-insensitive cross-engine content checksum (anti-entropy /
+    # migration verification): per-row md5 of the canonical string, first 60
+    # bits XOR-folded — partitioning- and engine-independent by construction
+    from thewhisperdb_spark.operators.aggregates import table_checksum
+
+    return table_checksum(_docs(spark, sf_dir),
+                          "doc_id", "lang", "source", "n_chars")
+
+
 @q("order_key_skew_report",
    "WITH c AS (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1) "
    "SELECT COUNT(*) AS n_keys, CAST(MAX(cnt) AS BIGINT) AS max_cnt, "
@@ -2739,6 +2754,7 @@ _VERIFY_FIRST = [
     "snapshot_diff_cdc",
     "lineitem_stats_moments",
     "order_key_skew_report",
+    "table_checksum_documents",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",

@@ -130,3 +130,21 @@ def cms_estimate(sketch: DataFrame, terms: DataFrame, term_col: str = "term",
             .groupBy(term_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
                  .alias("est")))
+
+
+def table_checksum(df: DataFrame, *cols: str) -> DataFrame:
+    """Order-insensitive content checksum over the given columns: per row,
+    md5 of the canonical '|'-joined string (nulls -> a sentinel), the first
+    60 bits parsed to a long, XOR-aggregated. XOR is commutative/associative,
+    so the checksum is independent of partitioning, ordering, and engine —
+    the cheap anti-entropy check for replication, migration, and
+    snapshot-copy verification (two tables agree iff their checksums and
+    counts both agree, up to the 2^-60 collision-XOR cancellation odds).
+    One partial-aggregating scan, 16 bytes of state per partition.
+    Returns (n_rows, checksum)."""
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return df.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("checksum"))
