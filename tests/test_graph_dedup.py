@@ -218,3 +218,19 @@ def test_bfs_levels_path_and_isolation(spark):
     # direction-agnostic: reaching "upstream" edges works too
     got3 = {r["id"]: r["hops"] for r in bfs_levels(edges, source=3).collect()}
     assert got3 == {3: 0, 2: 1, 1: 2, 0: 3, 4: 4, 5: 4}
+
+
+def test_diameter_2approx(spark):
+    from thewhisperdb_spark.operators.graph import diameter_2approx
+
+    # path graph 0-1-2-3-4: diameter 4; double BFS finds it exactly
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert diameter_2approx(path) == 4
+    # star graph: diameter 2
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long")
+    assert diameter_2approx(star) == 2
+    # empty edge set
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert diameter_2approx(empty) == 0

@@ -139,6 +139,23 @@ def bfs_levels(edges: DataFrame, source: int, max_iter: int = 20,
     return levels
 
 
+def diameter_2approx(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> int:
+    """Lower-bound diameter estimate by double BFS (the classic
+    2-approximation: BFS from an arbitrary vertex, then BFS from the
+    farthest vertex found; the second eccentricity is >= diameter/2 and
+    usually equals it on real graphs). Two bfs_levels runs + two
+    metadata-scale argmax collects; returns 0 for an empty edge set."""
+    first = edges.select(F.col(src).alias("id")).orderBy("id").limit(1).collect()
+    if not first:
+        return 0
+    l1 = bfs_levels(edges, int(first[0]["id"]), src=src, dst=dst)
+    far = (l1.orderBy(F.col("hops").desc(), F.col("id").asc())
+           .limit(1).collect()[0])
+    l2 = bfs_levels(edges, int(far["id"]), src=src, dst=dst)
+    return int(l2.agg(F.max("hops")).collect()[0][0])
+
+
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(id, degree) over the undirected edge set — one symmetrize + one
     partial-aggregating shuffle. Degree is THE skew diagnostic for every
