@@ -2317,6 +2317,41 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+@q("events_robust_outliers",
+   "WITH med AS (SELECT event_type, "
+   "quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), "
+   "dev AS (SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS ad "
+   "FROM events e JOIN med m USING (event_type)), "
+   "mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev "
+   "GROUP BY 1) "
+   "SELECT d.event_type, round(MAX(d.med), 6) AS med, "
+   "round(MAX(m.mad), 6) AS mad, "
+   "CAST(SUM(CASE WHEN d.ad > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n_outliers, COUNT(*) AS n "
+   "FROM dev d JOIN mad m USING (event_type) GROUP BY 1")
+def events_robust_outliers(spark, sf_dir):
+    # robust (median/MAD) outlier screen — the heavy-tail-safe complement to
+    # the moment-based z-score query: medians are exact interpolated
+    # percentiles (identical type-7 rule on both engines), the MAD scale
+    # factor 1.4826 normalizes to sigma under normality. Two grouped
+    # exact-percentile passes + one counting pass, all shuffling on the
+    # (few-valued) event_type key.
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = (ev.join(med, "event_type")
+           .withColumn("ad", F.abs(F.col("value") - F.col("med"))))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (dev.join(mad, "event_type")
+            .groupBy("event_type")
+            .agg(F.round(F.max("med"), 6).alias("med"),
+                 F.round(F.max("mad"), 6).alias("mad"),
+                 F.sum(F.when(F.col("ad") > 3 * 1.4826 * F.col("mad"), 1)
+                       .otherwise(0)).alias("n_outliers"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 @q("table_checksum_documents",
    "SELECT COUNT(*) AS n_rows, "
    "bit_xor(CAST('0x' || substr(md5(concat_ws('|', "
@@ -2755,6 +2790,7 @@ _VERIFY_FIRST = [
     "lineitem_stats_moments",
     "order_key_skew_report",
     "table_checksum_documents",
+    "events_robust_outliers",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",
