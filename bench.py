@@ -59,6 +59,15 @@ HEADLINE = [
     "phrase_search",
     "scd2_point_in_time_join",
     "orc_roundtrip_by_source",
+    # round-2 third-wave headliners (retrieval fusion/graph/events/CDC)
+    "hybrid_search_rrf",
+    "bfs_hops",
+    "rolling_active_users_7d",
+    "part_cooccurrence_top",
+    "event_trigrams_top",
+    "snapshot_diff_cdc",
+    "events_robust_outliers",
+    "fuzzy_vocab_pairs",
 ]
 
 
