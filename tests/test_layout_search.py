@@ -242,3 +242,12 @@ def test_fuzzy_vocab_pairs_matches_naive(spark):
                   for a, b in itertools.combinations(sorted(set(words)), 2)
                   if lev(a, b) <= 2)
     assert got == want
+
+
+def test_zorder_extreme_and_negative_ranges(spark):
+    # full-long-range and negative inputs must not overflow ANSI longs
+    rows = [(-(2 ** 62), -(2 ** 61)), (0, 0), (2 ** 62, 2 ** 61), (17, -42)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = LY.zorder_by(df, "x", "y", n_partitions=2).collect()
+    assert len(out) == len(rows)
+    assert {(r["x"], r["y"]) for r in out} == set(rows)

@@ -22,11 +22,14 @@ ZBITS = 16  # per-dimension resolution; 2 dims x 16 bits = 32-bit Z-values
 
 
 def _scale_to_bits(col: Column, lo: Column, hi: Column, bits: int) -> Column:
-    """Min-max normalize a long column to [0, 2^bits) with integer math
-    (exact, engine-independent)."""
-    span = F.greatest(hi - lo, F.lit(1).cast("long"))
-    maxv = F.lit((1 << bits) - 1).cast("long")
-    return ((col - lo) * maxv / span).cast("long")
+    """Min-max normalize a long column to [0, 2^bits). The ratio goes
+    through a double ((col-lo)*maxv as pure integer math would overflow
+    ANSI-mode longs once span > 2^47); sub-ulp rounding only perturbs which
+    side of a bucket boundary a value lands on — irrelevant for layout
+    clustering, which has no correctness contract on exact bucket edges."""
+    span = F.greatest(hi.cast("double") - lo.cast("double"), F.lit(1.0))
+    maxv = F.lit(float((1 << bits) - 1))
+    return ((col.cast("double") - lo.cast("double")) / span * maxv).cast("long")
 
 
 def zvalue(x: Column, y: Column, bits: int = ZBITS) -> Column:
