@@ -2317,6 +2317,50 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+@q("pii_detection_report",
+   "WITH seeded AS (SELECT doc_id, source, "
+   "CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '2' THEN text || "
+   "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at ' || "
+   "'10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || ' or +1555' || "
+   "CAST(1000000 + doc_id AS VARCHAR) ELSE text END AS text FROM documents) "
+   "SELECT source AS g, "
+   "CAST(SUM(len(regexp_extract_all(text, "
+   "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email, "
+   "CAST(SUM(len(regexp_extract_all(text, "
+   "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))) AS BIGINT) AS n_ipv4, "
+   "CAST(SUM(len(regexp_extract_all(text, "
+   "'\\+[0-9][0-9\\-]{7,14}[0-9]'))) AS BIGINT) AS n_phone, "
+   "CAST(SUM(CASE WHEN len(regexp_extract_all(text, "
+   "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+   "+ len(regexp_extract_all(text, "
+   "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) "
+   "+ len(regexp_extract_all(text, '\\+[0-9][0-9\\-]{7,14}[0-9]')) > 0 "
+   "THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii, "
+   "COUNT(*) AS n_docs FROM seeded GROUP BY source")
+def pii_detection_report(spark, sf_dir):
+    # PII scrubbing pass (privacy.py): the corpus carries no PII, so a
+    # deterministic md5-keyed slice is seeded with synthetic emails / IPs /
+    # phone numbers, then the per-source release-gate report runs over it.
+    # Same patterns drive redact_pii (pytest asserts redaction zeroes the
+    # counts).
+    from thewhisperdb_spark.operators.privacy import pii_report
+
+    d = _docs(spark, sf_dir)
+    key = F.md5(F.col("doc_id").cast("string"))
+    seeded = d.withColumn(
+        "text",
+        F.when(key < "2",
+               F.concat(F.col("text"),
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com at 10.0.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(" or +1555"),
+                        (F.col("doc_id") + 1000000).cast("string")))
+        .otherwise(F.col("text")))
+    return pii_report(seeded)
+
+
 @q("events_robust_outliers",
    "WITH med AS (SELECT event_type, "
    "quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), "
@@ -2791,6 +2835,7 @@ _VERIFY_FIRST = [
     "order_key_skew_report",
     "table_checksum_documents",
     "events_robust_outliers",
+    "pii_detection_report",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",

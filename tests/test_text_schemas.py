@@ -134,3 +134,38 @@ def test_value_histogram_clamps(spark):
     assert rows[0].n == 1 and rows[0].min_v == 5
     # bucket 2 holds 25 AND the clamped overflow 999
     assert rows[2].n == 2 and rows[2].max_v == 999 and rows[2].total == 1024
+
+
+def test_pii_detect_and_redact(spark):
+    from pyspark.sql import functions as F
+
+    from thewhisperdb_spark.operators.privacy import (
+        pii_counts,
+        pii_report,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame([
+        (1, "s1", "mail me at jane.doe+x@corp.example.org thanks"),
+        (2, "s1", "server 192.168.1.17 called +1555-123-4567 twice"),
+        (3, "s2", "clean document with no identifiers at all"),
+        (4, "s2", "two mails a@b.io and c.d@e-f.museum same line"),
+    ], "doc_id long, source string, text string")
+
+    counts = df.select(*[c.alias(k) for k, c in
+                         pii_counts(F.col("text")).items()]).collect()
+    got = [(r["email"], r["ipv4"], r["phone"]) for r in counts]
+    assert got == [(1, 0, 0), (0, 1, 1), (0, 0, 0), (2, 0, 0)]
+
+    rep = {r["g"]: (r["n_email"], r["n_ipv4"], r["n_phone"],
+                    r["n_docs_with_pii"], r["n_docs"])
+           for r in pii_report(df).collect()}
+    assert rep == {"s1": (1, 1, 1, 2, 2), "s2": (2, 0, 0, 1, 2)}
+
+    # redaction is a fixpoint: re-detecting on redacted text finds nothing
+    red = df.select(redact_pii(F.col("text")).alias("text"))
+    residue = red.select(*[c.alias(k) for k, c in
+                           pii_counts(F.col("text")).items()]).collect()
+    assert all(r["email"] == r["ipv4"] == r["phone"] == 0 for r in residue)
+    joined = " ".join(r["text"] for r in red.collect())
+    assert "[PII]" in joined and "@" not in joined
