@@ -82,6 +82,13 @@ def run_pretraining_pipeline(docs: DataFrame, *, lang: str = "en",
     clean_train = train.join(leaked, id_col, "left_anti")
     stages.append(("decontaminated_train", clean_train.count()))
 
+    # privacy scrub: per-row transform (row count unchanged, so no stage
+    # boundary) — rides the same scan as the join output
+    from thewhisperdb_spark.operators.privacy import redact_pii
+
+    clean_train = clean_train.withColumn(text_col,
+                                         redact_pii(F.col(text_col)))
+
     bins = PK.pack_sequences(clean_train, budget=pack_budget,
                              shard_col="lang", order_col=id_col,
                              text_col=text_col)
