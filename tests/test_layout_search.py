@@ -251,3 +251,34 @@ def test_zorder_extreme_and_negative_ranges(spark):
     out = LY.zorder_by(df, "x", "y", n_partitions=2).collect()
     assert len(out) == len(rows)
     assert {(r["x"], r["y"]) for r in out} == set(rows)
+
+
+def test_bpe_train_then_encode_roundtrip(spark):
+    df = _docs(spark, ["low low low lower lowest"])
+    merges = TX.bpe_train_merges(df, n_merges=3)
+    # ('l','o'), ('lo','w'), then ('low','e') — the (low,e) pair appears in
+    # both 'lower' and 'lowest'
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "e")]
+    enc = df.select(F.explode(TX.tokens(F.col("text"))).alias("w")).select(
+        "w", TX.bpe_apply_merges(F.col("w"), merges).alias("syms")).collect()
+    got = {r["w"]: list(r["syms"]) for r in enc}
+    assert got["low"] == ["low"]
+    assert got["lower"] == ["lowe", "r"]
+    # encoding preserves content: concat of symbols == the word
+    assert all("".join(r["syms"]) == r["w"] for r in enc)
+
+
+def test_pick_survivors_prefers_quality(spark):
+    from thewhisperdb_spark.operators.dedup import near_dup_groups, pick_survivors
+
+    df = spark.createDataFrame(
+        [(1, "aa", 10.0), (2, "aa!", 99.0), (3, "aa?", 99.0),
+         (4, "zz", 1.0)],
+        "doc_id long, text string, quality double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    groups = near_dup_groups(df, pairs)
+    kept = sorted(r["doc_id"] for r in
+                  pick_survivors(df, groups, "quality").collect())
+    # group {1,2,3}: max quality 99 held by 2 and 3 -> min id 2 wins;
+    # singleton 4 survives untouched
+    assert kept == [2, 4]

@@ -344,6 +344,25 @@ def drop_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     return df.join(verdict.filter(F.col("keep")).select(id_col), id_col)
 
 
+def pick_survivors(df: DataFrame, groups: DataFrame, quality_col: str,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Quality-preferring survivor selection: instead of near_dup_groups'
+    canonical min-id keep, retain the HIGHEST-``quality_col`` member of each
+    duplicate group (id as deterministic tiebreak) — the choice production
+    dedup actually wants (keep the longest / best-scored variant, drop the
+    truncated mirror). One struct-max aggregation per group, then a semi-join
+    back; ``groups`` is near_dup_groups' (id, group, keep) output."""
+    g = groups.select(F.col(id_col).alias("_id"), "group")
+    scored = (df.select(F.col(id_col).alias("_id"), F.col(quality_col))
+              .join(g, "_id"))
+    best = (scored.groupBy("group")
+            .agg(F.max(F.struct(F.col(quality_col).alias("q"),
+                                (-F.col("_id")).alias("neg_id")))
+                 .alias("_best"))
+            .select((-F.col("_best.neg_id")).cast("long").alias(id_col)))
+    return df.join(best, id_col)
+
+
 def unit_dedup(df: DataFrame, unit_tokens: int = 10, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Cross-corpus unit-level dedup (the C4/RefinedWeb "remove duplicated

@@ -467,3 +467,27 @@ def fuzzy_vocab_pairs(df: DataFrame, text_col: str = "text",
     return (cand
             .withColumn("dist", F.levenshtein("wa", "wb").cast("long"))
             .filter(F.col("dist") <= max_dist))
+
+
+def bpe_apply_merges(col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Encode a word column with a trained merge list (``bpe_train_merges``):
+    start from characters, apply each merge as a left-to-right greedy fold in
+    training order — the standard BPE encode. One codegen'd expression
+    (``len(merges)`` chained folds), no Python, no shuffle; at 100 TB this
+    rides the scan like any other projection. Returns array<string> symbols."""
+    syms = F.split(F.lower(col), "")
+
+    def merge_pass(cur: Column, a: str, b: str) -> Column:
+        return F.aggregate(
+            cur, F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.concat(F.element_at(acc, -1), s))),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    for a, b in merges:
+        syms = merge_pass(syms, a, b)
+    return syms
