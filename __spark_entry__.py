@@ -2317,6 +2317,28 @@ def part_cooccurrence_top(spark, sf_dir):
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 
+@q("catalog_table_stats",
+   " UNION ALL ".join(
+       f"SELECT '{t}' AS tbl, COUNT(*) AS n_rows FROM {t}"
+       for t in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings")))
+def catalog_table_stats(spark, sf_dir):
+    # catalog surface: per-table row counts over every registered table —
+    # the SHOW TABLES / ANALYZE summary an engine front-end serves. Each
+    # count is a metadata-cheap parquet scan (row-group counts, no column IO)
+    from functools import reduce as _reduce
+
+    from thewhisperdb_spark.catalog import TESTDATA_TABLES
+
+    parts = [
+        load_table(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("tbl"), "n_rows")
+        for t in TESTDATA_TABLES
+    ]
+    return _reduce(lambda a, b: a.unionByName(b), parts)
+
+
 @q("pii_detection_report",
    "WITH seeded AS (SELECT doc_id, source, "
    "CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '2' THEN text || "
@@ -2836,6 +2858,7 @@ _VERIFY_FIRST = [
     "table_checksum_documents",
     "events_robust_outliers",
     "pii_detection_report",
+    "catalog_table_stats",
     # rows-only entries (weaker check, but a row beats no row)
     "cms_word_counts",
     "events_distinct_users_hll",
