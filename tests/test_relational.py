@@ -115,3 +115,42 @@ def test_percentile_approx_within_rank_error(spark):
             import bisect
             rank = bisect.bisect_left(xs, q_approx)
             assert abs(rank - pct * n) <= n / 10000 + 2, (prio, pct)
+
+
+def test_asof_join_carries_matched_row_atomically(spark):
+    """A NULL value column in the matched right row must stay NULL — not
+    fall back per-column to an older right row (mixed-tuple bug)."""
+    from thewhisperdb_spark.operators.relational import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 1, 10.0, 5.0), (1, 2, 20.0, None)],
+        "k long, t long, price double, qty double")
+    left = spark.createDataFrame([(1, 3)], "k long, t long")
+    row = asof_join(left, right, "k", "t", "t", ("price", "qty")).collect()[0]
+    assert row["asof_price"] == 20.0
+    assert row["asof_qty"] is None          # NOT 5.0 from the t=1 row
+    assert row["n_prior"] == 2
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    import pytest
+
+    from thewhisperdb_spark.operators.relational import salted_join
+
+    l = spark.range(3).select(F.col("id").alias("k"))
+    r = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(l, r, "k", how="full")
+    with pytest.raises(ValueError):
+        salted_join(l, r, "k", how="right")
+
+
+def test_bloom_semi_join_mixed_key_dtypes(spark):
+    """INT fact key vs BIGINT build key must still match (type-insensitive
+    hashing via string cast)."""
+    from thewhisperdb_spark.operators.relational import bloom_semi_join
+
+    fact = spark.range(0, 100).select(F.col("id").cast("int").alias("k"))
+    keys = spark.range(0, 10).select((F.col("id") * 5).alias("k"))  # bigint
+    got = sorted(r["k"] for r in bloom_semi_join(fact, keys, "k").collect())
+    assert got == [0, 5, 10, 15, 20, 25, 30, 35, 40, 45]

@@ -91,8 +91,13 @@ def file_bounding_boxes(spark, path: str, c1: str, c2: str) -> DataFrame:
     df = spark.read.parquet(path).withColumn("_f", F.input_file_name())
     g = df.groupBy("_f").agg(F.min(c1).alias("lo1"), F.max(c1).alias("hi1"),
                              F.min(c2).alias("lo2"), F.max(c2).alias("hi2"))
-    tot = df.agg((F.max(c1) - F.min(c1)).cast("double").alias("s1"),
-                 (F.max(c2) - F.min(c2)).cast("double").alias("s2"))
+    # greatest(span, 1): a constant column would otherwise divide by zero
+    # (ANSI throws; non-ANSI silently NULLs the area)
+    tot = df.agg(
+        F.greatest((F.max(c1) - F.min(c1)).cast("double"), F.lit(1.0))
+        .alias("s1"),
+        F.greatest((F.max(c2) - F.min(c2)).cast("double"), F.lit(1.0))
+        .alias("s2"))
     return (g.crossJoin(F.broadcast(tot))
             .select(F.col("_f").alias("file"), "lo1", "hi1", "lo2", "hi2",
                     (((F.col("hi1") - F.col("lo1")) / F.col("s1"))

@@ -23,47 +23,53 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
               direction: str = "backward") -> DataFrame:
     """For every left row, attach the most recent right row with
     ``right.right_ts <= left.left_ts`` (direction="backward"; "forward" gives
-    the next one instead). Right-side ties at the same key/timestamp resolve
-    to the greatest value tuple (deterministic).
+    the next one, i.e. ``right_ts >= left_ts``). Right-side ties at the same
+    key/timestamp resolve to the greatest value tuple (deterministic).
+
+    The matched right row is carried as ONE struct, so its value columns
+    arrive atomically — a NULL in one value column of the matched row stays
+    NULL instead of falling back to an older row per-column.
 
     Returns left columns + ``asof_<col>`` for each of ``right_vals`` +
-    ``n_prior`` (count of right rows at or before the left timestamp).
+    ``n_prior``: the count of right rows the frame has passed — at-or-before
+    the left timestamp for backward, at-or-after for forward.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
+    rstruct = F.struct(*[F.col(c) for c in right_vals])
     lt = left.select(
         F.col(key).alias("_k"), F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"), F.struct(*left.columns).alias("_lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}")
-          for c in right_vals])
+        F.lit(None).cast(right.select(rstruct).schema[0].dataType)
+        .alias("_rvals"))
     rt = right.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_rv_{c}") for c in right_vals])
+        rstruct.alias("_rvals"))
     u = lt.unionByName(rt)
     # at equal timestamps right rows sort before left (<= semantics); equal
-    # (key, ts) right rows tie-break by value columns so `last` is
+    # (key, ts) right rows tie-break by the value struct so `last` is
     # deterministic (greatest tuple wins)
-    ties = [F.col(f"_rv_{c}").asc_nulls_first() for c in right_vals]
     if direction == "backward":
         w = (Window.partitionBy("_k")
-             .orderBy(F.col("_t").asc(), F.col("_is_left").asc(), *ties)
+             .orderBy(F.col("_t").asc(), F.col("_is_left").asc(),
+                      F.col("_rvals").asc_nulls_first())
              .rowsBetween(Window.unboundedPreceding, 0))
     else:
         w = (Window.partitionBy("_k")
-             .orderBy(F.col("_t").desc(), F.col("_is_left").asc(), *ties)
+             .orderBy(F.col("_t").desc(), F.col("_is_left").asc(),
+                      F.col("_rvals").asc_nulls_first())
              .rowsBetween(Window.unboundedPreceding, 0))
     carried = u.select(
         "_is_left", "_lrow",
-        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-          for c in right_vals],
+        F.last("_rvals", ignorenulls=True).over(w).alias("_asof"),
         F.sum(1 - F.col("_is_left")).over(w).alias("n_prior"),
     )
     out = carried.filter(F.col("_is_left") == 1)
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"asof_{c}") for c in right_vals],
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in right_vals],
         F.col("n_prior").cast("long").alias("n_prior"))
 
 
@@ -78,7 +84,15 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     partition-level skew, but a single giant key inside one partition still
     serializes without salting). Cost: right side × n_salts replication —
     pick the smaller side as ``right``.
+
+    ``how`` must be left-preserving: a right-preserving join would emit each
+    unmatched right row once per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join replicates the right side; join type {how!r} "
+            "would duplicate unmatched right rows n_salts times")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
                   F.lit(n_salts)).cast("int")
     l_s = left.withColumn("_salt", salt)
@@ -128,8 +142,12 @@ def bloom_bitmap(keys_df: DataFrame, key: str, m_words: int = 1024,
     ~65k keys; callers with bigger build sides raise ``m_words``.
     """
     m_bits = m_words * 64
+    # hash the STRING form: xxhash64 is type-sensitive (int 1 and bigint 1
+    # hash differently), so hashing raw columns would silently drop matches
+    # when the two sides' key dtypes differ
+    kc = F.col(key).cast("string")
     pos = keys_df.select(F.explode(F.array(*[
-        F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m_bits))
+        F.pmod(F.xxhash64(kc, F.lit(s)), F.lit(m_bits))
         for s in range(k)])).alias("p"))
     words = (pos.select((F.col("p") / 64).cast("int").alias("i"),
                         _bit_mask(F.pmod(F.col("p"), F.lit(64))).alias("m"))
@@ -160,7 +178,9 @@ def bloom_semi_join(fact: DataFrame, keys_df: DataFrame, key: str,
     m_bits = m_words * 64
 
     def bit_set(s: int) -> Column:
-        p = F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m_bits))
+        # string-cast to match bloom_bitmap's type-insensitive hashing
+        p = F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(s)),
+                   F.lit(m_bits))
         w = F.element_at(words, ((p / 64).cast("int") + 1))
         return w.bitwiseAND(_bit_mask(F.pmod(p, F.lit(64)))) != 0
     maybe = fact

@@ -54,18 +54,23 @@ def run_pretraining_pipeline(docs: DataFrame, *, lang: str = "en",
     - ``train``: the final cleaned, deduplicated, decontaminated train split;
     - ``bins``: the packed training-bin occupancy table.
 
-    Stage boundaries materialize once each (checkpoint after the iterative
-    near-dup stage cuts the lineage so later stages don't replay it).
+    Stage boundaries materialize once each: every counted stage is
+    localCheckpoint'ed first, so its count AND the next stage read the
+    materialized rows instead of replaying the whole upstream pipeline per
+    action (on a real cluster, swap localCheckpoint for persist(DISK_ONLY) /
+    reliable checkpoint — same shape, spill-safe).
     """
     stages: list[tuple[str, int]] = [("ingest", docs.count())]
 
-    quality = docs.filter(_quality_pred(text_col, "n_chars"))
+    quality = (docs.filter(_quality_pred(text_col, "n_chars"))
+               .localCheckpoint(eager=True))
     stages.append(("quality_filter", quality.count()))
 
-    langf = quality.filter(F.col("lang") == lang)
+    langf = quality.filter(F.col("lang") == lang).localCheckpoint(eager=True)
     stages.append(("language_filter", langf.count()))
 
-    exact = D.drop_exact_duplicates(langf, id_col=id_col, text_col=text_col)
+    exact = (D.drop_exact_duplicates(langf, id_col=id_col, text_col=text_col)
+             .localCheckpoint(eager=True))
     stages.append(("exact_dedup", exact.count()))
 
     near = D.drop_near_duplicates(exact, id_col=id_col, text_col=text_col)
@@ -79,7 +84,8 @@ def run_pretraining_pipeline(docs: DataFrame, *, lang: str = "en",
     leaked = D.cross_split_contamination(
         split, F.col("split") == "train", n=decontam_ngram,
         id_col=id_col, text_col=text_col)
-    clean_train = train.join(leaked, id_col, "left_anti")
+    clean_train = (train.join(leaked, id_col, "left_anti")
+                   .localCheckpoint(eager=True))
     stages.append(("decontaminated_train", clean_train.count()))
 
     # privacy scrub: per-row transform (row count unchanged, so no stage
