@@ -267,3 +267,35 @@ def test_merge_nodes_upsert(spark):
     assert rows[ids[1]]["title"] == "new-title"  # matched replaced
     assert rows[ids[1]]["course"] == 7
     assert rows[99]["title"] == "inserted"       # unmatched inserted
+
+
+def test_diff_versions_summary(spark, tmp_path):
+    from thewhisperdb_spark.crud import GraphEngine, diff_versions
+
+    path = str(tmp_path / "vdb2")
+    eng = GraphEngine(spark)
+    a = eng.ingest_node({"title": "alpha", "author": "x", "subject": "s"})
+    b = eng.ingest_node({"title": "beta", "author": "x", "subject": "s"})
+    eng.add_tags_to_bank(["old-tag"])
+    v1 = eng.save_version(path)
+
+    eng.update_node(a, {"title": "alpha-2"})        # update
+    eng.ingest_node({"title": "gamma", "author": "y", "subject": "s"})  # insert
+    eng.add_tags_to_bank(["new-tag"])               # tag_bank insert
+    v2 = eng.save_version(path)
+
+    eng.delete_node(b)                              # delete only
+    v3 = eng.save_version(path)
+
+    got = {r["table"]: (r["inserts"], r["deletes"], r["updates"])
+           for r in diff_versions(spark, path, v1, v2).collect()}
+    assert got["nodes"] == (1, 0, 1)
+    assert got["tag_bank"] == (1, 0, 0)
+    assert got["node_files"] == (0, 0, 0)
+    d23 = {r["table"]: (r["inserts"], r["deletes"], r["updates"])
+           for r in diff_versions(spark, path, v2, v3).collect()}
+    assert d23["nodes"] == (0, 1, 0)
+    # identity: diffing a version against itself is all-zero
+    same = {r["table"]: (r["inserts"], r["deletes"], r["updates"])
+            for r in diff_versions(spark, path, v2, v2).collect()}
+    assert all(v == (0, 0, 0) for v in same.values())

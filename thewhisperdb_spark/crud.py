@@ -486,3 +486,55 @@ def _read_latest_pointer(path: str) -> int | None:
             return int(f.read().strip())
     except (FileNotFoundError, ValueError):
         return None
+
+
+def diff_versions(spark: SparkSession, path: str, v_old: int,
+                  v_new: int) -> DataFrame:
+    """Change summary between two snapshot versions (time travel x CDC):
+    per table, how many rows were inserted / deleted / updated. ``nodes``
+    diffs by primary key with full-row comparison (update = same id,
+    different content); ``node_files`` and ``tag_bank`` have set semantics —
+    whole-row membership, so changes are inserts/deletes only. One
+    full-outer join per table on metadata-scale state.
+
+    Returns (table, inserts, deletes, updates)."""
+    old_eng = GraphEngine.load_version(spark, path, v_old)
+    new_eng = GraphEngine.load_version(spark, path, v_new)
+
+    def keyed_diff(old: DataFrame, new: DataFrame, key_cols: list[str]):
+        rest = [c for c in old.columns if c not in key_cols]
+        pack = lambda df: df.select(  # noqa: E731
+            *key_cols, F.to_json(F.struct(*rest)).alias("_row"))
+        o = pack(old).alias("o")
+        n = pack(new).alias("n")
+        cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in key_cols]
+        j = o.join(n, cond, "full_outer")
+        o_absent = F.col(f"o.{key_cols[0]}").isNull()
+        n_absent = F.col(f"n.{key_cols[0]}").isNull()
+        return j.agg(
+            F.sum(o_absent.cast("long")).alias("inserts"),
+            F.sum(n_absent.cast("long")).alias("deletes"),
+            F.sum((~o_absent & ~n_absent
+                   & (F.col("o._row") != F.col("n._row"))).cast("long"))
+            .alias("updates"))
+
+    def set_diff(old: DataFrame, new: DataFrame):
+        return spark.createDataFrame([(
+            new.exceptAll(old).count(), old.exceptAll(new).count(), 0,
+        )], "inserts long, deletes long, updates long")
+
+    parts = [
+        keyed_diff(old_eng.nodes, new_eng.nodes, ["id"])
+        .select(F.lit("nodes").alias("table"), "inserts", "deletes",
+                "updates"),
+        set_diff(old_eng.node_files, new_eng.node_files)
+        .select(F.lit("node_files").alias("table"), "inserts", "deletes",
+                "updates"),
+        set_diff(old_eng.tag_bank, new_eng.tag_bank)
+        .select(F.lit("tag_bank").alias("table"), "inserts", "deletes",
+                "updates"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
