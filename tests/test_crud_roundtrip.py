@@ -299,3 +299,22 @@ def test_diff_versions_summary(spark, tmp_path):
     same = {r["table"]: (r["inserts"], r["deletes"], r["updates"])
             for r in diff_versions(spark, path, v2, v2).collect()}
     assert all(v == (0, 0, 0) for v in same.values())
+
+
+def test_merge_nodes_delete_clause(spark):
+    from thewhisperdb_spark.crud import GraphEngine
+    from thewhisperdb_spark.schemas import NODE_SCHEMA
+
+    eng = GraphEngine(spark)
+    a = eng.ingest_node({"title": "keep", "author": "x", "subject": "s"})
+    b = eng.ingest_node({"title": "drop", "author": "x", "subject": "s"})
+    updates = spark.createDataFrame([], NODE_SCHEMA)
+    eng.merge_nodes(updates, delete_ids=[b])
+    assert [r["id"] for r in eng.nodes.collect()] == [a]
+    # DataFrame form of delete_ids works too
+    eng2 = GraphEngine(spark)
+    c = eng2.ingest_node({"title": "c", "author": "x", "subject": "s"})
+    d = eng2.ingest_node({"title": "d", "author": "x", "subject": "s"})
+    dels = spark.createDataFrame([(d,)], "id long")
+    eng2.merge_nodes(updates, delete_ids=dels)
+    assert [r["id"] for r in eng2.nodes.collect()] == [c]

@@ -297,14 +297,17 @@ class GraphEngine:
                 .otherwise(F.col("embedding")))
         self.nodes = df
 
-    def merge_nodes(self, updates) -> None:
-        """Batch MERGE INTO (upsert): one full-outer join on id — matched
-        rows are replaced by the update row, unmatched update rows are
-        inserted, untouched rows pass through. This is the set-oriented form
-        of M1/M2: where the reference pays a whole-DB rewrite PER mutation
+    def merge_nodes(self, updates, delete_ids=None) -> None:
+        """Batch MERGE INTO: one full-outer join on id — matched rows are
+        replaced by the update row, unmatched update rows are inserted,
+        untouched rows pass through; ids listed in ``delete_ids`` (an
+        iterable or a 1-column DataFrame) are removed — the WHEN MATCHED
+        THEN DELETE clause. This is the set-oriented form of M1/M2/M3: where
+        the reference pays a whole-DB rewrite PER mutation
         (``src/core/GraphDB.cpp:388,412``) and ``update_node`` patches one
-        row per call, a 10M-row delta costs ONE shuffle join and one
-        snapshot write. ``updates`` must carry the full node schema."""
+        row per call, a 10M-row delta costs ONE shuffle join (plus an
+        anti-join for deletes) and one snapshot write. ``updates`` must
+        carry the full node schema."""
         up = updates.select(*[F.col(f.name).cast(f.dataType)
                               for f in NODE_SCHEMA.fields])
         o = self.nodes.alias("o")
@@ -314,6 +317,14 @@ class GraphEngine:
             F.when(F.col("u._is_up").isNotNull(), F.col(f"u.{c}"))
             .otherwise(F.col(f"o.{c}")).alias(c)
             for c in [f.name for f in NODE_SCHEMA.fields]])
+        if delete_ids is not None:
+            if isinstance(delete_ids, DataFrame):
+                dels = delete_ids.select(
+                    F.col(delete_ids.columns[0]).cast("long").alias("id"))
+            else:
+                dels = self.spark.createDataFrame(
+                    [(int(i),) for i in delete_ids], "id long")
+            merged = merged.join(dels, "id", "left_anti")
         self.nodes = merged
 
     # ---- M3 delete ---------------------------------------------------------
