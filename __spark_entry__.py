@@ -1181,7 +1181,10 @@ def range_window_user_activity(spark, sf_dir):
 
 
 @q("json_extract_props_sum",
-   "SELECT event_type, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_total, "
+   # outer CAST: DuckDB SUM(BIGINT) yields HUGEINT (-> float64 in pandas)
+   # while Spark stays int64 — identical values, divergent hash. Pin BIGINT.
+   "SELECT event_type, "
+   "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total, "
    "count(*) AS n FROM events GROUP BY event_type")
 def json_extract_props_sum(spark, sf_dir):
     # semi-structured extraction: JSON props column -> typed field -> agg
@@ -1361,11 +1364,21 @@ def price_quartiles_approx(spark, sf_dir):
     # sort, so the plan stays one shuffle at any data size (the exact
     # interpolated percentile needs the full group materialized). Approximate
     # -> rows-only; tests/test_relational.py bounds the rank error vs exact.
+    # Output is exploded to scalar rows (priority, quartile, value) — an
+    # array<double> column is not canonicalizable by hash-based comparators.
     o = load_table(spark, sf_dir, "orders")
-    return (o.groupBy("o_orderpriority")
-            .agg(F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000)
-                 .alias("approx_quartiles"),
-                 F.count(F.lit(1)).alias("n")))
+    agg = (o.groupBy("o_orderpriority")
+           .agg(F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000)
+                .alias("qs"),
+                F.count(F.lit(1)).alias("n")))
+    q_idx = F.array(F.lit(25), F.lit(50), F.lit(75))
+    return (agg.select("o_orderpriority", "n",
+                       F.explode(F.arrays_zip(q_idx.alias("quartile"),
+                                              F.col("qs").alias("value")))
+                       .alias("z"))
+            .select("o_orderpriority",
+                    F.col("z.quartile").alias("quartile"),
+                    F.col("z.value").alias("value"), "n"))
 
 
 @q("lead_lag_order_gaps",
@@ -2420,13 +2433,15 @@ def events_robust_outliers(spark, sf_dir):
 
 @q("table_checksum_documents",
    "SELECT COUNT(*) AS n_rows, "
-   "bit_xor(CAST('0x' || substr(md5(concat_ws('|', "
+   "CAST(CAST(SUM(CAST('0x' || substr(md5(concat_ws('|', "
    "CAST(doc_id AS VARCHAR), lang, source, CAST(n_chars AS VARCHAR))), "
-   "1, 15) AS BIGINT)) AS checksum FROM documents")
+   "1, 15) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum "
+   "FROM documents")
 def table_checksum_documents(spark, sf_dir):
     # order-insensitive cross-engine content checksum (anti-entropy /
     # migration verification): per-row md5 of the canonical string, first 60
-    # bits XOR-folded — partitioning- and engine-independent by construction
+    # bits summed in decimal — partitioning- and engine-independent, and
+    # (unlike an XOR fold) duplicate rows never cancel out
     from thewhisperdb_spark.operators.aggregates import table_checksum
 
     return table_checksum(_docs(spark, sf_dir),
@@ -2565,8 +2580,11 @@ def bfs_hops(spark, sf_dir):
     # frontier-expansion joins vs the oracle's bounded recursive CTE
     e = _emb(spark, sf_dir)
     pairs = V.similar_pairs(e, COS_EDGE_THRESHOLD)
+    # max_iter=15 matches the oracle CTE's lvl < 15 bound exactly — both
+    # engines truncate at the same depth on any dataset
     lv = G.bfs_levels(pairs.select(F.col("a").alias("src"),
-                                   F.col("b").alias("dst")), source=0)
+                                   F.col("b").alias("dst")), source=0,
+                      max_iter=15)
     return lv.select("id", F.col("hops").cast("long").alias("hops"))
 
 

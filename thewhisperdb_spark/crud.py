@@ -19,8 +19,9 @@ from __future__ import annotations
 import os
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType
 
 from thewhisperdb_spark.schemas import (
     NODE_FILES_SCHEMA,
@@ -310,6 +311,16 @@ class GraphEngine:
         carry the full node schema."""
         up = updates.select(*[F.col(f.name).cast(f.dataType)
                               for f in NODE_SCHEMA.fields])
+        # Real MERGE INTO rejects multiple matches per target row; a
+        # duplicate id in `updates` would otherwise fan out through the
+        # full-outer join. Resolve deterministically: keep the greatest
+        # tuple per id (stable regardless of partitioning).
+        wdup = Window.partitionBy("id").orderBy(
+            *[F.col(f.name).desc_nulls_last() for f in NODE_SCHEMA.fields
+              if f.name != "id" and not isinstance(
+                  f.dataType, (ArrayType, MapType))])
+        up = (up.withColumn("_rn", F.row_number().over(wdup))
+              .filter(F.col("_rn") == 1).drop("_rn"))
         o = self.nodes.alias("o")
         u = up.withColumn("_is_up", F.lit(True)).alias("u")
         joined = o.join(u, F.col("o.id") == F.col("u.id"), "full_outer")
@@ -454,12 +465,22 @@ class GraphEngine:
         if version is None:
             return cls(spark)  # no snapshots yet -> empty DB (S3 semantics)
         vdir = os.path.join(path, f"v={version}")
+        # A pinned (or pointer-resolved) version must exist: silently
+        # returning an empty DB for a pruned/mistyped version would make a
+        # time-travel read lie. The empty-DB fallback above is reserved for
+        # version=None with no snapshots at all.
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(
+                f"snapshot version {version} not found under {path}")
         dfs = {}
         for t in _TABLES:
-            try:
-                dfs[t] = spark.read.parquet(os.path.join(vdir, t))
-            except Exception:
-                dfs[t] = None
+            tdir = os.path.join(vdir, t)
+            if not os.path.exists(tdir):
+                dfs[t] = None  # table legitimately absent in this snapshot
+            else:
+                # corrupt/unreadable table in an existing snapshot -> raise;
+                # swallowing it would silently drop data from the read
+                dfs[t] = spark.read.parquet(tdir)
         return cls(spark, dfs["nodes"], dfs["node_files"], dfs["tag_bank"])
 
 

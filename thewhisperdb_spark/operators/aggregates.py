@@ -135,16 +135,20 @@ def cms_estimate(sketch: DataFrame, terms: DataFrame, term_col: str = "term",
 def table_checksum(df: DataFrame, *cols: str) -> DataFrame:
     """Order-insensitive content checksum over the given columns: per row,
     md5 of the canonical '|'-joined string (nulls -> a sentinel), the first
-    60 bits parsed to a long, XOR-aggregated. XOR is commutative/associative,
-    so the checksum is independent of partitioning, ordering, and engine —
-    the cheap anti-entropy check for replication, migration, and
-    snapshot-copy verification (two tables agree iff their checksums and
-    counts both agree, up to the 2^-60 collision-XOR cancellation odds).
-    One partial-aggregating scan, 16 bytes of state per partition.
+    60 bits parsed to a long, SUM-aggregated in decimal (not XOR — XOR
+    cancels any row occurring an even number of times, so two tables with
+    equal counts but different duplicated rows could collide; a sum keeps
+    duplicates contributing). Sum is commutative/associative, so the
+    checksum is independent of partitioning, ordering, and engine — the
+    cheap anti-entropy check for replication, migration, and snapshot-copy
+    verification. Decimal(38,0) headroom covers 2^66 rows of 60-bit hashes
+    without overflow; emitted as a string for engine-neutral rendering.
+    One partial-aggregating scan, tiny fixed state per partition.
     Returns (n_rows, checksum)."""
     canon = F.concat_ws(
         "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     return df.select(h.alias("_h")).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.expr("bit_xor(_h)").alias("checksum"))
+        F.sum(F.col("_h").cast("decimal(38,0)")).cast("string")
+        .alias("checksum"))

@@ -61,18 +61,20 @@ def zorder_by(df: DataFrame, c1: str, c2: str, n_partitions: int | None = None,
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = max(spark.sparkContext.defaultParallelism, 2)
-    bounds = df.agg(F.min(c1).alias("lo1"), F.max(c1).alias("hi1"),
-                    F.min(c2).alias("lo2"), F.max(c2).alias("hi2"))
+    # internal names are __zo_-prefixed so a user column named lo1/hi1/_z
+    # can't collide with (or be dropped by) the bounds join
+    bounds = df.agg(F.min(c1).alias("__zo_lo1"), F.max(c1).alias("__zo_hi1"),
+                    F.min(c2).alias("__zo_lo2"), F.max(c2).alias("__zo_hi2"))
     z = zvalue(
-        _scale_to_bits(F.col(c1), F.col("lo1"), F.col("hi1"), bits),
-        _scale_to_bits(F.col(c2), F.col("lo2"), F.col("hi2"), bits),
+        _scale_to_bits(F.col(c1), F.col("__zo_lo1"), F.col("__zo_hi1"), bits),
+        _scale_to_bits(F.col(c2), F.col("__zo_lo2"), F.col("__zo_hi2"), bits),
         bits,
     )
     return (df.crossJoin(F.broadcast(bounds))
-            .withColumn("_z", z)
-            .repartitionByRange(n_partitions, "_z")
-            .sortWithinPartitions("_z")
-            .drop("_z", "lo1", "hi1", "lo2", "hi2"))
+            .withColumn("__zo_z", z)
+            .repartitionByRange(n_partitions, "__zo_z")
+            .sortWithinPartitions("__zo_z")
+            .drop("__zo_z", "__zo_lo1", "__zo_hi1", "__zo_lo2", "__zo_hi2"))
 
 
 def zorder_write(df: DataFrame, path: str, c1: str, c2: str,
