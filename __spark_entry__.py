@@ -1959,19 +1959,64 @@ def triangle_count_q(spark, sf_dir):
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
 
 
-@q("pagerank_top", None)
+def _pagerank_sql(n_iter: int = 10, damping: float = 0.85,
+                  threshold: float = COS_EDGE_THRESHOLD, topk: int = 20) -> str:
+    """DuckDB twin of graph.pagerank: the fixed-iteration power method
+    unrolled as chained CTEs (one dangling-mass scalar, one contribution
+    aggregate, one damping blend per round — exactly the Spark loop body).
+    Recursive CTEs can't aggregate in the recursive term, but a FIXED
+    iteration count needs no recursion at all. Every CTE is MATERIALIZED:
+    DuckDB inlines CTEs by default, and r{{i+1}} references r{{i}} twice
+    (dangling scalar + contributions) — inlined, the plan tree doubles per
+    round (2^10 copies of the n^2 cosine join) and never finishes."""
+    parts = [
+        "WITH " + _cos_pairs_sql(threshold).replace(
+            "e AS (", "e AS MATERIALIZED (", 1).replace(
+            "pairs AS (", "pairs AS MATERIALIZED (", 1) + ",",
+        "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs),",
+        "verts AS MATERIALIZED (SELECT vec_id AS id FROM embeddings),",
+        "st AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg "
+        "FROM und GROUP BY 1),",
+        "r0 AS MATERIALIZED (SELECT v.id, 1.0 / st.n AS rank "
+        "FROM verts v CROSS JOIN st)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f", d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm "
+            f"FROM r{i} r LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL)"
+            f", c{i} AS MATERIALIZED (SELECT u.dst AS id, "
+            f"SUM(r.rank / g.deg) AS c "
+            f"FROM und u JOIN deg g ON g.id = u.src "
+            f"JOIN r{i} r ON r.id = u.src GROUP BY u.dst)"
+            f", r{i + 1} AS MATERIALIZED (SELECT v.id, "
+            f"(1.0 - {damping}) / st.n "
+            f"+ {damping} * (COALESCE(c.c, 0.0) + d.dm / st.n) AS rank "
+            f"FROM verts v CROSS JOIN st CROSS JOIN d{i} d "
+            f"LEFT JOIN c{i} c ON c.id = v.id)")
+    parts.append(
+        f" SELECT id, round(rank, 6) AS rank FROM r{n_iter} "
+        f"ORDER BY round(rank, 6) DESC, id LIMIT {topk}")
+    return "".join(parts)
+
+
+@q("pagerank_top", _pagerank_sql())
 def pagerank_top(spark, sf_dir):
     # PageRank over the similarity graph (dangling mass redistributed so
-    # ranks stay a distribution); float-iterative -> rows-only; pytest pins
-    # exact ranks on known graphs. Top-20 hubs with id tiebreak.
+    # ranks stay a distribution). Fixed iteration count -> the oracle unrolls
+    # the same 10 power-method rounds as chained CTEs; ordering on the
+    # 6-decimal rounded rank keeps the top-20 cut identical across engines
+    # (raw doubles drift ~1e-15 between summation orders).
     e = _emb(spark, sf_dir)
     pairs = V.similar_pairs(e, COS_EDGE_THRESHOLD)
     ranks = G.pagerank(e.select(F.col("vec_id").alias("id")),
                        pairs.select(F.col("a").alias("src"),
                                     F.col("b").alias("dst")),
                        n_iter=10)
-    return (ranks.orderBy(F.col("rank").desc(), F.col("id")).limit(20)
-            .select("id", F.round("rank", 6).alias("rank")))
+    r6 = F.round("rank", 6)
+    return (ranks.orderBy(r6.desc(), F.col("id")).limit(20)
+            .select("id", r6.alias("rank")))
 
 
 @q("graph_core_numbers", None)
@@ -2765,6 +2810,250 @@ def pretraining_pipeline_stats(spark, sf_dir):
     return pipeline_stage_counts(_docs(spark, sf_dir))
 
 
+# ---- round-3 surface: analytic-SQL breadth (each with a DuckDB twin) ------
+
+
+@q("ntile_customer_spend",
+   "WITH s AS (SELECT o_custkey, "
+   "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend "
+   "FROM orders GROUP BY 1) "
+   "SELECT o_custkey, spend, "
+   "CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile "
+   "FROM s")
+def ntile_customer_spend(spark, sf_dir):
+    # equal-height decile assignment over customer lifetime spend. ntile over
+    # an unpartitioned window is a single-reducer total sort — fine for the
+    # customer dimension (orders-of-magnitude smaller than the fact table);
+    # the fact-scale path is order_price_deciles' percentile bucketing.
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    s = (o.groupBy("o_custkey")
+         .agg(F.sum(_dec("o_totalprice")).cast("double").alias("spend")))
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return s.select("o_custkey", "spend",
+                    F.ntile(10).over(w).cast("long").alias("decile"))
+
+
+@q("median_price_by_brand",
+   "SELECT p_brand, "
+   "round(quantile_cont(p_retailprice, 0.25), 6) AS p25, "
+   "round(quantile_cont(p_retailprice, 0.5), 6) AS p50, "
+   "round(quantile_cont(p_retailprice, 0.75), 6) AS p75, "
+   "count(*) AS n FROM part GROUP BY p_brand")
+def median_price_by_brand(spark, sf_dir):
+    # EXACT interpolated quantiles (Spark `percentile` == DuckDB
+    # quantile_cont: both rank at (n-1)*p with linear interpolation).
+    # The exact form needs each group materialized for a sort — right for a
+    # bounded dimension; price_quartiles_approx is the sketch-mergeable
+    # fact-scale twin. Round 6 absorbs the interpolation's float product.
+    p = load_table(spark, sf_dir, "part")
+    return (p.groupBy("p_brand")
+            .agg(F.round(F.percentile("p_retailprice", F.lit(0.25)), 6)
+                 .alias("p25"),
+                 F.round(F.percentile("p_retailprice", F.lit(0.5)), 6)
+                 .alias("p50"),
+                 F.round(F.percentile("p_retailprice", F.lit(0.75)), 6)
+                 .alias("p75"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@q("argmax_supplier_per_nation",
+   "WITH r AS (SELECT n.n_name, s.s_name, s.s_acctbal, "
+   "row_number() OVER (PARTITION BY n.n_name "
+   "ORDER BY s.s_acctbal DESC, s.s_suppkey DESC) AS rmax, "
+   "row_number() OVER (PARTITION BY n.n_name "
+   "ORDER BY s.s_acctbal ASC, s.s_suppkey ASC) AS rmin "
+   "FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey) "
+   "SELECT a.n_name, a.s_name AS top_supplier, a.s_acctbal AS top_acctbal, "
+   "b.s_name AS bottom_supplier, b.s_acctbal AS bottom_acctbal "
+   "FROM r a JOIN r b ON a.n_name = b.n_name AND a.rmax = 1 AND b.rmin = 1")
+def argmax_supplier_per_nation(spark, sf_dir):
+    # arg-max/arg-min surface: richest and poorest supplier per nation in ONE
+    # grouped aggregation (max_by/min_by carry the payload with the extremum
+    # — no self-join, no window sort over the full table). Struct keys make
+    # the tie-break (suppkey) explicit; the oracle's windowed row_number
+    # implements the same deterministic semantics.
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+    key = F.struct("s_acctbal", "s_suppkey")
+    return (j.groupBy("n_name")
+            .agg(F.max_by("s_name", key).alias("top_supplier"),
+                 F.max(key).getField("s_acctbal").alias("top_acctbal"),
+                 F.min_by("s_name", key).alias("bottom_supplier"),
+                 F.min(key).getField("s_acctbal").alias("bottom_acctbal")))
+
+
+@q("monthly_revenue_trend",
+   "WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') "
+   "AS month, "
+   "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue, "
+   "count(*) AS n_orders FROM orders GROUP BY 1) "
+   "SELECT month, revenue, n_orders, "
+   "round(revenue - lag(revenue) OVER (ORDER BY month), 6) AS mom_delta "
+   "FROM m")
+def monthly_revenue_trend(spark, sf_dir):
+    # calendar rollup + month-over-month delta: date_trunc bucketing keeps
+    # the grouped state at |months| rows, and the trend window sorts only
+    # that tiny aggregate — never the fact table. Month as 'YYYY-MM' string:
+    # pandas renders Spark DATE as objects but DuckDB DATE as datetime64,
+    # hash-diverging on dtype alone.
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    m = (o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+         .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+              F.count(F.lit(1)).alias("n_orders")))
+    w = Window.orderBy("month")
+    return m.select("month", "revenue", "n_orders",
+                    F.round(F.col("revenue") - F.lag("revenue").over(w), 6)
+                    .alias("mom_delta"))
+
+
+@q("regexp_count_terms",
+   "SELECT doc_id, "
+   "CAST(len(regexp_extract_all(text, '(table|query)')) AS BIGINT) AS n_hits, "
+   "CAST(length(text) AS BIGINT) AS n_chars_raw FROM documents")
+def regexp_count_terms(spark, sf_dir):
+    # regex occurrence counting stays JVM-side (regexp_count compiles into
+    # whole-stage codegen) — the grep primitive under quality filters
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("(table|query)")).cast("long")
+        .alias("n_hits"),
+        F.length("text").cast("long").alias("n_chars_raw"))
+
+
+@q("array_tag_set_ops",
+   "WITH t AS (SELECT doc_id, " + _SQL_TOKENS + " AS tags FROM documents) "
+   "SELECT doc_id, "
+   "CAST(len(list_intersect(tags, ['table', 'hash', 'window', 'spark'])) "
+   "AS BIGINT) AS n_common, "
+   "CAST(len(list_distinct(list_concat(tags, "
+   "['table', 'hash', 'window', 'spark']))) AS BIGINT) AS n_union "
+   "FROM t")
+def array_tag_set_ops(spark, sf_dir):
+    # array set algebra against a constant probe set — intersect/union sizes
+    # ride the scan as pure expressions (no explode, no shuffle)
+    probe = F.array(*[F.lit(x) for x in ["table", "hash", "window", "spark"]])
+    d = _docs_tagged(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.array_intersect("tags", probe)).cast("long")
+        .alias("n_common"),
+        F.size(F.array_union("tags", probe)).cast("long").alias("n_union"))
+
+
+@q("top3_parts_per_brand",
+   "WITH r AS (SELECT p.p_brand, l.l_partkey, "
+   "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * "
+   "(CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) "
+   "AS DOUBLE) AS revenue "
+   "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+   "GROUP BY 1, 2) "
+   "SELECT p_brand, l_partkey, revenue, CAST(rnk AS BIGINT) AS rnk FROM "
+   "(SELECT *, rank() OVER (PARTITION BY p_brand "
+   "ORDER BY revenue DESC, l_partkey) AS rnk FROM r) WHERE rnk <= 3")
+def top3_parts_per_brand(spark, sf_dir):
+    # top-N per group: aggregate first (shrinks the window input to one row
+    # per (brand, part)), then a partitioned rank — the window never sees
+    # the raw fact table
+    from pyspark.sql import Window
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+           .groupBy("p_brand", "l_partkey")
+           .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
+                .cast("double").alias("revenue")))
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(),
+                                              "l_partkey")
+    return (rev.withColumn("rnk", F.rank().over(w).cast("long"))
+            .filter(F.col("rnk") <= 3))
+
+
+@q("nation_market_share",
+   "WITH srev AS (SELECT n.n_name, s.s_suppkey, "
+   "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * "
+   "(CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) "
+   "AS DOUBLE) AS revenue "
+   "FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+   "JOIN nation n ON n.n_nationkey = s.s_nationkey GROUP BY 1, 2) "
+   "SELECT n_name, s_suppkey, revenue, "
+   "round(revenue / SUM(revenue) OVER (PARTITION BY n_name), 6) AS share "
+   "FROM srev")
+def nation_market_share(spark, sf_dir):
+    # ratio-to-report: each supplier's share of its nation's revenue — the
+    # window runs over the pre-aggregated (nation, supplier) grain, one row
+    # per supplier, after the fact-table shuffle has already reduced
+    from pyspark.sql import Window
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    srev = (li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+            .groupBy("n_name", "s_suppkey")
+            .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
+                 .cast("double").alias("revenue")))
+    w = Window.partitionBy("n_name")
+    return srev.select("n_name", "s_suppkey", "revenue",
+                       F.round(F.col("revenue") / F.sum("revenue").over(w), 6)
+                       .alias("share"))
+
+
+@q("events_time_heatmap",
+   "SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, "
+   "CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n "
+   "FROM events GROUP BY 1, 2, 3")
+def events_time_heatmap(spark, sf_dir):
+    # activity heatmap grain (type x ISO weekday x hour): calendar functions
+    # evaluate in-scan; the aggregate is bounded at |types| x 7 x 24 rows
+    # regardless of event volume
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type",
+                       (F.weekday("ts") + 1).cast("long").alias("dow"),
+                       F.hour("ts").cast("long").alias("hod"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("orders_year_quarter_rollup",
+   "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, "
+   "CAST(quarter(o_orderdate) AS BIGINT) AS qtr, "
+   "count(*) AS n_orders, "
+   "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+   "FROM orders GROUP BY 1, 2")
+def orders_year_quarter_rollup(spark, sf_dir):
+    # fiscal-calendar rollup: year/quarter derivations group the fact table
+    # into a handful of buckets — partial aggregation does nearly all the
+    # work map-side
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").cast("long").alias("yr"),
+                      F.quarter("o_orderdate").cast("long").alias("qtr"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("revenue")))
+
+
+@q("string_normalize_suite",
+   "WITH c AS (SELECT doc_id, "
+   "trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS cleaned, "
+   "text FROM documents) "
+   "SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw, "
+   "CAST(length(cleaned) AS BIGINT) AS len_clean, "
+   "substr(cleaned, 1, 40) AS prefix, "
+   "reverse(substr(cleaned, 1, 40)) AS prefix_rev FROM c")
+def string_normalize_suite(spark, sf_dir):
+    # string-normalization surface (lower/regexp_replace/trim/substr/reverse)
+    # — all JVM expressions in one codegen stage, the canonicalization layer
+    # under dedup keys and fingerprints
+    d = _docs(spark, sf_dir)
+    cleaned = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_raw"),
+        F.length(cleaned).cast("long").alias("len_clean"),
+        F.substring(cleaned, 1, 40).alias("prefix"),
+        F.reverse(F.substring(cleaned, 1, 40)).alias("prefix_rev"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2782,64 +3071,16 @@ def entry(spark: SparkSession) -> DataFrame:
                        F.size("tags").cast("long").alias("n_tags"))
 
 
-# Queries the round-1 driver never produced a CORRECTNESS row for (its check
-# window covered the first 50 registry entries). List them first so this
-# round's window verifies them; the long-green F1-F10 block moves to the back.
+# Round-3 rotation: the driver's CORRECTNESS window covers the FIRST 50
+# registry entries, so order = verification priority. Front: the two round-2
+# failures (both fixed), then every key that has never had a driver row, then
+# the round-3 additions. Back: rows-only (no-oracle) keys and everything
+# already stamped green in rounds 1-2 (93 keys).
 _VERIFY_FIRST = [
-    # round-1 hard failures (events nanos read — fixed in catalog.load_table)
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    # declared oracle queries with no round-1 row
-    "rollup_revenue_region_nation",
-    "pivot_event_type_values",
-    "asof_join_last_order",
-    "tfidf_top_terms",
-    "events_windowed_agg",
-    "events_sessionize",
-    "price_quartiles_by_priority",
-    "cube_revenue_flag_status",
-    "order_price_deciles",
-    "correlated_order_item_count",
-    "range_window_user_activity",
-    "json_extract_props_sum",
-    "users_click_and_purchase",
-    "users_click_no_purchase",
-    "running_revenue_per_customer",
-    "normalize_tags_scalar",
-    "llm_tag_extraction",
-    "events_user_stats",
-    "streaming_windowed_counts",
-    "streaming_dedup",
-    "streaming_sessionize",
-    "lead_lag_order_gaps",
-    "range_join_clicks_before_purchase",
-    "near_dup_drop",
-    "price_quartiles_approx",
-    # round-2 additions (never had a CORRECTNESS row)
-    "deterministic_sample",
-    "stratified_sample_by_lang",
-    "grouping_sets_revenue",
-    "word_freq_topk",
-    "decontaminate_train_test",
-    "repetition_ratio",
-    "boilerplate_prefix_groups",
-    "skew_safe_distinct_users",
-    "salted_user_event_totals",
-    "first_last_event_per_user",
-    "events_sliding_window_counts",
-    "set_intersect_sources",
-    "set_except_sources",
-    "events_zscore_outliers",
-    "streaming_sliding_counts",
-    "streaming_click_purchase_join",
-    "kmeans_clusters",
-    "kmeans_diverse_sample",
-    "mixture_sample_by_lang",
-    "quality_filter_pipeline",
-    "incremental_prefix_dedup",
-    "jsonl_roundtrip_by_lang",
-    "triangle_count",
-    "pagerank_top",
+    # round-2 defects, fixed this round — collect the green stamp
+    "json_extract_props_sum",       # oracle dtype pinned to BIGINT
+    "price_quartiles_approx",       # exploded to hashable scalar rows
+    # never-stamped oracle-backed keys (round-2 additions past position 50)
     "unigram_surprisal_score",
     "streaming_enrich_segment_totals",
     "retention_cohorts",
@@ -2858,7 +3099,6 @@ _VERIFY_FIRST = [
     "phrase_search",
     "bloom_semi_join_lineitem",
     "scd2_point_in_time_join",
-    "pretraining_pipeline_stats",
     "orc_roundtrip_by_source",
     "rolling_active_users_7d",
     "part_cooccurrence_top",
@@ -2877,7 +3117,23 @@ _VERIFY_FIRST = [
     "events_robust_outliers",
     "pii_detection_report",
     "catalog_table_stats",
-    # rows-only entries (weaker check, but a row beats no row)
+    # newly oracle-backed this round (was rows-only)
+    "pagerank_top",
+    # round-3 analytic-SQL additions
+    "ntile_customer_spend",
+    "median_price_by_brand",
+    "argmax_supplier_per_nation",
+    "monthly_revenue_trend",
+    "regexp_count_terms",
+    "array_tag_set_ops",
+    "top3_parts_per_brand",
+    "nation_market_share",
+    "events_time_heatmap",
+    "orders_year_quarter_rollup",
+    "string_normalize_suite",       # position 51: in-suite parity covers it
+    # rows-only entries behind every oracle-backed key (the weaker check
+    # shouldn't burn a window slot while oracle stamps are still missing)
+    "pretraining_pipeline_stats",
     "cms_word_counts",
     "events_distinct_users_hll",
     "minhash_lsh_dedup",

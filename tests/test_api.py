@@ -82,3 +82,70 @@ def test_similar_and_cluster_job(engine):
     assert all("similarity" in n for n in env["nodes"])
     sims = [n["similarity"] for n in env["nodes"]]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_dispatch_error_matrix(engine):
+    """The reference's documented error paths (CURL_TESTS.md:326-445) through
+    the transport-free router: every row is (request) -> (status code,
+    error envelope) exactly as the golden curl outputs discriminate them."""
+    # node not found -> 404 {"status":"error","message":...}
+    code, env = api.dispatch(engine, "GET", "/api/nodes/999")
+    assert code == 404 and env["status"] == "error"
+    assert "999" in env["message"]
+    # wrong method on an existing path -> 405 "Method not allowed"
+    code, env = api.dispatch(engine, "DELETE", "/api/nodes")
+    assert (code, env) == (405, {"status": "error",
+                                 "message": "Method not allowed"})
+    # missing required field -> 400
+    code, env = api.dispatch(engine, "POST", "/api/nodes",
+                             body={"title": "Без автора"})
+    assert code == 400 and env["status"] == "error"
+    # invalid JSON -> 400 "Invalid JSON: ..."
+    code, env = api.dispatch(engine, "POST", "/api/nodes", body="{invalid}")
+    assert code == 400 and env["message"].startswith("Invalid JSON")
+    # empty body -> 400 "No data received" (src/main.cpp:196)
+    code, env = api.dispatch(engine, "POST", "/api/nodes", body=None)
+    assert (code, env) == (400, {"status": "error",
+                                 "message": "No data received"})
+    # unknown endpoint -> 404 "Endpoint not found"
+    code, env = api.dispatch(engine, "GET", "/api/unknown")
+    assert (code, env) == (404, {"status": "error",
+                                 "message": "Endpoint not found"})
+    # non-integer id -> 400 (endpoint.hpp int param coercion)
+    code, env = api.dispatch(engine, "GET", "/api/nodes/abc")
+    assert code == 400 and env["status"] == "error"
+
+
+def test_dispatch_crud_roundtrip(engine):
+    """CURL_TESTS.md full CRUD script (:389-445) through dispatch: health ->
+    create -> get -> update -> verify -> list -> delete -> verify-gone."""
+    code, env = api.dispatch(engine, "GET", "/health")
+    assert code == 200 and env["status"] == "ok"
+    assert env["service"] == "TheWhisperDB" and env["nodes_count"] == 3
+
+    code, env = api.dispatch(
+        engine, "POST", "/api/nodes",
+        body='{"title":"Test Node","author":"Tester","subject":"Testing"}')
+    assert code == 201 and env["status"] == "success"
+    nid = env["nodeId"]
+
+    code, env = api.dispatch(engine, "GET", f"/api/nodes/{nid}")
+    assert code == 200 and env["node"]["title"] == "Test Node"
+
+    code, env = api.dispatch(
+        engine, "PUT", f"/api/nodes/{nid}",
+        body='{"title":"Updated Title","description":"Added description"}')
+    assert code == 200 and env["status"] == "success"
+    code, env = api.dispatch(engine, "GET", f"/api/nodes/{nid}")
+    assert env["node"]["title"] == "Updated Title"
+
+    code, env = api.dispatch(engine, "GET", "/api/nodes")
+    assert code == 200 and env["count"] == 4
+    code, env = api.dispatch(engine, "GET", "/api/nodes/count",
+                             query={"author": "Tester"})
+    assert code == 200 and env["count"] == 1
+
+    code, env = api.dispatch(engine, "DELETE", f"/api/nodes/{nid}")
+    assert code == 200 and env["status"] == "success"
+    code, env = api.dispatch(engine, "GET", f"/api/nodes/{nid}")
+    assert code == 404 and env["status"] == "error"

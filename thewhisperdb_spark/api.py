@@ -198,3 +198,123 @@ def run_cluster_job(engine: GraphEngine, threshold: Any = 0.75,
                          clusters.orderBy(F.size("members").desc(),
                                           "component").collect()],
             "statistics": stats}
+
+
+# ---------------------------------------------------------------------------
+# transport-free router
+# ---------------------------------------------------------------------------
+
+# (method, path-pattern) endpoint table mirroring the reference's
+# ``server->add_endpoint`` registrations (``src/main.cpp:63-577,392-406``).
+# Patterns are '/'-segmented; ':name' segments capture path params. Order
+# matters: '/api/nodes/count' is matched before '/api/nodes/:id', same as the
+# reference's first-match loop (``src/server/wserver.cpp:226-231``).
+_ROUTES: list[tuple[str, str]] = [
+    ("GET", "/health"),
+    ("GET", "/api/nodes/count"),
+    ("GET", "/api/nodes/:id/similar"),
+    ("GET", "/api/nodes/:id"),
+    ("GET", "/api/nodes"),
+    ("POST", "/api/nodes"),
+    ("PUT", "/api/nodes/:id"),
+    ("DELETE", "/api/nodes/:id"),
+    ("POST", "/api/cluster"),
+]
+
+_LIST_PARAMS = ("sort", "order", "limit", "offset")
+
+
+def _match(pattern: str, path: str) -> dict[str, str] | None:
+    pseg = pattern.strip("/").split("/")
+    seg = path.strip("/").split("/")
+    if len(pseg) != len(seg):
+        return None
+    params: dict[str, str] = {}
+    for p, s in zip(pseg, seg):
+        if p.startswith(":"):
+            params[p[1:]] = s
+        elif p != s:
+            return None
+    return params
+
+
+def _parse_body(body) -> dict:
+    """JSON-body discipline of the reference's POST/PUT handlers: no body ->
+    400 "No data received" (``src/main.cpp:196``), malformed JSON -> 400
+    "Invalid JSON: ..." (``src/main.cpp:235``); a pre-parsed dict passes
+    through (the multipart metadata part after extraction)."""
+    import json
+
+    if body is None or body == "":
+        raise ApiError(400, "No data received")
+    if isinstance(body, dict):
+        return body
+    try:
+        parsed = json.loads(body)
+    except (TypeError, ValueError) as e:
+        raise ApiError(400, f"Invalid JSON: {e}") from None
+    if not isinstance(parsed, dict):
+        raise ApiError(400, "Invalid JSON body")
+    return parsed
+
+
+def dispatch(engine: GraphEngine, method: str, path: str,
+             query: dict[str, str] | None = None, body=None,
+             files: list[tuple[str, bytes]] | None = None,
+             storage_root: str | None = None) -> tuple[int, dict]:
+    """Route one request to its handler and return ``(http_status,
+    envelope)`` — the reference's ``wserver.cpp`` request loop minus the
+    socket: unknown path -> 404 "Endpoint not found", known path with the
+    wrong method -> 405 "Method not allowed"
+    (``src/server/wserver.cpp:233-243``), handler-raised ApiError -> its
+    status with the error envelope, success -> 200 (201 for create)."""
+    method = method.upper()
+    query = query or {}
+    matched = None
+    path_exists = False
+    for m, pattern in _ROUTES:
+        params = _match(pattern, path)
+        if params is None:
+            continue
+        path_exists = True
+        if m == method:
+            matched = (pattern, params)
+            break
+    try:
+        if matched is None:
+            if path_exists:
+                raise ApiError(405, "Method not allowed")
+            raise ApiError(404, "Endpoint not found")
+        pattern, params = matched
+        if pattern == "/health":
+            return 200, {"status": "ok", "service": "TheWhisperDB",
+                         "nodes_count": engine.count()}
+        if pattern == "/api/nodes/count":
+            filters = {k: v for k, v in query.items() if k in FILTER_KEYS}
+            return 200, count_nodes(engine, filters)
+        if pattern == "/api/nodes/:id/similar":
+            return 200, similar_nodes(engine, params["id"],
+                                      k=query.get("k", 10))
+        if pattern == "/api/nodes/:id":
+            if method == "GET":
+                return 200, get_node(engine, params["id"])
+            if method == "PUT":
+                return 200, update_node(engine, params["id"],
+                                        _parse_body(body))
+            return 200, delete_node(engine, params["id"], storage_root)
+        if pattern == "/api/nodes":
+            if method == "GET":
+                filters = {k: v for k, v in query.items() if k in FILTER_KEYS}
+                return 200, list_nodes(
+                    engine, filters,
+                    sort=query.get("sort", "id"),
+                    order=query.get("order", "asc"),
+                    limit=query.get("limit", 0),
+                    offset=query.get("offset", 0))
+            return 201, create_node(engine, _parse_body(body), files,
+                                    storage_root)
+        # POST /api/cluster
+        b = _parse_body(body) if body not in (None, "") else {}
+        return 200, run_cluster_job(engine, b.get("threshold", 0.75))
+    except ApiError as e:
+        return e.status, {"status": "error", "message": str(e)}
