@@ -1000,13 +1000,34 @@ def line_dedup_reconstruct(spark, sf_dir):
     return D.unit_dedup(_docs(spark, sf_dir), unit_tokens=10)
 
 
-@q("cms_word_counts", None)
+_CMS_BUCKET = ("CAST('0x' || substr(md5({t} || '|' || {i}), 1, 8) AS BIGINT) "
+               "% 1024")
+
+
+@q("cms_word_counts",
+   "WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), "
+   "t -> t <> '')) AS term FROM documents), "
+   "rows_i AS (SELECT unnest([0, 1, 2, 3]) AS i), "
+   "keyed AS (SELECT term, i AS row_idx, "
+   + _CMS_BUCKET.format(t="term", i="i") + " AS bucket "
+   "FROM tok CROSS JOIN rows_i), "
+   "sketch AS (SELECT row_idx, bucket, count(*) AS cnt "
+   "FROM keyed GROUP BY 1, 2), "
+   "probes AS (SELECT unnest(['table', 'hash', 'window']) AS term), "
+   "pk AS (SELECT term, i AS row_idx, "
+   + _CMS_BUCKET.format(t="term", i="i") + " AS bucket "
+   "FROM probes CROSS JOIN rows_i) "
+   "SELECT pk.term, min(COALESCE(s.cnt, 0)) AS est FROM pk "
+   "LEFT JOIN sketch s ON s.row_idx = pk.row_idx AND s.bucket = pk.bucket "
+   "GROUP BY pk.term ORDER BY pk.term")
 def cms_word_counts(spark, sf_dir):
     # count-min sketch point estimates for the BM25 probe terms: the
     # mergeable-sketch path to corpus term stats (sketch <= d*w rows per
-    # shard, union+sum to combine shards). Hash-dependent (xxhash64) ->
-    # rows-only; pytest pins overestimate-only + epsilon bound + merge
-    # equivalence (test_pipeline_ops).
+    # shard, union+sum to combine shards). The md5-derived bucket function
+    # is engine-portable, so the ORACLE builds the identical sketch in SQL
+    # and the estimates match exactly; pytest additionally pins
+    # overestimate-only + epsilon bound + merge equivalence
+    # (test_pipeline_ops).
     d = _docs(spark, sf_dir)
     tok = d.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
     sketch = AG.cms_build(tok, "term")
@@ -1555,9 +1576,19 @@ def pq_knn(spark, sf_dir):
                          m=8, n_centroids=32, rerank=64)
 
 
-@q("doc_fingerprint", None)
+@q("doc_fingerprint",
+   # left join back to documents: a doc with zero tokens still gets a row
+   # (fingerprint 0 = the Spark fold's init), instead of vanishing from the
+   # GROUP BY
+   "WITH f AS (SELECT doc_id, bit_xor(CAST('0x' || substr(md5(t), 1, 15) "
+   "AS BIGINT)) AS fp FROM (SELECT doc_id, "
+   "unnest(" + _SQL_TOKENS + ") AS t FROM documents) GROUP BY doc_id) "
+   "SELECT d.doc_id, COALESCE(f.fp, 0) AS fingerprint "
+   "FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id")
 def doc_fingerprint(spark, sf_dir):
-    # rolling/content fingerprint via xxhash64 (not portable to DuckDB)
+    # order-insensitive content fingerprint: XOR of md5-derived hashes of
+    # the distinct token set — engine-portable by construction, so the
+    # oracle re-derives identical fingerprints from the same md5 bits
     return _docs(spark, sf_dir).select(
         "doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
 
@@ -2019,12 +2050,45 @@ def pagerank_top(spark, sf_dir):
             .select("id", r6.alias("rank")))
 
 
-@q("graph_core_numbers", None)
+def _core_sql(n_rounds: int = 50, threshold: float = COS_EDGE_THRESHOLD,
+              topk: int = 50) -> str:
+    """DuckDB twin of graph.core_numbers: the h-index coreness fixpoint
+    unrolled as materialized CTEs. Estimates are INTEGERS, start at degree,
+    and are monotone non-increasing with c(v) = least(c(v), h-index of
+    neighbor estimates) — a converged state is a fixpoint, so unrolling the
+    full ``max_iter`` rounds reproduces Spark's early-stopped result
+    exactly. The h-index over neighbors without arrays:
+    max(least(estimate, row_number ordered by estimate desc))."""
+    parts = [
+        "WITH " + _cos_pairs_sql(threshold).replace(
+            "e AS (", "e AS MATERIALIZED (", 1).replace(
+            "pairs AS (", "pairs AS MATERIALIZED (", 1) + ",",
+        "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs),",
+        "c0 AS MATERIALIZED (SELECT src AS id, count(*) AS c "
+        "FROM und GROUP BY 1)",
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f", h{i} AS MATERIALIZED (SELECT id, max(least(est, rn)) AS h "
+            f"FROM (SELECT u.dst AS id, l.c AS est, row_number() OVER "
+            f"(PARTITION BY u.dst ORDER BY l.c DESC) AS rn "
+            f"FROM und u JOIN c{i} l ON l.id = u.src) GROUP BY id)"
+            f", c{i + 1} AS MATERIALIZED (SELECT o.id, least(o.c, h.h) AS c "
+            f"FROM c{i} o JOIN h{i} h ON h.id = o.id)")
+    parts.append(
+        f" SELECT id, c AS coreness FROM c{n_rounds} "
+        f"ORDER BY c DESC, id LIMIT {topk}")
+    return "".join(parts)
+
+
+@q("graph_core_numbers", _core_sql())
 def graph_core_numbers(spark, sf_dir):
     # k-core decomposition of the cosine similarity graph via the h-index
     # fixpoint — density structure for curriculum/diversity decisions that
-    # component ids can't see. Iterative fixpoint -> rows-only; pytest pins
-    # exact coreness on known graphs (test_core_numbers_and_k_core).
+    # component ids can't see. Integer monotone estimates -> exact oracle
+    # parity via the unrolled-CTE twin; pytest additionally pins exact
+    # coreness on known graphs (test_core_numbers_and_k_core).
     e = _emb(spark, sf_dir)
     pairs = V.similar_pairs(e, COS_EDGE_THRESHOLD)
     return (G.core_numbers(
@@ -2032,12 +2096,48 @@ def graph_core_numbers(spark, sf_dir):
         .orderBy(F.col("coreness").desc(), F.col("id")).limit(50))
 
 
-@q("label_prop_communities", None)
+def _lpa_sql(n_rounds: int = 20, threshold: float = COS_EDGE_THRESHOLD,
+             topk: int = 20) -> str:
+    """DuckDB twin of graph.label_propagation: synchronous LPA unrolled as
+    materialized CTEs. Exact parity holds because every vote is an INTEGER
+    count (no float drift) and a converged state is a fixpoint — Spark's
+    early-stop at round k < 20 leaves the same labels the oracle's remaining
+    unrolled rounds preserve; an oscillating graph runs the same 20 rounds
+    on both engines."""
+    parts = [
+        "WITH " + _cos_pairs_sql(threshold).replace(
+            "e AS (", "e AS MATERIALIZED (", 1).replace(
+            "pairs AS (", "pairs AS MATERIALIZED (", 1) + ",",
+        "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs),",
+        "verts AS MATERIALIZED (SELECT vec_id AS id FROM embeddings),",
+        "touched AS MATERIALIZED (SELECT DISTINCT src AS id FROM und),",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM touched)",
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f", v{i} AS MATERIALIZED (SELECT u.dst AS id, l.label, "
+            f"count(*) AS cnt FROM und u JOIN l{i} l ON l.id = u.src "
+            f"GROUP BY 1, 2)"
+            f", l{i + 1} AS MATERIALIZED (SELECT id, label FROM "
+            f"(SELECT id, label, row_number() OVER (PARTITION BY id "
+            f"ORDER BY cnt DESC, label ASC) AS rn FROM v{i}) WHERE rn = 1)")
+    parts.append(
+        f", final_labels AS (SELECT * FROM l{n_rounds} "
+        f"UNION ALL SELECT v.id, v.id AS label FROM verts v "
+        f"LEFT JOIN touched t ON t.id = v.id WHERE t.id IS NULL) "
+        f"SELECT label, count(*) AS n_members FROM final_labels "
+        f"GROUP BY label ORDER BY n_members DESC, label LIMIT {topk}")
+    return "".join(parts)
+
+
+@q("label_prop_communities", _lpa_sql())
 def label_prop_communities(spark, sf_dir):
     # deterministic synchronous LPA over the similarity graph; communities
     # refine connected components when near-dup chains merge. Reports the
-    # 20 largest communities. Iterative -> rows-only; pytest pins behavior
-    # on known cliques (test_label_propagation_two_cliques).
+    # 20 largest communities. Integer votes -> exact oracle parity via the
+    # unrolled-CTE twin; pytest additionally pins behavior on known cliques
+    # (test_label_propagation_two_cliques).
     e = _emb(spark, sf_dir)
     pairs = V.similar_pairs(e, COS_EDGE_THRESHOLD)
     labels = G.label_propagation(
@@ -3131,10 +3231,13 @@ _VERIFY_FIRST = [
     "events_time_heatmap",
     "orders_year_quarter_rollup",
     "string_normalize_suite",       # position 51: in-suite parity covers it
+    "label_prop_communities",       # newly oracle-backed (unrolled-CTE LPA)
+    "graph_core_numbers",           # newly oracle-backed (unrolled h-index)
+    "cms_word_counts",              # newly oracle-backed (portable md5 CMS)
+    "doc_fingerprint",              # newly oracle-backed (portable md5 XOR)
     # rows-only entries behind every oracle-backed key (the weaker check
     # shouldn't burn a window slot while oracle stamps are still missing)
     "pretraining_pipeline_stats",
-    "cms_word_counts",
     "events_distinct_users_hll",
     "minhash_lsh_dedup",
     "simhash_dedup",
@@ -3144,9 +3247,6 @@ _VERIFY_FIRST = [
     "generate_tags_fallback",
     "ivf_knn",
     "pq_knn",
-    "doc_fingerprint",
-    "graph_core_numbers",
-    "label_prop_communities",
 ]
 
 

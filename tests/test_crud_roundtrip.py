@@ -318,3 +318,75 @@ def test_merge_nodes_delete_clause(spark):
     dels = spark.createDataFrame([(d,)], "id long")
     eng2.merge_nodes(updates, delete_ids=dels)
     assert [r["id"] for r in eng2.nodes.collect()] == [c]
+
+
+def test_merge_nodes_duplicate_update_ids_resolve_once(spark):
+    """Duplicate ids in the updates batch must NOT fan out through the
+    full-outer join: the merge keeps the greatest tuple per id,
+    deterministically (MERGE INTO multiple-match discipline)."""
+    from thewhisperdb_spark.crud import GraphEngine
+    from thewhisperdb_spark.schemas import NODE_SCHEMA
+
+    eng = GraphEngine(spark)
+    nid = eng.ingest_node({"title": "orig", "author": "a", "subject": "s"})
+    updates = spark.createDataFrame([
+        (nid, "alpha", "a", "s", 1, "2024-01-01 00:00:00", "", [],
+         None, [], None),
+        (nid, "zeta", "a", "s", 2, "2024-01-01 00:00:00", "", [],
+         None, [], None),
+    ], NODE_SCHEMA)
+    eng.merge_nodes(updates)
+    rows = eng.nodes.filter(eng.nodes.id == nid).collect()
+    assert len(rows) == 1, "duplicate update ids must not duplicate the row"
+    # greatest tuple wins (title desc sorts zeta > alpha)
+    assert rows[0]["title"] == "zeta" and rows[0]["course"] == 2
+
+
+def test_load_version_pinned_missing_raises(spark, tmp_path):
+    """A pinned time-travel read of a version that doesn't exist must raise,
+    not silently return an empty engine; no snapshots at all with
+    version=None keeps the empty-DB bootstrap semantics."""
+    import pytest as _pytest
+
+    from thewhisperdb_spark.crud import GraphEngine
+
+    path = str(tmp_path / "vdb2")
+    # no snapshots yet: unpinned load bootstraps empty
+    assert GraphEngine.load_version(spark, path).count() == 0
+    eng = GraphEngine(spark)
+    eng.ingest_node({"title": "x", "author": "a", "subject": "s"})
+    v1 = eng.save_version(path)
+    assert GraphEngine.load_version(spark, path, v1).count() == 1
+    with _pytest.raises(FileNotFoundError):
+        GraphEngine.load_version(spark, path, v1 + 41)
+
+
+def test_table_checksum_duplicates_do_not_cancel(spark):
+    """Two tables with equal counts but different duplicated rows must get
+    different checksums (an XOR fold would cancel even-count rows)."""
+    from thewhisperdb_spark.operators.aggregates import table_checksum
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",), ("y",)], "v string")
+    b = spark.createDataFrame([("x",), ("x",), ("x",), ("x",)], "v string")
+    ca = table_checksum(a, "v").collect()[0]
+    cb = table_checksum(b, "v").collect()[0]
+    assert ca["n_rows"] == cb["n_rows"] == 4
+    assert ca["checksum"] != cb["checksum"]
+    # order/partitioning-insensitive: same multiset, different layout
+    a2 = spark.createDataFrame([("y",), ("x",), ("y",), ("x",)],
+                               "v string").repartition(7)
+    assert table_checksum(a2, "v").collect()[0]["checksum"] == ca["checksum"]
+
+
+def test_zorder_by_survives_colliding_column_names(spark):
+    """User columns named lo1/hi1/_z must pass through zorder_by untouched
+    (internal bounds columns are __zo_-prefixed)."""
+    from thewhisperdb_spark.operators.layout import zorder_by
+
+    df = spark.createDataFrame(
+        [(i, i * 2, "keep-%d" % i, i + 100) for i in range(20)],
+        "x long, y long, lo1 string, _z long")
+    out = zorder_by(df, "x", "y", n_partitions=2)
+    assert set(out.columns) == {"x", "y", "lo1", "_z"}
+    rows = sorted((r["x"], r["lo1"], r["_z"]) for r in out.collect())
+    assert rows == [(i, "keep-%d" % i, i + 100) for i in range(20)]

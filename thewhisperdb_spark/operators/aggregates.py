@@ -92,11 +92,16 @@ def value_histogram(df: DataFrame, value_col: str, bucket_width: int,
 
 
 def _cms_keys(term: Column, depth: int, width: int) -> Column:
-    """d (row_idx, bucket) pairs per term; bucket = xxhash64(term, row) mod w
-    (pmod: xxhash64 is signed). JVM-side, codegen'd."""
+    """d (row_idx, bucket) pairs per term; bucket = first 32 bits of
+    md5(term || '|' || row) mod w. md5 (not xxhash64) on purpose: the bucket
+    function is engine-portable, so a sketch built here can be probed,
+    merged, or re-derived by any engine with md5 — and the whole CMS path is
+    oracle-checkable. Still JVM-side, codegen'd."""
     return F.array(*[
         F.struct(F.lit(i).alias("row_idx"),
-                 F.pmod(F.xxhash64(term, F.lit(i)), F.lit(width))
+                 F.pmod(F.conv(F.substring(
+                     F.md5(F.concat_ws("|", term, F.lit(str(i)))), 1, 8),
+                     16, 10).cast("long"), F.lit(width))
                  .cast("int").alias("bucket"))
         for i in range(depth)
     ])

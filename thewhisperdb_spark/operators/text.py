@@ -174,12 +174,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint(col: Column) -> Column:
-    """Document fingerprinting (north-star): order-insensitive 64-bit content
-    fingerprint = XOR of token hashes of the distinct token set (XOR, not sum:
-    ANSI mode rejects long overflow). Deterministic, distributed-friendly
-    (xxhash64 is a built-in JVM function)."""
+    """Document fingerprinting (north-star): order-insensitive 60-bit content
+    fingerprint = XOR of per-token md5-derived hashes of the DISTINCT token
+    set (distinct -> no duplicate tokens, so XOR's even-count cancellation
+    can't trigger; XOR, not sum: ANSI mode rejects long overflow). md5 (not
+    xxhash64) so the fingerprint is engine-portable — any engine with md5
+    re-derives identical fingerprints, and the operator is
+    oracle-checkable."""
     return F.aggregate(
-        F.transform(tags_of(col), lambda t: F.xxhash64(t)),
+        F.transform(tags_of(col),
+                    lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                    .cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseXOR(x),
     )
