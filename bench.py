@@ -68,6 +68,17 @@ HEADLINE = [
     "snapshot_diff_cdc",
     "events_robust_outliers",
     "fuzzy_vocab_pairs",
+    # round-3 headliners (iterative graph kernels + analytic-SQL surface)
+    "pagerank_top",
+    "label_prop_communities",
+    "graph_core_numbers",
+    "ntile_customer_spend",
+    "top3_parts_per_brand",
+    "nation_market_share",
+    "monthly_revenue_trend",
+    "cms_word_counts",
+    "doc_fingerprint",
+    "events_time_heatmap",
 ]
 
 
