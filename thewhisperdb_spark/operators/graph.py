@@ -212,24 +212,35 @@ def pagerank(vertices: DataFrame, edges: DataFrame, id_col: str = "id",
         F.count(F.lit(1)).alias("deg"))
     out = (und.join(deg.withColumnRenamed("id", "src"), "src")
            .select("src", "dst", "deg").localCheckpoint(eager=True))
-    has_out = deg.select("id")
-    ranks = vertices.select(F.col(id_col).alias("id"),
-                            F.lit(1.0 / n).alias("rank"))
+    has_out = deg.select("id").localCheckpoint(eager=True)
+    verts = (vertices.select(F.col(id_col).alias("id"))
+             .localCheckpoint(eager=True))
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
-    for _ in range(n_iter):
-        dangling = (ranks.join(has_out, "id", "left_anti")
-                    .agg(F.sum("rank")).collect()[0][0] or 0.0)
-        spread = dangling / n
-        contrib = (out.join(ranks.withColumnRenamed("id", "src"), "src")
+
+    def step(cur: DataFrame) -> DataFrame:
+        # dangling mass as a broadcast 1-row aggregate folded into the SAME
+        # job as the rank update — no driver collect per round (a per-round
+        # driver action is a synchronization barrier the plan doesn't need)
+        dang = (cur.join(has_out, "id", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")))
+        contrib = (out.join(cur.withColumnRenamed("id", "src"), "src")
                    .groupBy(F.col("dst").alias("id"))
                    .agg(F.sum(F.col("rank") / F.col("deg")).alias("c")))
-        ranks = (vertices.select(F.col(id_col).alias("id"))
-                 .join(contrib, "id", "left")
-                 .select("id", (F.lit(base) + F.lit(damping)
-                                * (F.coalesce(F.col("c"), F.lit(0.0))
-                                   + F.lit(spread)))
-                         .alias("rank"))
-                 .localCheckpoint(eager=True))
+        return (verts.join(contrib, "id", "left")
+                .crossJoin(F.broadcast(dang))
+                .select("id", (F.lit(base) + F.lit(damping)
+                               * (F.coalesce(F.col("c"), F.lit(0.0))
+                                  + F.col("__dm") / F.lit(float(n))))
+                        .alias("rank")))
+
+    # two power-method rounds per materialization: per-round wall-clock is
+    # dominated by job latency, not data, so halving the checkpoint count
+    # halves the fixed cost (same trick as connected_components)
+    for _ in range(n_iter // 2):
+        ranks = step(step(ranks)).localCheckpoint(eager=True)
+    if n_iter % 2:
+        ranks = step(ranks).localCheckpoint(eager=True)
     return ranks
 
 
@@ -257,21 +268,29 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     labels = touched.select(
         "id", F.col("id").cast("long").alias("label")).localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    def step(cur: DataFrame) -> DataFrame:
         votes = (
-            und.join(labels.withColumnRenamed("id", "src"), "src")
+            und.join(cur.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         # mode with min-label tiebreak: max over (cnt, -label) structs keeps
         # the whole argmax inside one hash aggregate (no window)
-        new_labels = (
+        return (
             votes.groupBy("id")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg")))
                  .alias("m"))
             .select("id", (-F.col("m.neg")).cast("long").alias("label"))
-            .localCheckpoint(eager=True)
         )
+
+    # Two sync rounds per materialization + ONE exact changed-count check per
+    # pair (per-round cost here is job latency, not data). Early-stopping on
+    # a zero TWO-round delta is exact for parity with a fully-unrolled run:
+    # state(r) == state(r+2) makes the trajectory 2-periodic from r, and the
+    # remaining even number of rounds reproduces state(r) — this also
+    # terminates bipartite oscillations the one-round delta never catches.
+    for _ in range(max(1, max_iter // 2)):
+        new_labels = step(step(labels)).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -324,20 +343,25 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
     def est_sum(df: DataFrame):
         return df.agg(F.sum(F.col("c").cast("decimal(38,0)"))).collect()[0][0]
 
-    prev = est_sum(est)
-    for _ in range(max_iter):
+    def step(cur_df: DataFrame) -> DataFrame:
         nbr = (
-            und.join(est.withColumnRenamed("id", "src"), "src")
+            und.join(cur_df.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.collect_list("c").alias("cs"))
         )
-        est = (
-            est.join(nbr, "id")
+        return (
+            cur_df.join(nbr, "id")
             .select("id",
                     F.least(F.col("c"),
                             _h_index(F.col("cs")).cast("long")).alias("c"))
-            .localCheckpoint(eager=True)
         )
+
+    # two h-index rounds per materialization + one label-sum check per pair
+    # (estimates are monotone non-increasing, so an unchanged TWO-round sum
+    # still implies the fixpoint exactly); per-round cost is job latency
+    prev = est_sum(est)
+    for _ in range(max(1, max_iter // 2)):
+        est = step(step(est)).localCheckpoint(eager=True)
         cur = est_sum(est)
         if cur == prev:
             break
