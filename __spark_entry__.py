@@ -1456,12 +1456,70 @@ def streaming_sessionize(spark, sf_dir):
         f"SELECT user_id, t_start, t_end, n_events FROM {name}")
 
 
-@q("near_dup_drop", None)
+def _minhash_ctes(n_hashes: int = 32, threshold: float = 0.8,
+                  seed: int = 42) -> str:
+    """DuckDB twin of the FULL MinHash+LSH pipeline, as a CTE chain ending
+    in ``prs`` (the near-dup pairs). The banding machinery provably does not
+    change the result set (dedup.minhash_lsh_pairs: a pair with est >= θ
+    agrees on >= ceil(θ·k) hashes, hence collides in enough bands to be a
+    candidate — the LSH filter is lossless at the threshold), so the oracle
+    is the mathematical definition: identical signatures (same md5-derived
+    element hash, same seeded affine coefficients inlined below) compared
+    all-pairs. est >= θ becomes an integer match-count floor (matches/k is
+    an exact binary fraction)."""
+    import math
+    import random
+
+    p = 2**31 - 1
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p))
+              for _ in range(n_hashes)]
+    vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    min_match = math.ceil(threshold * n_hashes)
+    agree = (f"len(list_filter(range(1, {n_hashes + 1}), "
+             f"i -> x.sig[i] = y.sig[i]))")
+    ctes = f"""toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(tk) - 4, 1) + 1),
+    i -> array_to_string(tk[i:i+4], ' ')))) AS s FROM toks),
+eh AS MATERIALIZED (
+  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p} AS h
+  FROM sh),
+co(i, a, b) AS (SELECT * FROM (VALUES {vals})),
+mins AS MATERIALIZED (
+  SELECT doc_id, co.i, MIN((co.a * eh.h + co.b) % {p}) AS v
+  FROM eh CROSS JOIN co GROUP BY doc_id, co.i),
+sig AS MATERIALIZED (
+  SELECT doc_id, list(v ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+prs AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+    CAST({agree} AS DOUBLE) / {n_hashes} AS est_jaccard
+  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+  WHERE {agree} >= {min_match})"""
+    return ctes
+
+
+@q("near_dup_drop",
+   "WITH RECURSIVE " + _minhash_ctes() + """,
+und AS (SELECT a AS src, b AS dst FROM prs UNION SELECT b, a FROM prs),
+reach(src, dst) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+SELECT d.doc_id FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+WHERE c.id IS NULL OR c.component = d.doc_id""")
 def near_dup_drop(spark, sf_dir):
     # end-to-end near-dedup pipeline: MinHash+LSH pairs -> connected
-    # components -> keep min-id doc per duplicate group (hash-based, so
-    # rows-only for the driver; pytest checks it against exact-Jaccard
-    # grouping on the same corpus)
+    # components -> keep min-id doc per duplicate group. With md5-portable
+    # signatures every stage is oracle-expressible: the same pair CTEs as
+    # minhash_lsh_dedup, transitive closure as a recursive CTE, survivors =
+    # docs that are their own component minimum (untouched docs pass
+    # through). pytest additionally checks it against exact-Jaccard grouping.
     from thewhisperdb_spark.operators.text import word_ngrams
 
     out = D.drop_near_duplicates(_docs(spark, sf_dir), n_hashes=32, bands=8,
@@ -1497,32 +1555,75 @@ def streaming_dedup(spark, sf_dir):
 
 # ---- rows-only entries (no SQL-expressible oracle) -------------------------
 
-@q("minhash_lsh_dedup", None)
+
+
+@q("minhash_lsh_dedup",
+   "WITH " + _minhash_ctes() + " SELECT a, b, est_jaccard FROM prs")
 def minhash_lsh_dedup(spark, sf_dir):
-    # MinHash+LSH near-dup at scale (hash functions aren't portable to the
-    # oracle; correctness covered by tests/test_graph_dedup.py vs exact
-    # Jaccard). θ=0.8 is the near-dup operating point the 8×4 banding is
-    # calibrated for (collision prob ≈ 98.5% at j=0.8, ≈ 40% at j=0.5).
-    # Word-5-gram shingles: the web-scale-dedup standard — ~6× fewer shingles
-    # per doc than char-3-grams and far less background overlap, so both the
-    # signature stage and the candidate stream shrink
+    # MinHash+LSH near-dup at scale. θ=0.8 is the near-dup operating point
+    # the 8×4 banding is calibrated for (collision prob ≈ 98.5% at j=0.8,
+    # ≈ 40% at j=0.5). Word-5-gram shingles: the web-scale-dedup standard —
+    # ~6× fewer shingles per doc than char-3-grams and far less background
+    # overlap, so both the signature stage and the candidate stream shrink.
+    # md5-portable signatures make the whole pipeline oracle-checked
+    # value-for-value (the oracle compares signatures all-pairs, which the
+    # lossless band filter provably equals).
     from thewhisperdb_spark.operators.text import word_ngrams
 
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=32, bands=8,
                                threshold=0.8, shingler=word_ngrams)
 
 
-@q("simhash_dedup", None)
+def _simhash_doc_sql(bits: int) -> str:
+    """Shared oracle CTE body computing the per-doc simhash exactly as
+    dedup.simhash does: one md5-derived 60-bit hash per distinct token, bit
+    j votes +1/-1 by bit j of that hash, fingerprint bit j = (vote sum >= 0),
+    packed as Σ bit_j << j. Docs with an empty token set default to the
+    all-ones value (the Spark fold's zero-vote init)."""
+    all_ones = (1 << bits) - 1
+    return f"""tk AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKENS} AS tags FROM documents),
+eh AS MATERIALIZED (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(tags) AS t FROM tk)),
+bitsum AS MATERIALIZED (
+  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM eh CROSS JOIN (SELECT unnest(range(0, {bits})) AS j) GROUP BY 1, 2),
+sh AS MATERIALIZED (
+  SELECT d.doc_id,
+    CAST(COALESCE(p.simhash, {all_ones}) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+      SUM(CASE WHEN vote >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+      AS simhash
+    FROM bitsum GROUP BY doc_id) p ON p.doc_id = d.doc_id)"""
+
+
+@q("simhash_dedup",
+   "WITH " + _simhash_doc_sql(32) + """
+SELECT simhash, count(*) AS n_docs,
+  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids_csv
+FROM sh GROUP BY simhash HAVING count(*) > 1""")
 def simhash_dedup(spark, sf_dir):
+    # exact-collision simhash groups; md5-portable fingerprints -> the
+    # oracle re-derives identical 32-bit values and the same groups
     return D.simhash_duplicates(_docs(spark, sf_dir), bits=32)
 
 
-@q("simhash_band_pairs", None)
+@q("simhash_band_pairs",
+   "WITH " + _simhash_doc_sql(60) + """
+SELECT x.doc_id AS a, y.doc_id AS b,
+  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""")
 def simhash_band_pairs_q(spark, sf_dir):
     # Hamming-tolerant simhash near-dup: lossless banded candidates
-    # (pigeonhole over band slices), bit_count(xor) verification. 60 bits /
-    # 15-bit slices: wide enough to separate this vocabulary-dense corpus,
-    # slices wide enough that buckets stay small as the corpus grows
+    # (pigeonhole over band slices: max_hamming < bands guarantees every
+    # within-distance pair collides on some band), bit_count(xor)
+    # verification. 60 bits / 15-bit slices: wide enough to separate this
+    # vocabulary-dense corpus, slices wide enough that buckets stay small as
+    # the corpus grows. Losslessness is what lets the oracle skip the bands
+    # and compare fingerprints all-pairs.
     return D.simhash_band_pairs(_docs(spark, sf_dir), bits=60, bands=4,
                                 max_hamming=3)
 
@@ -3235,13 +3336,14 @@ _VERIFY_FIRST = [
     "graph_core_numbers",           # newly oracle-backed (unrolled h-index)
     "cms_word_counts",              # newly oracle-backed (portable md5 CMS)
     "doc_fingerprint",              # newly oracle-backed (portable md5 XOR)
+    "minhash_lsh_dedup",            # newly oracle-backed (portable MinHash)
+    "simhash_dedup",                # newly oracle-backed (portable SimHash)
+    "simhash_band_pairs",           # newly oracle-backed (portable SimHash)
+    "near_dup_drop",                # newly oracle-backed (MinHash + CC CTE)
     # rows-only entries behind every oracle-backed key (the weaker check
     # shouldn't burn a window slot while oracle stamps are still missing)
     "pretraining_pipeline_stats",
     "events_distinct_users_hll",
-    "minhash_lsh_dedup",
-    "simhash_dedup",
-    "simhash_band_pairs",
     "ann_lsh_pairs",
     "embed_documents_fallback",
     "generate_tags_fallback",

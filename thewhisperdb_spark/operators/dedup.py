@@ -62,16 +62,22 @@ def shingle_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.9,
 _MERSENNE31 = (1 << 31) - 1
 
 
-def minhash_signature(set_col: Column, n_hashes: int = 64, seed: int = 42) -> Column:
+def minhash_signature(set_col: Column, n_hashes: int = 64, seed: int = 42,
+                      portable: bool = True) -> Column:
     """MinHash signature over a string-array column, as an array of n_hashes
     longs in [0, 2³¹-1).
 
     Classic universal-hashing construction: each element is string-hashed
-    ONCE (xxhash64 folded into the Mersenne-31 domain), and the k hash
+    ONCE (md5-derived 60 bits folded into the Mersenne-31 domain — md5, not
+    xxhash64, so signatures are engine-portable: any engine with md5
+    re-derives identical signatures, which is what lets a DuckDB oracle
+    check the whole LSH pipeline value-for-value), and the k hash
     functions are affine derivations h_i = (a_i·h + b_i) mod p with literal
     (a_i, b_i) drawn deterministically from ``seed`` driver-side — so per
     element the k-wide row costs one real hash + k multiply-adds, not k
-    string hashes. The whole signature is a single fold over the set with a
+    string hashes. ``portable=False`` swaps the element hash to xxhash64
+    (~1.7× faster end-to-end at sf0.1) for single-engine deployments where
+    cross-engine signature reproducibility doesn't matter. The whole signature is a single fold over the set with a
     running element-wise-min accumulator; the set expression is evaluated
     exactly once per row. (Both properties matter: the naive
     ``transform(i -> array_min(transform(set, hash_i)))`` shape re-evaluates
@@ -85,8 +91,15 @@ def minhash_signature(set_col: Column, n_hashes: int = 64, seed: int = 42) -> Co
     consts = F.array(*[
         F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
         for a, b in coeffs])
+    if portable:
+        def elem_hash(s):
+            return F.pmod(F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                          .cast("long"), F.lit(p))
+    else:
+        def elem_hash(s):
+            return F.pmod(F.xxhash64(s), F.lit(p))
     return F.aggregate(
-        F.transform(set_col, lambda s: F.pmod(F.xxhash64(s), F.lit(p))),
+        F.transform(set_col, elem_hash),
         F.array_repeat(F.lit(p).cast("long"), n_hashes),
         lambda acc, h: F.zip_with(
             acc,
@@ -99,7 +112,7 @@ def minhash_signature(set_col: Column, n_hashes: int = 64, seed: int = 42) -> Co
 def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.8, shingle_n: int = 3,
                       id_col: str = "doc_id", text_col: str = "text",
-                      shingler=None) -> DataFrame:
+                      shingler=None, portable: bool = True) -> DataFrame:
     """MinHash+LSH near-dup (shingle -> minhash -> band -> bucket equi-join ->
     exact-signature Jaccard re-check). Candidate pairs are generated per band
     bucket — Σ bucket² work — then scored by estimated Jaccard (fraction of
@@ -127,7 +140,8 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
                else char_ngrams(F.col(text_col), shingle_n))
     sig = (
         df.select(F.col(id_col).alias("id"), shingle.alias("sh"))
-        .select("id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
+        .select("id", minhash_signature(F.col("sh"), n_hashes,
+                                        portable=portable).alias("sig"))
     )
     # materialize signatures once: the plan references ``sig`` from the band
     # explode, both sides of the candidate self-join, and both re-attach
@@ -186,30 +200,56 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
     )
 
 
-def simhash(set_col: Column, bits: int = 32) -> Column:
+def simhash(set_col: Column, bits: int = 32,
+            portable: bool = True) -> Column:
     """SimHash fingerprint of a string-array column: sign-sum of per-element
     hash bits, packed to a long. Near-dup candidates = equal values (or equal
     band slices for Hamming-distance tolerance).
 
-    Each bit uses an independent element hash (xxhash64 seeded with the bit
-    index) — equivalent to projecting on independent random hyperplanes.
+    ``portable=True`` (default): ONE md5-derived 60-bit hash per element,
+    bit j of the fingerprint votes with bit j of that hash — engine-portable
+    (any engine with md5 re-derives identical fingerprints; the DuckDB
+    oracle checks the pipeline value-for-value) and cheaper than per-bit
+    hashing, at 60 usable bits. ``portable=False``: an independent xxhash64
+    per (bit, element) — 63 usable bits, single-engine only.
+
     Single fold over the set (one evaluation of ``set_col``; see
     minhash_signature for why per-bit folds would re-evaluate it ``bits``
     times), accumulator = per-bit vote vector, packed MSB-first by a
     multiply-accumulate fold (signed-long packing caps bits at 63)."""
-    assert 0 < bits <= 63, "signed-long packing supports at most 63 bits"
-    idxs = F.sequence(F.lit(0), F.lit(bits - 1))
-    votes = F.aggregate(
-        set_col,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, e: F.zip_with(
-            acc,
-            F.transform(idxs, lambda j: F.when(
-                F.pmod(F.xxhash64(j, e), F.lit(2)) == 1, F.lit(1))
-                .otherwise(F.lit(-1))),
-            lambda a, v: a + v,
-        ),
-    )
+    max_bits = 60 if portable else 63
+    assert 0 < bits <= max_bits, f"at most {max_bits} bits for this mode"
+    if portable:
+        # pre-hash each element ONCE (the fold variable h is then a leaf
+        # reference, so per-bit mask tests don't re-run the md5 — the same
+        # bind-once shape minhash_signature uses), then vote with bit j of
+        # the 60-bit value via a literal mask array
+        masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+        votes = F.aggregate(
+            F.transform(set_col,
+                        lambda e: F.conv(F.substring(F.md5(e), 1, 15), 16, 10)
+                        .cast("long")),
+            F.array_repeat(F.lit(0), bits),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(masks, lambda m: F.when(
+                    h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1))),
+                lambda a, v: a + v,
+            ),
+        )
+    else:
+        idxs = F.sequence(F.lit(0), F.lit(bits - 1))
+        votes = F.aggregate(
+            set_col,
+            F.array_repeat(F.lit(0), bits),
+            lambda acc, e: F.zip_with(
+                acc,
+                F.transform(idxs, lambda j: F.when(
+                    F.pmod(F.xxhash64(j, e), F.lit(2)) == 1, F.lit(1))
+                    .otherwise(F.lit(-1))),
+                lambda a, v: a + v,
+            ),
+        )
     bitvals = F.transform(votes, lambda v: F.when(v >= 0, F.lit(1).cast("long"))
                           .otherwise(F.lit(0).cast("long")))
     return F.aggregate(F.reverse(bitvals), F.lit(0).cast("long"),
@@ -270,7 +310,7 @@ def simhash_band_pairs(df: DataFrame, bits: int = 32, bands: int = 4,
         .dropDuplicates(["a", "b"])
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (cand.select("a", "b", ham.cast("int").alias("hamming"))
+    return (cand.select("a", "b", ham.cast("long").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
 
 
