@@ -1628,11 +1628,46 @@ def simhash_band_pairs_q(spark, sf_dir):
                                 max_hamming=3)
 
 
-@q("ann_lsh_pairs", None)
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 4,
+                 threshold: float = COS_EDGE_THRESHOLD) -> str:
+    """DuckDB twin of the random-hyperplane LSH pair search: the ±1 planes
+    come from the SAME seeded generator (vectors.rp_planes) inlined as
+    literals, each plane dot is spelled out as a left-associated sum (the
+    exact order Spark's fold uses, so the sign bits are bit-identical), and
+    candidates = pairs sharing any of the 4 table buckets, verified by
+    cosine >= θ."""
+    from thewhisperdb_spark.operators.vectors import rp_planes
+
+    buckets = []
+    for t in range(n_tables):
+        planes = rp_planes(dim, n_planes, 42 + t)
+        bits = []
+        for j, plane in enumerate(planes):
+            dot = " + ".join(f"v[{i + 1}]*({w})"
+                             for i, w in enumerate(plane))
+            bits.append(f"(CASE WHEN ({dot}) >= 0 "
+                        f"THEN {1 << (n_planes - 1 - j)} ELSE 0 END)")
+        buckets.append("(" + " + ".join(bits) + f") AS b{t}")
+    cos = _SQL_COS.format(a="va", b="vb")
+    share = " OR ".join(f"x.b{t} = y.b{t}" for t in range(n_tables))
+    return f"""WITH e AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sg AS MATERIALIZED (SELECT id, v, {', '.join(buckets)} FROM e),
+cand AS MATERIALIZED (
+  SELECT x.id AS a, y.id AS b, x.v AS va, y.v AS vb
+  FROM sg x JOIN sg y ON x.id < y.id AND ({share}))
+SELECT a, b, round({cos}, 6) AS similarity FROM cand WHERE {cos} >= {threshold}"""
+
+
+@q("ann_lsh_pairs", _ann_lsh_sql())
 def ann_lsh_pairs_q(spark, sf_dir):
-    # approximate J6: LSH-bucketed candidate generation + exact re-check
-    return V.ann_lsh_pairs(_emb(spark, sf_dir), threshold=COS_EDGE_THRESHOLD,
-                           dim=64, n_planes=8, n_tables=4)
+    # approximate J6: LSH-bucketed candidate generation + exact re-check.
+    # Literal seeded hyperplanes make the bucket bits engine-reproducible,
+    # so the oracle replicates the candidate set exactly (not just the
+    # verified survivors)
+    out = V.ann_lsh_pairs(_emb(spark, sf_dir), threshold=COS_EDGE_THRESHOLD,
+                          dim=64, n_planes=8, n_tables=4)
+    return out.select("a", "b", F.round("similarity", 6).alias("similarity"))
 
 
 @q("embed_documents_fallback", None)
@@ -2999,13 +3034,128 @@ def streaming_daily_actives(spark, sf_dir):
     return spark.sql(f"SELECT day, dau FROM {name}")
 
 
-@q("pretraining_pipeline_stats", None)
+def _pipeline_sql(n_hashes: int = 32, threshold: float = 0.8,
+                  seed: int = 42, budget: int = 256) -> str:
+    """DuckDB twin of the ENTIRE pretraining pipeline's stage accounting —
+    every stage re-derived in SQL: the C4 quality conjunction, language
+    filter, min-id exact dedup, the md5-portable char-3-gram MinHash
+    near-dup (pairs -> recursive-CTE components -> min-id survivors, same
+    losslessness argument as minhash_lsh_dedup), md5-prefix split, 8-gram
+    decontamination, PII redaction (identical Java/RE2 patterns), and
+    256-token bin packing. Output = (stage_idx, stage, rows), 8 rows."""
+    import math
+    import random
+
+    p = 2**31 - 1
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p))
+              for _ in range(n_hashes)]
+    vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    min_match = math.ceil(threshold * n_hashes)
+    agree = (f"len(list_filter(range(1, {n_hashes + 1}), "
+             f"i -> x.sig[i] = y.sig[i]))")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    phone = r"\+[0-9][0-9\-]{7,14}[0-9]"
+    redacted = (f"regexp_replace(regexp_replace(regexp_replace(text, "
+                f"'{email}', '[PII]', 'g'), '{ipv4}', '[PII]', 'g'), "
+                f"'{phone}', '[PII]', 'g')")
+    return f"""WITH RECURSIVE
+g AS MATERIALIZED (
+  SELECT doc_id, text, lang, n_chars, ws,
+    list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+      i -> array_to_string(ws[i:i+2], ' ')) AS grams
+  FROM (SELECT *, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        FROM documents)),
+qual AS MATERIALIZED (
+  SELECT doc_id, text, lang, n_chars FROM g
+  WHERE len(ws) >= 10 AND n_chars BETWEEN 50 AND 5000
+    AND CAST(len(list_filter(ws, t -> list_contains(
+      ['the','a','of','and','to','in','is','it'], lower(t)))) AS DOUBLE)
+      / greatest(len(ws), 1) >= 0.05
+    AND 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) <= 0.2),
+langf AS MATERIALIZED (SELECT * FROM qual WHERE lang = 'en'),
+exact AS MATERIALIZED (
+  SELECT l.* FROM langf l JOIN (
+    SELECT text, min(doc_id) AS doc_id FROM langf GROUP BY text) k
+  ON k.text = l.text AND k.doc_id = l.doc_id),
+csh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(length(text) - 2, 1) + 1),
+    i -> substr(text, i, 3)))) AS s FROM exact),
+eh2 AS MATERIALIZED (
+  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p} AS h
+  FROM csh),
+co2(i, a, b) AS (SELECT * FROM (VALUES {vals})),
+mins2 AS MATERIALIZED (
+  SELECT doc_id, co2.i, MIN((co2.a * eh2.h + co2.b) % {p}) AS v
+  FROM eh2 CROSS JOIN co2 GROUP BY doc_id, co2.i),
+sig2 AS MATERIALIZED (
+  SELECT doc_id, list(v ORDER BY i) AS sig FROM mins2 GROUP BY doc_id),
+prs2 AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sig2 x JOIN sig2 y ON x.doc_id < y.doc_id
+  WHERE {agree} >= {min_match}),
+und2 AS (SELECT a AS src, b AS dst FROM prs2 UNION SELECT b, a FROM prs2),
+reach2(src, dst) AS (
+  SELECT src, src FROM und2
+  UNION
+  SELECT r.src, u.dst FROM reach2 r JOIN und2 u ON r.dst = u.src),
+comp2 AS (SELECT src AS id, min(dst) AS component FROM reach2 GROUP BY src),
+near AS MATERIALIZED (
+  SELECT e.* FROM exact e LEFT JOIN comp2 c ON c.id = e.doc_id
+  WHERE c.id IS NULL OR c.component = e.doc_id),
+spl AS MATERIALIZED (
+  SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+    THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+    THEN 'val' ELSE 'test' END AS split FROM near),
+w8 AS MATERIALIZED (
+  SELECT doc_id, split = 'train' AS is_train,
+    unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(ws) - 7, 1)),
+      i -> array_to_string(ws[i:i+7], ' ')))) AS sh
+  FROM (SELECT doc_id, split,
+          list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        FROM spl)),
+leaked AS MATERIALIZED (
+  SELECT DISTINCT t.doc_id FROM w8 t
+  JOIN (SELECT DISTINCT sh FROM w8 WHERE NOT is_train) o ON t.sh = o.sh
+  WHERE t.is_train),
+clean AS MATERIALIZED (
+  SELECT * FROM spl WHERE split = 'train'
+    AND doc_id NOT IN (SELECT doc_id FROM leaked)),
+red AS MATERIALIZED (
+  SELECT doc_id, lang, {redacted} AS text FROM clean),
+packed AS MATERIALIZED (
+  SELECT lang, CAST(cb // {budget} AS BIGINT) AS bin_id FROM (
+    SELECT lang, doc_id, n_tok,
+      COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM (SELECT lang, doc_id,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS BIGINT) AS n_tok FROM red)))
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'ingest' AS stage,
+    (SELECT count(*) FROM documents) AS rows
+  UNION ALL SELECT 1, 'quality_filter', (SELECT count(*) FROM qual)
+  UNION ALL SELECT 2, 'language_filter', (SELECT count(*) FROM langf)
+  UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM exact)
+  UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM near)
+  UNION ALL SELECT 5, 'train_split',
+    (SELECT count(*) FROM spl WHERE split = 'train')
+  UNION ALL SELECT 6, 'decontaminated_train', (SELECT count(*) FROM clean)
+  UNION ALL SELECT 7, 'packed_bins',
+    (SELECT count(*) FROM (SELECT DISTINCT lang, bin_id FROM packed)))"""
+
+
+@q("pretraining_pipeline_stats", _pipeline_sql())
 def pretraining_pipeline_stats(spark, sf_dir):
     # end-to-end pretraining-data pipeline (ingest -> quality -> lang ->
-    # exact dedup -> minhash near-dedup -> split -> decontaminate -> pack)
-    # with per-stage survivor accounting. Rows-only: the near-dup stage is
-    # iterative connected components, not SQL-expressible; each individual
-    # stage operator has its own oracle-checked query elsewhere.
+    # exact dedup -> minhash near-dedup -> split -> decontaminate -> redact
+    # -> pack) with per-stage survivor accounting. With md5-portable MinHash
+    # the WHOLE composite is oracle-checked: the DuckDB twin re-derives
+    # every stage (near-dup via the recursive-CTE closure) and must land on
+    # identical survivor counts at every boundary.
     from thewhisperdb_spark.plans.pipeline import pipeline_stage_counts
 
     return pipeline_stage_counts(_docs(spark, sf_dir))
@@ -3340,11 +3490,11 @@ _VERIFY_FIRST = [
     "simhash_dedup",                # newly oracle-backed (portable SimHash)
     "simhash_band_pairs",           # newly oracle-backed (portable SimHash)
     "near_dup_drop",                # newly oracle-backed (MinHash + CC CTE)
+    "ann_lsh_pairs",                # newly oracle-backed (literal hyperplanes)
+    "pretraining_pipeline_stats",   # newly oracle-backed (full composite)
     # rows-only entries behind every oracle-backed key (the weaker check
     # shouldn't burn a window slot while oracle stamps are still missing)
-    "pretraining_pipeline_stats",
     "events_distinct_users_hll",
-    "ann_lsh_pairs",
     "embed_documents_fallback",
     "generate_tags_fallback",
     "ivf_knn",

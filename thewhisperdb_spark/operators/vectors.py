@@ -234,26 +234,33 @@ def brute_force_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
             .filter(F.col("rank") <= k))
 
 
+def rp_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix for random-projection LSH, seeded
+    driver-side. Exposed (not an underscore helper) because the oracle SQL
+    inlines the SAME literals — signatures are engine-reproducible from the
+    (dim, n_planes, seed) triple alone."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[1.0 if rnd.random() < 0.5 else -1.0 for _ in range(dim)]
+            for _ in range(n_planes)]
+
+
 def _rp_signs(vec: Column, dim: int, n_planes: int, seed: int) -> Column:
     """Sign bits of <v, r_j> for deterministic pseudo-random hyperplanes.
 
-    r_j[i] is derived from xxhash64(seed, j, i) mapped to ±1 — reproducible
-    across engines/runs without materializing a plane matrix (the planes are
-    re-derived inside codegen, nothing is broadcast)."""
+    The ±1 planes come from ``rp_planes`` as LITERAL arrays baked into the
+    plan (dim × n_planes constants — bytes, not a broadcast), and each dot
+    product is a sequential left-to-right fold, so any engine that folds the
+    same literals in the same order reproduces the exact sign bits."""
     v = vec.cast("array<double>")
-    def plane_dot(j: Column) -> Column:
-        prods = F.zip_with(
-            v,
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda x, i: x * F.when(
-                F.pmod(F.xxhash64(F.lit(seed), j, i), F.lit(2)) == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0)),
-        )
-        return F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda j: F.when(plane_dot(j) >= 0, F.lit(1)).otherwise(F.lit(0)),
-    )
+    sign_bits = []
+    for plane in rp_planes(dim, n_planes, seed):
+        r = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(F.zip_with(v, r, lambda x, w: x * w),
+                          F.lit(0.0), lambda a, x: a + x)
+        sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.array(*sign_bits)
 
 
 def ann_lsh_buckets(df: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
