@@ -1553,6 +1553,38 @@ def streaming_dedup(spark, sf_dir):
     return spark.sql(f"SELECT event_id, user_id, event_type FROM {name}")
 
 
+@q("streaming_user_state_totals",
+   "SELECT user_id, count(*) AS n_events, "
+   "round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) "
+   "AS total_value FROM events GROUP BY user_id")
+def streaming_user_state_totals(spark, sf_dir):
+    # CUSTOM stateful operator (applyInPandasWithState): per-user running
+    # totals with explicit GroupState, replayed through a real multi-batch
+    # readStream in update mode. The memory sink holds one row per (user,
+    # micro-batch update); the final state per user — selected by max
+    # (n_batches, n_events) — must equal the batch aggregate the oracle
+    # computes. Round-6 absorbs the float accumulation-order drift between
+    # the per-batch pandas sums and the oracle's exact decimal sum.
+    import tempfile
+
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    out_dir = tempfile.mkdtemp(prefix="whisper_stream_")
+    path = SJ.events_to_stream_dir(spark, sf_dir, out_dir, n_chunks=4)
+    stream = SJ.stream_events_from_dir(spark, path)
+    st = SJ.sessionize_with_state(stream)
+    name = "q_user_state_totals"
+    q = (st.writeStream.outputMode("update").format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    mem = spark.sql(f"SELECT * FROM {name}")
+    latest = F.struct("n_batches", "n_events")
+    return (mem.groupBy("user_id")
+            .agg(F.max_by("n_events", latest).cast("long").alias("n_events"),
+                 F.round(F.max_by("total_value", latest), 6)
+                 .alias("total_value")))
+
+
 # ---- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
@@ -1670,21 +1702,51 @@ def ann_lsh_pairs_q(spark, sf_dir):
     return out.select("a", "b", F.round("similarity", 6).alias("similarity"))
 
 
-@q("embed_documents_fallback", None)
+@q("embed_documents_fallback",
+   # contract oracle: every doc gets a dim-32 vector, L2-normalized iff the
+   # text has at least one \w+ token (the blake2b vector VALUES aren't
+   # SQL-portable, but the shape/normalization contract is)
+   "SELECT doc_id, CAST(32 AS BIGINT) AS dim, "
+   "CASE WHEN regexp_matches(text, '[A-Za-z0-9_]') THEN 1.0 ELSE 0.0 END "
+   "AS l2_norm FROM documents")
 def embed_documents_fallback(spark, sf_dir):
     # §2.10 embedding transform with the deterministic local fallback: fill
     # embeddings for documents via batched mapInPandas (hashing-trick
-    # embedder stands in for the OpenAI client, EmbeddingClient.cpp:51-122)
+    # embedder stands in for the OpenAI client, EmbeddingClient.cpp:51-122).
+    # Output = per-doc shape + norm: dim must be 32 everywhere and the norm
+    # 1.0 (0.0 only for token-less text) — round-4 absorbs the float32
+    # storage error (~dim·eps ≈ 2e-6) without masking a normalization bug.
     from thewhisperdb_spark.functions.llm import embed_missing, hash_embedder
     d = _docs(spark, sf_dir).select("doc_id", "text")
     out = embed_missing(d, "text", hash_embedder(32), dim=32)
-    return out.select("doc_id", F.size("embedding").cast("long").alias("dim"))
+    l2 = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda a, x: a + x))
+    return out.select("doc_id", F.size("embedding").cast("long").alias("dim"),
+                      F.round(l2, 4).alias("l2_norm"))
 
 
-@q("generate_tags_fallback", None)
+_TAG_VOCAB_SQL = "['spark', 'join', 'window', 'stream']"
+
+
+@q("generate_tags_fallback",
+   # the tagger's counting contract in SQL: n_tags = vocab hits + min(room,
+   # max_new, distinct non-vocab candidates longer than 3 chars)
+   "WITH t AS (SELECT doc_id, "
+   "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents), "
+   "a AS (SELECT doc_id, "
+   "len(list_filter(" + _TAG_VOCAB_SQL + ", v -> list_contains(toks, v))) "
+   "AS nv, "
+   "len(list_distinct(list_filter(toks, x -> strlen(x) > 3 "
+   "AND NOT list_contains(" + _TAG_VOCAB_SQL + ", x)))) AS ncand FROM t) "
+   "SELECT doc_id, CAST(nv + least(greatest(5 - nv, 0), 3, ncand) AS BIGINT) "
+   "AS n_tags FROM a")
 def generate_tags_fallback(spark, sf_dir):
     # §2.10 controlled-vocabulary tagger fallback (TagClient.cpp:62-99
-    # contract: vocab tags first, max 3 new, normalized)
+    # contract: vocab tags first, max 3 new, normalized). The tag STRINGS
+    # come from Python frequency ranking, but the count contract — vocab
+    # overlap + capped new tags — is exactly re-derivable in SQL, which
+    # pins the batched mapInPandas path against an independent oracle.
     from thewhisperdb_spark.functions.llm import generate_tags, keyword_tagger
     tagger = keyword_tagger(["spark", "join", "window", "stream"], max_new=3)
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -3492,11 +3554,12 @@ _VERIFY_FIRST = [
     "near_dup_drop",                # newly oracle-backed (MinHash + CC CTE)
     "ann_lsh_pairs",                # newly oracle-backed (literal hyperplanes)
     "pretraining_pipeline_stats",   # newly oracle-backed (full composite)
+    "embed_documents_fallback",     # newly oracle-backed (shape/norm contract)
+    "generate_tags_fallback",       # newly oracle-backed (count contract)
+    "streaming_user_state_totals",  # new: applyInPandasWithState vs batch
     # rows-only entries behind every oracle-backed key (the weaker check
     # shouldn't burn a window slot while oracle stamps are still missing)
     "events_distinct_users_hll",
-    "embed_documents_fallback",
-    "generate_tags_fallback",
     "ivf_knn",
     "pq_knn",
 ]
