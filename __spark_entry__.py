@@ -1754,13 +1754,57 @@ def generate_tags_fallback(spark, sf_dir):
     return out.select("doc_id", F.size("generated_tags").cast("long").alias("n_tags"))
 
 
-@q("ivf_knn", None)
+_SQL_UNIT = ("list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v})))")
+
+
+def _ivf_knn_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5,
+                 q_max: int = 20) -> str:
+    """DuckDB twin of the IVF k-NN join: same md5-min centroid subsample,
+    same argmax-cosine cell assignment (ties -> larger cell, mirroring the
+    struct-max), same top-``n_probe`` probe selection and per-query rank
+    rule (sim desc, neighbor asc). Similarities are rounded to 6 in the
+    OUTPUT on both sides; the orderings use raw doubles, where the ~1e-15
+    fold-order drift only matters on near-exact ties."""
+    md5key = "CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT)"
+    return f"""WITH e AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eu AS MATERIALIZED (SELECT id, {_SQL_UNIT.format(v='v')} AS u FROM e),
+cent AS MATERIALIZED (
+  SELECT id AS cell, u AS cu FROM eu ORDER BY {md5key}, id LIMIT {n_cells}),
+assign AS MATERIALIZED (
+  SELECT id, cell FROM (
+    SELECT eu.id, c.cell, row_number() OVER (PARTITION BY eu.id
+      ORDER BY list_dot_product(eu.u, c.cu) DESC, c.cell DESC) AS rn
+    FROM eu CROSS JOIN cent c) WHERE rn = 1),
+probes AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT q.id AS query_id, c.cell, row_number() OVER (PARTITION BY q.id
+      ORDER BY list_dot_product(q.u, c.cu) DESC, c.cell ASC) AS rk
+    FROM eu q CROSS JOIN cent c WHERE q.id < {q_max}) WHERE rk <= {n_probe}),
+cand AS MATERIALIZED (
+  SELECT p.query_id, a.id AS neighbor_id,
+    list_dot_product(qu.u, nu.u) AS sim
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  JOIN eu qu ON qu.id = p.query_id JOIN eu nu ON nu.id = a.id
+  WHERE a.id <> p.query_id)
+SELECT query_id, neighbor_id, round(sim, 6) AS similarity,
+  CAST(rk AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY sim DESC, neighbor_id ASC) AS rk FROM cand) WHERE rk <= {k}"""
+
+
+@q("ivf_knn", _ivf_knn_sql())
 def ivf_knn(spark, sf_dir):
-    # approximate J7 at scale: IVF inverted-list k-NN (recall measured vs the
-    # brute-force kernel in tests/test_tags_vectors.py)
+    # approximate J7 at scale: IVF inverted-list k-NN. The md5-min centroid
+    # subsample makes the inverted lists engine-reproducible, so the oracle
+    # re-derives assignment, probing, and ranking end-to-end (recall vs
+    # brute force is additionally measured in tests/test_tags_vectors.py)
     e = _emb(spark, sf_dir)
-    return V.ivf_knn_join(e.filter(F.col("vec_id") < 20), e, k=5,
-                          n_cells=16, n_probe=4)
+    out = V.ivf_knn_join(e.filter(F.col("vec_id") < 20), e, k=5,
+                         n_cells=16, n_probe=4)
+    return out.select("query_id", "neighbor_id",
+                      F.round("similarity", 6).alias("similarity"),
+                      F.col("rank").cast("long").alias("rank"))
 
 
 @q("pq_knn", None)
@@ -3557,10 +3601,10 @@ _VERIFY_FIRST = [
     "embed_documents_fallback",     # newly oracle-backed (shape/norm contract)
     "generate_tags_fallback",       # newly oracle-backed (count contract)
     "streaming_user_state_totals",  # new: applyInPandasWithState vs batch
+    "ivf_knn",                      # newly oracle-backed (md5-min centroids)
     # rows-only entries behind every oracle-backed key (the weaker check
     # shouldn't burn a window slot while oracle stamps are still missing)
     "events_distinct_users_hll",
-    "ivf_knn",
     "pq_knn",
 ]
 

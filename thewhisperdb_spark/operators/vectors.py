@@ -281,20 +281,26 @@ def ivf_assign(embeddings: DataFrame, n_cells: int,
     space into ``n_cells`` inverted lists keyed by nearest centroid.
 
     Centroids default to a deterministic pseudo-random subsample: the
-    ``n_cells`` rows minimizing ``xxhash64(id)`` — a TakeOrderedAndProject
-    top-k (per-partition top-k + single merge, no global sort), scalable and
-    RNG-free. It stands in for a k-means codebook (pyspark.ml KMeans can be
-    dropped in; assignment below is identical either way). The centroid set is
-    tiny (≈√n) so assignment is a broadcast join + per-row argmax: one scan of
-    the corpus, no shuffle of the big side.
+    ``n_cells`` rows minimizing an md5-derived 60-bit key of the id — a
+    TakeOrderedAndProject top-k (per-partition top-k + single merge, no
+    global sort), scalable and RNG-free, and engine-portable (any engine
+    with md5 selects the same centroid set, which is what lets the DuckDB
+    oracle re-derive the same inverted lists). It stands in for a k-means
+    codebook (pyspark.ml KMeans can be dropped in; assignment below is
+    identical either way). The centroid set is tiny (≈√n) so assignment is
+    a broadcast join + per-row argmax: one scan of the corpus, no shuffle
+    of the big side.
 
     Returns (assigned, centroids) where assigned = embeddings + ``cell`` column
     and centroids = (cell, cvec).
     """
     if centroids is None:
+        sel_key = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+            16, 10).cast("long")
         centroids = (
             embeddings.select(F.col(id_col), F.col(vec_col))
-            .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+            .orderBy(sel_key.asc(), F.col(id_col).asc())
             .limit(n_cells)
             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
         )
