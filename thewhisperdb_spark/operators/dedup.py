@@ -4,8 +4,12 @@ MinHash+LSH, SimHash, embedding-cosine near-dup.
 All candidate generation is equi-join shaped (group on a key: text hash,
 shingle, band bucket, simhash band) — never a cross join — so each op's cost
 is Σ bucket² instead of n², which is the property that survives 100 TB.
-Hashing uses the built-in ``xxhash64`` (JVM, codegen) so nothing here drops
-into Python.
+Hashing stays JVM-side codegen throughout; signature/fingerprint element
+hashes default to md5-derived 60-bit values (engine-portable — any engine
+with md5 reproduces them, which is what lets the DuckDB oracle check these
+pipelines value-for-value), with an xxhash64 ``portable=False`` fast path
+for single-engine deployments. Internal-only keys (band buckets) still use
+xxhash64. Nothing here drops into Python.
 """
 
 from __future__ import annotations
