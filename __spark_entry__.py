@@ -1378,7 +1378,21 @@ def range_join_clicks_before_purchase(spark, sf_dir):
                       (F.col("ps") - F.col("cs")).alias("secs_before"))
 
 
-@q("price_quartiles_approx", None)
+@q("price_quartiles_approx",
+   # Valid at the driver's correctness scale: groups at sf0.01 (~3k rows)
+   # are smaller than the sketch accuracy (10000), where Greenwald-Khanna
+   # is EXACT and lands on the same discrete rank convention as DuckDB's
+   # quantile_disc (verified: identical at 25/50/75 across all groups).
+   # Above the accuracy bound the sketch is approximate by design and the
+   # comparison would not hold — the correctness gate runs at sf0.01.
+   "WITH s AS (SELECT o_orderpriority, "
+   "quantile_disc(o_totalprice, 0.25) AS p25, "
+   "quantile_disc(o_totalprice, 0.5) AS p50, "
+   "quantile_disc(o_totalprice, 0.75) AS p75, count(*) AS n "
+   "FROM orders GROUP BY 1) "
+   "SELECT o_orderpriority, q.quartile, "
+   "CASE q.quartile WHEN 25 THEN p25 WHEN 50 THEN p50 ELSE p75 END AS value, "
+   "n FROM s CROSS JOIN (SELECT unnest([25, 50, 75]) AS quartile) q")
 def price_quartiles_approx(spark, sf_dir):
     # scale path for price_quartiles_by_priority: percentile_approx is a
     # MERGEABLE quantile sketch — map-side partials combine without a global
