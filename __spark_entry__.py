@@ -3525,6 +3525,285 @@ def string_normalize_suite(spark, sf_dir):
         F.reverse(F.substring(cleaned, 1, 40)).alias("prefix_rev"))
 
 
+# ---- round-3 second wave: function-matrix certification --------------------
+
+
+@q("events_moving_avg",
+   "WITH h AS (SELECT event_type, "
+   "CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr, count(*) AS n "
+   "FROM events GROUP BY 1, 2) "
+   "SELECT event_type, hr, n, "
+   "round(avg(n) OVER (PARTITION BY event_type ORDER BY hr "
+   "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS mavg FROM h")
+def events_moving_avg(spark, sf_dir):
+    # centered moving average over a BOUNDED pre-aggregated grain — the
+    # smoothing window never sees the raw event stream
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.groupBy("event_type",
+                    F.unix_timestamp(F.date_trunc("hour", "ts"))
+                    .alias("hr"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("hr").rowsBetween(-2, 2))
+    return h.select("event_type", "hr", "n",
+                    F.round(F.avg("n").over(w), 6).alias("mavg"))
+
+
+@q("customer_first_last_order",
+   "SELECT o_custkey, o_orderkey, "
+   "first_value(o_totalprice) OVER w AS first_price, "
+   "last_value(o_totalprice) OVER w AS last_price "
+   "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+   "ORDER BY o_orderdate, o_orderkey "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
+def customer_first_last_order(spark, sf_dir):
+    # first_value/last_value over an explicit full frame (the default frame
+    # would make last_value the CURRENT row — the classic window-frame trap,
+    # pinned here on both engines)
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return o.select("o_custkey", "o_orderkey",
+                    F.first("o_totalprice").over(w).alias("first_price"),
+                    F.last("o_totalprice").over(w).alias("last_price"))
+
+
+@q("string_funcs_matrix",
+   "SELECT doc_id, string_split(text, ' ')[1] AS first_tok, "
+   "lpad(lang, 5, '_') AS lang_pad, rpad(source, 8, '.') AS source_pad, "
+   "repeat(lang, 2) AS lang2, "
+   "CAST(strpos(text, 'table') AS BIGINT) AS pos_table, "
+   "left(text, 10) AS l10, right(text, 10) AS r10 FROM documents")
+def string_funcs_matrix(spark, sf_dir):
+    # string-function certification: element split access, lpad/rpad,
+    # repeat, 1-based substring position (0 = absent), left/right slices
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.element_at(F.split("text", " "), 1).alias("first_tok"),
+        F.lpad("lang", 5, "_").alias("lang_pad"),
+        F.rpad("source", 8, ".").alias("source_pad"),
+        F.repeat("lang", 2).alias("lang2"),
+        F.instr("text", "table").cast("long").alias("pos_table"),
+        F.substring("text", 1, 10).alias("l10"),
+        F.col("text").substr(F.length("text") - 9, F.lit(10)).alias("r10"))
+
+
+@q("supplier_names_rollup",
+   "SELECT n.n_name, string_agg(s.s_name, ',' ORDER BY s.s_name) AS names, "
+   "count(*) AS n_suppliers "
+   "FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey "
+   "GROUP BY n.n_name")
+def supplier_names_rollup(spark, sf_dir):
+    # ordered string aggregation: collect_list is unordered by contract, so
+    # determinism comes from array_sort before the join — same rule as the
+    # oracle's ORDER BY inside string_agg
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+            .groupBy("n_name")
+            .agg(F.array_join(F.array_sort(F.collect_list("s_name")), ",")
+                 .alias("names"),
+                 F.count(F.lit(1)).alias("n_suppliers")))
+
+
+@q("events_bool_aggs",
+   "SELECT user_id, bool_or(value > 90) AS any_high, "
+   "bool_and(value >= 0) AS all_nonneg, "
+   "count_if(event_type = 'click') AS n_clicks, count(*) AS n "
+   "FROM events GROUP BY user_id")
+def events_bool_aggs(spark, sf_dir):
+    # boolean-aggregate surface: bool_or / bool_and / count_if compile to
+    # partial-merging aggregates like any other (no row fan-out)
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.bool_or(F.col("value") > 90).alias("any_high"),
+                 F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+                 F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@q("orders_null_semantics",
+   "SELECT o_orderpriority, "
+   "count(nullif(o_orderstatus, 'O')) AS n_not_open, "
+   "count(*) - count(nullif(o_orderstatus, 'O')) AS n_open, "
+   "count(coalesce(nullif(o_orderstatus, 'O'), 'OPEN')) AS n_total "
+   "FROM orders GROUP BY o_orderpriority")
+def orders_null_semantics(spark, sf_dir):
+    # NULL-semantics certification: nullif manufactures NULLs, count skips
+    # them, coalesce restores — the exact SQL null-handling contract
+    o = load_table(spark, sf_dir, "orders")
+    not_open = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (o.groupBy("o_orderpriority")
+            .agg(F.count(not_open).alias("n_not_open"),
+                 (F.count(F.lit(1)) - F.count(not_open)).alias("n_open"),
+                 F.count(F.coalesce(not_open, F.lit("OPEN")))
+                 .alias("n_total")))
+
+
+@q("lineitem_price_bands",
+   "SELECT CASE WHEN l_extendedprice < 10000 THEN 'low' "
+   "WHEN l_extendedprice < 40000 THEN 'mid' ELSE 'high' END AS band, "
+   "count(*) AS n, "
+   "CAST(SUM(CAST(greatest(least(l_extendedprice, 50000.0), 1000.0) "
+   "AS DECIMAL(18,6))) AS DOUBLE) AS clamped_total "
+   "FROM lineitem GROUP BY 1")
+def lineitem_price_bands(spark, sf_dir):
+    # searched-CASE banding + greatest/least clamping — winsorized
+    # aggregation as pure scan expressions
+    li = load_table(spark, sf_dir, "lineitem")
+    band = (F.when(F.col("l_extendedprice") < 10000, "low")
+            .when(F.col("l_extendedprice") < 40000, "mid")
+            .otherwise("high"))
+    clamped = F.greatest(F.least(F.col("l_extendedprice"), F.lit(50000.0)),
+                         F.lit(1000.0))
+    return (li.groupBy(band.alias("band"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(clamped.cast("decimal(18,6)")).cast("double")
+                 .alias("clamped_total")))
+
+
+@q("orders_multi_distinct",
+   "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, "
+   "count(DISTINCT o_custkey) AS n_customers, "
+   "count(DISTINCT o_orderpriority) AS n_priorities, count(*) AS n_orders "
+   "FROM orders GROUP BY 1")
+def orders_multi_distinct(spark, sf_dir):
+    # multiple COUNT(DISTINCT ...) in one aggregate — exercises Spark's
+    # expand-based multi-distinct planning (one pass, expanded rows, not
+    # one job per distinct column)
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+            .agg(F.count_distinct("o_custkey").alias("n_customers"),
+                 F.count_distinct("o_orderpriority").alias("n_priorities"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@q("customer_full_join_orders",
+   "SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only' "
+   "WHEN o.o_orderkey IS NULL THEN 'customer_only' ELSE 'both' END "
+   "AS match_status, count(*) AS n "
+   "FROM customer c FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey "
+   "GROUP BY 1")
+def customer_full_join_orders(spark, sf_dir):
+    # FULL OUTER join match accounting: matched rows, customers with no
+    # orders, orders with no customer (referential-integrity probe)
+    c = load_table(spark, sf_dir, "customer").alias("c")
+    o = load_table(spark, sf_dir, "orders").alias("o")
+    j = c.join(o, F.col("o.o_custkey") == F.col("c.c_custkey"), "full_outer")
+    status = (F.when(F.col("c.c_custkey").isNull(), "order_only")
+              .when(F.col("o.o_orderkey").isNull(), "customer_only")
+              .otherwise("both"))
+    return (j.groupBy(status.alias("match_status"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("orders_date_arithmetic",
+   "SELECT o_orderkey, "
+   "CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) "
+   "AS days_since, "
+   "strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d, "
+   "strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end "
+   "FROM orders")
+def orders_date_arithmetic(spark, sf_dir):
+    # date-arithmetic certification: day diffs against an epoch literal,
+    # interval addition, end-of-month — all emitted as formatted strings
+    # (pandas date dtypes diverge between engines)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long").alias("days_since"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd")
+        .alias("plus_30d"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd")
+        .alias("month_end"))
+
+
+@q("events_timestamp_parts",
+   "SELECT CAST(day(ts) AS BIGINT) AS dom, "
+   "CAST(minute(ts) AS BIGINT) AS minute_of_hour, "
+   "CAST(weekofyear(ts) AS BIGINT) AS iso_week, count(*) AS n "
+   "FROM events GROUP BY 1, 2, 3")
+def events_timestamp_parts(spark, sf_dir):
+    # calendar-part extraction certification (day-of-month, minute, ISO
+    # week) — grouped so the output grain is bounded
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.dayofmonth("ts").cast("long").alias("dom"),
+                       F.minute("ts").cast("long").alias("minute_of_hour"),
+                       F.weekofyear("ts").cast("long").alias("iso_week"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("lineitem_numeric_funcs",
+   "SELECT l_returnflag, "
+   "CAST(SUM(CAST(round(ln(l_extendedprice), 6) AS DECIMAL(18,6))) "
+   "AS DOUBLE) AS sum_ln_price, "
+   "CAST(SUM(CAST(round(sqrt(l_quantity), 6) AS DECIMAL(18,6))) "
+   "AS DOUBLE) AS sum_sqrt_qty, "
+   "CAST(SUM(CAST(sign(l_discount - 0.05) AS BIGINT)) AS BIGINT) "
+   "AS net_disc_sign, "
+   "CAST(SUM(CAST(abs(ceil(l_tax * 100) - floor(l_tax * 100)) AS BIGINT)) "
+   "AS BIGINT) AS n_frac_tax FROM lineitem GROUP BY l_returnflag")
+def lineitem_numeric_funcs(spark, sf_dir):
+    # numeric-function certification: ln/sqrt rounded per-row to 6 decimals
+    # BEFORE the decimal sum (libm implementations may differ in the last
+    # ulp between engines; round-6 absorbs it — same discipline as BM25),
+    # sign/ceil/floor/abs as exact integer paths
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.sum(F.round(F.log(F.col("l_extendedprice")), 6)
+                       .cast("decimal(18,6)")).cast("double")
+                 .alias("sum_ln_price"),
+                 F.sum(F.round(F.sqrt("l_quantity"), 6)
+                       .cast("decimal(18,6)")).cast("double")
+                 .alias("sum_sqrt_qty"),
+                 F.sum(F.signum(F.col("l_discount") - 0.05).cast("long"))
+                 .cast("long").alias("net_disc_sign"),
+                 F.sum(F.abs(F.ceil(F.col("l_tax") * 100)
+                             - F.floor(F.col("l_tax") * 100)).cast("long"))
+                 .cast("long").alias("n_frac_tax")))
+
+
+@q("orders_grouping_id_rollup",
+   "SELECT coalesce(o_orderstatus, 'ALL') AS status, "
+   "coalesce(o_orderpriority, 'ALL') AS priority, "
+   "CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) "
+   "AS gid, count(*) AS n "
+   "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)")
+def orders_grouping_id_rollup(spark, sf_dir):
+    # ROLLUP with grouping_id: the bitmask disambiguates real NULL groups
+    # from subtotal rows — same bit order as GROUPING(a)*2 + GROUPING(b)
+    o = load_table(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("priority"), "gid", "n"))
+
+
+@q("lineitem_regression",
+   "SELECT l_returnflag, "
+   "round(regr_slope(l_extendedprice, l_quantity), 6) AS slope, "
+   "round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept, "
+   "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n "
+   "FROM lineitem GROUP BY l_returnflag")
+def lineitem_regression(spark, sf_dir):
+    # linear-regression aggregate surface: slope/intercept of price on
+    # quantity per flag (price is nearly linear in quantity in TPC-H data,
+    # so the fit is meaningful); round-6 absorbs partial-merge float drift
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6)
+                 .alias("slope"),
+                 F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6)
+                 .alias("intercept"),
+                 F.regr_count("l_extendedprice", "l_quantity").cast("long")
+                 .alias("n")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3616,6 +3895,21 @@ _VERIFY_FIRST = [
     "generate_tags_fallback",       # newly oracle-backed (count contract)
     "streaming_user_state_totals",  # new: applyInPandasWithState vs batch
     "ivf_knn",                      # newly oracle-backed (md5-min centroids)
+    # round-3 second wave: function-matrix certification (all oracle-backed)
+    "events_moving_avg",
+    "customer_first_last_order",
+    "string_funcs_matrix",
+    "supplier_names_rollup",
+    "events_bool_aggs",
+    "orders_null_semantics",
+    "lineitem_price_bands",
+    "orders_multi_distinct",
+    "customer_full_join_orders",
+    "orders_date_arithmetic",
+    "events_timestamp_parts",
+    "lineitem_numeric_funcs",
+    "orders_grouping_id_rollup",
+    "lineitem_regression",
     # rows-only entries behind every oracle-backed key (the weaker check
     # shouldn't burn a window slot while oracle stamps are still missing)
     "events_distinct_users_hll",
