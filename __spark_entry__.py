@@ -3804,6 +3804,200 @@ def lineitem_regression(spark, sf_dir):
                  .alias("n")))
 
 
+@q("doc_token_hof_suite",
+   "WITH t AS (SELECT doc_id, " + _SQL_TOKENS + " AS tk FROM documents) "
+   "SELECT doc_id, "
+   "CAST(len(list_filter(tk, x -> strlen(x) > 6)) AS BIGINT) AS n_long, "
+   "len(list_filter(tk, x -> strlen(x) > 20)) = 0 AS all_short, "
+   "len(list_filter(tk, x -> x = 'table')) > 0 AS has_table, "
+   "CAST(list_max(list_transform(tk, x -> strlen(x))) AS BIGINT) "
+   "AS max_tok_len FROM t")
+def doc_token_hof_suite(spark, sf_dir):
+    # higher-order-function certification: filter/forall/exists/transform+
+    # array_max as pure codegen'd expressions over the token set — the HOF
+    # family is the engine's array algebra, pinned value-for-value
+    d = _docs_tagged(spark, sf_dir)
+    tk = F.col("tags")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(tk, lambda x: F.length(x) > 6)).cast("long")
+        .alias("n_long"),
+        F.forall(tk, lambda x: F.length(x) <= 20).alias("all_short"),
+        F.exists(tk, lambda x: x == F.lit("table")).alias("has_table"),
+        F.array_max(F.transform(tk, F.length)).cast("long")
+        .alias("max_tok_len"))
+
+
+@q("doc_tokens_posexplode",
+   # raw (non-distinct) token list: DuckDB's list_distinct does NOT
+   # preserve order, so positional semantics are only defined on the raw
+   # split. Parallel unnests zip positionally in DuckDB.
+   "WITH t AS (SELECT doc_id, "
+   "list_filter(string_split(text, ' '), x -> x <> '') AS tk "
+   "FROM documents) "
+   "SELECT * FROM (SELECT doc_id, "
+   "CAST(generate_subscripts(tk, 1) AS BIGINT) AS pos, "
+   "unnest(tk) AS token FROM t) WHERE pos <= 5")
+def doc_tokens_posexplode(spark, sf_dir):
+    # positional explode: (doc_id, 1-based position, token) for the first 5
+    # tokens — ordinality-preserving flatten
+    d = _docs(spark, sf_dir)
+    return (d.select("doc_id",
+                     F.posexplode(F.slice(TX.tokens(F.col("text")), 1, 5)))
+            .select("doc_id", (F.col("pos") + 1).cast("long").alias("pos"),
+                    F.col("col").alias("token")))
+
+
+@q("pivot_event_multi_agg",
+   "SELECT user_id, "
+   + ", ".join(
+       f"coalesce(count(*) FILTER (WHERE event_type = '{t}'), 0) AS {t}_n, "
+       f"CAST(coalesce(SUM(CAST(value AS DECIMAL(18,6))) "
+       f"FILTER (WHERE event_type = '{t}'), 0) AS DOUBLE) AS {t}_total"
+       for t in ("click", "view", "purchase"))
+   + " FROM events GROUP BY user_id")
+def pivot_event_multi_agg(spark, sf_dir):
+    # pivot with MULTIPLE aggregates per pivot value (count + decimal sum)
+    # through the real relational pivot API — a static value list keeps it
+    # one pass with no distinct-values pre-job
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase"]
+    piv = (ev.groupBy("user_id").pivot("event_type", types)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(_dec("value")),
+                           F.lit(0).cast("decimal(18,6)"))
+                .cast("double").alias("total")))
+    # pivot leaves NULL counts for absent (user, type) pairs; the oracle's
+    # FILTER form yields 0 — align
+    return piv.select("user_id", *[
+        c for t in types for c in (
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"),
+            F.coalesce(F.col(f"{t}_total"), F.lit(0.0)).alias(f"{t}_total"))])
+
+
+@q("docs_metrics_unpivot",
+   "SELECT doc_id, m.metric, m.value FROM ("
+   "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+   "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) "
+   "AS n_tokens, CAST(len(" + _SQL_TOKENS + ") AS BIGINT) AS n_distinct "
+   "FROM documents) "
+   "CROSS JOIN LATERAL (VALUES ('n_chars', n_chars), ('n_tokens', n_tokens), "
+   "('n_distinct', n_distinct)) AS m(metric, value)")
+def docs_metrics_unpivot(spark, sf_dir):
+    # unpivot/melt: wide per-doc metrics to (doc_id, metric, value) long
+    # form via the relational unpivot operator (the oracle spells it as a
+    # LATERAL VALUES join — same rows)
+    d = _docs(spark, sf_dir)
+    wide = d.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(TX.tags_of(F.col("text"))).cast("long").alias("n_distinct"))
+    return wide.unpivot("doc_id", ["n_chars", "n_tokens", "n_distinct"],
+                        "metric", "value")
+
+
+@q("customer_last3_orders_csv",
+   "SELECT o_custkey, o_orderkey, concat_ws(',', "
+   "CAST(o_orderkey AS VARCHAR), "
+   "CAST(lag(o_orderkey, 1) OVER w AS VARCHAR), "
+   "CAST(lag(o_orderkey, 2) OVER w AS VARCHAR)) AS last3 "
+   "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+   "ORDER BY o_orderdate, o_orderkey)")
+def customer_last3_orders_csv(spark, sf_dir):
+    # trailing-window key digest: current + two previous order keys as a
+    # csv (concat_ws skips NULLs identically on both engines, so heads of
+    # partitions come out shorter, not null-padded)
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.concat_ws(",", F.col("o_orderkey").cast("string"),
+                    F.lag("o_orderkey", 1).over(w).cast("string"),
+                    F.lag("o_orderkey", 2).over(w).cast("string"))
+        .alias("last3"))
+
+
+@q("regexp_capture_rewrite",
+   # same capture semantics, different backreference spelling: Spark `$1`,
+   # DuckDB/RE2 `\1`
+   "SELECT doc_id, "
+   "substr(regexp_replace(text, '(t[A-Za-z0-9_]+)e', 'X\\1X', 'g'), 1, 60) "
+   "AS rewritten_head, "
+   "CAST(length(regexp_replace(text, '(t[A-Za-z0-9_]+)e', 'X\\1X', 'g')) "
+   "AS BIGINT) AS rewritten_len FROM documents")
+def regexp_capture_rewrite(spark, sf_dir):
+    # capture-group rewriting certification: replace t...e words with a
+    # bracketed capture — the backreference engine surface under text
+    # canonicalizers
+    d = _docs(spark, sf_dir)
+    rw = F.regexp_replace("text", r"(t[A-Za-z0-9_]+)e", "X$1X")
+    return d.select("doc_id",
+                    F.substring(rw, 1, 60).alias("rewritten_head"),
+                    F.length(rw).cast("long").alias("rewritten_len"))
+
+
+@q("orders_bit_ops",
+   "SELECT o_orderkey & 7 AS bucket, count(*) AS n, "
+   "bit_or(o_orderkey & 255) AS key_or, "
+   "bit_xor(o_orderkey & 255) AS key_xor, "
+   "CAST(1 AS BIGINT) << CAST(min(o_orderkey) & 3 AS INTEGER) AS shifted "
+   "FROM orders GROUP BY 1")
+def orders_bit_ops(spark, sf_dir):
+    # bitwise expression + aggregate surface: &-bucketing, bit_or/bit_xor
+    # aggregates, shiftleft — the primitives under bitmask set encodings
+    o = load_table(spark, sf_dir, "orders")
+    k255 = F.col("o_orderkey").bitwiseAND(F.lit(255))
+    return (o.groupBy(F.col("o_orderkey").bitwiseAND(F.lit(7))
+                      .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("bit_or(o_orderkey & 255)").alias("key_or"),
+                 F.expr("bit_xor(o_orderkey & 255)").alias("key_xor"),
+                 F.expr("shiftleft(cast(1 as bigint), "
+                        "cast(min(o_orderkey) & 3 as int))")
+                 .alias("shifted")))
+
+
+@q("docs_hash_suite",
+   "SELECT doc_id, substr(md5(text), 1, 8) AS md5_8, "
+   "substr(sha256(text), 1, 8) AS sha_8 FROM documents")
+def docs_hash_suite(spark, sf_dir):
+    # cryptographic-hash column surface (md5 + sha2-256, hex-lowercase on
+    # both engines) — the content-addressing primitives under dedup keys
+    # and cache keys
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    F.substring(F.md5("text"), 1, 8).alias("md5_8"),
+                    F.substring(F.sha2("text", 256), 1, 8).alias("sha_8"))
+
+
+@q("array_ops_extended",
+   # position runs on the RAW token list (DuckDB list_distinct reorders);
+   # the order-insensitive ops (overlap / removal count / max) use the
+   # distinct set
+   "WITH t AS (SELECT doc_id, "
+   "list_filter(string_split(text, ' '), x -> x <> '') AS raw, "
+   + _SQL_TOKENS + " AS tk FROM documents) "
+   "SELECT doc_id, "
+   "CAST(coalesce(list_position(raw, 'table'), 0) AS BIGINT) AS pos_table, "
+   "len(list_intersect(tk, ['table', 'spark'])) > 0 AS overlaps_probe, "
+   "CAST(len(list_filter(tk, x -> x <> 'a')) AS BIGINT) AS n_wo_a, "
+   "list_max(tk) AS max_tag FROM t")
+def array_ops_extended(spark, sf_dir):
+    # extended array algebra: 1-based first-occurrence position (0 =
+    # absent), overlap test, element removal, lexicographic max — each a
+    # scan expression
+    d = _docs_tagged(spark, sf_dir)
+    probe = F.array(F.lit("table"), F.lit("spark"))
+    return d.select(
+        "doc_id",
+        F.array_position(TX.tokens(F.col("text")), "table").cast("long")
+        .alias("pos_table"),
+        F.arrays_overlap("tags", probe).alias("overlaps_probe"),
+        F.size(F.array_remove("tags", "a")).cast("long").alias("n_wo_a"),
+        F.array_max("tags").alias("max_tag"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3910,6 +4104,16 @@ _VERIFY_FIRST = [
     "lineitem_numeric_funcs",
     "orders_grouping_id_rollup",
     "lineitem_regression",
+    # round-3 third wave (all oracle-backed)
+    "doc_token_hof_suite",
+    "doc_tokens_posexplode",
+    "pivot_event_multi_agg",
+    "docs_metrics_unpivot",
+    "customer_last3_orders_csv",
+    "regexp_capture_rewrite",
+    "orders_bit_ops",
+    "docs_hash_suite",
+    "array_ops_extended",
     # rows-only entries behind every oracle-backed key (the weaker check
     # shouldn't burn a window slot while oracle stamps are still missing)
     "events_distinct_users_hll",
