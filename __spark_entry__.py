@@ -3587,7 +3587,11 @@ def string_funcs_matrix(spark, sf_dir):
         F.repeat("lang", 2).alias("lang2"),
         F.instr("text", "table").cast("long").alias("pos_table"),
         F.substring("text", 1, 10).alias("l10"),
-        F.col("text").substr(F.length("text") - 9, F.lit(10)).alias("r10"))
+        # greatest(len-9, 1) keeps the start positive: for texts shorter than
+        # 10 chars a negative start would count from the END in Spark and
+        # diverge from the oracle's right(text, 10) (ADVICE r3)
+        F.col("text").substr(F.greatest(F.length("text") - 9, F.lit(1)),
+                             F.lit(10)).alias("r10"))
 
 
 @q("supplier_names_rollup",
@@ -4015,12 +4019,51 @@ def entry(spark: SparkSession) -> DataFrame:
                        F.size("tags").cast("long").alias("n_tags"))
 
 
-# Round-3 rotation: the driver's CORRECTNESS window covers the FIRST 50
-# registry entries, so order = verification priority. Front: the two round-2
-# failures (both fixed), then every key that has never had a driver row, then
-# the round-3 additions. Back: rows-only (no-oracle) keys and everything
-# already stamped green in rounds 1-2 (93 keys).
-_VERIFY_FIRST = [
+# Rotation RULE (round 4, replacing the hand-rotated list): the driver's
+# CORRECTNESS window covers the FIRST ~50 registry entries, so ordering is
+# verification priority. We derive it automatically from the committed
+# CORRECTNESS_r*.json files:
+#   1. oracle-backed keys with no green driver row yet (never-stamped or
+#      previously erred) — these need stamps most;
+#   2. rows-only keys with no driver row yet (weaker check, still a row);
+#   3. everything already stamped green, least-recently-stamped first.
+# This makes the rotation self-maintaining: after each round the driver's
+# committed CORRECTNESS file reorders the next round's window with no manual
+# edit. _VERIFY_FALLBACK below is only used if no CORRECTNESS file is
+# readable (fresh checkout without round artifacts).
+
+
+def _driver_green_rounds() -> dict[str, int]:
+    """Map key -> latest round number with a fully-green driver row.
+
+    Green = rows_match and schema_match and hash_match-not-False (rows-only
+    keys have no hash). Erred or failed rows do NOT count, so a key whose
+    oracle broke rotates back to the front automatically.
+    """
+    import glob
+    import json as _json
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key, row in rows.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if row.get("rows_match") and row.get("schema_match") \
+                    and row.get("hash_match") is not False:
+                green[key] = max(green.get(key, 0), rnd)
+    return green
+
+
+_VERIFY_FALLBACK = [
     # round-2 defects, fixed this round — collect the green stamp
     "json_extract_props_sum",       # oracle dtype pinned to BIGINT
     "price_quartiles_approx",       # exploded to hashable scalar rows
@@ -4122,8 +4165,18 @@ _VERIFY_FIRST = [
 
 
 def _ordered_keys() -> list[str]:
-    head = [k for k in _VERIFY_FIRST if k in _REGISTRY]
-    return head + [k for k in _REGISTRY if k not in set(head)]
+    green = _driver_green_rounds()
+    if not green:  # fresh checkout without round artifacts: static fallback
+        head = [k for k in _VERIFY_FALLBACK if k in _REGISTRY]
+        return head + [k for k in _REGISTRY if k not in set(head)]
+    keys = list(_REGISTRY)
+    oracle_unstamped = [k for k in keys
+                        if _REGISTRY[k][1] is not None and k not in green]
+    rows_only_unstamped = [k for k in keys
+                           if _REGISTRY[k][1] is None and k not in green]
+    stamped = sorted((k for k in keys if k in green),
+                     key=lambda k: (green[k], keys.index(k)))
+    return oracle_unstamped + rows_only_unstamped + stamped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -137,6 +137,22 @@ def test_triangle_count_known_graph(spark):
     assert triangle_count(edges.union(rev)).collect()[0].n_triangles == 4
 
 
+def test_triangle_orientations_agree_on_skewed_graph(spark):
+    from thewhisperdb_spark.operators.graph import triangle_count
+
+    # hub-heavy fixture: hub 0 connected to 1..20, plus triangles through
+    # the hub (1-2, 3-4, 5-6) and one hub-free triangle (21,22,23). Degree
+    # orientation must count the same 4 triangles as raw-id orientation —
+    # the fixture is exactly the shape where the id orientation pays
+    # deg(hub)^2 wedges and the degree orientation doesn't.
+    rows = ([(0, i) for i in range(1, 21)]
+            + [(1, 2), (3, 4), (5, 6), (21, 22), (22, 23), (21, 23)])
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    n_deg = triangle_count(edges, orient="degree").collect()[0].n_triangles
+    n_id = triangle_count(edges, orient="id").collect()[0].n_triangles
+    assert n_deg == n_id == 4
+
+
 def test_pagerank_star_graph(spark):
     from thewhisperdb_spark.operators.graph import pagerank
 
@@ -192,6 +208,51 @@ def test_core_numbers_and_k_core(spark):
     assert members == {1: 3, 2: 3, 3: 3, 4: 3}
     # k above max coreness -> empty
     assert k_core(edges, 4).count() == 0
+
+
+def test_core_numbers_hub_heavy_graph(spark):
+    from thewhisperdb_spark.operators.graph import core_numbers
+
+    # star hub with 30 leaves (hub degree 30, coreness 1) + a K4 hanging off
+    # one leaf: the bounded-state h-index must collapse the hub's 30
+    # degree-1 neighbor estimates into a single (value, count) pair and
+    # still land on the exact corenesses.
+    rows = ([(0, i) for i in range(1, 31)]
+            + [(1, 40), (1, 41), (1, 42), (40, 41), (40, 42), (41, 42)])
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    core = {r.id: r.coreness for r in core_numbers(edges).collect()}
+    assert core[0] == 1
+    assert all(core[i] == 1 for i in range(2, 31))
+    assert core[1] == core[40] == core[41] == core[42] == 3
+
+
+def test_iteration_cap_is_exact_for_odd_max_iter(spark):
+    from thewhisperdb_spark.operators.graph import (core_numbers,
+                                                    label_propagation)
+
+    # 4-cycle: synchronous LPA from self-labels oscillates with period 2, so
+    # the state after exactly 1 round is distinguishable from 0 or 2 rounds.
+    # One round: every vote ties at count 1, min neighbor label wins —
+    # v0{1,3}->1, v1{0,2}->0, v2{1,3}->1, v3{0,2}->0. (Round 2 would flip it
+    # to {0:0, 1:1, 2:0, 3:1}.)
+    verts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)],
+                                  "src long, dst long")
+    one = {r.id: r.label for r in
+           label_propagation(verts, edges, max_iter=1).collect()}
+    assert one == {0: 1, 1: 0, 2: 1, 3: 0}
+    # coreness with max_iter=1 runs exactly one h-index round: on the K4 +
+    # path fixture vertex 5 starts at degree 2 and needs one round to drop
+    # to its true coreness 1; vertex 4's estimate after one round is still
+    # an overestimate (h of [3,3,3,2] = 3) — distinguishing 1 round from 0
+    # and from convergence.
+    e2 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long")
+    after1 = {r.id: r.coreness for r in
+              core_numbers(e2, max_iter=1).collect()}
+    assert after1[5] == 1
+    assert after1[4] == 3
 
 
 def test_h_index_expr(spark):

@@ -315,10 +315,18 @@ class GraphEngine:
         # duplicate id in `updates` would otherwise fan out through the
         # full-outer join. Resolve deterministically: keep the greatest
         # tuple per id (stable regardless of partitioning).
+        # Scalar fields first, then a stable digest over the array/map
+        # columns as the final tiebreak — without it two updates differing
+        # only in tags/linked_nodes/embedding would resolve
+        # partition-dependently (ADVICE r3).
         wdup = Window.partitionBy("id").orderBy(
             *[F.col(f.name).desc_nulls_last() for f in NODE_SCHEMA.fields
               if f.name != "id" and not isinstance(
-                  f.dataType, (ArrayType, MapType))])
+                  f.dataType, (ArrayType, MapType))],
+            F.md5(F.to_json(F.struct(*[
+                f.name for f in NODE_SCHEMA.fields
+                if isinstance(f.dataType, (ArrayType, MapType))
+            ]))).desc_nulls_last())
         up = (up.withColumn("_rn", F.row_number().over(wdup))
               .filter(F.col("_rn") == 1).drop("_rn"))
         o = self.nodes.alias("o")

@@ -167,18 +167,37 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
 
 
 def triangle_count(edges: DataFrame, src: str = "src",
-                   dst: str = "dst") -> DataFrame:
+                   dst: str = "dst", orient: str = "degree") -> DataFrame:
     """Global triangle count over the undirected graph — the standard
-    clustering-coefficient numerator, computed the scale-correct way:
-    canonical edges (a < b) joined twice, so each triangle a<b<c is counted
-    exactly once as (a,b)+(b,c)+(a,c). Two equi-joins on vertex keys, cost
-    Σ deg(v)² candidate wedges — the degree-ordered variant for power-law
-    graphs would orient edges by (degree, id) instead of raw id; the id
-    orientation keeps oracle parity and is identical in shape.
+    clustering-coefficient numerator. Edges are oriented along a total
+    vertex order into a DAG, so each triangle is counted exactly once via
+    two equi-joins (wedge + closure).
+
+    ``orient="degree"`` (default) orders vertices by (degree, id): every
+    oriented out-degree is then O(sqrt(m)), so the wedge join costs
+    O(m^1.5) worst-case even on a power-law graph where a raw-id
+    orientation pays Σ deg(hub)² wedges. Any total order yields the same
+    count (a triangle has exactly one source vertex under a DAG
+    orientation), so ``orient="id"`` is kept as the oracle-parity twin —
+    pytest pins count equality on a skewed fixture.
     Returns a single row (n_triangles)."""
-    e = (undirect(edges, src, dst)
-         .filter(F.col("src") < F.col("dst"))
-         .select(F.col("src").alias("a"), F.col("dst").alias("b")))
+    und = undirect(edges, src, dst)
+    if orient == "degree":
+        deg = und.groupBy(F.col("src").alias("v")).agg(
+            F.count(F.lit(1)).alias("d"))
+        ranked = (
+            und.join(deg.select(F.col("v").alias("src"),
+                                F.col("d").alias("ds")), "src")
+            .join(deg.select(F.col("v").alias("dst"),
+                             F.col("d").alias("dd")), "dst"))
+        e = (ranked.filter(
+                (F.col("ds") < F.col("dd"))
+                | ((F.col("ds") == F.col("dd"))
+                   & (F.col("src") < F.col("dst"))))
+             .select(F.col("src").alias("a"), F.col("dst").alias("b")))
+    else:
+        e = (und.filter(F.col("src") < F.col("dst"))
+             .select(F.col("src").alias("a"), F.col("dst").alias("b")))
     wedges = (e.alias("x").join(e.alias("y"), F.col("x.b") == F.col("y.a"))
               .select(F.col("x.a").alias("wa"), F.col("x.b").alias("wb"),
                       F.col("y.b").alias("wc")))
@@ -287,9 +306,13 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     # pair (per-round cost here is job latency, not data). Early-stopping on
     # a zero TWO-round delta is exact for parity with a fully-unrolled run:
     # state(r) == state(r+2) makes the trajectory 2-periodic from r, and the
-    # remaining even number of rounds reproduces state(r) — this also
+    # remaining EVEN number of rounds reproduces state(r) — this also
     # terminates bipartite oscillations the one-round delta never catches.
-    for _ in range(max(1, max_iter // 2)):
+    # Odd max_iter: run the final round as a single step (pagerank's
+    # pattern), so the iteration-cap contract holds exactly — under
+    # 2-periodicity the extra step equally reproduces the fully-unrolled
+    # odd-round state (ADVICE r3: max_iter=1 must run 1 round, not 2).
+    for _ in range(max_iter // 2):
         new_labels = step(step(labels)).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
@@ -300,6 +323,8 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    if max_iter % 2:
+        labels = step(labels).localCheckpoint(eager=True)
 
     singles = (vertices.select(F.col(id_col).alias("id"))
                .join(touched, "id", "left_anti")
@@ -328,11 +353,19 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
     trick as connected_components applies (one aggregate per round, no row
     collect).
 
-    Per iteration: one join + one collect_list aggregate + the array
-    h-index. collect_list is per-vertex-degree sized — bounded for
-    similarity graphs; a power-law web graph would cap it with the
-    bucketed-h-index variant (coreness <= degree, so estimates above the
-    current h never matter).
+    BOUNDED per-vertex state (round-4 hardening, replacing a raw
+    collect_list of neighbor estimates that was degree-sized on hubs):
+    each incoming estimate is clamped to the receiver's current estimate
+    before aggregation. Clamping cannot change the result — h of the
+    clamped multiset equals min(c_v, h(original)), which is exactly the
+    update rule — but it shrinks the aggregated state from one entry per
+    neighbor to one (value, count) pair per DISTINCT clamped value, i.e.
+    at most c_v pairs (→ coreness-sized as the fixpoint approaches, e.g.
+    ~50 entries for a degree-10⁶ hub with coreness 50). The h-index over
+    descending (value, cum_count) pairs is max_i min(v_i, n_i).
+
+    Per iteration: two estimate joins + two partial-aggregating shuffles
+    (histogram, then pair-collect) — all codegen'd array/struct ops.
 
     Returns (id, coreness).
     """
@@ -344,28 +377,46 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
         return df.agg(F.sum(F.col("c").cast("decimal(38,0)"))).collect()[0][0]
 
     def step(cur_df: DataFrame) -> DataFrame:
-        nbr = (
-            und.join(cur_df.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.collect_list("c").alias("cs"))
-        )
-        return (
-            cur_df.join(nbr, "id")
-            .select("id",
-                    F.least(F.col("c"),
-                            _h_index(F.col("cs")).cast("long")).alias("c"))
-        )
+        contrib = (
+            und.join(cur_df.select(F.col("id").alias("src"),
+                                   F.col("c").alias("c_src")), "src")
+            .join(cur_df.select(F.col("id").alias("dst"),
+                                F.col("c").alias("c_dst")), "dst")
+            .select(F.col("dst").alias("id"), "c_dst",
+                    F.least("c_src", "c_dst").alias("v")))
+        hist = contrib.groupBy("id", "c_dst", "v").agg(
+            F.count(F.lit(1)).cast("long").alias("n"))
+        pairs = hist.groupBy("id", "c_dst").agg(
+            F.reverse(F.array_sort(F.collect_list(F.struct("v", "n"))))
+            .alias("ps"))
+        acc0 = F.struct(F.lit(0).cast("long").alias("cum"),
+                        F.lit(0).cast("long").alias("best"))
+        h = F.aggregate(
+            "ps", acc0,
+            lambda acc, p: F.struct(
+                (acc["cum"] + p["n"]).alias("cum"),
+                F.greatest(acc["best"],
+                           F.least(p["v"], acc["cum"] + p["n"]))
+                .alias("best")))["best"]
+        return pairs.select("id", F.least(F.col("c_dst"), h).alias("c"))
 
     # two h-index rounds per materialization + one label-sum check per pair
     # (estimates are monotone non-increasing, so an unchanged TWO-round sum
-    # still implies the fixpoint exactly); per-round cost is job latency
+    # still implies the fixpoint exactly); per-round cost is job latency.
+    # Odd max_iter runs its final round as a single step so the iteration
+    # cap is honored exactly (ADVICE r3) — monotonicity makes the extra
+    # step a no-op when the loop already hit the fixpoint.
     prev = est_sum(est)
-    for _ in range(max(1, max_iter // 2)):
+    converged = False
+    for _ in range(max_iter // 2):
         est = step(step(est)).localCheckpoint(eager=True)
         cur = est_sum(est)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if max_iter % 2 and not converged:
+        est = step(est).localCheckpoint(eager=True)
     return est.select("id", F.col("c").alias("coreness"))
 
 
