@@ -112,6 +112,30 @@ def test_drop_near_duplicates_end_to_end(spark):
     assert set(out.columns) == {"doc_id", "text"}
 
 
+def test_shingle_jaccard_max_df_cap(spark):
+    # near-identical pair (1,2) + unrelated docs sharing only boilerplate.
+    # With max_df set low enough to drop the boilerplate shingles, the
+    # near-dup pair must survive with its EXACT (uncapped) jaccard — the cap
+    # prunes candidate generation, never the reported similarity.
+    boiler = "all rights reserved copyright notice "
+    rows = [(1, boiler + "alpha beta gamma delta epsilon zeta"),
+            (2, boiler + "alpha beta gamma delta epsilon zetb"),
+            (3, boiler + "completely different content here one"),
+            (4, boiler + "unrelated words nothing shared at all"),
+            (5, boiler + "yet another independent document text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r.a, r.b): r.jaccard for r in
+                D.shingle_jaccard_pairs(df, n=3, threshold=0.5).collect()}
+    capped = {(r.a, r.b): r.jaccard for r in
+              D.shingle_jaccard_pairs(df, n=3, threshold=0.5,
+                                      max_df=2).collect()}
+    assert (1, 2) in uncapped and (1, 2) in capped
+    # exact re-score: similarity identical with and without the cap
+    assert capped[(1, 2)] == uncapped[(1, 2)]
+    # no boilerplate-only pair sneaks in above threshold in either mode
+    assert set(capped) == set(uncapped)
+
+
 def test_simhash_band_pairs_hamming(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta eta theta"),

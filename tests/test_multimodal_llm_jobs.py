@@ -204,6 +204,70 @@ def test_model_output_tag_extraction(spark):
     assert bad is None
 
 
+def test_http_embedder_request_response_shape():
+    # OpenAI-compatible embeddings client against a stub transport: request
+    # contract (url path, bearer auth, model + batch input) and response
+    # handling (index re-ordering, batch chunking) — no network, no Spark
+    from thewhisperdb_spark.functions.llm import HttpEmbedder
+
+    calls = []
+
+    def stub(url, headers, payload, timeout):
+        calls.append((url, headers, payload))
+        # answer out of order: the client must re-sort by index
+        return {"data": [
+            {"index": i, "embedding": [float(i), 0.5]}
+            for i in reversed(range(len(payload["input"])))]}
+
+    emb = HttpEmbedder(base_url="https://llm.example.test/", model="emb-x",
+                       api_key="sk-test", batch_size=2, transport=stub)
+    got = emb(["a", "b", "c"])
+    assert got == [[0.0, 0.5], [1.0, 0.5], [0.0, 0.5]]
+    assert len(calls) == 2                      # 3 texts, batch_size 2
+    url, headers, payload = calls[0]
+    assert url == "https://llm.example.test/v1/embeddings"
+    assert headers["Authorization"] == "Bearer sk-test"
+    assert payload == {"model": "emb-x", "input": ["a", "b"]}
+    assert calls[1][2]["input"] == ["c"]
+    # row-count mismatch fails loudly instead of misaligning vectors
+    import pytest
+
+    bad = HttpEmbedder(base_url="x", transport=lambda *a: {"data": []})
+    with pytest.raises(ValueError, match="0 rows"):
+        bad(["a"])
+
+
+def test_http_tag_generator_request_response_shape():
+    # chat-completions tagger: vocabulary + max-new-tags prompt contract,
+    # temperature/max_tokens knobs (TagClient.cpp:159-211), raw completions
+    # returned for the column-side JSON-array parse
+    from thewhisperdb_spark.functions.llm import HttpTagGenerator
+
+    calls = []
+
+    def stub(url, headers, payload, timeout):
+        calls.append((url, headers, payload))
+        return {"choices": [{"message": {"content": '["spark", "etl"]'}}]}
+
+    tagger = HttpTagGenerator(["Big Data", "spark"], max_new=2,
+                              base_url="https://llm.example.test",
+                              model="tag-x", api_key="sk-t",
+                              temperature=0.7, max_tokens=64, transport=stub)
+    got = tagger(["doc one", "doc two"])
+    assert got == ['["spark", "etl"]', '["spark", "etl"]']
+    assert len(calls) == 2                      # one completion per text
+    url, headers, payload = calls[0]
+    assert url == "https://llm.example.test/v1/chat/completions"
+    assert headers["Authorization"] == "Bearer sk-t"
+    assert payload["model"] == "tag-x"
+    assert payload["temperature"] == 0.7
+    assert payload["max_tokens"] == 64
+    prompt = payload["messages"][0]["content"]
+    assert "big-data" in prompt                 # vocabulary is normalized
+    assert "at most 2 new tags" in prompt
+    assert "doc one" in prompt
+
+
 def test_synthetic_generator_matches_reference_shape(spark):
     # S9 (utils/generate_db.py:1-20): id 1..N, Node{i}, /tmp/node_{i}
     from thewhisperdb_spark.sources.synthetic import (

@@ -1,10 +1,13 @@
-"""In-suite DuckDB-oracle parity for the round-2 query additions at sf0.001.
+"""In-suite DuckDB-oracle parity for every oracle-backed key the driver has
+not yet stamped green, at sf0.01 — the SAME scale and comparator as the
+driver's CORRECTNESS gate (tools/selfcheck.py: rowcount + column set +
+order-insensitive value hash), so a green here is bit-for-bit predictive of
+a green driver row.
 
-The driver's CORRECTNESS harness appears to evaluate a bounded window of
-queries() entries per round; this test gives the newest oracle-checked keys
-standing verification inside pytest regardless of that window (same
-comparator as tools/selfcheck.py: rowcount + column set + order-insensitive
-value hash)."""
+Which keys run is derived from the committed CORRECTNESS_r*.json files via
+__spark_entry__._driver_green_rounds() — once the driver stamps a key, it
+drops out of this suite automatically (the stamped rows are the stronger,
+recorded evidence; re-running them in-suite would only add minutes)."""
 
 from __future__ import annotations
 
@@ -19,35 +22,15 @@ import selfcheck  # noqa: E402  (tools/selfcheck.py)
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = "/root/testdata/sf0.01"
 
-# Keys the round-1 driver verified (CORRECTNESS_r01 green) — skip here.
-_DRIVER_GREEN_R1 = {
-    "scan_nodes", "filter_subject_eq", "filter_author_eq", "filter_course_eq",
-    "filter_title_contains", "filter_tag_membership", "filter_conjunction",
-    "point_lookup_id", "filter_has_embedding", "project_node_shape",
-    "sort_offset_limit", "topk_by_field", "sort_by_field", "count_all",
-    "count_filtered", "distinct_subjects", "tag_histogram", "nodes_by_tag",
-    "shared_tag_join", "jaccard_pairs", "jaccard_threshold_join",
-    "tagbank_union_distinct", "batch_jaccard_relink", "cosine_similarity",
-    "similar_pairs_threshold", "topk_similar", "knn_join",
-    "adjacency_from_pairs", "connected_components", "cluster_sizes",
-    "cluster_shared_tags", "clusters_report", "dedup_exact",
-    "dedup_drop_exact", "embedding_cosine_near_dup", "ngram_jaccard_dedup",
-    "token_count", "token_count_bpe", "quality_score",
-    "text_extract_truncate", "language_id", "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority", "revenue_by_region",
-    "window_top_orders_per_customer", "brand_type_revenue",
-    "top_suppliers_by_revenue", "outer_join_customer_order_counts",
-}
+_DRIVER_GREEN = set(entrymod._driver_green_rounds())
 
-# Streaming twins replay real readStream jobs (slow; several already sit
-# inside the driver's CORRECTNESS window) — skip here.
-_STREAMING = {k for k in entrymod.queries() if k.startswith("streaming_")}
-
-ROUND2_KEYS = [
-    k for k in entrymod.oracle_sql()
-    if k not in _DRIVER_GREEN_R1 and k not in _STREAMING
+# Streaming twins replay real readStream jobs (slow; checkpoint-latency
+# bound, and their batch-equivalence is pinned in test_streaming.py) — the
+# unstamped ones still run here so they get the full comparator.
+UNSTAMPED_KEYS = [
+    k for k in entrymod.oracle_sql() if k not in _DRIVER_GREEN
 ]
 
 
@@ -58,10 +41,15 @@ def duck():
     con.close()
 
 
-@pytest.mark.parametrize("key", ROUND2_KEYS)
-def test_round2_key_matches_oracle(spark, duck, key):
+def test_some_keys_are_unstamped_or_all_green():
+    # sanity: the derivation itself works (at least one CORRECTNESS file is
+    # readable once the driver has run a round)
+    assert _DRIVER_GREEN, "no committed CORRECTNESS_r*.json rows parsed"
+
+
+@pytest.mark.parametrize("key", UNSTAMPED_KEYS)
+def test_unstamped_key_matches_oracle(spark, duck, key):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert key in oracles, f"{key} is declared oracle-checked"
     problems = selfcheck.compare_key(spark, duck, qs, oracles, key, SF_DIR)
     assert not problems, f"{key}: {problems}"

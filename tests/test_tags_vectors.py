@@ -194,6 +194,37 @@ def test_ivf_index_persist_probe_matches_online(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
 
 
+def test_ivf_index_format_version_guard(spark, tmp_path):
+    """Probe/append refuse an index without a format marker (pre-v2 build)
+    or with a mismatched version, instead of silently mis-assigning cells
+    across hash-scheme generations (CHANGELOG round 4)."""
+    import shutil
+
+    import pytest
+
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import vectors as V
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.limit(2)
+    path = str(tmp_path / "ivf_ver")
+    V.ivf_index_build(emb.limit(100), path, n_cells=4)
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    assert meta[0]["format_version"] == V.INDEX_FORMAT_VERSION
+    # versioned index probes fine
+    assert V.ivf_index_probe(spark, path, q, k=2, n_probe=2).count() > 0
+    # stale version -> loud failure
+    (spark.createDataFrame([(1, "xxhash64-v1")],
+                           "format_version int, hash_scheme string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+    with pytest.raises(ValueError, match="format v1"):
+        V.ivf_index_probe(spark, path, q, k=2, n_probe=2)
+    # missing marker (pre-versioning index) -> loud failure on append too
+    shutil.rmtree(f"{path}/meta")
+    with pytest.raises(ValueError, match="no meta"):
+        V.ivf_index_append(spark, path, emb.limit(5))
+
+
 def test_ivf_index_append_matches_full_build(spark, tmp_path):
     """Appending a delta to a persisted index == building the index over the
     full corpus with the SAME centroids (assignment is centroid-determined,

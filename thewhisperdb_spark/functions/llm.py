@@ -170,6 +170,138 @@ def generate_tags_from_model_output(df: DataFrame, text_col: str,
     return out if raw_col else out.drop(tmp)
 
 
+# ---- optional network clients (OpenAI-compatible HTTP) ---------------------
+#
+# Shippable counterparts of the reference's libcurl clients
+# (``src/embedding/EmbeddingClient.cpp:51-122`` batch embeddings,
+# ``src/tagging/TagClient.cpp:159-211`` chat-completions tagger with
+# temperature/max_tokens). Nothing below is imported by the oracle surface,
+# and the offline test suite only exercises them with an injected stub
+# transport — the default transport is stdlib urllib, used only when a user
+# actually configures a base URL + key.
+
+def _default_transport(url: str, headers: dict, payload: dict,
+                       timeout: float) -> dict:
+    """POST ``payload`` as JSON, return the decoded JSON response.
+    stdlib-only; swap via the ``transport`` ctor arg for tests/retries."""
+    import json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json", **headers},
+        method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+class HttpEmbedder:
+    """OpenAI-compatible ``POST {base_url}/v1/embeddings`` client, usable as
+    an ``Embedder`` for :func:`embed_missing`.
+
+    Mirrors the reference's request contract (model + batch ``input`` array,
+    bearer auth — ``EmbeddingClient.cpp:51-88``) but keeps its batch path:
+    one request per ``batch_size`` texts instead of the reference's
+    per-node calls (``EmbeddingService.cpp:68-83``). Config falls back to
+    env vars ``WHISPERDB_LLM_BASE_URL`` / ``WHISPERDB_EMBED_MODEL`` /
+    ``WHISPERDB_LLM_API_KEY``; the ``transport`` argument injects the HTTP
+    layer (tests pass a stub — no network in the suite). Response
+    embeddings are re-ordered by the API's ``index`` field, so out-of-order
+    responses still line up with inputs."""
+
+    def __init__(self, base_url: str | None = None, model: str | None = None,
+                 api_key: str | None = None, batch_size: int = 128,
+                 timeout: float = 30.0, transport=None):
+        import os
+
+        self.base_url = (base_url or os.environ.get(
+            "WHISPERDB_LLM_BASE_URL", "https://api.openai.com")).rstrip("/")
+        self.model = model or os.environ.get(
+            "WHISPERDB_EMBED_MODEL", "text-embedding-3-small")
+        self.api_key = api_key if api_key is not None else os.environ.get(
+            "WHISPERDB_LLM_API_KEY", "")
+        self.batch_size = int(batch_size)
+        self.timeout = float(timeout)
+        self.transport = transport or _default_transport
+
+    def __call__(self, texts: list[str]) -> list[list[float]]:
+        url = f"{self.base_url}/v1/embeddings"
+        headers = {"Authorization": f"Bearer {self.api_key}"}
+        out: list[list[float]] = []
+        for i in range(0, len(texts), self.batch_size):
+            chunk = texts[i:i + self.batch_size]
+            resp = self.transport(url, headers,
+                                  {"model": self.model, "input": chunk},
+                                  self.timeout)
+            data = sorted(resp["data"], key=lambda d: d["index"])
+            if len(data) != len(chunk):
+                raise ValueError(
+                    f"embeddings response has {len(data)} rows for "
+                    f"{len(chunk)} inputs")
+            out.extend([float(x) for x in d["embedding"]] for d in data)
+        return out
+
+
+class HttpTagGenerator:
+    """OpenAI-compatible ``POST {base_url}/v1/chat/completions`` tagger,
+    usable as the ``model`` for :func:`generate_tags_from_model_output`
+    (which then applies the JSON-array parse + normalization as column
+    expressions).
+
+    Prompt contract mirrors ``TagClient.cpp:62-99``: the controlled
+    vocabulary is listed, the model may add at most ``max_new`` new tags,
+    and must answer with a JSON array. ``temperature`` / ``max_tokens``
+    are the reference's request knobs (``TagClient.cpp:159-211``). Env
+    fallbacks: ``WHISPERDB_LLM_BASE_URL`` / ``WHISPERDB_TAG_MODEL`` /
+    ``WHISPERDB_LLM_API_KEY``. Returns one RAW completion string per input
+    text (parse failures downstream yield empty tag arrays, matching the
+    reference's behavior)."""
+
+    def __init__(self, vocabulary: list[str], max_tags: int = 5,
+                 max_new: int = 3, base_url: str | None = None,
+                 model: str | None = None, api_key: str | None = None,
+                 temperature: float = 0.2, max_tokens: int = 128,
+                 timeout: float = 30.0, transport=None):
+        import os
+
+        self.vocabulary = [_normalize_tag(v) for v in vocabulary]
+        self.max_tags = int(max_tags)
+        self.max_new = int(max_new)
+        self.base_url = (base_url or os.environ.get(
+            "WHISPERDB_LLM_BASE_URL", "https://api.openai.com")).rstrip("/")
+        self.model = model or os.environ.get("WHISPERDB_TAG_MODEL",
+                                             "gpt-4o-mini")
+        self.api_key = api_key if api_key is not None else os.environ.get(
+            "WHISPERDB_LLM_API_KEY", "")
+        self.temperature = float(temperature)
+        self.max_tokens = int(max_tokens)
+        self.timeout = float(timeout)
+        self.transport = transport or _default_transport
+
+    def prompt(self, text: str) -> str:
+        return (
+            "Tag the following document. Prefer tags from this vocabulary: "
+            f"[{', '.join(self.vocabulary)}]. You may invent at most "
+            f"{self.max_new} new tags; return at most {self.max_tags} tags "
+            "total, as a single JSON array of lowercase strings and nothing "
+            f"else.\n\nDocument:\n{text}")
+
+    def __call__(self, texts: list[str]) -> list[str]:
+        url = f"{self.base_url}/v1/chat/completions"
+        headers = {"Authorization": f"Bearer {self.api_key}"}
+        out = []
+        for t in texts:
+            resp = self.transport(
+                url, headers,
+                {"model": self.model,
+                 "temperature": self.temperature,
+                 "max_tokens": self.max_tokens,
+                 "messages": [{"role": "user", "content": self.prompt(t)}]},
+                self.timeout)
+            out.append(resp["choices"][0]["message"]["content"])
+        return out
+
+
 def generate_tags(df: DataFrame, text_col: str,
                   tagger: Callable[[list[str]], list[list[str]]],
                   out_col: str = "generated_tags") -> DataFrame:

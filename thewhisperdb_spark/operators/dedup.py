@@ -39,19 +39,54 @@ def drop_exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 
 def shingle_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.9,
-                          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                          id_col: str = "doc_id", text_col: str = "text",
+                          max_df: int | None = None) -> DataFrame:
     """N-gram Jaccard near-dup: char-n-gram shingle sets, exact Jaccard via the
     inverted-index co-occurrence identity J = c/(|A|+|B|-c) (same kernel as
-    tags.jaccard_pairs, different shingling). Returns (a, b, jaccard)."""
+    tags.jaccard_pairs, different shingling). Returns (a, b, jaccard).
+
+    ``max_df`` (round-4 scale hardening): the plain co-occurrence join costs
+    Σ df(shingle)² — a stop-shingle appearing in 1M docs alone contributes
+    10¹² join rows at scale. With ``max_df`` set, shingles whose document
+    frequency exceeds it are excluded from CANDIDATE GENERATION only; each
+    surviving candidate pair is then re-scored with its exact Jaccard over
+    the FULL shingle sets, so reported similarities are never approximated.
+    The candidate step is exact whenever every pair with J >= threshold
+    shares at least one shingle with df <= max_df — guaranteed when hot
+    shingles are boilerplate riding on otherwise-distinctive text, the
+    regime the cap is for. A pair composed ENTIRELY of over-cap shingles
+    (e.g. two documents that are nothing but the same stop-shingle soup) is
+    missed — if that adversarial case matters, use minhash_lsh_pairs, whose
+    banding has no frequency blind spot."""
     sh = df.select(F.col(id_col).alias("id"),
                    F.explode(char_ngrams(F.col(text_col), n)).alias("sh"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    co = (
-        sh.alias("x").join(sh.alias("y"),
-                           (F.col("x.sh") == F.col("y.sh")) & (F.col("x.id") < F.col("y.id")))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if max_df is None:
+        co = (
+            sh.alias("x").join(sh.alias("y"),
+                               (F.col("x.sh") == F.col("y.sh")) & (F.col("x.id") < F.col("y.id")))
+            .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > int(max_df)).select("sh"))
+        rare = sh.join(hot, "sh", "left_anti")
+        cand = (
+            rare.alias("x").join(rare.alias("y"),
+                                 (F.col("x.sh") == F.col("y.sh")) & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .distinct()
+        )
+        # exact re-score over the full shingle sets, restricted to the
+        # (bounded) candidate pairs — Σ over candidates of |A| join rows
+        co = (
+            cand.join(sh.alias("x"), cand["a"] == F.col("x.id"))
+            .join(sh.alias("y"),
+                  (cand["b"] == F.col("y.id")) & (F.col("x.sh") == F.col("y.sh")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     out = (
         co.join(sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("na")), "a")
         .join(sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("nb")), "b")
@@ -64,6 +99,16 @@ def shingle_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.9,
 
 
 _MERSENNE31 = (1 << 31) - 1
+
+# Version of the hash scheme behind every persisted sketch this module can
+# produce (MinHash signatures, SimHash fingerprints, doc fingerprints, CMS
+# rows). v1 (rounds 1-2) defaulted element hashes to xxhash64; v2 (round 3+)
+# defaults to md5-derived 60-bit values so any engine with md5 re-derives
+# identical sketches. v1 and v2 sketches over the SAME data do NOT compare
+# equal — persist this constant next to any stored sketch column and refuse
+# to compare across versions (see CHANGELOG.md). ``portable=False`` still
+# yields the v1 scheme.
+SIGNATURE_FORMAT_VERSION = 2
 
 
 def minhash_signature(set_col: Column, n_hashes: int = 64, seed: int = 42,

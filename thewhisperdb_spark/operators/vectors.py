@@ -641,6 +641,32 @@ def ann_lsh_pairs(embeddings: DataFrame, threshold: float, dim: int,
 
 # ---- persisted IVF index (build once, probe many) --------------------------
 
+# On-disk index format version. v2 (round 3+) selects seed centroids via
+# md5-min subsampling (engine-portable); v1 used xxhash64. Mixed-version
+# probe/append against a stale index would silently mis-assign cells, so the
+# build stamps this into <path>/meta and probe/append refuse a mismatch
+# (see CHANGELOG.md).
+INDEX_FORMAT_VERSION = 2
+
+
+def _check_index_version(spark, path: str) -> None:
+    """Raise loudly when probing/appending an index whose on-disk format
+    version doesn't match this module (or that predates versioning)."""
+    try:
+        meta = spark.read.parquet(f"{path}/meta").collect()
+    except Exception:
+        raise ValueError(
+            f"IVF index at {path} has no meta/format marker — it was built "
+            f"by a pre-v{INDEX_FORMAT_VERSION} build whose hash scheme is "
+            "incompatible; rebuild with ivf_index_build") from None
+    ver = int(meta[0]["format_version"]) if meta else 0
+    if ver != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"IVF index at {path} is format v{ver}, this build writes "
+            f"v{INDEX_FORMAT_VERSION}; sketches across versions do not "
+            "compare equal — rebuild with ivf_index_build")
+
+
 def ivf_index_build(corpus: DataFrame, path: str, n_cells: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     centroids: DataFrame | None = None) -> None:
@@ -654,6 +680,10 @@ def ivf_index_build(corpus: DataFrame, path: str, n_cells: int = 16,
     """
     assigned, cents = ivf_assign(corpus, n_cells, id_col, vec_col,
                                  centroids=centroids)
+    spark = corpus.sparkSession
+    (spark.createDataFrame([(INDEX_FORMAT_VERSION, "md5-min-v2")],
+                           "format_version int, hash_scheme string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     (assigned.write.mode("overwrite").partitionBy("cell")
      .parquet(f"{path}/lists"))
@@ -673,6 +703,7 @@ def ivf_index_probe(spark, path: str, queries: DataFrame, k: int,
     """
     from pyspark.sql import Window
 
+    _check_index_version(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
     cent_u = with_unit_vector(cents, "cvec", "cu").select("cell", "cu")
     q_u = with_unit_vector(
@@ -715,6 +746,7 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
     argmax as the build; the write is an append of only the delta's
     partitions. Centroid drift is the accepted tradeoff (rebuild cadence is
     the knob, exactly as in production IVF systems)."""
+    _check_index_version(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
     n_cells = cents.count()
     assigned, _ = ivf_assign(new_vectors, n_cells, id_col, vec_col,
