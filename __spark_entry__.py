@@ -4002,6 +4002,158 @@ def array_ops_extended(spark, sf_dir):
         F.array_max("tags").alias("max_tag"))
 
 
+# ---- round-4 wave: pretraining-quality certification -----------------------
+# Gopher-style quality/repetition rules, mixture planning, graded
+# contamination, and a hypertable-style multi-grain rollup — the remaining
+# audit surface of a training-data release.
+
+@q("gopher_quality_flags",
+   "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+   "t -> t <> '') AS ws FROM documents), "
+   "s AS (SELECT doc_id, len(ws) AS n, "
+   "CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS chars, "
+   "len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha, "
+   "len(list_intersect(list_distinct(list_transform(ws, w -> lower(w))), "
+   "['the','be','to','of','and','that','have','with'])) AS stop FROM w) "
+   "SELECT doc_id, CAST(n AS BIGINT) AS n_words, "
+   "round(CAST(chars AS DOUBLE) / greatest(n, 1), 6) AS mean_word_len, "
+   "round(CAST(alpha AS DOUBLE) / greatest(n, 1), 6) AS alpha_word_ratio, "
+   "CAST(stop AS BIGINT) AS n_required_stop, "
+   "(n BETWEEN 50 AND 100000 "
+   "AND CAST(chars AS DOUBLE) / greatest(n, 1) BETWEEN 3 AND 10 "
+   "AND CAST(alpha AS DOUBLE) / greatest(n, 1) >= 0.8 "
+   "AND stop >= 2) AS keep FROM documents JOIN s USING (doc_id)")
+def gopher_quality_flags_q(spark, sf_dir):
+    # the Gopher rule pass (word count, mean word length, alpha-word ratio,
+    # required stopwords + conjunctive keep): per-row expressions over one
+    # bound token array, rides the scan (operators/text.py)
+    return TX.gopher_quality_flags(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_ratio",
+        "n_required_stop", "keep")
+
+
+def _top_ngram_sql(ns=(2, 3, 4)) -> str:
+    """Literal-n UNION blocks (not a lambda-captured join column) keep the
+    gram derivation identical to the Spark side's per-n arrays."""
+    blocks = []
+    for n in ns:
+        blocks.append(
+            f"SELECT doc_id, len, CAST({n} AS BIGINT) AS n, "
+            f"unnest(list_transform(generate_series(1, "
+            f"greatest(len(ws) - {n - 1}, 1)), "
+            f"i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS g FROM w")
+    return (
+        "WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len, "
+        "list_filter(string_split(text, ' '), t -> t <> '') AS ws "
+        "FROM documents), "
+        "g AS (" + " UNION ALL ".join(blocks) + "), "
+        "c AS (SELECT doc_id, len, n, g, count(*) AS cnt FROM g "
+        "GROUP BY doc_id, len, n, g), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n "
+        "ORDER BY cnt DESC, g) AS rn FROM c) "
+        "SELECT doc_id, n, g AS top_gram, cnt AS top_cnt, "
+        "round(CAST(cnt * length(g) AS DOUBLE) / len, 6) AS char_frac "
+        "FROM r WHERE rn = 1")
+
+
+@q("top_ngram_char_fraction", _top_ngram_sql())
+def top_ngram_char_fraction(spark, sf_dir):
+    # Gopher repetition rules, top-n-gram family: most frequent word
+    # 2/3/4-gram per doc and the char fraction it accounts for — explode +
+    # count + argmax window, map-side combine absorbs the repeats
+    # (operators/text.py:top_ngram_char_stats)
+    return TX.top_ngram_char_stats(_docs(spark, sf_dir))
+
+
+@q("dup_ngram_char_fraction",
+   "WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len, "
+   "list_filter(string_split(text, ' '), t -> t <> '') AS ws "
+   "FROM documents), "
+   "g AS (SELECT doc_id, len, unnest(list_transform(generate_series(1, "
+   "greatest(len(ws) - 4, 1)), i -> array_to_string(ws[i:i+4], ' '))) AS g "
+   "FROM w), "
+   "c AS (SELECT doc_id, len, g, count(*) AS cnt FROM g "
+   "GROUP BY doc_id, len, g), "
+   "s AS (SELECT doc_id, round(CAST(SUM(CASE WHEN cnt > 1 "
+   "THEN cnt * length(g) ELSE 0 END) AS DOUBLE) / any_value(len), 6) "
+   "AS dup_frac FROM c GROUP BY doc_id) "
+   "SELECT d.doc_id, COALESCE(s.dup_frac, 0.0) AS dup_frac "
+   "FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id")
+def dup_ngram_char_fraction_q(spark, sf_dir):
+    # Gopher repetition rules, duplicate-n-gram family: char fraction in
+    # word 5-grams occurring more than once; zero-dup docs keep a 0.0 row
+    # (operators/text.py:dup_ngram_char_fraction)
+    return TX.dup_ngram_char_fraction(_docs(spark, sf_dir), n=5)
+
+
+@q("domain_mixture_weights",
+   "WITH per AS (SELECT source, count(*) AS n_docs, "
+   "CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) "
+   "AS BIGINT) AS n_tokens FROM documents GROUP BY source), "
+   "tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, "
+   "count(*) AS n_strata FROM per) "
+   "SELECT source, n_docs, n_tokens, "
+   "round(CAST(n_tokens AS DOUBLE) / total, 6) AS token_share, "
+   "round((CAST(1 AS DOUBLE) / n_strata) / "
+   "(CAST(n_tokens AS DOUBLE) / total), 6) AS mix_weight "
+   "FROM per CROSS JOIN tot")
+def domain_mixture_weights(spark, sf_dir):
+    # mixture planning: per-source token share + the resampling weight to
+    # reach a uniform target mix — the knob mixture_sample consumes; bounded
+    # at |sources| rows (operators/sampling.py:mixture_weights)
+    return SM.mixture_weights(_docs(spark, sf_dir))
+
+
+@q("contamination_overlap_score",
+   "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+   "t -> t <> '') AS ws FROM documents), "
+   "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+   "generate_series(1, greatest(len(ws) - 7, 1)), "
+   "i -> array_to_string(ws[i:i+7], ' ')))) AS sh FROM w), "
+   "tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 <> 0), "
+   "t AS (SELECT s.doc_id, count(*) AS n_shingles, "
+   "CAST(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_hit FROM sh s LEFT JOIN tr ON tr.sh = s.sh "
+   "WHERE s.doc_id % 10 = 0 GROUP BY s.doc_id) "
+   "SELECT doc_id, n_shingles, n_hit, "
+   "round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS overlap_frac FROM t")
+def contamination_overlap_score(spark, sf_dir):
+    # graded leakage severity per test doc (fraction of its word 8-gram
+    # shingles present anywhere in train) — the score release audits report
+    # next to the binary decontaminate verdict
+    # (operators/dedup.py:contamination_overlap_scores)
+    return D.contamination_overlap_scores(
+        _docs(spark, sf_dir), F.col("doc_id") % 10 == 0, n=8)
+
+
+@q("hypertable_multi_rollup",
+   "WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+   "CAST(hour(ts) AS BIGINT) AS hr, user_id, value FROM events) "
+   "SELECT CASE WHEN hr IS NULL THEN 'day' ELSE 'hour' END AS grain, "
+   "day, COALESCE(hr, -1) AS hr, count(*) AS n_events, "
+   "count(DISTINCT user_id) AS n_users, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+   "FROM e GROUP BY GROUPING SETS ((day), (day, hr))")
+def hypertable_multi_rollup(spark, sf_dir):
+    # hypertable-style continuous aggregate: hourly AND daily grains from
+    # ONE grouping-sets pass (one shuffle computes both; the day grain is
+    # not a re-aggregation job) — the multi-resolution rollup a metrics
+    # store materializes over an events hypertable
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                  F.hour("ts").cast("long").alias("hr"),
+                  "user_id", "value")
+    gs = (g.groupingSets([["day"], ["day", "hr"]], "day", "hr")
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               F.countDistinct("user_id").alias("n_users"),
+               F.sum(_dec("value")).cast("double").alias("sum_value")))
+    return gs.select(
+        F.when(F.col("hr").isNull(), F.lit("day")).otherwise(F.lit("hour"))
+        .alias("grain"),
+        "day", F.coalesce("hr", F.lit(-1).cast("long")).alias("hr"),
+        "n_events", "n_users", "sum_value")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -177,3 +177,84 @@ def test_three_way_split_deterministic_and_stable(spark):
     bigger = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
     s3 = {r.doc_id: r.split for r in SM.three_way_split(bigger).collect()}
     assert all(s3[k] == v for k, v in s1.items())
+
+
+# ---- round-4 wave: Gopher rules, mixture planning, graded contamination ----
+
+def test_gopher_quality_flags_rules(spark):
+    rows = [
+        # 60 words incl. 2 required stopwords, mean len 237/60 = 3.95 -> keep
+        (1, "the of " + " ".join(["word"] * 58)),
+        # word-count failure (10 words), other stats still computed
+        (2, "the of word word word word word word word word"),
+        # only 1 required stopword -> stopword-rule failure
+        (3, "the " + " ".join(["word"] * 59)),
+        # digits only -> alpha-word-ratio failure
+        (4, " ".join(["12345"] * 60)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.gopher_quality_flags(df).collect()}
+    assert out[1].keep and out[1].n_words == 60
+    assert abs(out[1].mean_word_len - round(237 / 60, 6)) < 1e-12
+    assert out[1].n_required_stop == 2 and out[1].alpha_word_ratio == 1.0
+    assert not out[2].keep and out[2].n_words == 10
+    assert not out[3].keep and out[3].n_required_stop == 1
+    assert not out[4].keep and out[4].alpha_word_ratio == 0.0
+    assert out[4].mean_word_len == 5.0
+
+
+def test_top_ngram_char_stats_known_doc(spark):
+    df = spark.createDataFrame([(7, "a b a b a b")], "doc_id long, text string")
+    got = {r.n: r for r in TX.top_ngram_char_stats(df).collect()}
+    # len("a b a b a b") = 11; 2-grams: "a b" x3; 3-grams tie 2-2 broken
+    # lexicographically to "a b a"; 4-grams: "a b a b" x2
+    assert (got[2].top_gram, got[2].top_cnt) == ("a b", 3)
+    assert got[2].char_frac == round(3 * 3 / 11, 6)
+    assert (got[3].top_gram, got[3].top_cnt) == ("a b a", 2)
+    assert got[3].char_frac == round(2 * 5 / 11, 6)
+    assert (got[4].top_gram, got[4].top_cnt) == ("a b a b", 2)
+    assert got[4].char_frac == round(2 * 7 / 11, 6)
+
+
+def test_dup_ngram_char_fraction_values(spark):
+    rows = [(1, "a b a b a b"),                    # both 5-grams unique -> 0
+            (2, "x y x y x y x y x y x y"),       # every 5-gram duplicated
+            (3, "totally distinct words only")]   # shorter than n -> 1 gram
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.dup_frac
+           for r in TX.dup_ngram_char_fraction(df, n=5).collect()}
+    assert got[1] == 0.0 and got[3] == 0.0
+    # 12 tokens -> 8 5-gram occurrences, 2 distinct grams (len 9) x4 each:
+    # (4*9 + 4*9) / len("x y ... y") = 72/23 — the score may exceed 1
+    assert got[2] == round(72 / 23, 6)
+
+
+def test_mixture_weights_uniform_target(spark):
+    rows = [(1, "t1 t2 t3", "a"), (2, "t4 t5 t6", "a"), (3, "t7 t8", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in SM.mixture_weights(df).collect()}
+    assert got["a"].n_docs == 2 and got["a"].n_tokens == 6
+    assert got["b"].n_docs == 1 and got["b"].n_tokens == 2
+    assert got["a"].token_share == 0.75 and got["b"].token_share == 0.25
+    # uniform target 0.5 -> downweight a, upweight b
+    assert got["a"].mix_weight == round(0.5 / 0.75, 6)
+    assert got["b"].mix_weight == 2.0
+    # explicit targets override the uniform default
+    t = {r.source: r.mix_weight
+         for r in SM.mixture_weights(df, targets={"a": 0.9, "b": 0.1})
+         .collect()}
+    assert t["a"] == round(0.9 / 0.75, 6) and t["b"] == round(0.1 / 0.25, 6)
+
+
+def test_contamination_overlap_scores_graded(spark):
+    from thewhisperdb_spark.operators.dedup import contamination_overlap_scores
+
+    d = _docs(spark)
+    got = {r.doc_id: r for r in contamination_overlap_scores(
+        d, F.col("doc_id") % 10 == 0, n=8).collect()}
+    assert set(got) == {0, 10, 20}        # every test doc scored, even clean
+    # doc 10 duplicates train doc 1: all 3 of its 8-gram shingles leak
+    assert got[10].n_shingles == 3 and got[10].n_hit == 3
+    assert got[10].overlap_frac == 1.0
+    assert got[0].n_hit == 0 and got[0].overlap_frac == 0.0
+    assert got[20].n_hit == 0 and got[20].overlap_frac == 0.0

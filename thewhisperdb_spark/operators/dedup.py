@@ -397,6 +397,38 @@ def cross_split_contamination(df: DataFrame, test_pred: Column, n: int = 8,
             .select(F.col("id").alias(id_col)).distinct())
 
 
+def contamination_overlap_scores(df: DataFrame, test_pred: Column, n: int = 8,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """Graded companion to :func:`cross_split_contamination`: instead of a
+    binary flagged/clean verdict, score each TEST document by the fraction
+    of its distinct word ``n``-gram shingles that also occur anywhere in
+    the train split — the leakage *severity* metric release audits report
+    (a doc sharing 95% of its shingles is a different problem from one
+    sharing a single boilerplate sentence).
+
+    Same scale shape as the binary check: one shingle explode, the train
+    side reduced to a distinct shingle set, one equi-join (multiplicity 1
+    because both sides are per-doc/global distinct), one per-doc aggregate.
+    Test docs with zero overlap keep a 0.0 row. Returns
+    (id_col, n_shingles, n_hit, overlap_frac) with overlap_frac rounded
+    to 6."""
+    from thewhisperdb_spark.operators.text import word_ngrams
+
+    sh = df.select(F.col(id_col).alias("id"), test_pred.alias("is_test"),
+                   F.explode(word_ngrams(F.col(text_col), n)).alias("sh"))
+    test = sh.filter(F.col("is_test")).select("id", "sh")
+    train = (sh.filter(~F.col("is_test"))
+             .select("sh").distinct().withColumn("_hit", F.lit(1)))
+    return (test.join(train, "sh", "left")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"))
+            .select(F.col("id").alias(id_col), "n_shingles", "n_hit",
+                    F.round(F.col("n_hit").cast("double")
+                            / F.col("n_shingles"), 6).alias("overlap_frac")))
+
+
 def near_dup_groups(df: DataFrame, pairs: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
     """Resolve near-dup PAIRS into dedup GROUPS: connected components over

@@ -65,6 +65,43 @@ def mixture_sample(df: DataFrame, rates: dict[str, float], strata_col: str,
     return df.filter(key < thresh)
 
 
+def mixture_weights(df: DataFrame, strata_col: str = "source",
+                    text_col: str = "text",
+                    targets: dict[str, float] | None = None) -> DataFrame:
+    """The planning half of mixture_sample: per stratum (source/domain),
+    actual document and token counts, the stratum's token share, and the
+    resampling weight that would move the mix to its target share
+    (target/actual — the number a data recipe feeds into per-domain
+    up/down-sampling). ``targets`` maps stratum -> target share; default is
+    a uniform mix across the observed strata.
+
+    One per-doc token count riding the scan, one partial-aggregating
+    shuffle on the stratum key, then a broadcast of the 1-row corpus
+    totals — bounded at |strata| rows regardless of corpus size. Returns
+    (strata_col, n_docs, n_tokens, token_share, mix_weight), ratios
+    rounded to 6."""
+    from thewhisperdb_spark.operators.text import token_count
+
+    per = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("n_tokens"))
+    totals = per.agg(F.sum("n_tokens").alias("_total"),
+                     F.count(F.lit(1)).alias("_n_strata"))
+    out = per.crossJoin(F.broadcast(totals))
+    if targets is None:
+        target = F.lit(1.0) / F.col("_n_strata")
+    else:
+        target = F.lit(0.0)
+        for value, share in targets.items():
+            target = F.when(F.col(strata_col) == value,
+                            F.lit(float(share))).otherwise(target)
+    share = F.col("n_tokens").cast("double") / F.col("_total")
+    return out.select(
+        strata_col, "n_docs", "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(target / share, 6).alias("mix_weight"))
+
+
 def weighted_sample_aes(df: DataFrame, k: int, weight_col: str = "n_chars",
                         id_col: str = "doc_id") -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # A small multilingual stopword list for the quality / language heuristics.
@@ -171,6 +171,127 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("q_punct_ratio"),
         (n_alpha.cast("double") / F.greatest(n_chars, F.lit(1))).alias("q_alpha_ratio"),
     )
+
+
+# Required-stopword set for the Gopher document-quality rule
+# (Rae et al. 2021, "Scaling Language Models: ... Gopher", appendix A1.1:
+# a document must contain at least 2 of these to pass).
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that",
+                             "have", "with")
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_len: float = 3.0,
+                         max_mean_len: float = 10.0,
+                         min_alpha_ratio: float = 0.8,
+                         min_stopwords: int = 2) -> DataFrame:
+    """Gopher-style document-quality rule pass (Rae et al. 2021, A1.1):
+    word-count bounds, mean-word-length bounds, alpha-word ratio, and the
+    required-stopword rule, plus the conjunctive ``keep`` verdict. The whole
+    pass is per-row column expressions over ONE bound token array (the same
+    bind-once trick as word_ngrams — the split runs once per row, not once
+    per statistic): embarrassingly parallel, rides the scan, no shuffle.
+
+    Adds: n_words, mean_word_len, alpha_word_ratio (both rounded to 6),
+    n_required_stop, keep. Thresholds compare the UNROUNDED ratios."""
+    stop_lit = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+    st = F.element_at(
+        F.transform(
+            F.array(tokens(F.col(text_col))),
+            lambda ws: F.struct(
+                F.size(ws).cast("long").alias("n"),
+                F.aggregate(ws, F.lit(0).cast("long"),
+                            lambda a, w: a + F.length(w)).alias("chars"),
+                F.size(F.filter(
+                    ws, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+                .alias("alpha"),
+                F.size(F.array_intersect(
+                    F.array_distinct(F.transform(ws, F.lower)), stop_lit))
+                .cast("long").alias("stop"),
+            )),
+        1)
+    out = df.withColumn("_st", st)
+    n = F.col("_st.n")
+    denom = F.greatest(n, F.lit(1))
+    mean_len = F.col("_st.chars").cast("double") / denom
+    alpha_ratio = F.col("_st.alpha").cast("double") / denom
+    keep = (n.between(min_words, max_words)
+            & mean_len.between(min_mean_len, max_mean_len)
+            & (alpha_ratio >= min_alpha_ratio)
+            & (F.col("_st.stop") >= min_stopwords))
+    return out.select(
+        *df.columns,
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        F.col("_st.stop").alias("n_required_stop"),
+        keep.alias("keep"))
+
+
+def top_ngram_char_stats(df: DataFrame, ns: tuple[int, ...] = (2, 3, 4),
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Gopher repetition rule, "top n-gram" family: per document and per n,
+    the most frequent word n-gram and the fraction of the document's
+    characters its occurrences account for (count x gram length / text
+    length). High top-2/3/4-gram char fractions flag boilerplate loops.
+
+    Shape: one explode of all tagged gram arrays -> one (doc, n, gram)
+    count aggregate -> per-(doc, n) argmax window. The aggregate absorbs
+    the repeats map-side; nothing is per-row quadratic, so an 8k-token
+    document costs 8k rows per n, not 64M HOF steps.
+
+    Returns (id_col, n, top_gram, top_cnt, char_frac) — ties broken by the
+    lexicographically smallest gram; char_frac rounded to 6."""
+    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"),
+                  F.length(text_col).cast("long").alias("len"))
+    tagged = d.select(
+        "id", "len",
+        F.explode(F.array(*[
+            F.struct(F.lit(n).cast("long").alias("n"),
+                     word_ngrams_all(F.col("t"), n).alias("gs"))
+            for n in ns])).alias("x"))
+    g = tagged.select("id", "len", F.col("x.n").alias("n"),
+                      F.explode("x.gs").alias("g"))
+    cnt = g.groupBy("id", "len", "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("id", "n").orderBy(
+        F.col("cnt").desc(), F.col("g").asc())
+    return (cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("id").alias(id_col), "n",
+                    F.col("g").alias("top_gram"),
+                    F.col("cnt").alias("top_cnt"),
+                    F.round((F.col("cnt") * F.length("g")).cast("double")
+                            / F.col("len"), 6).alias("char_frac")))
+
+
+def dup_ngram_char_fraction(df: DataFrame, n: int = 5,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Gopher repetition rule, "duplicate n-gram" family: fraction of a
+    document's characters accounted for by word n-grams that occur more
+    than once (Σ count x gram length over duplicated grams / text length —
+    the standard overlap-tolerant approximation, so values can exceed 1 on
+    degenerate loops). Explode -> count -> conditional sum; documents with
+    no duplicated grams keep a 0.0 row via the join back to the input.
+
+    Returns (id_col, dup_frac)."""
+    d = df.select(F.col(id_col).alias("id"),
+                  F.length(text_col).cast("long").alias("len"),
+                  F.explode(word_ngrams_all(F.col(text_col), n)).alias("g"))
+    cnt = d.groupBy("id", "len", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    s = (cnt.groupBy("id", "len")
+         .agg(F.sum(F.when(F.col("cnt") > 1,
+                           F.col("cnt") * F.length("g"))
+                    .otherwise(F.lit(0))).alias("dup_chars"))
+         .select("id", F.round(F.col("dup_chars").cast("double")
+                               / F.col("len"), 6).alias("dup_frac")))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(s, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac")))
 
 
 def fingerprint(col: Column) -> Column:
