@@ -238,9 +238,8 @@ def test_core_numbers_hub_heavy_graph(spark):
     from thewhisperdb_spark.operators.graph import core_numbers
 
     # star hub with 30 leaves (hub degree 30, coreness 1) + a K4 hanging off
-    # one leaf: the bounded-state h-index must collapse the hub's 30
-    # degree-1 neighbor estimates into a single (value, count) pair and
-    # still land on the exact corenesses.
+    # one leaf: the hub-safe h-index (sort-based window, no per-vertex
+    # array buffer) must land on the exact corenesses.
     rows = ([(0, i) for i in range(1, 31)]
             + [(1, 40), (1, 41), (1, 42), (40, 41), (40, 42), (41, 42)])
     edges = spark.createDataFrame(rows, "src long, dst long")

@@ -14,7 +14,7 @@ iterative-DataFrame pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -354,18 +354,17 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
     collect).
 
     BOUNDED per-vertex state (round-4 hardening, replacing a raw
-    collect_list of neighbor estimates that was degree-sized on hubs):
-    each incoming estimate is clamped to the receiver's current estimate
-    before aggregation. Clamping cannot change the result — h of the
-    clamped multiset equals min(c_v, h(original)), which is exactly the
-    update rule — but it shrinks the aggregated state from one entry per
-    neighbor to one (value, count) pair per DISTINCT clamped value, i.e.
-    at most c_v pairs (→ coreness-sized as the fixpoint approaches, e.g.
-    ~50 entries for a degree-10⁶ hub with coreness 50). The h-index over
-    descending (value, cum_count) pairs is max_i min(v_i, n_i).
+    collect_list of neighbor estimates whose aggregation buffer was
+    degree-sized on hubs): the h-index is computed as a sort-based window
+    — rank each vertex's incoming estimates descending, then
+    h = max(least(estimate, rank)) — so no operator materializes a
+    per-vertex array at all. A window sort spills to disk under pressure,
+    which makes the kernel hub-safe at any degree, and the follow-up
+    per-vertex aggregate reuses the window's hash partitioning (no extra
+    exchange; verify with .explain).
 
-    Per iteration: two estimate joins + two partial-aggregating shuffles
-    (histogram, then pair-collect) — all codegen'd array/struct ops.
+    Per iteration: one edge-sized estimate join + one shuffle-sort window
+    + a partition-local aggregate + one vertex-sized join.
 
     Returns (id, coreness).
     """
@@ -377,28 +376,16 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
         return df.agg(F.sum(F.col("c").cast("decimal(38,0)"))).collect()[0][0]
 
     def step(cur_df: DataFrame) -> DataFrame:
-        contrib = (
+        nbr = (
             und.join(cur_df.select(F.col("id").alias("src"),
-                                   F.col("c").alias("c_src")), "src")
-            .join(cur_df.select(F.col("id").alias("dst"),
-                                F.col("c").alias("c_dst")), "dst")
-            .select(F.col("dst").alias("id"), "c_dst",
-                    F.least("c_src", "c_dst").alias("v")))
-        hist = contrib.groupBy("id", "c_dst", "v").agg(
-            F.count(F.lit(1)).cast("long").alias("n"))
-        pairs = hist.groupBy("id", "c_dst").agg(
-            F.reverse(F.array_sort(F.collect_list(F.struct("v", "n"))))
-            .alias("ps"))
-        acc0 = F.struct(F.lit(0).cast("long").alias("cum"),
-                        F.lit(0).cast("long").alias("best"))
-        h = F.aggregate(
-            "ps", acc0,
-            lambda acc, p: F.struct(
-                (acc["cum"] + p["n"]).alias("cum"),
-                F.greatest(acc["best"],
-                           F.least(p["v"], acc["cum"] + p["n"]))
-                .alias("best")))["best"]
-        return pairs.select("id", F.least(F.col("c_dst"), h).alias("c"))
+                                   F.col("c").alias("v")), "src")
+            .select(F.col("dst").alias("id"), "v"))
+        w = Window.partitionBy("id").orderBy(F.col("v").desc())
+        h = (nbr.withColumn("_rn", F.row_number().over(w))
+             .groupBy("id")
+             .agg(F.max(F.least(F.col("v"), F.col("_rn"))).alias("h")))
+        return (cur_df.join(h, "id")
+                .select("id", F.least(F.col("c"), F.col("h")).alias("c")))
 
     # two h-index rounds per materialization + one label-sum check per pair
     # (estimates are monotone non-increasing, so an unchanged TWO-round sum
