@@ -2717,17 +2717,23 @@ def rolling_active_users_7d(spark, sf_dir):
    "ORDER BY n_orders DESC, pa, pb LIMIT 20")
 def part_cooccurrence_top(spark, sf_dir):
     # market-basket co-occurrence: unordered part pairs sharing an order.
-    # Self equi-join on the order key — Σ per-order-size² work, bounded by
-    # basket size, never |lineitem|²; top-k via TakeOrderedAndProject.
-    li = (load_table(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    pairs = (li.alias("a").join(
-        li.alias("b"),
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("pa"),
-                 F.col("b.l_partkey").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("n_orders")))
+    # Baskets first (one shuffle: distinct parts per order, buffer bounded
+    # by basket size), then the pair expansion happens as codegen'd array
+    # HOFs INSIDE the row — Σ basket² work identical to the textbook
+    # self-join but with one shuffle instead of three (distinct + join +
+    # count became basket-agg + count); top-k via TakeOrderedAndProject.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    pair_structs = F.flatten(F.transform(
+        "ps",
+        lambda x, i: F.transform(
+            F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+    pairs = (baskets.select(F.explode(pair_structs).alias("p"))
+             .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+             .agg(F.count(F.lit(1)).alias("n_orders")))
     return pairs.orderBy(F.col("n_orders").desc(), "pa", "pb").limit(20)
 
 

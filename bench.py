@@ -79,6 +79,13 @@ HEADLINE = [
     "cms_word_counts",
     "doc_fingerprint",
     "events_time_heatmap",
+    # round-4 headliners (pretraining-quality wave)
+    "gopher_quality_flags",
+    "top_ngram_char_fraction",
+    "dup_ngram_char_fraction",
+    "domain_mixture_weights",
+    "contamination_overlap_score",
+    "hypertable_multi_rollup",
 ]
 
 

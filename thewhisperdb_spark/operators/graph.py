@@ -133,6 +133,10 @@ def bfs_levels(edges: DataFrame, source: int, max_iter: int = 20,
                .localCheckpoint(eager=True))
         if nxt.isEmpty():
             break
+        # keep `levels` checkpointed per hop: letting it grow as an N-leg
+        # union of checkpointed frontiers re-scans every leg inside each
+        # hop's anti-join (quadratic leg-scans — measured 2x slower at
+        # sf0.1 than paying the one checkpoint job per hop)
         levels = levels.unionByName(
             nxt.withColumn("hops", F.lit(hop))).localCheckpoint(eager=True)
         frontier = nxt

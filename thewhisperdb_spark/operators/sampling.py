@@ -76,18 +76,20 @@ def mixture_weights(df: DataFrame, strata_col: str = "source",
     a uniform mix across the observed strata.
 
     One per-doc token count riding the scan, one partial-aggregating
-    shuffle on the stratum key, then a broadcast of the 1-row corpus
-    totals — bounded at |strata| rows regardless of corpus size. Returns
-    (strata_col, n_docs, n_tokens, token_share, mix_weight), ratios
-    rounded to 6."""
+    shuffle on the stratum key; corpus totals come from a global window
+    over the already-aggregated |strata|-row frame (a single-partition
+    window is exactly right at that size, and it avoids re-scanning the
+    corpus for a separate totals aggregate — .explain shows one
+    ReadSchema, not two). Returns (strata_col, n_docs, n_tokens,
+    token_share, mix_weight), ratios rounded to 6."""
     from thewhisperdb_spark.operators.text import token_count
 
     per = df.groupBy(strata_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col(text_col)).cast("long")).alias("n_tokens"))
-    totals = per.agg(F.sum("n_tokens").alias("_total"),
-                     F.count(F.lit(1)).alias("_n_strata"))
-    out = per.crossJoin(F.broadcast(totals))
+    wall = Window.partitionBy()
+    out = per.withColumn("_total", F.sum("n_tokens").over(wall)) \
+             .withColumn("_n_strata", F.count(F.lit(1)).over(wall))
     if targets is None:
         target = F.lit(1.0) / F.col("_n_strata")
     else:
