@@ -1646,13 +1646,19 @@ sh AS MATERIALIZED (
 
 
 @q("simhash_dedup",
-   "WITH " + _simhash_doc_sql(32) + """
+   "WITH " + _simhash_doc_sql(32) + """,
+r AS (SELECT doc_id, simhash,
+  row_number() OVER (PARTITION BY simhash ORDER BY doc_id) AS rk FROM sh)
 SELECT simhash, count(*) AS n_docs,
-  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids_csv
-FROM sh GROUP BY simhash HAVING count(*) > 1""")
+  array_to_string(list_sort(list(doc_id) FILTER (WHERE rk <= 100)), ',')
+  AS member_ids_csv
+FROM r GROUP BY simhash HAVING count(*) > 1""")
 def simhash_dedup(spark, sf_dir):
     # exact-collision simhash groups; md5-portable fingerprints -> the
-    # oracle re-derives identical 32-bit values and the same groups
+    # oracle re-derives identical 32-bit values and the same groups.
+    # member_ids_csv lists the 100 smallest ids (rank-before-collect keeps
+    # the aggregation buffer bounded on mega-collision groups); n_docs is
+    # exact.
     return D.simhash_duplicates(_docs(spark, sf_dir), bits=32)
 
 

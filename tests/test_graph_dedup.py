@@ -148,6 +148,21 @@ def test_simhash_band_pairs_hamming(spark):
     assert not any(3 in p for p in got)    # unrelated doc never pairs
 
 
+def test_simhash_duplicates_member_cap(spark):
+    # 8 identical docs + 1 distinct: with max_members=3 the group reports
+    # exact n_docs but lists only the 3 smallest ids
+    rows = [(i, "same tokens every time here") for i in range(8)]
+    rows.append((99, "another unrelated document entirely different"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = D.simhash_duplicates(df, bits=32, max_members=3).collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 8
+    assert got[0].member_ids_csv == "0,1,2"
+    # default cap is above the group size -> full listing unchanged
+    full = D.simhash_duplicates(df, bits=32).collect()[0]
+    assert full.member_ids_csv == "0,1,2,3,4,5,6,7"
+
+
 def test_triangle_count_known_graph(spark):
     from thewhisperdb_spark.operators.graph import triangle_count
 

@@ -306,18 +306,32 @@ def simhash(set_col: Column, bits: int = 32,
 
 
 def simhash_duplicates(df: DataFrame, bits: int = 32,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                       id_col: str = "doc_id", text_col: str = "text",
+                       max_members: int = 100) -> DataFrame:
     """SimHash near-dup groups: docs whose token-set simhash collides.
-    Returns (simhash, n_docs, member_ids_csv) for groups of size > 1."""
+    Returns (simhash, n_docs, member_ids_csv) for groups of size > 1.
+
+    ``n_docs`` is always exact; ``member_ids_csv`` lists only the
+    ``max_members`` smallest ids. The cap is applied by ranking BEFORE the
+    collect (row_number within the group, then collect only ranked rows),
+    so the aggregation buffer is bounded at ``max_members`` — a
+    mega-collision group (think millions of boilerplate-identical docs at
+    corpus scale) costs one counter plus a 100-element array, not a
+    group-sized list in one reducer."""
     # token set materialized once (see minhash_lsh_pairs: inlined expressions
     # are re-evaluated per bit inside the fold)
     h = (df.select(F.col(id_col).alias("id"),
                    tags_of(F.col(text_col)).alias("toks"))
          .select("id", simhash(F.col("toks"), bits).alias("simhash")))
+    w = Window.partitionBy("simhash").orderBy("id")
+    ranked = h.withColumn("_rk", F.row_number().over(w))
     return (
-        h.groupBy("simhash")
+        ranked.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.array_join(F.array_sort(F.collect_list("id")), ",").alias("member_ids_csv"))
+             F.array_join(
+                 F.array_sort(F.collect_list(
+                     F.when(F.col("_rk") <= max_members, F.col("id")))),
+                 ",").alias("member_ids_csv"))
         .filter(F.col("n_docs") > 1)
     )
 

@@ -76,6 +76,13 @@ def jaccard_pairs(nodes: DataFrame, id_col: str = "id", tags_col: str = "tags",
        prefix, so only that prefix is indexed and candidates are verified
        with an exact array intersect; without a threshold, the full inverted
        index over distinct sets.
+
+    OUTPUT-size caveat at corpus scale: a group of k identical sets emits
+    its k·(k-1)/2 same-set pairs — inherent to the all-pairs contract, not
+    to this plan. If identical docs can number in the millions, run
+    ``dedup.drop_exact_duplicates`` first (or consume ``near_dup_groups``,
+    which reports groups instead of pairs) so the quadratic term never
+    materializes.
     """
     tagged = nodes.filter(F.size(F.col(tags_col)) > 0).select(
         F.col(id_col).alias("id"),
