@@ -332,3 +332,56 @@ def test_scd2_join_is_single_key_equijoin(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ---- round-4 plan guarantees ------------------------------------------------
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gopher_flags_ride_the_scan(spark):
+    # the Gopher rule pass is pure per-row expressions: no exchange, and
+    # column pruning reaches the parquet scan (only doc_id + text read)
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["gopher_quality_flags"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan_of(df)
+    assert "Exchange" not in plan
+    assert "lang" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_mixture_weights_single_scan(spark):
+    # corpus totals come from a window over the aggregated |strata| rows —
+    # the corpus itself must be scanned exactly once
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators.sampling import mixture_weights
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = _plan_of(mixture_weights(d))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_hypertable_rollup_single_expand_pass(spark):
+    # both grains come from ONE grouping-sets Expand over one scan — not a
+    # per-grain re-aggregation job
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["hypertable_multi_rollup"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan_of(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Expand") >= 1
+
+
+def test_core_numbers_window_reuses_partitioning(spark):
+    # the h-index window's hash partitioning must be reused by the
+    # follow-up per-vertex aggregate: one exchange, no second shuffle
+    from pyspark.sql import Window
+
+    nbr = spark.createDataFrame([(1, 2), (1, 3), (2, 1)], "id long, v long")
+    w = Window.partitionBy("id").orderBy(F.col("v").desc())
+    h = (nbr.withColumn("_rn", F.row_number().over(w))
+         .groupBy("id").agg(F.max(F.least(F.col("v"), F.col("_rn")))))
+    assert _plan_of(h).count("Exchange") == 1
