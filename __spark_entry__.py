@@ -4166,6 +4166,123 @@ def hypertable_multi_rollup(spark, sf_dir):
         "n_events", "n_users", "sum_value")
 
 
+@q("asof_join_nearest",
+   """WITH p AS (SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts AS cts, event_id AS cid FROM events
+  WHERE event_type = 'click'),
+b AS (SELECT event_id, cts, cid FROM (
+  SELECT p.event_id, c.cts, c.cid, row_number() OVER (
+    PARTITION BY p.event_id ORDER BY c.cts DESC, c.cid DESC) AS rk
+  FROM p JOIN c ON c.user_id = p.user_id AND c.cts <= p.ts) WHERE rk = 1),
+f AS (SELECT event_id, cts, cid FROM (
+  SELECT p.event_id, c.cts, c.cid, row_number() OVER (
+    PARTITION BY p.event_id ORDER BY c.cts ASC, c.cid DESC) AS rk
+  FROM p JOIN c ON c.user_id = p.user_id AND c.cts >= p.ts) WHERE rk = 1)
+SELECT p.event_id, p.user_id,
+  CASE WHEN f.cid IS NULL OR (b.cid IS NOT NULL
+    AND date_diff('second', b.cts, p.ts) <= date_diff('second', p.ts, f.cts))
+    THEN b.cid ELSE f.cid END AS nearest_click_id,
+  CAST(CASE WHEN f.cid IS NULL OR (b.cid IS NOT NULL
+    AND date_diff('second', b.cts, p.ts) <= date_diff('second', p.ts, f.cts))
+    THEN date_diff('second', b.cts, p.ts)
+    ELSE date_diff('second', p.ts, f.cts) END AS BIGINT) AS gap_s
+FROM p LEFT JOIN b ON b.event_id = p.event_id
+LEFT JOIN f ON f.event_id = p.event_id""")
+def asof_join_nearest(spark, sf_dir):
+    # nearest-event temporal join (attribution proximity): for each
+    # purchase, the SAME user's closest click in either direction — the
+    # bidirectional sibling of asof_join_last_order. Two runs of the linear
+    # union+window as-of kernel (backward + forward), then an arithmetic
+    # argmin on floored-second gaps; ties prefer the backward match, right
+    # ties at equal ts resolve to the greatest id (the kernel's greatest-
+    # value-tuple rule). No per-key range join anywhere.
+    from thewhisperdb_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", F.col("ts").alias("cts"),
+                 F.col("event_id").alias("cid")))
+    back = (asof_join(p, c, key="user_id", left_ts="ts", right_ts="cts",
+                      right_vals=("cts", "cid"), direction="backward")
+            .select("event_id", F.col("asof_cts").alias("b_ts"),
+                    F.col("asof_cid").alias("b_id")))
+    fwd = (asof_join(p, c, key="user_id", left_ts="ts", right_ts="cts",
+                     right_vals=("cts", "cid"), direction="forward")
+           .select("event_id", F.col("asof_cts").alias("f_ts"),
+                   F.col("asof_cid").alias("f_id")))
+    j = p.join(back, "event_id", "left").join(fwd, "event_id", "left")
+    gap_b = F.unix_timestamp("ts") - F.unix_timestamp("b_ts")
+    gap_f = F.unix_timestamp("f_ts") - F.unix_timestamp("ts")
+    prefer_back = F.col("f_id").isNull() | (F.col("b_id").isNotNull()
+                                            & (gap_b <= gap_f))
+    return j.select(
+        "event_id", "user_id",
+        F.when(prefer_back, F.col("b_id")).otherwise(F.col("f_id"))
+        .alias("nearest_click_id"),
+        F.when(prefer_back, gap_b).otherwise(gap_f).cast("long")
+        .alias("gap_s"))
+
+
+@q("dataset_release_report",
+   "SELECT "
+   "(SELECT count(*) FROM documents) AS n_docs, "
+   "(SELECT CAST(SUM(len(list_filter(string_split(text, ' '), "
+   "t -> t <> ''))) AS BIGINT) FROM documents) AS n_tokens, "
+   "(SELECT count(DISTINCT lang) FROM documents) AS n_langs, "
+   "(SELECT count(DISTINCT source) FROM documents) AS n_sources, "
+   "COALESCE((SELECT CAST(SUM(n) AS BIGINT) FROM "
+   "(SELECT count(*) AS n FROM documents GROUP BY text "
+   "HAVING count(*) > 1)), 0) AS n_exact_dup_docs, "
+   "(SELECT count(*) FROM ("
+   "SELECT len(ws) AS n, "
+   "CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS chars, "
+   "len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha, "
+   "len(list_intersect(list_distinct(list_transform(ws, w -> lower(w))), "
+   "['the','be','to','of','and','that','have','with'])) AS stop "
+   "FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ws "
+   "FROM documents)) WHERE n BETWEEN 50 AND 100000 "
+   "AND CAST(chars AS DOUBLE) / greatest(n, 1) BETWEEN 3 AND 10 "
+   "AND CAST(alpha AS DOUBLE) / greatest(n, 1) >= 0.8 AND stop >= 2) "
+   "AS n_gopher_keep, "
+   "(SELECT count(*) FROM ("
+   "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+   "t -> t <> '') AS ws FROM documents), "
+   "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+   "generate_series(1, greatest(len(ws) - 7, 1)), "
+   "i -> array_to_string(ws[i:i+7], ' ')))) AS sh FROM w) "
+   "SELECT DISTINCT t.doc_id FROM sh t "
+   "JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 <> 0) tr "
+   "ON t.sh = tr.sh WHERE t.doc_id % 10 = 0)) AS n_test_contaminated")
+def dataset_release_report(spark, sf_dir):
+    # the one-row audit card a data release ships: corpus size, token
+    # count, lang/source cardinalities, exact-dup volume, Gopher keep
+    # count, contaminated-test-doc count. THREE corpus passes, not seven:
+    # size/tokens/cardinalities/keep all ride the gopher-flag scan (one
+    # pass), exact dups need the text-hash shuffle (two), contamination
+    # the shingle join (three); the 1-row partials cross-join at the end.
+    d = _docs(spark, sf_dir)
+    g = TX.gopher_quality_flags(d)
+    base = g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.col("keep").cast("long")).alias("n_gopher_keep"))
+    dup = (d.groupBy("text").agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > 1)
+           .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_exact_dup_docs")))
+    cont = D.cross_split_contamination(
+        d, F.col("doc_id") % 10 == 0, n=8).agg(
+        F.count(F.lit(1)).alias("n_test_contaminated"))
+    return (base.crossJoin(dup).crossJoin(cont)
+            .select("n_docs", "n_tokens", "n_langs", "n_sources",
+                    "n_exact_dup_docs", "n_gopher_keep",
+                    "n_test_contaminated"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -86,6 +86,8 @@ HEADLINE = [
     "domain_mixture_weights",
     "contamination_overlap_score",
     "hypertable_multi_rollup",
+    "asof_join_nearest",
+    "dataset_release_report",
 ]
 
 

@@ -77,3 +77,55 @@ def test_funnel_same_timestamp_counts(spark):
     got = {r.step: r.n_users for r in
            EV.funnel_conversion(ev, ["view", "click"]).collect()}
     assert got == {"view": 1, "click": 1}
+
+
+def test_asof_join_nearest_directions_and_ties(spark):
+    """Bidirectional nearest-click join: backward preferred on equal gaps,
+    forward used when closer, null when the user never clicked."""
+    from pyspark.sql import functions as F
+
+    from thewhisperdb_spark.operators.relational import asof_join
+
+    rows = [
+        # user 1: clicks at t=100 and t=300, purchase at t=180 -> backward
+        # click (gap 80) beats forward (gap 120)
+        (1, 1, "click", 100), (2, 1, "click", 300), (3, 1, "purchase", 180),
+        # user 2: clicks at t=100 and t=300, purchase at t=200 -> equal gaps
+        # (100 both ways), backward wins the tie
+        (4, 2, "click", 100), (5, 2, "click", 300), (6, 2, "purchase", 200),
+        # user 3: only a later click -> forward match
+        (7, 3, "purchase", 50), (8, 3, "click", 90),
+        # user 4: never clicks -> nulls
+        (9, 4, "purchase", 10),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, sec long"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", F.col("ts").alias("cts"),
+                 F.col("event_id").alias("cid")))
+    back = (asof_join(p, c, key="user_id", left_ts="ts", right_ts="cts",
+                      right_vals=("cts", "cid"), direction="backward")
+            .select("event_id", F.col("asof_cts").alias("b_ts"),
+                    F.col("asof_cid").alias("b_id")))
+    fwd = (asof_join(p, c, key="user_id", left_ts="ts", right_ts="cts",
+                     right_vals=("cts", "cid"), direction="forward")
+           .select("event_id", F.col("asof_cts").alias("f_ts"),
+                   F.col("asof_cid").alias("f_id")))
+    j = p.join(back, "event_id", "left").join(fwd, "event_id", "left")
+    gap_b = F.unix_timestamp("ts") - F.unix_timestamp("b_ts")
+    gap_f = F.unix_timestamp("f_ts") - F.unix_timestamp("ts")
+    prefer_back = F.col("f_id").isNull() | (F.col("b_id").isNotNull()
+                                            & (gap_b <= gap_f))
+    got = {r.event_id: (r.nearest, r.gap) for r in j.select(
+        "event_id",
+        F.when(prefer_back, F.col("b_id")).otherwise(F.col("f_id"))
+        .alias("nearest"),
+        F.when(prefer_back, gap_b).otherwise(gap_f).cast("long")
+        .alias("gap")).collect()}
+    assert got[3] == (1, 80)       # backward closer
+    assert got[6] == (4, 100)      # tie -> backward
+    assert got[7] == (8, 40)       # forward only
+    assert got[9] == (None, None)  # no clicks at all

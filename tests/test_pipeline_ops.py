@@ -258,3 +258,15 @@ def test_contamination_overlap_scores_graded(spark):
     assert got[10].overlap_frac == 1.0
     assert got[0].n_hit == 0 and got[0].overlap_frac == 0.0
     assert got[20].n_hit == 0 and got[20].overlap_frac == 0.0
+
+
+def test_dataset_release_report_small_corpus(spark):
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["dataset_release_report"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_docs == 500 and row.n_langs > 0 and row.n_sources > 0
+    assert row.n_tokens > row.n_docs          # multi-token docs
+    assert 0 <= row.n_exact_dup_docs <= row.n_docs
+    assert 0 <= row.n_gopher_keep <= row.n_docs
+    assert 0 <= row.n_test_contaminated <= row.n_docs // 10 + 1
