@@ -68,6 +68,32 @@ def test_image_features_deterministic(media_df):
         extract_image_features(media_df, None).collect()
 
 
+def test_resize_images_nearest_neighbor(media_df):
+    from thewhisperdb_spark.sources.multimodal import resize_images
+
+    # downsample 8x8 -> 4x4: nearest-neighbor must pick source pixels
+    # (2*r+1, 2*c+1) for output (r, c) — pin against the fake decoder's
+    # deterministic raster
+    out = resize_images(media_df, 4, 4, deterministic_fake_decoder).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["height"], r["width"]) == (4, 4)
+    content = [row["content"] for row in media_df.collect()
+               if row["path"].endswith("c.png")][0]
+    src = deterministic_fake_decoder(bytes(content))
+    for i in range(4):
+        for j in range(4):
+            assert r["pixels"][i][j] == src[2 * i + 1][2 * j + 1]
+    # upsample 2x2 -> 4x4 duplicates each source pixel into a 2x2 block
+    up = resize_images(media_df, 4, 4,
+                       lambda b: [[0.1, 0.2], [0.3, 0.4]]).collect()[0]
+    assert up["pixels"] == [[0.1, 0.1, 0.2, 0.2], [0.1, 0.1, 0.2, 0.2],
+                            [0.3, 0.3, 0.4, 0.4], [0.3, 0.3, 0.4, 0.4]]
+    # same missing-codec gate as the feature extractor
+    with pytest.raises(Exception):
+        resize_images(media_df, 4, 4, None).collect()
+
+
 def test_frame_sampling(media_df):
     frames = sample_frames(media_df, every_n_bytes=1 << 16, frame_bytes=64).collect()
     assert len(frames) == 4                 # 256 KiB / 64 KiB

@@ -179,6 +179,52 @@ def extract_image_features(media: DataFrame,
     return img.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("height", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("pixels", ArrayType(ArrayType(DoubleType()))),
+])
+
+
+def resize_images(media: DataFrame, out_h: int, out_w: int,
+                  decoder: ImageDecoder | None = None) -> DataFrame:
+    """Decode -> RESIZE for image rows: nearest-neighbor resample of the
+    decoded raster to ``out_h`` x ``out_w`` (the standard pre-embedding
+    normalization step — every vision encoder wants a fixed input shape).
+    The resample itself is real numpy (index-gather per Arrow batch, no
+    Python pixel loops); only the codec is the injectable hook, same gate
+    as extract_image_features (None -> NotImplementedError; tests inject
+    ``deterministic_fake_decoder``). Returns (path, height, width, pixels)
+    with pixels as the resized row-major raster."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"path": [], "height": [], "width": [], "pixels": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                if decoder is None:
+                    raise NotImplementedError(
+                        "no image codec in this environment: inject a decoder "
+                        "(e.g. PIL-based) or use deterministic_fake_decoder")
+                raster = np.asarray(decoder(bytes(content)), dtype=np.float64)
+                h, w = raster.shape[0], raster.shape[1]
+                # nearest-neighbor: pixel centers mapped back to source grid
+                ri = np.minimum((np.arange(out_h) + 0.5) * h / out_h,
+                                h - 1).astype(np.int64)
+                ci = np.minimum((np.arange(out_w) + 0.5) * w / out_w,
+                                w - 1).astype(np.int64)
+                resized = raster[np.ix_(ri, ci)]
+                rows["path"].append(path)
+                rows["height"].append(out_h)
+                rows["width"].append(out_w)
+                rows["pixels"].append([list(r) for r in resized])
+            yield pd.DataFrame(rows)
+
+    img = media.filter(F.col("modality") == "image").select("path", "content")
+    return img.mapInPandas(run, RESIZED_SCHEMA)
+
+
 FRAME_SCHEMA = StructType([
     StructField("path", StringType()),
     StructField("frame_idx", IntegerType()),
