@@ -171,3 +171,32 @@ def test_idempotent_sink_replay_no_duplicates(spark, event_dir, tmp_path):
     redelivered = spark.createDataFrame(batch_df.collect(), batch_df.schema)
     redelivered.write.mode("overwrite").parquet(_os.path.join(out, bdir))
     assert spark.read.parquet(out).count() == n
+
+
+def test_gopher_filter_runs_under_readstream(spark, tmp_path_factory):
+    """The round-4 quality pass is stateless column expressions, so the SAME
+    operator must run unchanged on a file stream (the live-ingest filter a
+    pretraining pipeline runs before anything stateful) and agree with the
+    batch result row-for-row."""
+    from thewhisperdb_spark.operators.text import gopher_quality_flags
+
+    rows = [
+        (1, "the of " + " ".join(["word"] * 58)),   # passes every rule
+        (2, "too short"),                           # word-count fail
+        (3, " ".join(["12345"] * 60)),              # alpha-ratio fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("gopher_stream") / "docs")
+    df.write.parquet(path)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(path))
+    out = SJ.run_to_memory(
+        gopher_quality_flags(stream).select("doc_id", "n_words", "keep"),
+        "gopher_stream", "append")
+    got = {r.doc_id: (r.n_words, r.keep) for r in out.collect()}
+    expect = {r.doc_id: (r.n_words, r.keep)
+              for r in gopher_quality_flags(df)
+              .select("doc_id", "n_words", "keep").collect()}
+    assert got == expect
+    assert got[1][1] and not got[2][1] and not got[3][1]
