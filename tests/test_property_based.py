@@ -11,7 +11,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-SETTINGS = settings(max_examples=5, deadline=None,
+# derandomize: the properties are exact invariants (any draw that fails is
+# a real bug), and the driver's verification run must never flake on an
+# unlucky generation-health path
+SETTINGS = settings(max_examples=5, deadline=None, derandomize=True,
                     suppress_health_check=[HealthCheck.too_slow])
 
 
