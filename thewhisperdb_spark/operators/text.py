@@ -238,12 +238,15 @@ def top_ngram_char_stats(df: DataFrame, ns: tuple[int, ...] = (2, 3, 4),
     length). High top-2/3/4-gram char fractions flag boilerplate loops.
 
     Shape: one explode of all tagged gram arrays -> one (doc, n, gram)
-    count aggregate -> per-(doc, n) argmax window. The aggregate absorbs
-    the repeats map-side; nothing is per-row quadratic, so an 8k-token
-    document costs 8k rows per n, not 64M HOF steps.
+    count aggregate -> per-(doc, n) ``min_by`` argmax over the ordering
+    key (-count, gram): highest count, lexicographically smallest gram on
+    ties — as one more hash aggregate instead of a window sort (two
+    map-side-combining aggregates, zero sorts). Nothing is per-row
+    quadratic, so an 8k-token document costs 8k rows per n, not 64M HOF
+    steps.
 
-    Returns (id_col, n, top_gram, top_cnt, char_frac) — ties broken by the
-    lexicographically smallest gram; char_frac rounded to 6."""
+    Returns (id_col, n, top_gram, top_cnt, char_frac); char_frac rounded
+    to 6."""
     d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"),
                   F.length(text_col).cast("long").alias("len"))
     tagged = d.select(
@@ -256,15 +259,16 @@ def top_ngram_char_stats(df: DataFrame, ns: tuple[int, ...] = (2, 3, 4),
                       F.explode("x.gs").alias("g"))
     cnt = g.groupBy("id", "len", "n", "g").agg(
         F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("id", "n").orderBy(
-        F.col("cnt").desc(), F.col("g").asc())
-    return (cnt.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("id").alias(id_col), "n",
-                    F.col("g").alias("top_gram"),
-                    F.col("cnt").alias("top_cnt"),
-                    F.round((F.col("cnt") * F.length("g")).cast("double")
-                            / F.col("len"), 6).alias("char_frac")))
+    top = cnt.groupBy("id", "len", "n").agg(
+        F.min_by(F.struct("g", "cnt"),
+                 F.struct((-F.col("cnt")).alias("nc"), F.col("g")))
+        .alias("m"))
+    return top.select(
+        F.col("id").alias(id_col), "n",
+        F.col("m.g").alias("top_gram"),
+        F.col("m.cnt").alias("top_cnt"),
+        F.round((F.col("m.cnt") * F.length("m.g")).cast("double")
+                / F.col("len"), 6).alias("char_frac"))
 
 
 def dup_ngram_char_fraction(df: DataFrame, n: int = 5,
