@@ -4064,8 +4064,8 @@ def _top_ngram_sql(ns=(2, 3, 4)) -> str:
         "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n "
         "ORDER BY cnt DESC, g) AS rn FROM c) "
         "SELECT doc_id, n, g AS top_gram, cnt AS top_cnt, "
-        "round(CAST(cnt * length(g) AS DOUBLE) / len, 6) AS char_frac "
-        "FROM r WHERE rn = 1")
+        "round(CAST(cnt * length(g) AS DOUBLE) / greatest(len, 1), 6) "
+        "AS char_frac FROM r WHERE rn = 1")
 
 
 @q("top_ngram_char_fraction", _top_ngram_sql())
@@ -4087,8 +4087,8 @@ def top_ngram_char_fraction(spark, sf_dir):
    "c AS (SELECT doc_id, len, g, count(*) AS cnt FROM g "
    "GROUP BY doc_id, len, g), "
    "s AS (SELECT doc_id, round(CAST(SUM(CASE WHEN cnt > 1 "
-   "THEN cnt * length(g) ELSE 0 END) AS DOUBLE) / any_value(len), 6) "
-   "AS dup_frac FROM c GROUP BY doc_id) "
+   "THEN cnt * length(g) ELSE 0 END) AS DOUBLE) "
+   "/ greatest(any_value(len), 1), 6) AS dup_frac FROM c GROUP BY doc_id) "
    "SELECT d.doc_id, COALESCE(s.dup_frac, 0.0) AS dup_frac "
    "FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id")
 def dup_ngram_char_fraction_q(spark, sf_dir):
@@ -4315,18 +4315,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _driver_green_rounds() -> dict[str, int]:
-    """Map key -> latest round number with a fully-green driver row.
+    """Map key -> round of its LATEST driver row, for keys whose latest row
+    is fully green.
 
     Green = rows_match and schema_match and hash_match-not-False (rows-only
-    keys have no hash). Erred or failed rows do NOT count, so a key whose
-    oracle broke rotates back to the front automatically.
+    keys have no hash). The LATEST row decides: a key that was green in an
+    earlier round but erred or failed on its most recent driver run drops
+    out of this map entirely, so it rotates back to the verification front
+    AND re-enters the pytest parity suite automatically.
     """
     import glob
     import json as _json
     import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}  # key -> (round, is_green)
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -4336,12 +4339,14 @@ def _driver_green_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for key, row in rows.items():
-            if not isinstance(row, dict) or row.get("err"):
+            if not isinstance(row, dict):
                 continue
-            if row.get("rows_match") and row.get("schema_match") \
-                    and row.get("hash_match") is not False:
-                green[key] = max(green.get(key, 0), rnd)
-    return green
+            is_green = (not row.get("err") and row.get("rows_match")
+                        and row.get("schema_match")
+                        and row.get("hash_match") is not False)
+            if rnd >= latest.get(key, (-1, False))[0]:
+                latest[key] = (rnd, bool(is_green))
+    return {k: rnd for k, (rnd, ok) in latest.items() if ok}
 
 
 _VERIFY_FALLBACK = [

@@ -270,3 +270,16 @@ def test_dataset_release_report_small_corpus(spark):
     assert 0 <= row.n_exact_dup_docs <= row.n_docs
     assert 0 <= row.n_gopher_keep <= row.n_docs
     assert 0 <= row.n_test_contaminated <= row.n_docs // 10 + 1
+
+
+def test_mixture_weights_rejects_unknown_targets(spark):
+    import pytest
+
+    rows = [(1, "t1 t2", "a"), (2, "t3", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="webb"):
+        SM.mixture_weights(df, targets={"webb": 0.5, "b": 0.5})
+    # observed strata absent from targets get the explicit 0.0 weight
+    got = {r.source: r.mix_weight
+           for r in SM.mixture_weights(df, targets={"b": 1.0}).collect()}
+    assert got["a"] == 0.0 and got["b"] > 0

@@ -180,6 +180,23 @@ def generate_tags_from_model_output(df: DataFrame, text_col: str,
 # transport — the default transport is stdlib urllib, used only when a user
 # actually configures a base URL + key.
 
+def _resolve_llm_config(base_url, model, model_env: str, model_default: str,
+                        api_key, timeout, transport):
+    """Shared ctor plumbing for both HTTP clients: env fallbacks for base
+    URL / model / key, default transport — one place, no copy-paste drift."""
+    import os
+
+    return (
+        (base_url or os.environ.get("WHISPERDB_LLM_BASE_URL",
+                                    "https://api.openai.com")).rstrip("/"),
+        model or os.environ.get(model_env, model_default),
+        api_key if api_key is not None
+        else os.environ.get("WHISPERDB_LLM_API_KEY", ""),
+        float(timeout),
+        transport or _default_transport,
+    )
+
+
 def _default_transport(url: str, headers: dict, payload: dict,
                        timeout: float) -> dict:
     """POST ``payload`` as JSON, return the decoded JSON response.
@@ -212,17 +229,11 @@ class HttpEmbedder:
     def __init__(self, base_url: str | None = None, model: str | None = None,
                  api_key: str | None = None, batch_size: int = 128,
                  timeout: float = 30.0, transport=None):
-        import os
-
-        self.base_url = (base_url or os.environ.get(
-            "WHISPERDB_LLM_BASE_URL", "https://api.openai.com")).rstrip("/")
-        self.model = model or os.environ.get(
-            "WHISPERDB_EMBED_MODEL", "text-embedding-3-small")
-        self.api_key = api_key if api_key is not None else os.environ.get(
-            "WHISPERDB_LLM_API_KEY", "")
+        (self.base_url, self.model, self.api_key, self.timeout,
+         self.transport) = _resolve_llm_config(
+            base_url, model, "WHISPERDB_EMBED_MODEL",
+            "text-embedding-3-small", api_key, timeout, transport)
         self.batch_size = int(batch_size)
-        self.timeout = float(timeout)
-        self.transport = transport or _default_transport
 
     def __call__(self, texts: list[str]) -> list[list[float]]:
         url = f"{self.base_url}/v1/embeddings"
@@ -262,21 +273,15 @@ class HttpTagGenerator:
                  model: str | None = None, api_key: str | None = None,
                  temperature: float = 0.2, max_tokens: int = 128,
                  timeout: float = 30.0, transport=None):
-        import os
-
         self.vocabulary = [_normalize_tag(v) for v in vocabulary]
         self.max_tags = int(max_tags)
         self.max_new = int(max_new)
-        self.base_url = (base_url or os.environ.get(
-            "WHISPERDB_LLM_BASE_URL", "https://api.openai.com")).rstrip("/")
-        self.model = model or os.environ.get("WHISPERDB_TAG_MODEL",
-                                             "gpt-4o-mini")
-        self.api_key = api_key if api_key is not None else os.environ.get(
-            "WHISPERDB_LLM_API_KEY", "")
+        (self.base_url, self.model, self.api_key, self.timeout,
+         self.transport) = _resolve_llm_config(
+            base_url, model, "WHISPERDB_TAG_MODEL", "gpt-4o-mini",
+            api_key, timeout, transport)
         self.temperature = float(temperature)
         self.max_tokens = int(max_tokens)
-        self.timeout = float(timeout)
-        self.transport = transport or _default_transport
 
     def prompt(self, text: str) -> str:
         return (

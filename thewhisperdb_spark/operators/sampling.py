@@ -93,6 +93,17 @@ def mixture_weights(df: DataFrame, strata_col: str = "source",
     if targets is None:
         target = F.lit(1.0) / F.col("_n_strata")
     else:
+        # a target key matching no observed stratum is almost always a typo
+        # that would silently zero-weight the real stratum — fail loudly
+        # (the check reads only the |strata|-row aggregate, not the corpus)
+        observed = {r[0] for r in per.select(strata_col).collect()}
+        unknown = set(targets) - observed
+        if unknown:
+            raise ValueError(
+                f"targets name strata not present in the data: "
+                f"{sorted(unknown)} (observed: {sorted(observed)})")
+        # observed strata absent from `targets` get weight 0.0 — the
+        # explicit "drop unlisted domains" semantic
         target = F.lit(0.0)
         for value, share in targets.items():
             target = F.when(F.col(strata_col) == value,

@@ -195,6 +195,14 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
 
     Adds: n_words, mean_word_len, alpha_word_ratio (both rounded to 6),
     n_required_stop, keep. Thresholds compare the UNROUNDED ratios."""
+    added = ("n_words", "mean_word_len", "alpha_word_ratio",
+             "n_required_stop", "keep", "_st")
+    clash = [c for c in df.columns if c in added]
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {clash} that this pass would "
+            "add — rename or drop them first (re-running the pass on its "
+            "own output is the usual cause)")
     stop_lit = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
     st = F.element_at(
         F.transform(
@@ -268,7 +276,8 @@ def top_ngram_char_stats(df: DataFrame, ns: tuple[int, ...] = (2, 3, 4),
         F.col("m.g").alias("top_gram"),
         F.col("m.cnt").alias("top_cnt"),
         F.round((F.col("m.cnt") * F.length("m.g")).cast("double")
-                / F.col("len"), 6).alias("char_frac"))
+                / F.greatest(F.col("len"), F.lit(1)), 6)
+        .alias("char_frac"))
 
 
 def dup_ngram_char_fraction(df: DataFrame, n: int = 5,
@@ -291,7 +300,8 @@ def dup_ngram_char_fraction(df: DataFrame, n: int = 5,
                            F.col("cnt") * F.length("g"))
                     .otherwise(F.lit(0))).alias("dup_chars"))
          .select("id", F.round(F.col("dup_chars").cast("double")
-                               / F.col("len"), 6).alias("dup_frac")))
+                               / F.greatest(F.col("len"), F.lit(1)), 6)
+                 .alias("dup_frac")))
     return (df.select(F.col(id_col).alias("id"))
             .join(s, "id", "left")
             .select(F.col("id").alias(id_col),

@@ -651,15 +651,26 @@ INDEX_FORMAT_VERSION = 2
 
 def _check_index_version(spark, path: str) -> None:
     """Raise loudly when probing/appending an index whose on-disk format
-    version doesn't match this module (or that predates versioning)."""
+    version doesn't match this module (or that predates versioning).
+    Only a MISSING meta is translated into the rebuild message — transient
+    IO/permission/corruption errors propagate with their real cause, so a
+    healthy index never gets misdiagnosed as pre-versioning."""
+    from pyspark.errors import AnalysisException
+
     try:
         meta = spark.read.parquet(f"{path}/meta").collect()
-    except Exception:
+    except AnalysisException as e:
         raise ValueError(
             f"IVF index at {path} has no meta/format marker — it was built "
             f"by a pre-v{INDEX_FORMAT_VERSION} build whose hash scheme is "
-            "incompatible; rebuild with ivf_index_build") from None
+            "incompatible, or an interrupted build removed it; rebuild "
+            "with ivf_index_build") from e
     ver = int(meta[0]["format_version"]) if meta else 0
+    if ver == -1:
+        raise ValueError(
+            f"IVF index at {path} is marked in-progress/interrupted "
+            "(format_version -1): a rebuild died before completing; "
+            "rebuild with ivf_index_build")
     if ver != INDEX_FORMAT_VERSION:
         raise ValueError(
             f"IVF index at {path} is format v{ver}, this build writes "
@@ -681,12 +692,23 @@ def ivf_index_build(corpus: DataFrame, path: str, n_cells: int = 16,
     assigned, cents = ivf_assign(corpus, n_cells, id_col, vec_col,
                                  centroids=centroids)
     spark = corpus.sparkSession
-    (spark.createDataFrame([(INDEX_FORMAT_VERSION, "md5-min-v2")],
-                           "format_version int, hash_scheme string")
-     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+    def write_meta(version: int) -> None:
+        (spark.createDataFrame([(version, "md5-min-v2")],
+                               "format_version int, hash_scheme string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+    # meta is the build-completion sentinel: invalidate it FIRST (version
+    # -1), write the data, then stamp the real version LAST — a build that
+    # dies anywhere in between leaves an index that loudly FAILS the
+    # version gate instead of one that passes it with mixed-generation
+    # centroids/lists (this covers rebuilds over an existing same-version
+    # index too, where ordering alone wouldn't)
+    write_meta(-1)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     (assigned.write.mode("overwrite").partitionBy("cell")
      .parquet(f"{path}/lists"))
+    write_meta(INDEX_FORMAT_VERSION)
 
 
 def ivf_index_probe(spark, path: str, queries: DataFrame, k: int,

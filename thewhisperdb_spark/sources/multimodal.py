@@ -208,6 +208,11 @@ def resize_images(media: DataFrame, out_h: int, out_w: int,
                         "no image codec in this environment: inject a decoder "
                         "(e.g. PIL-based) or use deterministic_fake_decoder")
                 raster = np.asarray(decoder(bytes(content)), dtype=np.float64)
+                if raster.ndim != 2 or raster.size == 0:
+                    raise ValueError(
+                        f"decoder returned an empty or non-2D raster "
+                        f"(shape {raster.shape}) for {path}; resize needs "
+                        "at least one source pixel")
                 h, w = raster.shape[0], raster.shape[1]
                 # nearest-neighbor: pixel centers mapped back to source grid
                 ri = np.minimum((np.arange(out_h) + 0.5) * h / out_h,
