@@ -287,25 +287,24 @@ def dup_ngram_char_fraction(df: DataFrame, n: int = 5,
     document's characters accounted for by word n-grams that occur more
     than once (Σ count x gram length over duplicated grams / text length —
     the standard overlap-tolerant approximation, so values can exceed 1 on
-    degenerate loops). Explode -> count -> conditional sum; documents with
-    no duplicated grams keep a 0.0 row via the join back to the input.
+    degenerate loops). Explode -> count -> conditional sum in ONE corpus
+    scan: every document yields at least one gram (word_ngrams_all's
+    whole-doc fallback), so zero-dup docs get their 0.0 row from the
+    aggregate itself — no join back to the input.
 
     Returns (id_col, dup_frac)."""
     d = df.select(F.col(id_col).alias("id"),
                   F.length(text_col).cast("long").alias("len"),
                   F.explode(word_ngrams_all(F.col(text_col), n)).alias("g"))
     cnt = d.groupBy("id", "len", "g").agg(F.count(F.lit(1)).alias("cnt"))
-    s = (cnt.groupBy("id", "len")
-         .agg(F.sum(F.when(F.col("cnt") > 1,
-                           F.col("cnt") * F.length("g"))
-                    .otherwise(F.lit(0))).alias("dup_chars"))
-         .select("id", F.round(F.col("dup_chars").cast("double")
-                               / F.greatest(F.col("len"), F.lit(1)), 6)
-                 .alias("dup_frac")))
-    return (df.select(F.col(id_col).alias("id"))
-            .join(s, "id", "left")
+    return (cnt.groupBy("id", "len")
+            .agg(F.sum(F.when(F.col("cnt") > 1,
+                              F.col("cnt") * F.length("g"))
+                       .otherwise(F.lit(0))).alias("dup_chars"))
             .select(F.col("id").alias(id_col),
-                    F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac")))
+                    F.round(F.col("dup_chars").cast("double")
+                            / F.greatest(F.col("len"), F.lit(1)), 6)
+                    .alias("dup_frac")))
 
 
 def fingerprint(col: Column) -> Column:
