@@ -4283,6 +4283,213 @@ def dataset_release_report(spark, sf_dir):
                     "n_test_contaminated"))
 
 
+# ---- round-4 TPC-H wave (q4/q6/q10/q12/q14/q18 shapes, adapted to the -----
+# testdata's column subset; every float aggregate goes through exact
+# decimal so orderings and hashes are engine-stable)
+
+_DEC_REV = ("CAST(l_extendedprice AS DECIMAL(18,6)) "
+            "* CAST(1 - l_discount AS DECIMAL(18,6))")
+
+
+@q("tpch_q6_forecast_revenue",
+   "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) "
+   "* CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+   "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+   "AND l_shipdate < TIMESTAMP '1997-01-01' "
+   "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    # TPC-H Q6: pure filter + single-row aggregate — the whole query rides
+    # the scan (predicate pushdown on shipdate/discount/quantity), one
+    # partial-agg shuffle of 32 rows. Decimal product keeps the sum exact.
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24))
+    return f.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")
+              * F.col("l_discount").cast("decimal(18,6)"))
+        .cast("double").alias("revenue"))
+
+
+@q("tpch_q4_late_ship_priority",
+   "SELECT o_orderpriority, count(*) AS n_orders FROM orders o "
+   "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+   "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+   "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+   "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) "
+   "GROUP BY o_orderpriority")
+def tpch_q4_late_ship_priority(spark, sf_dir):
+    # TPC-H Q4 shape (testdata has no commitdate/receiptdate, so "late" =
+    # any line shipped >90 days after the order date): EXISTS compiles to a
+    # LEFT SEMI join on the order key — each order counted once no matter
+    # how many late lines — then a 5-group aggregate.
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1997-01-01").cast("timestamp"))))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi")
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"))
+
+
+@q("tpch_q10_returned_revenue",
+   f"""WITH rev AS (
+  SELECT o.o_custkey, SUM({_DEC_REV}) AS rev_dec
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o.o_custkey)
+SELECT c.c_custkey, c.c_name, n.n_name,
+  CAST(rev_dec AS DOUBLE) AS revenue
+FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY rev_dec DESC, c.c_custkey LIMIT 20""")
+def tpch_q10_returned_revenue(spark, sf_dir):
+    # TPC-H Q10: lost revenue from returned items, top 20 customers for one
+    # quarter. The fact-fact join shuffles on the order key; customer and
+    # nation attach AFTER the aggregate (broadcast dims onto 20-ish rows'
+    # worth of groups, not onto the fact table). Ordering on the EXACT
+    # decimal sum keeps the cut deterministic; the double cast happens in
+    # the output only.
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1996-04-01").cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("o_custkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")
+                      * (F.lit(1) - F.col("l_discount"))
+                      .cast("decimal(18,6)")).alias("rev_dec")))
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (rev.join(F.broadcast(c),
+                     F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+            .orderBy(F.col("rev_dec").desc(), F.col("c_custkey")).limit(20)
+            .select("c_custkey", "c_name", "n_name",
+                    F.col("rev_dec").cast("double").alias("revenue")))
+
+
+@q("tpch_q12_linestatus_priority",
+   "SELECT l_linestatus, "
+   "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+   "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+   "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+   "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+   "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+   "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+   "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY l_linestatus")
+def tpch_q12_linestatus_priority(spark, sf_dir):
+    # TPC-H Q12 shape (linestatus stands in for the absent shipmode):
+    # fact-fact equi-join on the order key + conditional counts into a
+    # 2-row result — the filter prunes lineitem at the scan.
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1997-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_linestatus"))
+    return (o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(hi.cast("long")).alias("high_line_count"),
+                 F.sum((~hi).cast("long")).alias("low_line_count")))
+
+
+@q("tpch_q14_promo_revenue",
+   f"""SELECT
+  round(CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO' THEN {_DEC_REV}
+    ELSE CAST(0 AS DECIMAL(18,6)) END)
+    / SUM({_DEC_REV}) AS DOUBLE), 6) AS promo_pct,
+  CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_DEC_REV}
+    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM({_DEC_REV}) AS DOUBLE) AS total_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-02-01'""")
+def tpch_q14_promo_revenue(spark, sf_dir):
+    # TPC-H Q14: promo revenue share for one month — part is the classic
+    # broadcast dimension (fact scans stay shuffle-free up to the single
+    # 1-row aggregate). Both sums are exact decimals; the ratio alone is
+    # float, rounded to 6.
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1996-02-01").cast("timestamp")))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)"))
+    zero = F.lit(0).cast("decimal(18,6)")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+        .alias("promo_dec"),
+        F.sum(rev).alias("total_dec"))
+    return agg.select(
+        F.round((F.lit(100.0) * F.col("promo_dec") / F.col("total_dec"))
+                .cast("double"), 6).alias("promo_pct"),
+        F.col("promo_dec").cast("double").alias("promo_revenue"),
+        F.col("total_dec").cast("double").alias("total_revenue"))
+
+
+@q("tpch_q18_large_orders",
+   "WITH big AS (SELECT l_orderkey, "
+   "SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty FROM lineitem "
+   "GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300) "
+   "SELECT c.c_custkey, c.c_name, o.o_orderkey, "
+   "strftime(o.o_orderdate, '%Y-%m-%d') AS o_date, "
+   "CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, "
+   "CAST(big.qty AS DOUBLE) AS total_qty "
+   "FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey "
+   "JOIN customer c ON c.c_custkey = o.o_custkey "
+   "ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100")
+def tpch_q18_large_orders(spark, sf_dir):
+    # TPC-H Q18: customers with >300-unit orders. The HAVING aggregate
+    # reduces lineitem to the handful of big orders BEFORE any join, so the
+    # orders/customer attachment joins a tiny frame (broadcast the
+    # survivors' side by size); top-k via TakeOrderedAndProject on the raw
+    # stored o_totalprice (no computed float in the ordering).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                .alias("qty"))
+           .filter(F.col("qty") > 300))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (o.join(F.broadcast(big),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(100)
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_date"),
+                    F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                    F.col("qty").cast("double").alias("total_qty")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -88,6 +88,12 @@ HEADLINE = [
     "hypertable_multi_rollup",
     "asof_join_nearest",
     "dataset_release_report",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_late_ship_priority",
+    "tpch_q10_returned_revenue",
+    "tpch_q12_linestatus_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
 ]
 
 
