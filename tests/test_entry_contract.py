@@ -22,6 +22,34 @@ def test_registry_shape():
         assert any(t in sql for t in tables), key
 
 
+def test_verification_queue_ordering_rule():
+    """queries() must lead with keys the driver has never stamped green
+    (derived from committed CORRECTNESS files), oracle-backed before
+    rows-only, stamped keys last — the self-maintaining rotation that
+    replaced the hand-edited list in round 4."""
+    green = E._driver_green_rounds()
+    assert green, "no committed CORRECTNESS rows parsed"
+    keys = list(E.queries())
+    oracles = E.oracle_sql()
+    seen_rows_only = seen_stamped = False
+    for k in keys:
+        if k in green:
+            seen_stamped = True
+            continue
+        assert not seen_stamped, (
+            f"unstamped key {k} ordered after a stamped key")
+        if k not in oracles:
+            seen_rows_only = True
+        else:
+            assert not seen_rows_only, (
+                f"oracle-backed unstamped {k} ordered after rows-only keys")
+    # bench headliners must all be registered
+    import bench
+
+    missing = [k for k in bench.HEADLINE if k not in keys]
+    assert not missing, missing
+
+
 def test_spot_queries_run(spark):
     sf = "/root/testdata/sf0.001"
     qs = E.queries()
