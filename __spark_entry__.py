@@ -4490,6 +4490,50 @@ def tpch_q18_large_orders(spark, sf_dir):
                     F.col("qty").cast("double").alias("total_qty")))
 
 
+@q("events_distinct_users_hll_portable",
+   """WITH h AS (SELECT event_type, user_id,
+  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events),
+x AS (SELECT event_type, user_id, h & 255 AS bucket, h >> 8 AS w FROM h),
+r AS (SELECT event_type, bucket,
+  MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m_reg
+  FROM x GROUP BY event_type, bucket),
+s AS (SELECT event_type, count(*) AS n_present,
+  CAST(SUM(CAST(1 AS BIGINT) << (53 - m_reg)) AS BIGINT) AS sum_present
+  FROM r GROUP BY event_type),
+e AS (SELECT event_type,
+  sum_present + (256 - n_present) * (CAST(1 AS BIGINT) << 53) AS sum_int,
+  256 - n_present AS v FROM s),
+est AS (SELECT event_type, v,
+  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+    + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+  * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+  / CAST(sum_int AS DOUBLE) AS e_raw FROM e),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS n_users_exact
+  FROM events GROUP BY event_type)
+SELECT est.event_type, ex.n_users_exact,
+  round(CASE WHEN e_raw <= CAST(640.0 AS DOUBLE) AND v > 0
+    THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v)
+    ELSE e_raw END, 4) AS n_users_est
+FROM est JOIN ex ON ex.event_type = est.event_type""")
+def events_distinct_users_hll_portable(spark, sf_dir):
+    # engine-portable HLL (the CMS treatment applied to distinct counting):
+    # md5-derived 60-bit hash -> 256 registers, register sum Σ 2^(53-rho)
+    # is an exact 64-bit integer so the estimate is bit-identical across
+    # engines and fully oracle-checked — unlike the Datasketches twin
+    # (events_distinct_users_hll, rows-only by necessity). Registers merge
+    # by MAX across days/partitions without touching raw user ids; the
+    # exact distinct count rides along so every row shows the sketch error.
+    ev = load_table(spark, sf_dir, "events")
+    regs = AG.hll_registers(ev, "user_id", group_cols=("event_type",))
+    est = AG.hll_estimate(regs, group_cols=("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"))
+    return (est.join(exact, "event_type")
+            .select("event_type", "n_users_exact", "n_est")
+            .withColumnRenamed("n_est", "n_users_est"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -94,6 +94,7 @@ HEADLINE = [
     "tpch_q12_linestatus_priority",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
+    "events_distinct_users_hll_portable",
 ]
 
 

@@ -385,3 +385,26 @@ def test_core_numbers_window_reuses_partitioning(spark):
     h = (nbr.withColumn("_rn", F.row_number().over(w))
          .groupBy("id").agg(F.max(F.least(F.col("v"), F.col("_rn")))))
     assert _plan_of(h).count("Exchange") == 1
+
+
+def test_portable_hll_accuracy_and_merge(spark):
+    """md5-portable HLL: estimate within the ~6.5% (1.04/sqrt(256)) band of
+    the exact count, registers merge by MAX (union of shards == whole)."""
+    from thewhisperdb_spark.operators import aggregates as AG
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 5000).alias("k"),
+        (F.col("id") % 2 == 0).alias("shard"))
+    regs = AG.hll_registers(df, "k")
+    est = AG.hll_estimate(regs).collect()[0]["n_est"]
+    assert abs(est - 5000) / 5000 < 0.15        # ~2.3 sigma at m=256
+    # sharded build + max-merge must equal the whole-corpus registers
+    a = AG.hll_registers(df.filter("shard"), "k")
+    b = AG.hll_registers(df.filter("NOT shard"), "k")
+    merged = AG.hll_merge(a, b)
+    est_m = AG.hll_estimate(merged).collect()[0]["n_est"]
+    assert est_m == est
+    # small-range linear counting: tiny sets are near-exact
+    tiny = spark.range(0, 12).select(F.col("id").alias("k"))
+    est_t = AG.hll_estimate(AG.hll_registers(tiny, "k")).collect()[0]["n_est"]
+    assert abs(est_t - 12) <= 1

@@ -137,6 +137,75 @@ def cms_estimate(sketch: DataFrame, terms: DataFrame, term_col: str = "term",
                  .alias("est")))
 
 
+# ---- engine-portable HyperLogLog ------------------------------------------
+#
+# Same portability treatment the CMS path got: every hash is md5-derived, so
+# any engine with md5 re-derives identical registers, and the ESTIMATE is
+# bit-identical too — the per-group register sum Σ 2^(53-rho) is an exact
+# 64-bit integer (rho in [1, 53] -> integer terms, <= 2^61 total), so no
+# float summation order can perturb it; the only float math is one fixed
+# expression over that integer. Registers merge by MAX, the sketch property
+# that makes HLL a partial aggregate at 100 TB (union sketches across
+# days/partitions without touching raw keys).
+
+_HLL_2_53 = 1 << 53
+
+
+def hll_registers(df: DataFrame, key_col: str,
+                  group_cols: tuple[str, ...] = (), b: int = 8) -> DataFrame:
+    """Sparse register table (group..., bucket, m_reg): bucket = low ``b``
+    bits of the 60-bit md5-derived key hash, m_reg = max over elements of
+    rho(remaining 60-b bits) where rho = leading-zero count + 1. Absent
+    buckets mean register 0. One partial-aggregating shuffle."""
+    m = 1 << b
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    w = F.shiftright(h, b)
+    width = 60 - b
+    rho = F.when(w == F.lit(0), F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.conv(w.cast("string"), 10, 2)))
+    return (df.select(*group_cols,
+                      h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+                      rho.cast("int").alias("rho"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").alias("m_reg")))
+
+
+def hll_merge(a: DataFrame, b_regs: DataFrame,
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Union two register tables of the same (b): element-wise MAX."""
+    return (a.unionByName(b_regs)
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("m_reg").alias("m_reg")))
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: tuple[str, ...] = (), b: int = 8) -> DataFrame:
+    """Per-group cardinality estimate from a register table, with the
+    standard alpha_m bias constant and the small-range linear-counting
+    correction. Deterministic across engines: the register sum is an exact
+    integer and the float expression over it is written identically in the
+    DuckDB oracle twin. Returns (group..., n_est) rounded to 4."""
+    if b != 8:
+        raise ValueError("estimate constants are spelled for b=8 (m=256); "
+                         "mirror them in any oracle before changing b")
+    m = 1 << b
+    per = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                     "CAST(53 - m_reg AS INT))")).alias("sum_present"))
+    sum_int = (F.col("sum_present")
+               + (F.lit(m) - F.col("n_present")) * F.lit(_HLL_2_53))
+    v = F.lit(m) - F.col("n_present")
+    e_raw = (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+             * F.lit(float(m * m)) * F.lit(float(_HLL_2_53))
+             / sum_int.cast("double"))
+    est = F.when((e_raw <= F.lit(2.5 * m)) & (v > F.lit(0)),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+                 ).otherwise(e_raw)
+    return per.select(*group_cols, F.round(est, 4).alias("n_est"))
+
+
 def table_checksum(df: DataFrame, *cols: str) -> DataFrame:
     """Order-insensitive content checksum over the given columns: per row,
     md5 of the canonical '|'-joined string (nulls -> a sentinel), the first
