@@ -4357,10 +4357,12 @@ ORDER BY rev_dec DESC, c.c_custkey LIMIT 20""")
 def tpch_q10_returned_revenue(spark, sf_dir):
     # TPC-H Q10: lost revenue from returned items, top 20 customers for one
     # quarter. The fact-fact join shuffles on the order key; customer and
-    # nation attach AFTER the aggregate (broadcast dims onto 20-ish rows'
-    # worth of groups, not onto the fact table). Ordering on the EXACT
-    # decimal sum keeps the cut deterministic; the double cast happens in
-    # the output only.
+    # nation attach AFTER the aggregate, and it is the AGGREGATED side
+    # (one row per quarter-active returned-item customer — orders of
+    # magnitude smaller than the customer dimension at any SF) that gets
+    # the broadcast hint, so the dimension never ships. Ordering on the
+    # EXACT decimal sum keeps the cut deterministic; the double cast
+    # happens in the output only.
     o = (load_table(spark, sf_dir, "orders")
          .filter((F.col("o_orderdate")
                   >= F.lit("1996-01-01").cast("timestamp"))
@@ -4378,8 +4380,8 @@ def tpch_q10_returned_revenue(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (rev.join(F.broadcast(c),
-                     F.col("c_custkey") == F.col("o_custkey"))
+    return (c.join(F.broadcast(rev),
+                   F.col("c_custkey") == F.col("o_custkey"))
             .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
             .orderBy(F.col("rev_dec").desc(), F.col("c_custkey")).limit(20)
             .select("c_custkey", "c_name", "n_name",
@@ -4465,10 +4467,12 @@ def tpch_q14_promo_revenue(spark, sf_dir):
    "ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100")
 def tpch_q18_large_orders(spark, sf_dir):
     # TPC-H Q18: customers with >300-unit orders. The HAVING aggregate
-    # reduces lineitem to the handful of big orders BEFORE any join, so the
-    # orders/customer attachment joins a tiny frame (broadcast the
-    # survivors' side by size); top-k via TakeOrderedAndProject on the raw
-    # stored o_totalprice (no computed float in the ordering).
+    # reduces lineitem to the handful of big orders BEFORE any join, and
+    # it is always the SURVIVORS' side that carries the broadcast hint —
+    # first the big-order keys onto orders, then the enriched survivors
+    # onto customer (never the full dimension); top-k via
+    # TakeOrderedAndProject on the raw stored o_totalprice (no computed
+    # float in the ordering).
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity")
     big = (li.groupBy("l_orderkey")
@@ -4478,9 +4482,10 @@ def tpch_q18_large_orders(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return (o.join(F.broadcast(big),
-                   F.col("o_orderkey") == F.col("l_orderkey"))
-            .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+    surv = o.join(F.broadcast(big),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+    return (c.join(F.broadcast(surv),
+                   F.col("c_custkey") == F.col("o_custkey"))
             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
             .limit(100)
             .select("c_custkey", "c_name", "o_orderkey",
@@ -4493,7 +4498,7 @@ def tpch_q18_large_orders(spark, sf_dir):
 @q("events_distinct_users_hll_portable",
    """WITH h AS (SELECT event_type, user_id,
   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-  FROM events),
+  FROM events WHERE user_id IS NOT NULL),
 x AS (SELECT event_type, user_id, h & 255 AS bucket, h >> 8 AS w FROM h),
 r AS (SELECT event_type, bucket,
   MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m_reg

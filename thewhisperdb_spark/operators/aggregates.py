@@ -163,17 +163,31 @@ def hll_registers(df: DataFrame, key_col: str,
     w = F.shiftright(h, b)
     width = 60 - b
     rho = F.when(w == F.lit(0), F.lit(width + 1)).otherwise(
-        F.lit(width + 1) - F.length(F.conv(w.cast("string"), 10, 2)))
-    return (df.select(*group_cols,
-                      h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
-                      rho.cast("int").alias("rho"))
+        F.lit(width + 1) - F.length(F.bin(w)))
+    # NULL keys are excluded up front — COUNT(DISTINCT) ignores NULLs, and
+    # an unfiltered NULL would mint a (NULL, NULL) register row that skews
+    # n_present without contributing to the sum
+    return (df.filter(F.col(key_col).isNotNull())
+            .select(*group_cols,
+                    h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+                    rho.cast("int").alias("rho"))
             .groupBy(*group_cols, "bucket")
             .agg(F.max("rho").alias("m_reg")))
 
 
 def hll_merge(a: DataFrame, b_regs: DataFrame,
               group_cols: tuple[str, ...] = ()) -> DataFrame:
-    """Union two register tables of the same (b): element-wise MAX."""
+    """Union two register tables of the same (b): element-wise MAX.
+    Refuses register tables whose columns don't match ``group_cols`` —
+    merging grouped registers with a forgotten group_cols would silently
+    MAX across groups and return a plausible-looking union-of-everything
+    estimate."""
+    want = {*group_cols, "bucket", "m_reg"}
+    for side in (a, b_regs):
+        if set(side.columns) != want:
+            raise ValueError(
+                f"register table columns {sorted(side.columns)} don't match "
+                f"group_cols={list(group_cols)} (expected {sorted(want)})")
     return (a.unionByName(b_regs)
             .groupBy(*group_cols, "bucket")
             .agg(F.max("m_reg").alias("m_reg")))
