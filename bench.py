@@ -2,9 +2,11 @@
 $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE
 JSON line {"metric", "value", "unit", "queries", "sf"}.
 
-Per query: one warm-up run then median of 3 timed runs (each run is a full
+Per query: one warm-up run then median of 5 timed runs (each run is a full
 re-execution — count() action — so scan+shuffle cost is included; nothing is
-cached between runs).
+cached between runs). Five, not three: measured run-to-run noise on this
+box reaches ±30% for sub-second queries, and a median of 5 keeps one
+contended run from flagging a phantom regression.
 """
 
 from __future__ import annotations
@@ -109,7 +111,7 @@ def main():
         fn = qs[key]
         fn(spark, sf_dir).count()  # warm-up (JIT, code cache, file listing)
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             fn(spark, sf_dir).count()
             runs.append(time.time() - t0)
