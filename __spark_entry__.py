@@ -4539,6 +4539,32 @@ def events_distinct_users_hll_portable(spark, sf_dir):
             .withColumnRenamed("n_est", "n_users_est"))
 
 
+@q("winnowing_fingerprints",
+   """WITH g AS (
+  SELECT doc_id,
+    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS pos,
+    length(text) AS len, text FROM documents),
+h AS (
+  SELECT doc_id, pos,
+    CAST('0x' || substr(md5(substr(text, CAST(pos AS INTEGER), 5)), 1, 15)
+      AS BIGINT) AS h,
+    greatest(len - 4, 1) AS n_grams FROM g),
+s AS (
+  SELECT doc_id, pos, n_grams,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel FROM h)
+SELECT DISTINCT doc_id, sel AS fingerprint FROM s
+WHERE pos <= greatest(n_grams - 3, 1)""")
+def winnowing_fingerprints_q(spark, sf_dir):
+    # winnowing (Schleimer et al., SIGMOD'03 / MOSS): per sliding window of
+    # w=4 consecutive char-5-gram hashes, keep the minimum — the selected
+    # set localizes matches (any shared substring of length >= w + k - 1
+    # shares a fingerprint), which plain MinHash can't do. md5-portable
+    # hashes make the whole selection oracle-checkable
+    # (operators/text.py:winnow_fingerprints).
+    return TX.winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -97,6 +97,7 @@ HEADLINE = [
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
     "events_distinct_users_hll_portable",
+    "winnowing_fingerprints",
 ]
 
 

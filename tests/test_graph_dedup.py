@@ -333,3 +333,26 @@ def test_diameter_2approx(spark):
     # empty edge set
     empty = spark.createDataFrame([], "src long, dst long")
     assert diameter_2approx(empty) == 0
+
+
+def test_winnowing_guarantee_and_short_docs(spark):
+    """Winnowing property: two documents sharing a substring of length >=
+    w + k - 1 (= 8 at k=5, w=4) MUST share at least one fingerprint; a doc
+    shorter than one k-gram still yields exactly one (whole-doc) print."""
+    from thewhisperdb_spark.operators.text import winnow_fingerprints
+
+    shared = "qqSHAREDSEGMENTzz"                  # 17 chars >> 8
+    rows = [(1, "alpha beta " + shared + " gamma delta"),
+            (2, "completely other prefix " + shared + " and tail words"),
+            (3, "nothing in common with the rest at all here"),
+            (4, "abc")]                           # shorter than k=5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=5, w=4)
+    sets = {i: {r.fingerprint for r in fps.filter(F.col("doc_id") == i)
+                .collect()} for i in (1, 2, 3, 4)}
+    assert sets[1] & sets[2], "shared 17-char segment must share a print"
+    assert not (sets[3] & sets[1])
+    assert len(sets[4]) == 1                      # single truncated window
+    # selection density: winnowing keeps ~2/(w+1) of gram hashes, never all
+    n_grams_doc1 = len(rows[0][1]) - 4
+    assert 0 < len(sets[1]) < n_grams_doc1

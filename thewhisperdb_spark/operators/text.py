@@ -307,6 +307,49 @@ def dup_ngram_char_fraction(df: DataFrame, n: int = 5,
                     .alias("dup_frac")))
 
 
+def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every char ``k``-gram, then keep the
+    MINIMUM hash of each sliding window of ``w`` consecutive k-grams. The
+    selected set is position-robust (insertions shift positions but leave
+    distant selections untouched) and guarantees any match of length
+    >= w + k - 1 shares a fingerprint — the localization property plain
+    MinHash lacks.
+
+    Execution: the ENTIRE selection happens in-row as array HOFs — hash the
+    gram array once (bind-once trick so Catalyst's projection collapse
+    can't re-derive it per window), take array_min over each w-slice,
+    array_distinct, explode. No shuffle, no window sort: the operator rides
+    the scan, and cost is O(n_grams x w) per document. Hashes are
+    md5-derived 60-bit values, so the set is engine-portable and the whole
+    operator oracle-checkable; within-window hash ties are astronomically
+    unlikely at 60 bits and cannot change the selected SET anyway (the
+    tied value is what's selected). Docs shorter than one window select
+    the minimum of their available grams (the slice truncates).
+
+    Returns (id_col, fingerprint) — one row per distinct selected hash.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
+        lambda i: F.substring(F.col(text_col), i, k))  # noqa: B023
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
+
+    def selected_of(hs):
+        starts = F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1),
+                                                 F.lit(1)))
+        return F.array_distinct(
+            F.transform(starts, lambda i: F.array_min(F.slice(hs, i, w))))
+
+    sels = F.element_at(F.transform(F.array(hashes), selected_of), 1)
+    return df.select(F.col(id_col).alias(id_col),
+                     F.explode(sels).alias("fingerprint"))
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprinting (north-star): order-insensitive 60-bit content
     fingerprint = XOR of per-token md5-derived hashes of the DISTINCT token
