@@ -4565,6 +4565,38 @@ def winnowing_fingerprints_q(spark, sf_dir):
     return TX.winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
 
 
+@q("winnow_overlap_pairs",
+   """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+g AS (
+  SELECT doc_id,
+    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS pos,
+    length(text) AS len, text FROM d),
+h AS (
+  SELECT doc_id, pos,
+    CAST('0x' || substr(md5(substr(text, CAST(pos AS INTEGER), 5)), 1, 15)
+      AS BIGINT) AS h,
+    greatest(len - 4, 1) AS n_grams FROM g),
+s AS (
+  SELECT doc_id, pos, n_grams,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel FROM h),
+fp AS (SELECT DISTINCT doc_id, sel AS f FROM s
+  WHERE pos <= greatest(n_grams - 3, 1))
+SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 3""")
+def winnow_overlap_pairs_q(spark, sf_dir):
+    # MOSS matching step: pairs sharing >= 3 winnowed fingerprints — each
+    # shared print certifies a shared >= k-char substring, so n_shared
+    # grades verbatim overlap. Sliced to doc_id < 200 like
+    # ngram_jaccard_dedup: the synthetic corpus is deliberately
+    # self-similar, so the ALL-pairs overlap relation is quadratic by
+    # construction at full SF (real corpora hot-print-cap or go through
+    # minhash banding; see the operator docstring).
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return TX.winnow_overlap_pairs(d, k=5, w=4, min_shared=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -98,6 +98,7 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "events_distinct_users_hll_portable",
     "winnowing_fingerprints",
+    "winnow_overlap_pairs",
 ]
 
 

@@ -356,3 +356,19 @@ def test_winnowing_guarantee_and_short_docs(spark):
     # selection density: winnowing keeps ~2/(w+1) of gram hashes, never all
     n_grams_doc1 = len(rows[0][1]) - 4
     assert 0 < len(sets[1]) < n_grams_doc1
+
+
+def test_winnow_overlap_pairs_grades_verbatim_overlap(spark):
+    from thewhisperdb_spark.operators.text import winnow_overlap_pairs
+
+    big = "the quick brown fox jumps over the lazy dog by the river"
+    rows = [(1, big + " at dawn"),
+            (2, big + " at dusk"),                # near-verbatim copy of 1
+            (3, "entirely different words nowhere matching anything else"),
+            (4, "entirely different words nowhere matching anything else")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a, r.b): r.n_shared
+           for r in winnow_overlap_pairs(df, min_shared=3).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 5     # long shared prefix
+    assert (3, 4) in got                          # exact dups share all
+    assert (1, 3) not in got and (2, 4) not in got

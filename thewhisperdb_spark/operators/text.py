@@ -350,6 +350,36 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
                      F.explode(sels).alias("fingerprint"))
 
 
+def winnow_overlap_pairs(df: DataFrame, k: int = 5, w: int = 4,
+                         min_shared: int = 3, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Winnowing-based near-dup candidates: document pairs sharing at least
+    ``min_shared`` selected fingerprints — the MOSS matching step. Shared
+    winnowed prints localize overlap (each shared print certifies a shared
+    substring of length >= k), so the overlap count grades HOW MUCH
+    verbatim text two documents share, not just whether their token bags
+    look alike.
+
+    Shape: fingerprint equi-join, Σ df(print)² like every candidate join
+    here — winnowing keeps ~2/(w+1) of gram positions, so the inverted
+    index is ~3x slimmer than raw shingles at the same k. Boilerplate-hot
+    prints are the residual risk at corpus scale: cap them with the same
+    document-frequency argument as shingle_jaccard_pairs(max_df=...), or
+    route through minhash_lsh_pairs when the corpus is stop-print heavy.
+
+    Returns (a, b, n_shared)."""
+    fp = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    x = fp.select(F.col(id_col).alias("a"),
+                  F.col("fingerprint").alias("f"))
+    y = fp.select(F.col(id_col).alias("b"),
+                  F.col("fingerprint").alias("f"))
+    return (x.join(y, "f")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprinting (north-star): order-insensitive 60-bit content
     fingerprint = XOR of per-token md5-derived hashes of the DISTINCT token
