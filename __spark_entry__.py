@@ -4597,6 +4597,416 @@ def winnow_overlap_pairs_q(spark, sf_dir):
     return TX.winnow_overlap_pairs(d, k=5, w=4, min_shared=3)
 
 
+# ---- round-4b TPC-H wave: the remaining dictionary shapes expressible -----
+# on the testdata's column subset (no partsupp table, no commit/receipt
+# dates, no comment/container/shipmode columns — each adaptation is named
+# in its docstring). Exact-decimal sums throughout so hashes are
+# engine-stable; joins follow the at-scale shape: fact-fact shuffles on
+# their keys, genuinely-small dims broadcast, aggregated survivors
+# broadcast in preference to raw dimensions.
+
+
+@q("tpch_q5_local_supplier_volume",
+   f"""SELECT n.n_name, CAST(SUM({_DEC_REV}) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name""")
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    # TPC-H Q5: revenue from orders where customer and supplier share a
+    # nation inside one region. Plan: supplier (broadcast, carries the
+    # region prune through nation✕region) attaches s_nationkey to lineitem
+    # shuffle-free; the one fact-fact shuffle joins the year-pruned orders
+    # on the order key; customer joins by custkey as a proper shuffle join
+    # (customer is fact-sized at scale — never broadcast) with the
+    # same-nation predicate folded into that join's condition.
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1997-01-01").cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    r = (load_table(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    s = (load_table(spark, sf_dir, "supplier")
+         .select("s_suppkey", "s_nationkey")
+         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)"))
+    return (li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, (F.col("c_custkey") == F.col("o_custkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
+@q("tpch_q7_volume_shipping",
+   f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  year(l.l_shipdate) AS l_year, CAST(SUM({_DEC_REV}) AS DOUBLE) AS volume
+FROM supplier s
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""")
+def tpch_q7_volume_shipping(spark, sf_dir):
+    # TPC-H Q7: shipping volume between two nations by year. The
+    # nation-pair disjunction can't prune either fact alone, but the
+    # supplier side CAN: suppliers outside the two nations drop before the
+    # fact-fact shuffle (broadcast semi-shape), and the customer-side half
+    # of the disjunction resolves in the final join condition.
+    two = ["NATION_1", "NATION_2"]
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (load_table(spark, sf_dir, "supplier")
+         .select("s_suppkey", "s_nationkey")
+         .join(F.broadcast(n.filter(F.col("n_name").isin(two))
+                           .withColumnRenamed("n_name", "supp_nation")),
+               F.col("n_nationkey") == F.col("s_nationkey"))
+         .select("s_suppkey", "supp_nation"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1998-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = (load_table(spark, sf_dir, "customer")
+         .select("c_custkey", "c_nationkey")
+         .join(F.broadcast(n.filter(F.col("n_name").isin(two))
+                           .withColumnRenamed("n_name", "cust_nation")
+                           .withColumnRenamed("n_nationkey", "n2_key")),
+               F.col("n2_key") == F.col("c_nationkey"))
+         .select("c_custkey", "cust_nation"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)"))
+    return (li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, (F.col("c_custkey") == F.col("o_custkey"))
+                  & (F.col("cust_nation") != F.col("supp_nation")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(rev).cast("double").alias("volume")))
+
+
+@q("tpch_q8_market_share",
+   f"""WITH allv AS (
+  SELECT year(o.o_orderdate) AS o_year, {_DEC_REV} AS volume, n1.n_name AS nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_year,
+  round(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+    ELSE CAST(0 AS DECIMAL(18,6)) END) / SUM(volume) AS DOUBLE), 6)
+    AS mkt_share
+FROM allv GROUP BY o_year""")
+def tpch_q8_market_share(spark, sf_dir):
+    # TPC-H Q8: NATION_3's share of ECONOMY-part revenue sold into AMERICA,
+    # by order year. Part (type-pruned at the scan) and supplier+nation
+    # broadcast onto lineitem; orders joins on the order key (the one
+    # fact-fact shuffle); the region prune arrives via the customer join.
+    # Both the numerator and denominator are exact decimal sums of the SAME
+    # per-row products, so the 6-round ratio is engine-stable.
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    n = load_table(spark, sf_dir, "nation")
+    s = (load_table(spark, sf_dir, "supplier")
+         .select("s_suppkey", "s_nationkey")
+         .join(F.broadcast(n.select("n_nationkey",
+                                    F.col("n_name").alias("nation"))),
+               F.col("n_nationkey") == F.col("s_nationkey")))
+    r = (load_table(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "AMERICA").select("r_regionkey"))
+    c = (load_table(spark, sf_dir, "customer")
+         .select("c_custkey", "c_nationkey")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("n2_key"),
+                                    F.col("n_regionkey").alias("n2_reg"))),
+               F.col("n2_key") == F.col("c_nationkey"))
+         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n2_reg"))
+         .select("c_custkey"))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1998-01-01").cast("timestamp")))
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)"))
+    zero = F.lit(0).cast("decimal(18,6)")
+    allv = (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                    rev.alias("volume"), "nation"))
+    return (allv.groupBy("o_year")
+            .agg(F.sum(F.when(F.col("nation") == "NATION_3",
+                              F.col("volume")).otherwise(zero))
+                 .alias("num"),
+                 F.sum("volume").alias("den"))
+            .select("o_year",
+                    F.round((F.col("num") / F.col("den")).cast("double"), 6)
+                    .alias("mkt_share")))
+
+
+@q("tpch_q9_product_type_profit",
+   f"""SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+  CAST(SUM({_DEC_REV}) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)""")
+def tpch_q9_product_type_profit(spark, sf_dir):
+    # TPC-H Q9 shape (testdata has no partsupp.ps_supplycost, so profit =
+    # discounted revenue rather than revenue − cost): nation×year profit on
+    # parts whose name matches a token. Name-filtered part and supplier
+    # broadcast onto lineitem; orders joins on the order key.
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_name").contains("red")).select("p_partkey"))
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation"))
+    s = (load_table(spark, sf_dir, "supplier")
+         .select("s_suppkey", "s_nationkey")
+         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)"))
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("nation",
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.sum(rev).cast("double").alias("sum_profit")))
+
+
+@q("tpch_q13_customer_distribution",
+   """SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count""")
+def tpch_q13_customer_distribution(spark, sf_dir):
+    # TPC-H Q13 shape (priority filter stands in for the absent o_comment
+    # NOT LIKE): how many customers placed k non-urgent orders, including
+    # k = 0 via the left join. Two aggregations: per-customer count
+    # (shuffle on custkey — same key as the join, so AQE coalesces), then
+    # the tiny histogram agg.
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    per = (c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@q("tpch_q15_top_supplier",
+   """WITH rev AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+    * CAST(1 - l_discount AS DECIMAL(18,6))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, CAST(rev.total_rev AS DOUBLE) AS total_revenue
+FROM supplier s JOIN rev ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total_rev = (SELECT MAX(total_rev) FROM rev)""")
+def tpch_q15_top_supplier(spark, sf_dir):
+    # TPC-H Q15: supplier(s) with the max quarterly revenue. The max is a
+    # global window over the already-aggregated |suppliers|-sized frame —
+    # one scan, no re-aggregation (the 1-row-aggregate-totals pattern) —
+    # and the equality test runs on the EXACT decimal sum, so "ties for
+    # max" is well-defined on both engines.
+    from pyspark.sql.window import Window
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1996-04-01").cast("timestamp")))
+          .select("l_suppkey", "l_extendedprice", "l_discount"))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")
+                      * (F.lit(1) - F.col("l_discount"))
+                      .cast("decimal(18,6)")).alias("total_rev")))
+    top = (rev.withColumn("mx",
+                          F.max("total_rev").over(Window.partitionBy()))
+           .filter(F.col("total_rev") == F.col("mx")))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (s.join(F.broadcast(top), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("total_rev").cast("double").alias("total_revenue")))
+
+
+@q("tpch_q16_part_supplier_counts",
+   """SELECT p.p_brand, p.p_type, p.p_size,
+  count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY p.p_brand, p.p_type, p.p_size""")
+def tpch_q16_part_supplier_counts(spark, sf_dir):
+    # TPC-H Q16 shape (lineitem stands in for the absent partsupp as the
+    # part↔supplier relation): distinct suppliers per surviving
+    # brand/type/size. The part filter prunes at the broadcast build side;
+    # count(DISTINCT) runs as the standard two-phase expand-aggregate.
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#1")
+                 & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@q("tpch_q17_small_quantity_revenue",
+   """WITH pa AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS thresh
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+  / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3' AND l.l_quantity < pa.thresh""")
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    # TPC-H Q17: revenue that would vanish without small-quantity orders.
+    # The correlated "below 20% of this part's average quantity" subquery
+    # becomes a per-part aggregate + an equi-join back on the part key —
+    # the same shuffle key as the grouping, so one exchange feeds both.
+    # l_quantity is integer-valued, so AVG's double sum is exact on both
+    # engines and the 0.2× threshold comparison cannot drift.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    pa = (li.groupBy(F.col("l_partkey").alias("pa_key"))
+          .agg((F.lit(0.2) * F.avg("l_quantity")).alias("thresh")))
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_brand") == "Brand#3").select("p_partkey"))
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .join(pa, F.col("pa_key") == F.col("l_partkey"))
+            .filter(F.col("l_quantity") < F.col("thresh"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                  .cast("double") / F.lit(7.0))
+                 .cast("double").alias("avg_yearly")))
+
+
+@q("tpch_q19_discounted_revenue",
+   f"""SELECT CAST(SUM({_DEC_REV}) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+    AND l.l_quantity BETWEEN 1 AND 11)
+  OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+    AND l.l_quantity BETWEEN 10 AND 20)
+  OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+    AND l.l_quantity BETWEEN 20 AND 30)""")
+def tpch_q19_discounted_revenue(spark, sf_dir):
+    # TPC-H Q19 shape (brand/size/quantity bands replace the absent
+    # container/shipmode): disjunctive band predicate over the joined
+    # pair. The part side of the disjunction (brand ∈ {12,23,24}) is
+    # pre-applied as a broadcast-build prune; the mixed part✕lineitem
+    # residual evaluates inside the join.
+    brands = ["Brand#12", "Brand#23", "Brand#24"]
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_brand").isin(brands))
+         .select("p_partkey", "p_brand", "p_size"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)"))
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .filter(band)
+            .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
+@q("tpch_q22_global_sales_opportunity",
+   """WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS total, COUNT(*) AS cnt
+  FROM customer WHERE c_acctbal > 0)
+SELECT c.c_nationkey AS nationkey, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer c, pos
+WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * pos.cnt > pos.total
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey""")
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    # TPC-H Q22 shape (nation key replaces the absent phone country code;
+    # "no urgent orders" replaces "no orders" — this corpus has none of
+    # the latter): customers richer than the positive-balance average who
+    # never ordered urgently, rolled up by nation. The average-balance
+    # test is rewritten multiplication-free of division — bal × cnt >
+    # total — so it is EXACT decimal arithmetic on both engines (an
+    # avg-as-double threshold could drift on the last bit). The 1-row
+    # aggregate broadcasts; the anti-join prunes on the order side first.
+    cst = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    pos = (cst.filter(F.col("c_acctbal") > 0)
+           .agg(F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                .alias("total"),
+                F.count(F.lit(1)).alias("cnt")))
+    urgent = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    return (cst.join(F.broadcast(pos))
+            .filter(F.col("c_acctbal").cast("decimal(18,6)") * F.col("cnt")
+                    > F.col("total"))
+            .join(urgent, F.col("o_custkey") == F.col("c_custkey"),
+                  "left_anti")
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                 .cast("double").alias("totacctbal")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

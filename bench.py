@@ -99,6 +99,17 @@ HEADLINE = [
     "events_distinct_users_hll_portable",
     "winnowing_fingerprints",
     "winnow_overlap_pairs",
+    # round-4b headliners (TPC-H second wave)
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 
