@@ -5007,6 +5007,40 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
                  .cast("double").alias("totacctbal")))
 
 
+@q("events_distinct_users_kmv",
+   """WITH h AS (SELECT DISTINCT event_type,
+  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT event_type, h,
+  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+s AS (SELECT event_type, count(*) AS n_hashes,
+  MAX(CASE WHEN rk = 256 THEN h END) AS h_k
+  FROM r WHERE rk <= 256 GROUP BY event_type),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS n_users_exact
+  FROM events GROUP BY event_type)
+SELECT s.event_type, ex.n_users_exact,
+  CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+    ELSE round(CAST(255.0 AS DOUBLE) * CAST(1152921504606846976.0 AS DOUBLE)
+      / CAST(h_k AS DOUBLE), 4) END AS n_users_est
+FROM s JOIN ex ON ex.event_type = s.event_type""")
+def events_distinct_users_kmv(spark, sf_dir):
+    # KMV (bottom-k) distinct sketch, third of the sketch family next to
+    # the CMS and HLL twins: k=256 smallest md5-derived hashes of the
+    # distinct user ids per event type, estimate (k-1)·2^60/h_k — h_k is an
+    # exact integer so the one float division is engine-stable and fully
+    # oracle-checked. Below k distinct keys the sketch is the exact set.
+    # KMV over HLL when sketch INTERSECTIONS matter (min-wise hashing gives
+    # Jaccard between sketches); the exact count rides along to show error.
+    ev = load_table(spark, sf_dir, "events")
+    sk = AG.kmv_sketch(ev, "user_id", group_cols=("event_type",), k=256)
+    est = AG.kmv_estimate(sk, group_cols=("event_type",), k=256)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"))
+    return (est.join(exact, "event_type")
+            .select("event_type", "n_users_exact",
+                    F.col("n_est").alias("n_users_est")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

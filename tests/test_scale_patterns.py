@@ -408,3 +408,31 @@ def test_portable_hll_accuracy_and_merge(spark):
     tiny = spark.range(0, 12).select(F.col("id").alias("k"))
     est_t = AG.hll_estimate(AG.hll_registers(tiny, "k")).collect()[0]["n_est"]
     assert abs(est_t - 12) <= 1
+
+
+def test_kmv_sketch_accuracy_merge_and_exact_below_k(spark):
+    """Bottom-k distinct sketch: estimate within the ~1/sqrt(k) band,
+    sharded build + merge == whole-corpus sketch (the k smallest of a
+    union are among each side's k smallest), exact below k."""
+    from thewhisperdb_spark.operators import aggregates as AG
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 5000).alias("k"),
+        (F.col("id") % 2 == 0).alias("shard"))
+    sk = AG.kmv_sketch(df, "k")
+    est = AG.kmv_estimate(sk).collect()[0]["n_est"]
+    assert abs(est - 5000) / 5000 < 0.20        # ~3 sigma at k=256
+    # merge property: exact equality of sketch row sets, not just estimates
+    a = AG.kmv_sketch(df.filter("shard"), "k")
+    b = AG.kmv_sketch(df.filter("NOT shard"), "k")
+    merged = AG.kmv_merge(a, b)
+    assert (sorted(r["h"] for r in merged.collect())
+            == sorted(r["h"] for r in sk.collect()))
+    # below k the sketch IS the distinct set and the estimate is exact
+    tiny = spark.range(0, 12).select(F.col("id").alias("k"))
+    est_t = AG.kmv_estimate(AG.kmv_sketch(tiny, "k")).collect()[0]["n_est"]
+    assert est_t == 12.0
+    # column-mismatch guard mirrors hll_merge
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        AG.kmv_merge(a.drop("rk"), b)

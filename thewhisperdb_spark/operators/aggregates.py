@@ -9,7 +9,7 @@ O(groups), not O(rows): the property that makes these safe at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -240,3 +240,78 @@ def table_checksum(df: DataFrame, *cols: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("_h").cast("decimal(38,0)")).cast("string")
         .alias("checksum"))
+
+
+# ---- engine-portable KMV (bottom-k / k-minimum-values) distinct sketch ----
+#
+# The third member of the sketch family next to CMS and HLL: keeps the k
+# smallest md5-derived 60-bit hashes of the DISTINCT keys per group.
+# Estimate = (k-1) / (h_k / 2^60) by uniform order statistics; below k
+# distinct keys the sketch IS the exact distinct set. Unlike HLL it also
+# supports intersection/Jaccard estimates between sketches (min-wise
+# hashing over the shared hash space), which is why production systems
+# carry both. Every quantity is integer until one final float expression,
+# so an oracle re-derives estimates bit-for-bit.
+
+_KMV_2_60 = float(1 << 60)
+
+
+def _kmv_hash(key_col: str):
+    return F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def kmv_sketch(df: DataFrame, key_col: str,
+               group_cols: tuple[str, ...] = (), k: int = 256) -> DataFrame:
+    """(group..., h, rk): the k smallest distinct key hashes per group,
+    rank-numbered 1..k. NULL keys are excluded (COUNT DISTINCT semantics).
+
+    Shape at scale: distinct() partial-aggregates map-side, then the
+    row_number window sorts WITHIN each group — Spark's window sort is
+    spillable, so hub groups cost time, not memory, and the rank<=k filter
+    bounds everything downstream to k rows per group. A global (ungrouped)
+    sketch goes through the same window with a constant partition key; for
+    very large ungrouped inputs prefer sort+limit (TakeOrdered) on the
+    hashed projection — same result, no single-partition window."""
+    dist = (df.filter(F.col(key_col).isNotNull())
+            .select(*group_cols, _kmv_hash(key_col).alias("h"))
+            .distinct())
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return (dist.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame,
+              group_cols: tuple[str, ...] = (), k: int = 256) -> DataFrame:
+    """Union two sketches of the same k: distinct hashes, re-rank, re-cut.
+    sketch(A) ⊎ sketch(B) == sketch(A ∪ B) exactly (the k smallest of the
+    union are among the k smallest of each side), which is what makes KMV
+    a partial aggregate across days/partitions. Column sets must match —
+    same guard rationale as hll_merge."""
+    want = {*group_cols, "h", "rk"}
+    for side in (a, b):
+        if set(side.columns) != want:
+            raise ValueError(
+                f"sketch columns {sorted(side.columns)} don't match "
+                f"group_cols={list(group_cols)} (expected {sorted(want)})")
+    uni = (a.select(*group_cols, "h")
+           .unionByName(b.select(*group_cols, "h")).distinct())
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return (uni.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
+
+
+def kmv_estimate(sketch: DataFrame,
+                 group_cols: tuple[str, ...] = (), k: int = 256) -> DataFrame:
+    """Per-group distinct-count estimate: exact below k (the sketch holds
+    every distinct hash), else (k-1) * 2^60 / h_k with h_k the kth
+    smallest hash — h_k is an exact integer, so the single float division
+    is engine-stable. Returns (group..., n_est) rounded to 4."""
+    per = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("h_k"))
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.round(F.lit((k - 1) * _KMV_2_60) / F.col("h_k").cast("double"), 4))
+    return per.select(*group_cols, est.alias("n_est"))
