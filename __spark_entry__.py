@@ -5041,6 +5041,42 @@ def events_distinct_users_kmv(spark, sf_dir):
                     F.col("n_est").alias("n_users_est")))
 
 
+@q("event_type_user_overlap_kmv",
+   """WITH h AS (SELECT DISTINCT event_type,
+  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL),
+rk0 AS (SELECT event_type, h,
+  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+sk AS (SELECT event_type AS t, h FROM rk0 WHERE rk <= 256),
+g AS (SELECT DISTINCT t FROM sk),
+p AS (SELECT ga.t AS a, gb.t AS b FROM g ga JOIN g gb ON ga.t < gb.t),
+m AS (SELECT p.a, p.b, sk.h,
+  MAX(CASE WHEN sk.t = p.a THEN 1 ELSE 0 END) AS in_a,
+  MAX(CASE WHEN sk.t = p.b THEN 1 ELSE 0 END) AS in_b
+  FROM p JOIN sk ON sk.t = p.a OR sk.t = p.b
+  GROUP BY p.a, p.b, sk.h),
+r AS (SELECT a, b, in_a, in_b,
+  row_number() OVER (PARTITION BY a, b ORDER BY h) AS rk FROM m),
+s AS (SELECT a, b, count(*) AS n_union_sample,
+  CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+  FROM r WHERE rk <= 256 GROUP BY a, b)
+SELECT a, b, n_union_sample, n_both,
+  round(CAST(n_both AS DOUBLE) / CAST(n_union_sample AS DOUBLE), 6)
+    AS jaccard_est
+FROM s""")
+def event_type_user_overlap_kmv(spark, sf_dir):
+    # KMV sketch intersection (min-wise hashing): pairwise Jaccard of the
+    # user sets behind each event type, computed from the 256-hash sketches
+    # ALONE — no re-scan of raw keys per pair, the capability HLL lacks.
+    # The union's bottom-k is derivable from the two sketches, and the
+    # co-membership fraction within it is an unbiased Jaccard estimator
+    # (RMSE ~ 1/sqrt(k)). Integer counts + one rounded division = fully
+    # oracle-checked.
+    ev = load_table(spark, sf_dir, "events")
+    sk = AG.kmv_sketch(ev, "user_id", group_cols=("event_type",), k=256)
+    return AG.kmv_pairwise_jaccard(sk, "event_type", k=256)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -315,3 +315,44 @@ def kmv_estimate(sketch: DataFrame,
     ).otherwise(
         F.round(F.lit((k - 1) * _KMV_2_60) / F.col("h_k").cast("double"), 4))
     return per.select(*group_cols, est.alias("n_est"))
+
+
+def kmv_pairwise_jaccard(sketch: DataFrame, group_col: str,
+                         k: int = 256) -> DataFrame:
+    """Jaccard similarity estimate between every pair of groups' distinct
+    key sets, from their KMV sketches alone — the capability HLL cannot
+    provide and the reason production systems carry both. For a pair
+    (a, b): take the k smallest hashes of S_a ∪ S_b (computable from the
+    two sketches — the union's bottom-k is within each side's bottom-k),
+    and estimate J = |{h in bottom-k(union)} ∩ S_a ∩ S_b| / |bottom-k|.
+    That is min-wise hashing: the bottom-k of the union is a uniform
+    sample of it, so the co-membership fraction is an unbiased Jaccard
+    estimator with RMSE ~ 1/sqrt(k). Ratio of two exact integers — the
+    single float division is engine-stable; rounded to 6.
+
+    Plan shape: the group list is sketch-sized (tiny) so the pair frame
+    broadcasts; per pair the state is <= 2k sketch rows. Cost is
+    O(|groups|² · k) — pairwise over groups, not over keys, which is the
+    entire point of sketching. Returns (a, b, n_union_sample, n_both,
+    jaccard_est) for a < b."""
+    g = F.col(group_col)
+    groups = sketch.select(g.alias("a")).distinct()
+    pairs = (groups.join(groups.withColumnRenamed("a", "b"),
+                         F.col("a") < F.col("b")))
+    sk = sketch.select(g.alias("t"), "h")
+    memb = (pairs.join(F.broadcast(sk),
+                       (F.col("t") == F.col("a")) | (F.col("t") == F.col("b")))
+            .groupBy("a", "b", "h")
+            .agg(F.max((F.col("t") == F.col("a")).cast("int")).alias("in_a"),
+                 F.max((F.col("t") == F.col("b")).cast("int")).alias("in_b")))
+    w = Window.partitionBy("a", "b").orderBy("h")
+    top = (memb.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= k))
+    return (top.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_union_sample"),
+                 F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+                 .alias("n_both"))
+            .select("a", "b", "n_union_sample", "n_both",
+                    F.round(F.col("n_both").cast("double")
+                            / F.col("n_union_sample").cast("double"), 6)
+                    .alias("jaccard_est")))
