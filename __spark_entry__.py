@@ -5077,6 +5077,36 @@ def event_type_user_overlap_kmv(spark, sf_dir):
     return AG.kmv_pairwise_jaccard(sk, "event_type", k=256)
 
 
+@q("training_shard_manifest",
+   """WITH s AS (SELECT doc_id, text, lang, source, n_chars,
+  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+    % 8 AS INTEGER) AS shard
+  FROM documents)
+SELECT shard, count(*) AS n_rows,
+  CAST(CAST(SUM(CAST('0x' || substr(md5(concat_ws('|',
+    CAST(doc_id AS VARCHAR), text, lang, source,
+    CAST(n_chars AS VARCHAR))), 1, 15) AS BIGINT)) AS DECIMAL(38,0))
+    AS VARCHAR) AS checksum
+FROM s GROUP BY shard""")
+def training_shard_manifest(spark, sf_dir):
+    # Training-data shard export + audit: documents -> 8 hive-partitioned
+    # parquet shards with DETERMINISTIC md5(doc_id)-based assignment (task-
+    # number sharding would change with cluster size/retries), re-read from
+    # disk, manifest = per-shard count + order-insensitive content
+    # checksum. The oracle computes the SAME manifest straight from the
+    # source table — hash-matching it proves the export is complete,
+    # correctly sharded, and bit-identical, without comparing rows.
+    import tempfile
+
+    from thewhisperdb_spark.sources.textio import (
+        shard_manifest, write_training_shards)
+
+    out = tempfile.mkdtemp(prefix="whisper_shards_")
+    write_training_shards(_docs(spark, sf_dir), out, "doc_id", n_shards=8)
+    return shard_manifest(spark, out, "doc_id",
+                          ("text", "lang", "source", "n_chars"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

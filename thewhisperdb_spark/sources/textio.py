@@ -130,3 +130,51 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     (Spark's OrcScan exposes PushedFilters), so downstream operators keep
     their scan-pruning behavior."""
     return spark.read.orc(path)
+
+
+def shard_assign(df: DataFrame, id_col: str, n_shards: int):
+    """Deterministic, engine-portable shard assignment: low 60 bits of
+    md5(id) mod n_shards. Independent of partitioning, ordering, cluster
+    size, and engine — re-running the export (or recomputing the
+    assignment in a different system for audit) lands every row in the
+    same shard. Returns the input with a ``shard`` int column."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    return df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+
+
+def write_training_shards(df: DataFrame, path: str, id_col: str,
+                          n_shards: int = 8) -> None:
+    """Training-data shard export: hive-partitioned parquet
+    (``path/shard=K/``) with deterministic md5-based assignment.
+
+    Why not ``repartition(n).write``: task-number sharding changes with
+    cluster size and retries, so two exports of the same data could shard
+    differently — md5(id) sharding is reproducible by construction, and
+    downstream loaders can locate any document's shard from its id alone.
+    The write repartitions BY the shard column first so each shard is
+    written by the tasks owning it (one file per shard per final task,
+    not n_tasks × n_shards fragments)."""
+    sharded = shard_assign(df, id_col, n_shards)
+    (sharded.repartition(n_shards, F.col("shard"))
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
+def shard_manifest(spark: SparkSession, path: str, id_col: str,
+                   content_cols: tuple[str, ...]) -> DataFrame:
+    """Release manifest over an exported shard tree: per shard, row count
+    and an order-insensitive content checksum (sum of md5-derived 60-bit
+    row hashes in exact decimal — same scheme as
+    ``aggregates.table_checksum``). Re-derivable by any engine straight
+    from the source table, which is the audit property: manifest(export)
+    == manifest(source) proves the export is complete and bit-identical
+    without comparing rows. Returns (shard, n_rows, checksum)."""
+    df = spark.read.parquet(path)
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+               for c in (id_col, *content_cols)])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (df.groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(h.cast("decimal(38,0)")).cast("string")
+                 .alias("checksum")))
