@@ -5107,6 +5107,53 @@ def training_shard_manifest(spark, sf_dir):
                           ("text", "lang", "source", "n_chars"))
 
 
+@q("streaming_distinct_users_kmv",
+   """WITH h AS (SELECT DISTINCT event_type,
+  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT event_type, h,
+  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+s AS (SELECT event_type, count(*) AS n_hashes,
+  MAX(CASE WHEN rk = 256 THEN h END) AS h_k
+  FROM r WHERE rk <= 256 GROUP BY event_type)
+SELECT event_type,
+  CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+    ELSE round(CAST(255.0 AS DOUBLE) * CAST(1152921504606846976.0 AS DOUBLE)
+      / CAST(h_k AS DOUBLE), 4) END AS n_users_est
+FROM s""")
+def streaming_distinct_users_kmv(spark, sf_dir):
+    # Streaming twin of events_distinct_users_kmv: a custom stateful
+    # operator (applyInPandasWithState) maintains the bottom-256 key
+    # hashes per event type across micro-batches. Bottom-k is exactly
+    # mergeable, so after replaying all batches the state — and therefore
+    # the estimate, computed ONCE in Spark expressions after the sink —
+    # is bit-identical to the batch sketch, making a sketch-based
+    # streaming operator fully oracle-checkable. State is 256 longs per
+    # group regardless of stream length (the unbounded-Kafka shape).
+    import tempfile
+
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    out_dir = tempfile.mkdtemp(prefix="whisper_stream_")
+    path = SJ.events_to_stream_dir(spark, sf_dir, out_dir, n_chunks=4)
+    stream = SJ.stream_events_from_dir(spark, path)
+    st = SJ.kmv_distinct_stream(stream)
+    name = "q_streaming_kmv"
+    q = (st.writeStream.outputMode("update").format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    mem = spark.sql(f"SELECT * FROM {name}")
+    fin = (mem.groupBy("event_type")
+           .agg(F.max_by("n_hashes", "n_batches").alias("n_hashes"),
+                F.max_by("h_k", "n_batches").alias("h_k")))
+    est = F.when(
+        F.col("n_hashes") < 256, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.round(F.lit(255.0 * float(1 << 60)) / F.col("h_k").cast("double"),
+                4))
+    return fin.select("event_type", est.alias("n_users_est"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -186,6 +187,64 @@ def sessionize_with_state(events: DataFrame,
             timeoutConf=timeout,
         )
     )
+
+
+_KMV_STATE_SCHEMA = StructType([
+    StructField("hashes", ArrayType(LongType())),
+    StructField("batches", IntegerType()),
+])
+_KMV_OUT_SCHEMA = StructType([
+    StructField("event_type", StringType()),
+    StructField("n_hashes", IntegerType()),
+    StructField("h_k", LongType()),
+    StructField("n_batches", IntegerType()),
+])
+_KMV_K = 256
+
+
+def _kmv_update(key, pdf_iter, state):
+    """Streaming bottom-k sketch state: the k smallest 60-bit key hashes
+    seen so far per group. Bottom-k is exactly mergeable (the union's
+    bottom-k is within each side's), so the state after N micro-batches is
+    IDENTICAL to the batch sketch over the same rows — integer state, no
+    float drift, which is what lets the twin be oracle-checked. State is
+    bounded at k longs per group no matter the stream length."""
+    import pandas as pd
+
+    cur, batches = (state.get if state.exists else ([], 0))
+    s = set(int(h) for h in cur)
+    for pdf in pdf_iter:
+        s.update(int(h) for h in pdf["h"])
+    top = sorted(s)[:_KMV_K]
+    batches += 1
+    state.update((top, batches))
+    yield pd.DataFrame({
+        "event_type": [key[0]], "n_hashes": [len(top)],
+        "h_k": [top[-1] if len(top) == _KMV_K else None],
+        "n_batches": [batches]})
+
+
+def kmv_distinct_stream(events: DataFrame, key_col: str = "user_id",
+                        group_col: str = "event_type") -> DataFrame:
+    """Streaming distinct-count sketch (KMV, k=256) as a custom stateful
+    operator: md5-hash the key JVM-side, keep the bottom-k per group in
+    GroupState. Emits (event_type, n_hashes, h_k, n_batches) per group per
+    micro-batch; the ESTIMATE is computed downstream in Spark expressions
+    so its float math is written once, identically to the batch twin and
+    the oracle. The sketch-state design is the one you'd run against an
+    unbounded Kafka stream: constant memory per group, no raw-key
+    retention."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    hashed = (events.filter(F.col(key_col).isNotNull())
+              .select(F.col(group_col).alias("event_type"), h.alias("h")))
+    return (hashed.groupBy("event_type")
+            .applyInPandasWithState(
+                _kmv_update,
+                outputStructType=_KMV_OUT_SCHEMA,
+                stateStructType=_KMV_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf="NoTimeout"))
 
 
 def dedup_stream(events: DataFrame, keys: list[str] | None = None,
