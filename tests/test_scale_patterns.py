@@ -436,3 +436,26 @@ def test_kmv_sketch_accuracy_merge_and_exact_below_k(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         AG.kmv_merge(a.drop("rk"), b)
+
+
+def test_no_cartesian_or_rowwise_python_in_any_headline_plan(spark):
+    """Global plan-shape gate over the ENTIRE bench headline set: no
+    CartesianProduct (an unintended cross join is the classic silent
+    scale-killer) and no BatchEvalPython (row-at-a-time Python UDF — the
+    slow path this repo bans; Python work must go through Arrow'd
+    mapInPandas/applyInPandas, which compile to different operators).
+    BroadcastNestedLoopJoin is allowed: it only appears for intended
+    1-row-aggregate crossJoins (totals/thresholds broadcast)."""
+    import bench
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    bad = {}
+    for key in bench.HEADLINE:
+        plan = _plan_of(qs[key](spark, sf))
+        hits = [op for op in ("CartesianProduct", "BatchEvalPython")
+                if op in plan]
+        if hits:
+            bad[key] = hits
+    assert not bad, f"scale-killer operators in headline plans: {bad}"
