@@ -5154,6 +5154,65 @@ def streaming_distinct_users_kmv(spark, sf_dir):
     return fin.select("event_type", est.alias("n_users_est"))
 
 
+@q("cdc_apply_reconstruct",
+   """WITH new_snap AS (SELECT doc_id, lang, source,
+  CASE WHEN md5(CAST(doc_id AS VARCHAR)) BETWEEN '1' AND '3'
+    THEN n_chars + 7 ELSE n_chars END AS n_chars
+  FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) >= '1'
+  UNION ALL SELECT doc_id + 100000, lang, source, n_chars FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) < '1')
+SELECT source, count(*) AS n_rows,
+  CAST(CAST(SUM(CAST('0x' || substr(md5(concat_ws('|',
+    CAST(doc_id AS VARCHAR), lang, source, CAST(n_chars AS VARCHAR))),
+    1, 15) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+FROM new_snap GROUP BY source""")
+def cdc_apply_reconstruct(spark, sf_dir):
+    # CDC round trip: the change feed produced by snapshot_diff_cdc's
+    # full-outer diff (now carrying new-row payloads) is APPLIED back to
+    # the old snapshot with the generic MERGE rewrite (operators.
+    # relational.cdc_apply: one anti-join on delete∪update keys + union of
+    # insert∪update payloads). The oracle computes the NEW snapshot
+    # directly — checksum equality proves apply(diff(old, new), old) ==
+    # new row-for-row, auditing both the diff and the merge in one query.
+    from thewhisperdb_spark.operators.relational import cdc_apply
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    key = F.md5(F.col("doc_id").cast("string"))
+    new_snap = (d.filter(key >= "1")
+                .withColumn("n_chars",
+                            F.when(key.between("1", "3"),
+                                   F.col("n_chars") + 7)
+                            .otherwise(F.col("n_chars")))
+                .unionByName(d.filter(key < "1")
+                             .withColumn("doc_id", F.col("doc_id") + 100000)))
+    o = d.alias("o")
+    n = new_snap.alias("n")
+    j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    change = (F.when(F.col("o.doc_id").isNull(), "insert")
+              .when(F.col("n.doc_id").isNull(), "delete")
+              .otherwise("update"))
+    differs = (F.col("o.doc_id").isNull() | F.col("n.doc_id").isNull()
+               | (F.col("o.lang") != F.col("n.lang"))
+               | (F.col("o.source") != F.col("n.source"))
+               | (F.col("o.n_chars") != F.col("n.n_chars")))
+    feed = (j.filter(differs)
+            .select(F.coalesce(F.col("o.doc_id"), F.col("n.doc_id"))
+                    .alias("doc_id"),
+                    F.col("n.lang").alias("lang"),
+                    F.col("n.source").alias("source"),
+                    F.col("n.n_chars").alias("n_chars"),
+                    change.alias("change")))
+    rec = cdc_apply(d, feed, ["doc_id"])
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+               for c in ("doc_id", "lang", "source", "n_chars")])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (rec.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(h.cast("decimal(38,0)")).cast("string")
+                 .alias("checksum")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -154,3 +154,21 @@ def test_bloom_semi_join_mixed_key_dtypes(spark):
     keys = spark.range(0, 10).select((F.col("id") * 5).alias("k"))  # bigint
     got = sorted(r["k"] for r in bloom_semi_join(fact, keys, "k").collect())
     assert got == [0, 5, 10, 15, 20, 25, 30, 35, 40, 45]
+
+
+def test_cdc_apply_merge_semantics(spark):
+    """MERGE rewrite: deletes remove, updates replace payloads, inserts
+    append; untouched rows survive; a delete of a key the target never had
+    is a no-op (matching SQL MERGE WHEN MATCHED semantics)."""
+    from thewhisperdb_spark.operators.relational import cdc_apply
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    feed = spark.createDataFrame(
+        [(2, "B", "update"),      # replace payload
+         (3, None, "delete"),     # remove
+         (4, "d", "insert"),      # append
+         (9, None, "delete")],    # key not in target: no-op
+        "id long, v string, change string")
+    got = sorted(map(tuple, cdc_apply(target, feed, ["id"]).collect()))
+    assert got == [(1, "a"), (2, "B"), (4, "d")]
