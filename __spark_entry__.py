@@ -5213,6 +5213,35 @@ def cdc_apply_reconstruct(spark, sf_dir):
                  .alias("checksum")))
 
 
+@q("scd2_build_user_status",
+   """WITH c AS (SELECT user_id, ts, event_type,
+  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+    AS prev FROM events),
+runs AS (SELECT user_id, ts, event_type FROM c
+  WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type AS status,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+  strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type),
+    '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM runs""")
+def scd2_build_user_status(spark, sf_dir):
+    # SCD2 history BUILDER (inverse of scd2_point_in_time_join's consumer
+    # side): each user's event-type sequence becomes versioned validity
+    # intervals — consecutive re-statements of the same status collapse
+    # into one run, valid_to = next run's start, NULL = current. Both
+    # window passes share one (user, ts) exchange; same-timestamp order is
+    # pinned by the payload so the history is engine-deterministic.
+    from thewhisperdb_spark.operators.relational import scd2_build
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_build(ev, "user_id", "ts", ["event_type"])
+    return hist.select(
+        "user_id", F.col("event_type").alias("status"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
+        .alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

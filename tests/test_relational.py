@@ -172,3 +172,34 @@ def test_cdc_apply_merge_semantics(spark):
         "id long, v string, change string")
     got = sorted(map(tuple, cdc_apply(target, feed, ["id"]).collect()))
     assert got == [(1, "a"), (2, "B"), (4, "d")]
+
+
+def test_scd2_build_collapses_runs_and_roundtrips(spark):
+    """Builder semantics: re-stated values collapse into one run, current
+    version has NULL valid_to — and the built history is directly
+    consumable by scd2_point_in_time_join (the closed loop)."""
+    from thewhisperdb_spark.operators.relational import (
+        scd2_build, scd2_point_in_time_join)
+
+    log = spark.createDataFrame(
+        [(1, "2024-01-01", "bronze"),
+         (1, "2024-02-01", "bronze"),     # re-statement: not a new version
+         (1, "2024-03-01", "gold"),
+         (2, "2024-01-15", "silver")],
+        "k long, ts string, tier string").withColumn(
+        "ts", F.to_timestamp("ts"))
+    hist = scd2_build(log, "k", "ts", ["tier"])
+    rows = {(r["k"], r["tier"]):
+            (r["valid_from"].strftime("%Y-%m-%d"),
+             r["valid_to"].strftime("%Y-%m-%d") if r["valid_to"] else None)
+            for r in hist.collect()}
+    assert rows == {(1, "bronze"): ("2024-01-01", "2024-03-01"),
+                    (1, "gold"): ("2024-03-01", None),
+                    (2, "silver"): ("2024-01-15", None)}
+    # point-in-time consumption: a fact in February sees bronze, in April gold
+    fact = spark.createDataFrame(
+        [(1, "2024-02-15"), (1, "2024-04-01")],
+        "k long, fts string").withColumn("fts", F.to_timestamp("fts"))
+    got = sorted((r["fts"].strftime("%m"), r["tier"]) for r in
+                 scd2_point_in_time_join(fact, hist, "k", "fts").collect())
+    assert got == [("02", "bronze"), ("04", "gold")]

@@ -237,3 +237,34 @@ def cdc_apply(target: DataFrame, changes: DataFrame,
                .drop(change_col))
     kept = target.join(touched, key_cols, "left_anti")
     return kept.unionByName(upserts.select(*kept.columns))
+
+
+def scd2_build(changes: DataFrame, key: str, ts_col: str,
+               payload_cols: list[str],
+               tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Build an SCD Type 2 history from a change log — the inverse of
+    ``scd2_point_in_time_join``'s consumption side: per key, collapse
+    consecutive rows with identical payload into runs (re-stating the same
+    value is not a new version), then ``valid_from`` = the run's first
+    timestamp and ``valid_to`` = the next run's start (NULL = current
+    version, the open-ended interval the join expects).
+
+    Two window passes over the same (key, ts) ordering — the second
+    window reuses the first's sort and hash partitioning, so the whole
+    build is ONE exchange. ``tiebreak_cols`` pins the order of same-
+    timestamp changes (defaults to the payload itself) so the history is
+    deterministic on any engine."""
+    tb = tiebreak_cols if tiebreak_cols is not None else payload_cols
+    order = [F.col(ts_col), *[F.col(c) for c in tb]]
+    w = Window.partitionBy(key).orderBy(*order)
+    lagged = changes.select(
+        key, ts_col, *payload_cols,
+        F.lag(F.struct(*payload_cols)).over(w).alias("_prev"))
+    runs = lagged.filter(
+        F.col("_prev").isNull()
+        | (F.col("_prev") != F.struct(*payload_cols))).drop("_prev")
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return runs.select(
+        key, *payload_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"))
