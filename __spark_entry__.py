@@ -5242,6 +5242,35 @@ def scd2_build_user_status(spark, sf_dir):
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"))
 
 
+@q("user_active_time_islands",
+   """WITH d AS (SELECT user_id AS u,
+  CAST(floor(epoch(ts)) AS BIGINT) AS s,
+  CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e FROM events),
+f AS (SELECT u, s, e,
+  CASE WHEN max(e) OVER (PARTITION BY u ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+    OR s > max(e) OVER (PARTITION BY u ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS ni FROM d),
+i AS (SELECT u, s, e, SUM(ni) OVER (PARTITION BY u ORDER BY s, e
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f),
+p AS (SELECT u, island, MIN(s) AS is_, MAX(e) AS ie FROM i
+  GROUP BY u, island)
+SELECT u AS user_id, count(*) AS n_islands,
+  CAST(SUM(ie - is_) AS BIGINT) AS active_seconds
+FROM p GROUP BY u""")
+def user_active_time_islands(spark, sf_dir):
+    # gaps-and-islands interval union: each event opens a 30-minute
+    # activity window; overlapping windows merge into islands (running-max-
+    # of-previous-ends flag -> running-sum island id) so covered time never
+    # double-counts — the O(n log n) rewrite of a per-second explode. Pure
+    # integer epoch arithmetic; timezone/truncation offsets cancel because
+    # only DIFFERENCES reach the output. One exchange on the user key
+    # serves both windows and the aggregates.
+    ev = load_table(spark, sf_dir, "events")
+    return EV.interval_union_length(ev, duration_s=1800)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -129,3 +129,26 @@ def test_asof_join_nearest_directions_and_ties(spark):
     assert got[6] == (4, 100)      # tie -> backward
     assert got[7] == (8, 40)       # forward only
     assert got[9] == (None, None)  # no clicks at all
+
+
+def test_interval_union_length_merges_overlaps(spark):
+    """Hand-computed islands: overlapping/touching windows merge, disjoint
+    ones don't, and covered time never double-counts."""
+    from pyspark.sql import functions as F
+
+    from thewhisperdb_spark.operators import events as EV
+
+    rows = [  # user 1: 0s and 100s overlap (dur 200) -> one island [0, 300)
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:01:40"),
+        # user 1: far later -> second island [10000, 10200)
+        (1, "2024-01-01 02:46:40"),
+        # user 2: touching (end == next start) merges: [0,200)+[200,400)
+        (2, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:03:20"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts"))
+    got = {r["user_id"]: (r["n_islands"], r["active_seconds"])
+           for r in EV.interval_union_length(df, duration_s=200).collect()}
+    assert got == {1: (2, 500), 2: (1, 400)}

@@ -81,3 +81,40 @@ def funnel_conversion(events: DataFrame, steps: list[str],
             for i, s in enumerate(steps)]
     return (counts.select(F.explode(F.array(*rows)).alias("r"))
             .select("r.step_idx", "r.step", "r.n_users"))
+
+
+def interval_union_length(events: DataFrame, user_col: str = "user_id",
+                          ts_col: str = "ts",
+                          duration_s: int = 1800) -> DataFrame:
+    """Gaps-and-islands: total COVERED time per user when each event opens
+    a fixed-length activity window [ts, ts + duration) — overlapping
+    windows must not double-count, so naive sum(duration) is wrong and a
+    per-second explode is quadratic. The standard O(n log n) rewrite:
+
+      1. order each user's events by start; an event begins a NEW island
+         iff its start exceeds the running max of all PREVIOUS ends
+         (window frame ...PRECEDING AND 1 PRECEDING);
+      2. island id = running count of new-island flags;
+      3. island length = max(end) - min(start); active time = Σ islands.
+
+    Everything is integer epoch-second arithmetic — engine-exact. One
+    exchange on the user key serves both windows and the final aggregate.
+    Returns (user, n_islands, active_seconds)."""
+    start = F.unix_timestamp(F.col(ts_col))
+    d = events.select(F.col(user_col).alias("user"),
+                      start.alias("s"),
+                      (start + F.lit(duration_s)).alias("e"))
+    w = Window.partitionBy("user").orderBy("s", "e")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = d.withColumn(
+        "new_island",
+        (prev_max_end.isNull() | (F.col("s") > prev_max_end)).cast("long"))
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    per_island = (islands.groupBy("user", "island")
+                  .agg(F.min("s").alias("is_"), F.max("e").alias("ie")))
+    return (per_island.groupBy(F.col("user").alias(user_col))
+            .agg(F.count(F.lit(1)).alias("n_islands"),
+                 F.sum(F.col("ie") - F.col("is_")).alias("active_seconds")))
