@@ -5271,6 +5271,38 @@ def user_active_time_islands(spark, sf_dir):
     return EV.interval_union_length(ev, duration_s=1800)
 
 
+@q("event_transition_matrix",
+   """WITH s AS (SELECT user_id, event_type,
+  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS nxt FROM events)
+SELECT event_type AS src, nxt AS dst, count(*) AS n,
+  round(CAST(count(*) AS DOUBLE)
+    / CAST(SUM(count(*)) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p
+FROM s WHERE nxt IS NOT NULL GROUP BY event_type, nxt""")
+def event_transition_matrix(spark, sf_dir):
+    # first-order Markov transition matrix over per-user event sequences:
+    # lead() pairs each event with its successor (tie order pinned by the
+    # unique event_id), then transition counts and row-normalized
+    # probabilities — the denominator is a window over the already-
+    # aggregated |types|² frame, so the source is scanned ONCE. Integer
+    # counts + one rounded division = engine-stable.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id", "event_type",
+                  F.lead("event_type").over(w).alias("nxt"))
+    counts = (s.filter(F.col("nxt").isNotNull())
+              .groupBy(F.col("event_type").alias("src"),
+                       F.col("nxt").alias("dst"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy("src")
+    return counts.select(
+        "src", "dst", "n",
+        F.round(F.col("n").cast("double")
+                / F.sum("n").over(tot).cast("double"), 6).alias("p"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
