@@ -5303,6 +5303,79 @@ def event_transition_matrix(spark, sf_dir):
                 / F.sum("n").over(tot).cast("double"), 6).alias("p"))
 
 
+@q("data_quality_report",
+   """SELECT 'orders.o_totalprice_positive' AS check,
+  CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+  count(*) AS n_rows FROM orders
+UNION ALL SELECT 'orders.o_orderstatus_accepted',
+  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+    OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+  FROM orders
+UNION ALL SELECT 'lineitem.l_discount_in_unit_range',
+  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+    OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+  FROM lineitem
+UNION ALL SELECT 'customer.c_name_not_null',
+  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  count(*) FROM customer
+UNION ALL SELECT 'orders.o_orderkey_unique',
+  CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT),
+  CAST(SUM(c) AS BIGINT)
+  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+UNION ALL SELECT 'lineitem.pk_unique',
+  CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT),
+  CAST(SUM(c) AS BIGINT)
+  FROM (SELECT count(*) AS c FROM lineitem
+        GROUP BY l_orderkey, l_linenumber)
+UNION ALL SELECT 'orders.o_custkey_fk_customer',
+  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+  (SELECT count(*) FROM orders)
+UNION ALL SELECT 'lineitem.l_orderkey_fk_orders',
+  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+  (SELECT count(*) FROM lineitem)""")
+def data_quality_report(spark, sf_dir):
+    # Deequ-style declarative constraint gate over the star schema: range /
+    # accepted-values / not-null rules fold into ONE aggregate scan per
+    # table (a rule costs an expression, not a pass), uniqueness is one
+    # groupBy per key, referential integrity one anti-join against the
+    # parent's broadcastable distinct-key projection. The report a
+    # pipeline runs before promoting a snapshot; row-level violations are
+    # the same predicates applied as filters, deliberately not collected
+    # here.
+    from thewhisperdb_spark.operators import dq
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    orders_rules = dq.dq_predicate_report(o, {
+        "orders.o_totalprice_positive":
+            (F.col("o_totalprice") <= 0) | F.col("o_totalprice").isNull(),
+        "orders.o_orderstatus_accepted":
+            ~F.col("o_orderstatus").isin("O", "F", "P")
+            | F.col("o_orderstatus").isNull(),
+    })
+    li_rules = dq.dq_predicate_report(li, {
+        "lineitem.l_discount_in_unit_range":
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            | F.col("l_discount").isNull(),
+    })
+    c_rules = dq.dq_predicate_report(c, {
+        "customer.c_name_not_null": F.col("c_name").isNull(),
+    })
+    return dq.dq_union(
+        orders_rules, li_rules, c_rules,
+        dq.dq_unique_report(o, ["o_orderkey"], "orders.o_orderkey_unique"),
+        dq.dq_unique_report(li, ["l_orderkey", "l_linenumber"],
+                            "lineitem.pk_unique"),
+        dq.dq_fk_report(o, c, "o_custkey", "c_custkey",
+                        "orders.o_custkey_fk_customer"),
+        dq.dq_fk_report(li, o, "l_orderkey", "o_orderkey",
+                        "lineitem.l_orderkey_fk_orders"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

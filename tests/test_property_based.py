@@ -98,3 +98,71 @@ def test_gopher_stats_match_reference(spark, texts):
            for r in gopher_quality_flags(df).collect()}
     for i, t in enumerate(texts):
         assert got[i] == _py_gopher(t), f"doc {i}: {t!r}"
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 99)),
+                min_size=0, max_size=40),
+       st.lists(st.tuples(st.integers(0, 25), st.integers(0, 99)),
+                min_size=0, max_size=40))
+def test_cdc_diff_apply_roundtrip(spark, old_rows, new_rows):
+    """MERGE law: apply(diff(old, new), old) == new for ARBITRARY snapshot
+    pairs — the full-outer-join diff classifies, cdc_apply replays, the
+    result must be the new snapshot exactly (set equality; keys are
+    deduped to the last payload to form valid snapshots)."""
+    from thewhisperdb_spark.operators.relational import cdc_apply
+
+    old = {k: v for k, v in old_rows}
+    new = {k: v for k, v in new_rows}
+    df_old = spark.createDataFrame(
+        [(k, v) for k, v in old.items()] or [(None, None)],
+        "id long, v long").filter(F.col("id").isNotNull())
+    df_new = spark.createDataFrame(
+        [(k, v) for k, v in new.items()] or [(None, None)],
+        "id long, v long").filter(F.col("id").isNotNull())
+    o, n = df_old.alias("o"), df_new.alias("n")
+    j = o.join(n, F.col("o.id") == F.col("n.id"), "full_outer")
+    change = (F.when(F.col("o.id").isNull(), "insert")
+              .when(F.col("n.id").isNull(), "delete").otherwise("update"))
+    feed = (j.filter(F.col("o.id").isNull() | F.col("n.id").isNull()
+                     | (F.col("o.v") != F.col("n.v")))
+            .select(F.coalesce(F.col("o.id"), F.col("n.id")).alias("id"),
+                    F.col("n.v").alias("v"), change.alias("change")))
+    got = {(r["id"], r["v"])
+           for r in cdc_apply(df_old, feed, ["id"]).collect()}
+    assert got == set(new.items())
+
+
+def _py_islands(starts: list[int], dur: int):
+    if not starts:
+        return None
+    ivs = sorted((s, s + dur) for s in starts)
+    merged = [list(ivs[0])]
+    for s, e in ivs[1:]:
+        if s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    return len(merged), sum(e - s for s, e in merged)
+
+
+@SETTINGS
+@given(st.dictionaries(st.integers(0, 5),
+                       st.lists(st.integers(0, 500), min_size=1,
+                                max_size=25),
+                       min_size=1, max_size=6),
+       st.integers(1, 60))
+def test_interval_union_matches_bruteforce(spark, per_user, dur):
+    """Gaps-and-islands vs the obvious sorted-merge reference, for random
+    interval sets including duplicates and exact-touch boundaries."""
+    from thewhisperdb_spark.operators import events as EV
+
+    rows = [(u, s) for u, starts in per_user.items() for s in starts]
+    df = spark.createDataFrame(rows, "user_id long, off long").select(
+        "user_id",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("off"))).alias("ts"))
+    got = {r["user_id"]: (r["n_islands"], r["active_seconds"])
+           for r in EV.interval_union_length(df, duration_s=dur).collect()}
+    want = {u: _py_islands(starts, dur) for u, starts in per_user.items()}
+    assert got == want

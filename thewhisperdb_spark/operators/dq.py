@@ -1,0 +1,80 @@
+"""Data-quality constraint checks (the Deequ/dbt-test shape, Spark-native):
+declarative rules evaluated as aggregates, emitting one (check,
+n_violations, n_rows) row per rule — the pre-publication gate a training-
+data or warehouse pipeline runs before promoting a snapshot.
+
+Design for scale: all PREDICATE rules over one table fold into a SINGLE
+aggregate scan (each rule is one conditional sum — adding a rule costs an
+expression, not a pass); uniqueness is one groupBy on the key; referential
+integrity is one anti-join with the parent's key projection broadcast when
+small. Nothing collects row-level violations — those are a filter away
+with the same predicates, kept out of the report path on purpose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_REPORT_COLS = ("check", "n_violations", "n_rows")
+
+
+def dq_predicate_report(df: DataFrame,
+                        rules: dict[str, Column]) -> DataFrame:
+    """Evaluate VIOLATION predicates in one scan. ``rules`` maps check
+    name -> a Column that is true for violating rows (null predicate
+    results count as violations — an unevaluable rule should fail loudly,
+    matching NOT-NULL-style semantics). Returns (check, n_violations,
+    n_rows) with one row per rule, assembled by a tiny literal explode of
+    the 1-row aggregate."""
+    aggs = [F.sum(F.coalesce(c.cast("long"), F.lit(1))).alias(f"_v{i}")
+            for i, c in enumerate(rules.values())]
+    row = df.agg(*aggs, F.count(F.lit(1)).alias("_n"))
+    structs = [F.struct(F.lit(name).alias("check"),
+                        F.coalesce(F.col(f"_v{i}"), F.lit(0))
+                        .alias("n_violations"),
+                        F.col("_n").alias("n_rows"))
+               for i, name in enumerate(rules)]
+    return (row.select(F.explode(F.array(*structs)).alias("r"))
+            .select("r.check", "r.n_violations", "r.n_rows"))
+
+
+def dq_unique_report(df: DataFrame, key_cols: list[str],
+                     check: str) -> DataFrame:
+    """Uniqueness: n_violations = rows belonging to a duplicated key
+    (every member of a >1 group counts, so the number reads as 'rows you
+    would have to inspect'). One partial-aggregating shuffle on the key;
+    the totals ride the same aggregate (sum of group counts), so the
+    source is scanned once."""
+    per = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_c"))
+    return (per.agg(
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0)))
+        .cast("long").alias("n_violations"),
+        F.sum("_c").cast("long").alias("n_rows"))
+        .select(F.lit(check).alias("check"), "n_violations", "n_rows"))
+
+
+def dq_fk_report(child: DataFrame, parent: DataFrame, child_key: str,
+                 parent_key: str, check: str) -> DataFrame:
+    """Referential integrity: child rows whose key has no parent (NULL
+    child keys are orphans too — use a predicate rule to allow optional
+    FKs). Anti-join against the parent's DISTINCT key projection — the
+    side that stays broadcastable long after the parent table itself
+    outgrows it. Fully lazy: both counts are 1-row aggregates crossed
+    together, no driver-side action."""
+    orphans = (child.select(F.col(child_key))
+               .join(parent.select(F.col(parent_key).alias(child_key))
+                     .distinct(),
+                     child_key, "left_anti")
+               .agg(F.count(F.lit(1)).alias("n_violations")))
+    total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (orphans.crossJoin(total)
+            .select(F.lit(check).alias("check"), "n_violations", "n_rows"))
+
+
+def dq_union(*reports: DataFrame) -> DataFrame:
+    """Assemble one report: union of per-rule rows, stable column set."""
+    out = reports[0].select(*_REPORT_COLS)
+    for r in reports[1:]:
+        out = out.unionByName(r.select(*_REPORT_COLS))
+    return out
