@@ -110,6 +110,15 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_discounted_revenue",
     "tpch_q22_global_sales_opportunity",
+    # round-4b headliners (sketches, CDC, SCD2, islands, DQ)
+    "events_distinct_users_kmv",
+    "event_type_user_overlap_kmv",
+    "training_shard_manifest",
+    "cdc_apply_reconstruct",
+    "scd2_build_user_status",
+    "user_active_time_islands",
+    "event_transition_matrix",
+    "data_quality_report",
 ]
 
 
