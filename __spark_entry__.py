@@ -5376,6 +5376,40 @@ def data_quality_report(spark, sf_dir):
                         "lineitem.l_orderkey_fk_orders"))
 
 
+@q("benford_digit_report",
+   """WITH n AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 0),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+  AS digit FROM n),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+SELECT digit, n,
+  round(CAST(n AS DOUBLE)
+    / CAST(SUM(n) OVER () AS DOUBLE), 6) AS obs_p,
+  round(log10(1.0 + 1.0 / digit), 6) AS benford_p
+FROM c""")
+def benford_digit_report(spark, sf_dir):
+    # numeric forensics for the DQ family: first-significant-digit
+    # distribution of order totals vs Benford's law. The digit is
+    # extracted in EXACT integer space (cents = round(price*100), then the
+    # first character of the integer's decimal rendering) — float
+    # log10-of-value tricks differ across engines at power-of-ten
+    # boundaries, string-of-integer does not. One scan + a 9-row window.
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = o.select(F.substring(cents.cast("string"), 1, 1)
+                 .cast("int").alias("digit"))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy()
+    return c.select(
+        "digit", "n",
+        F.round(F.col("n").cast("double")
+                / F.sum("n").over(tot).cast("double"), 6).alias("obs_p"),
+        F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+        .alias("benford_p"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
