@@ -459,3 +459,40 @@ def test_no_cartesian_or_rowwise_python_in_any_headline_plan(spark):
         if hits:
             bad[key] = hits
     assert not bad, f"scale-killer operators in headline plans: {bad}"
+
+
+def test_scd2_build_single_exchange(spark):
+    """Both window passes (run-collapse lag + valid_to lead) and the
+    interval construction must share ONE hash exchange on the key."""
+    from thewhisperdb_spark.operators.relational import scd2_build
+
+    log = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a")], "k long, ts string, v string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = _plan_of(scd2_build(log, "k", "ts", ["v"]))
+    assert plan.count("Exchange") == 1
+
+
+def test_interval_union_two_exchanges_max(spark):
+    """Gaps-and-islands: the user-key exchange feeds both windows; only
+    the per-island aggregate may add one more (same key prefix, so AQE
+    can reuse partitioning — never a third)."""
+    from thewhisperdb_spark.operators import events as EV
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = _plan_of(EV.interval_union_length(df))
+    assert plan.count("Exchange") <= 2
+
+
+def test_dq_predicate_report_single_scan(spark):
+    """All predicate rules over a table fold into one aggregate pass:
+    exactly one scan of the source relation in the plan."""
+    from thewhisperdb_spark.operators import dq
+
+    df = spark.range(0, 10).select(F.col("id").alias("x"))
+    plan = _plan_of(dq.dq_predicate_report(df, {
+        "a": F.col("x") < 0, "b": F.col("x") > 100,
+        "c": F.col("x").isNull()}))
+    assert plan.count("Range") == 1  # the source appears once
