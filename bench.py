@@ -119,6 +119,7 @@ HEADLINE = [
     "user_active_time_islands",
     "event_transition_matrix",
     "data_quality_report",
+    "benford_digit_report",
 ]
 
 
