@@ -5096,12 +5096,18 @@ def training_shard_manifest(spark, sf_dir):
     # checksum. The oracle computes the SAME manifest straight from the
     # source table — hash-matching it proves the export is complete,
     # correctly sharded, and bit-identical, without comparing rows.
+    import hashlib
     import tempfile
 
     from thewhisperdb_spark.sources.textio import (
         shard_manifest, write_training_shards)
 
-    out = tempfile.mkdtemp(prefix="whisper_shards_")
+    # deterministic per-sf output dir, mode=overwrite: repeated runs
+    # (bench medians, parity suites) REUSE the tree instead of leaking a
+    # fresh full-corpus mkdtemp copy per invocation
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"whisper_shards_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     write_training_shards(_docs(spark, sf_dir), out, "doc_id", n_shards=8)
     return shard_manifest(spark, out, "doc_id",
                           ("text", "lang", "source", "n_chars"))
@@ -5130,11 +5136,14 @@ def streaming_distinct_users_kmv(spark, sf_dir):
     # is bit-identical to the batch sketch, making a sketch-based
     # streaming operator fully oracle-checkable. State is 256 longs per
     # group regardless of stream length (the unbounded-Kafka shape).
+    import hashlib
     import tempfile
 
     from thewhisperdb_spark.streaming import jobs as SJ
 
-    out_dir = tempfile.mkdtemp(prefix="whisper_stream_")
+    out_dir = os.path.join(  # deterministic + overwrite: no tmp leak
+        tempfile.gettempdir(),
+        f"whisper_stream_kmv_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     path = SJ.events_to_stream_dir(spark, sf_dir, out_dir, n_chunks=4)
     stream = SJ.stream_events_from_dir(spark, path)
     st = SJ.kmv_distinct_stream(stream)
@@ -5380,7 +5389,7 @@ def data_quality_report(spark, sf_dir):
    """WITH n AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders WHERE o_totalprice > 0),
 d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
-  AS digit FROM n),
+  AS digit FROM n WHERE cents > 0),
 c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
 SELECT digit, n,
   round(CAST(n AS DOUBLE)
@@ -5398,8 +5407,12 @@ def benford_digit_report(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    d = o.select(F.substring(cents.cast("string"), 1, 1)
-                 .cast("int").alias("digit"))
+    # cents > 0 guard: a price in (0, 0.005) rounds to 0 cents -> digit 0
+    # -> 1/0 in the Benford term, with engine-specific div-by-zero
+    # semantics; exclude it identically on both sides
+    d = (o.select(cents.alias("cents")).filter(F.col("cents") > 0)
+         .select(F.substring(F.col("cents").cast("string"), 1, 1)
+                 .cast("int").alias("digit")))
     c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
     tot = Window.partitionBy()
     return c.select(

@@ -132,6 +132,12 @@ def main():
     timings: dict[str, float] = {}
     for key in HEADLINE:
         fn = qs[key]
+        # GC between queries: 80+ queries in one JVM accumulate broadcast/
+        # shuffle refs, and a collection landing mid-measurement skews a
+        # whole median (observed: one key at 3x its isolated time deep
+        # into the run). A hinted collection here is outside the timed
+        # region and keeps per-key numbers comparable to isolated runs.
+        spark.sparkContext._jvm.System.gc()
         fn(spark, sf_dir).count()  # warm-up (JIT, code cache, file listing)
         runs = []
         for _ in range(5):

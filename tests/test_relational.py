@@ -168,7 +168,8 @@ def test_cdc_apply_merge_semantics(spark):
         [(2, "B", "update"),      # replace payload
          (3, None, "delete"),     # remove
          (4, "d", "insert"),      # append
-         (9, None, "delete")],    # key not in target: no-op
+         (9, None, "delete"),     # key not in target: no-op
+         (8, "x", "update")],     # WHEN MATCHED matches nothing: no-op
         "id long, v string, change string")
     got = sorted(map(tuple, cdc_apply(target, feed, ["id"]).collect()))
     assert got == [(1, "a"), (2, "B"), (4, "d")]

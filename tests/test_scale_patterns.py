@@ -436,6 +436,10 @@ def test_kmv_sketch_accuracy_merge_and_exact_below_k(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         AG.kmv_merge(a.drop("rk"), b)
+    # merging narrower-built sketches at a wider k would fabricate order
+    # statistics — declared built_k must refuse
+    with _pt.raises(ValueError):
+        AG.kmv_merge(a, b, k=256, built_k=128)
 
 
 def test_no_cartesian_or_rowwise_python_in_any_headline_plan(spark):

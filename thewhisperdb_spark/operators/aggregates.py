@@ -158,8 +158,7 @@ def hll_registers(df: DataFrame, key_col: str,
     rho(remaining 60-b bits) where rho = leading-zero count + 1. Absent
     buckets mean register 0. One partial-aggregating shuffle."""
     m = 1 << b
-    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
-               16, 10).cast("long")
+    h = md5_hash60(key_col)
     w = F.shiftright(h, b)
     width = 60 - b
     rho = F.when(w == F.lit(0), F.lit(width + 1)).otherwise(
@@ -220,6 +219,18 @@ def hll_estimate(registers: DataFrame,
     return per.select(*group_cols, F.round(est, 4).alias("n_est"))
 
 
+def row_canon_hash60(*cols: str) -> Column:
+    """Per-row canonical 60-bit content hash: md5 of the '|'-joined
+    string-cast columns (nulls -> a sentinel), through md5_hash60. The
+    shared definition under table_checksum AND sources.textio's shard
+    manifest — the manifest(export) == manifest(source) audit only holds
+    while both use THIS expression."""
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+               for c in cols])
+    return md5_hash60(canon)
+
+
 def table_checksum(df: DataFrame, *cols: str) -> DataFrame:
     """Order-insensitive content checksum over the given columns: per row,
     md5 of the canonical '|'-joined string (nulls -> a sentinel), the first
@@ -233,10 +244,7 @@ def table_checksum(df: DataFrame, *cols: str) -> DataFrame:
     without overflow; emitted as a string for engine-neutral rendering.
     One partial-aggregating scan, tiny fixed state per partition.
     Returns (n_rows, checksum)."""
-    canon = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
-    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
-    return df.select(h.alias("_h")).agg(
+    return df.select(row_canon_hash60(*cols).alias("_h")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("_h").cast("decimal(38,0)")).cast("string")
         .alias("checksum"))
@@ -256,9 +264,20 @@ def table_checksum(df: DataFrame, *cols: str) -> DataFrame:
 _KMV_2_60 = float(1 << 60)
 
 
-def _kmv_hash(key_col: str):
-    return F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+def md5_hash60(col: Column | str) -> Column:
+    """THE engine-portable 60-bit hash: low 15 hex chars of md5(string).
+    Every hashed artifact that an oracle (or another engine) must
+    re-derive — KMV sketches, HLL registers, table checksums, shard
+    assignment, the streaming KMV state — goes through this ONE
+    definition; DuckDB twin: CAST('0x' || substr(md5(x), 1, 15) AS
+    BIGINT). Editing it is a persisted-format break (see CHANGELOG)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15),
                   16, 10).cast("long")
+
+
+def _kmv_hash(key_col: str):
+    return md5_hash60(key_col)
 
 
 def kmv_sketch(df: DataFrame, key_col: str,
@@ -282,12 +301,25 @@ def kmv_sketch(df: DataFrame, key_col: str,
 
 
 def kmv_merge(a: DataFrame, b: DataFrame,
-              group_cols: tuple[str, ...] = (), k: int = 256) -> DataFrame:
-    """Union two sketches of the same k: distinct hashes, re-rank, re-cut.
-    sketch(A) ⊎ sketch(B) == sketch(A ∪ B) exactly (the k smallest of the
-    union are among the k smallest of each side), which is what makes KMV
-    a partial aggregate across days/partitions. Column sets must match —
-    same guard rationale as hll_merge."""
+              group_cols: tuple[str, ...] = (), k: int = 256,
+              built_k: int | None = None) -> DataFrame:
+    """Union two sketches, re-rank, re-cut at ``k``. sketch(A) ⊎
+    sketch(B) == sketch(A ∪ B) exactly (the k smallest of the union are
+    among the k smallest of each side), which is what makes KMV a partial
+    aggregate across days/partitions. Column sets must match — same guard
+    rationale as hll_merge.
+
+    ``k`` must be <= the k the inputs were BUILT with (merging wider
+    sketches down is valid; merging k'=128 sketches at k=256 would mint
+    ranks 129..256 that are NOT the union's true order statistics, and
+    that truncation is indistinguishable from an exhausted small group in
+    the data alone). Pass ``built_k`` when known and the mismatch raises
+    instead of silently corrupting the estimate."""
+    if built_k is not None and built_k < k:
+        raise ValueError(
+            f"merging sketches built with k={built_k} at k={k} would "
+            f"fabricate order statistics beyond rank {built_k}; re-cut "
+            f"at k <= {built_k} instead")
     want = {*group_cols, "h", "rk"}
     for side in (a, b):
         if set(side.columns) != want:
@@ -340,11 +372,21 @@ def kmv_pairwise_jaccard(sketch: DataFrame, group_col: str,
     pairs = (groups.join(groups.withColumnRenamed("a", "b"),
                          F.col("a") < F.col("b")))
     sk = sketch.select(g.alias("t"), "h")
-    memb = (pairs.join(F.broadcast(sk),
-                       (F.col("t") == F.col("a")) | (F.col("t") == F.col("b")))
+    # two HASH-joinable equi-joins instead of one OR-condition join: the
+    # disjunction would plan as BroadcastNestedLoopJoin — every sketch row
+    # tested against every pair, O(|groups|³·k) — the exact scale-killer
+    # shape the plan-gate test bans. Two equi-joins + union keep the
+    # documented O(|groups|²·k).
+    side_a = (pairs.join(F.broadcast(sk), F.col("t") == F.col("a"))
+              .select("a", "b", "h", F.lit(1).alias("in_a"),
+                      F.lit(0).alias("in_b")))
+    side_b = (pairs.join(F.broadcast(sk), F.col("t") == F.col("b"))
+              .select("a", "b", "h", F.lit(0).alias("in_a"),
+                      F.lit(1).alias("in_b")))
+    memb = (side_a.unionByName(side_b)
             .groupBy("a", "b", "h")
-            .agg(F.max((F.col("t") == F.col("a")).cast("int")).alias("in_a"),
-                 F.max((F.col("t") == F.col("b")).cast("int")).alias("in_b")))
+            .agg(F.max("in_a").alias("in_a"),
+                 F.max("in_b").alias("in_b")))
     w = Window.partitionBy("a", "b").orderBy("h")
     top = (memb.withColumn("rk", F.row_number().over(w))
            .filter(F.col("rk") <= k))

@@ -48,9 +48,10 @@ def dq_unique_report(df: DataFrame, key_cols: list[str],
     source is scanned once."""
     per = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_c"))
     return (per.agg(
-        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0)))
-        .cast("long").alias("n_violations"),
-        F.sum("_c").cast("long").alias("n_rows"))
+        F.coalesce(
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))),
+            F.lit(0)).cast("long").alias("n_violations"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_rows"))
         .select(F.lit(check).alias("check"), "n_violations", "n_rows"))
 
 

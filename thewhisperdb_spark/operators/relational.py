@@ -228,15 +228,27 @@ def cdc_apply(target: DataFrame, changes: DataFrame,
     Delta/Iceberg do, but the row-level algebra is exactly this.
 
     ``changes`` columns: key_cols + the full row payload + ``change_col``
-    in ('insert'|'update'|'delete'); delete rows' payload is ignored."""
+    in ('insert'|'update'|'delete'); delete rows' payload is ignored.
+
+    SQL MERGE semantics exactly: an UPDATE whose key is absent from the
+    target is a no-op (WHEN MATCHED THEN UPDATE matches nothing), so a
+    replayed or out-of-order feed cannot resurrect a deleted row — the
+    update rows are semi-joined against the target's keys before they
+    union back in. An INSERT for an existing key, the other malformed-
+    feed case, still duplicates (SQL MERGE would too unless WHEN NOT
+    MATCHED guards it); dedupe feeds upstream."""
     touched = (changes
                .filter(F.col(change_col).isin("delete", "update"))
                .select(*key_cols).distinct())
-    upserts = (changes
-               .filter(F.col(change_col).isin("insert", "update"))
-               .drop(change_col))
+    updates = (changes
+               .filter(F.col(change_col) == "update")
+               .drop(change_col)
+               .join(target.select(*key_cols).distinct(),
+                     key_cols, "left_semi"))
+    inserts = changes.filter(F.col(change_col) == "insert").drop(change_col)
     kept = target.join(touched, key_cols, "left_anti")
-    return kept.unionByName(upserts.select(*kept.columns))
+    return (kept.unionByName(updates.select(*kept.columns))
+            .unionByName(inserts.select(*kept.columns)))
 
 
 def scd2_build(changes: DataFrame, key: str, ts_col: str,
@@ -263,8 +275,7 @@ def scd2_build(changes: DataFrame, key: str, ts_col: str,
     runs = lagged.filter(
         F.col("_prev").isNull()
         | (F.col("_prev") != F.struct(*payload_cols))).drop("_prev")
-    w2 = Window.partitionBy(key).orderBy(*order)
     return runs.select(
         key, *payload_cols,
         F.col(ts_col).alias("valid_from"),
-        F.lead(ts_col).over(w2).alias("valid_to"))
+        F.lead(ts_col).over(w).alias("valid_to"))

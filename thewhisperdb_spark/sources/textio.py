@@ -138,9 +138,10 @@ def shard_assign(df: DataFrame, id_col: str, n_shards: int):
     size, and engine — re-running the export (or recomputing the
     assignment in a different system for audit) lands every row in the
     same shard. Returns the input with a ``shard`` int column."""
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
-               16, 10).cast("long")
-    return df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+    from thewhisperdb_spark.operators.aggregates import md5_hash60
+
+    return df.withColumn(
+        "shard", F.pmod(md5_hash60(id_col), F.lit(n_shards)).cast("int"))
 
 
 def write_training_shards(df: DataFrame, path: str, id_col: str,
@@ -169,11 +170,10 @@ def shard_manifest(spark: SparkSession, path: str, id_col: str,
     from the source table, which is the audit property: manifest(export)
     == manifest(source) proves the export is complete and bit-identical
     without comparing rows. Returns (shard, n_rows, checksum)."""
+    from thewhisperdb_spark.operators.aggregates import row_canon_hash60
+
     df = spark.read.parquet(path)
-    canon = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-               for c in (id_col, *content_cols)])
-    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    h = row_canon_hash60(id_col, *content_cols)
     return (df.groupBy(F.col("shard").cast("int").alias("shard"))
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum(h.cast("decimal(38,0)")).cast("string")

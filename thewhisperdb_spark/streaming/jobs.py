@@ -234,10 +234,11 @@ def kmv_distinct_stream(events: DataFrame, key_col: str = "user_id",
     the oracle. The sketch-state design is the one you'd run against an
     unbounded Kafka stream: constant memory per group, no raw-key
     retention."""
-    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
-               16, 10).cast("long")
+    from thewhisperdb_spark.operators.aggregates import md5_hash60
+
     hashed = (events.filter(F.col(key_col).isNotNull())
-              .select(F.col(group_col).alias("event_type"), h.alias("h")))
+              .select(F.col(group_col).alias("event_type"),
+                      md5_hash60(key_col).alias("h")))
     return (hashed.groupBy("event_type")
             .applyInPandasWithState(
                 _kmv_update,
