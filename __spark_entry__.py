@@ -5423,6 +5423,38 @@ def benford_digit_report(spark, sf_dir):
         .alias("benford_p"))
 
 
+@q("price_quantiles_kmv_sample",
+   """WITH base AS (SELECT l_returnflag, l_extendedprice AS v,
+  CAST('0x' || substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+    CAST(l_linenumber AS VARCHAR))), 1, 15) AS BIGINT) AS h
+  FROM lineitem),
+s AS (SELECT l_returnflag, v, h,
+  row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+  FROM base),
+samp AS (SELECT l_returnflag, v, h FROM s WHERE rk <= 512),
+r AS (SELECT l_returnflag, v,
+  row_number() OVER (PARTITION BY l_returnflag ORDER BY v, h) AS rv,
+  count(*) OVER (PARTITION BY l_returnflag) AS n FROM samp)
+SELECT l_returnflag, count(*) AS n_sample,
+  MAX(CASE WHEN rv = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS q_25,
+  MAX(CASE WHEN rv = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS q_50,
+  MAX(CASE WHEN rv = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS q_75
+FROM r GROUP BY l_returnflag""")
+def price_quantiles_kmv_sample(spark, sf_dir):
+    # portable mergeable quantiles: the k=512 smallest md5(row-id) rows
+    # per group are a REPRODUCIBLE uniform sample (the quantile analog of
+    # the KMV bottom-k sketch, mergeable the same way), and each quantile
+    # is pure rank SELECTION over it — no arithmetic on values, so the
+    # result is bit-identical across engines, unlike GK/t-digest sketches
+    # whose internals aren't portable (price_quartiles_approx is pinned
+    # only at gate scale for exactly that reason). ±~2 percentile points
+    # at the median for k=512.
+    li = load_table(spark, sf_dir, "lineitem")
+    return SM.sample_quantiles(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"],
+        qs=(0.25, 0.5, 0.75), group_cols=("l_returnflag",), k=512)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

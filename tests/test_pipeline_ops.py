@@ -283,3 +283,33 @@ def test_mixture_weights_rejects_unknown_targets(spark):
     got = {r.source: r.mix_weight
            for r in SM.mixture_weights(df, targets={"b": 1.0}).collect()}
     assert got["a"] == 0.0 and got["b"] > 0
+
+
+def test_sample_quantiles_exact_below_k_and_stable(spark):
+    """Below k the sample is the whole group, so quantiles are the exact
+    discrete quantiles; and the result is invariant under repartitioning
+    (the md5-keyed sample is a pure function of the ids)."""
+    from pyspark.sql import functions as F
+
+    from thewhisperdb_spark.operators.sampling import sample_quantiles
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([10, 20, 30, 40, 50, 60,
+                                              70, 80, 90, 100])],
+        "id long, v double")
+    got = sample_quantiles(df, "v", ["id"], qs=(0.25, 0.5, 0.75),
+                           k=512).collect()[0]
+    # discrete convention: value at rank ceil(q*10) -> ranks 3, 5, 8
+    assert (got["n_sample"], got["q_25"], got["q_50"], got["q_75"]) \
+        == (10, 30.0, 50.0, 80.0)
+    again = sample_quantiles(
+        df.repartition(7).sortWithinPartitions(F.desc("v")),
+        "v", ["id"], qs=(0.25, 0.5, 0.75), k=512).collect()[0]
+    assert tuple(again) == tuple(got)
+    # k smaller than the group: estimates stay within the sample's value
+    # range and the sample size is exactly k
+    big = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 1000).cast("double").alias("v"))
+    est = sample_quantiles(big, "v", ["id"], qs=(0.5,), k=256).collect()[0]
+    assert est["n_sample"] == 256
+    assert abs(est["q_50"] - 500.0) < 150  # ~±6 pct points at k=256, 3 sigma
