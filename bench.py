@@ -120,6 +120,7 @@ HEADLINE = [
     "event_transition_matrix",
     "data_quality_report",
     "benford_digit_report",
+    "price_quantiles_kmv_sample",
 ]
 
 

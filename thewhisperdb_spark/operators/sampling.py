@@ -201,7 +201,7 @@ def three_way_split(df: DataFrame, train_hex: str = "cc", val_hex: str = "e6",
 def sample_quantiles(df: DataFrame, value_col: str, id_cols: list[str],
                      qs: tuple[float, ...] = (0.25, 0.5, 0.75),
                      group_cols: tuple[str, ...] = (),
-                     k: int = 512) -> DataFrame:
+                     k: int = 512, portable: bool = True) -> DataFrame:
     """Deterministic mergeable quantile estimates: the k rows with the
     smallest md5(id) per group form a REPRODUCIBLE uniform sample (same
     rows on any engine, partitioning, or cluster size — the quantile
@@ -217,15 +217,34 @@ def sample_quantiles(df: DataFrame, value_col: str, id_cols: list[str],
     O(sqrt(q(1-q)/k)) of the true quantile rank w.h.p. — k=512 gives
     ~±2 percentile points at the median.
 
-    Returns (group..., n_sample, q_<percent> per requested q)."""
+    Returns (group..., n_sample, q_<percent> per requested q).
+
+    ``portable=False`` swaps the md5 sample key for xxhash64 — ~2x
+    faster scans (the md5 IS the dominant cost on wide tables, same
+    trade the MinHash family documents) at the price of oracle/cross-
+    engine reproducibility; single-engine deployments can take it."""
     from thewhisperdb_spark.operators.aggregates import md5_hash60
 
-    hid = md5_hash60(F.concat_ws("|", *[F.col(c).cast("string")
-                                        for c in id_cols]))
+    if portable:
+        hid = md5_hash60(F.concat_ws("|", *[F.col(c).cast("string")
+                                            for c in id_cols]))
+    else:
+        hid = F.xxhash64(*[F.col(c) for c in id_cols])
     base = df.select(*group_cols, F.col(value_col).alias("_v"),
                      hid.alias("_h"))
+    # EXACT two-phase bottom-k: with few groups a single per-group window
+    # sorts the whole table across |groups| tasks. Phase 1 ranks within
+    # (group, salt) — 32x the parallelism — and keeps each bucket's own
+    # bottom-k (the true group bottom-k is a subset of the union of
+    # per-salt bottom-k's, so nothing is lost); phase 2 cuts the final k
+    # from the <= 32k survivors. Same rows, bounded sort sizes.
+    salt = F.pmod(F.col("_h"), F.lit(32))
+    wpre = (Window.partitionBy(*[F.col(c) for c in group_cols], salt)
+            .orderBy("_h"))
+    pruned = (base.withColumn("_rk", F.row_number().over(wpre))
+              .filter(F.col("_rk") <= k).drop("_rk"))
     wsel = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("_h")
-    sample = (base.withColumn("_rk", F.row_number().over(wsel))
+    sample = (pruned.withColumn("_rk", F.row_number().over(wsel))
               .filter(F.col("_rk") <= k).drop("_rk"))
     wval = (Window.partitionBy(*[F.col(c) for c in group_cols])
             .orderBy("_v", "_h"))
