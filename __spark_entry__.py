@@ -5455,6 +5455,67 @@ def price_quantiles_kmv_sample(spark, sf_dir):
         qs=(0.25, 0.5, 0.75), group_cols=("l_returnflag",), k=512)
 
 
+@q("rolling_distinct_users_kmv_7d",
+   """WITH h AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
+  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL),
+daily AS (SELECT d, h,
+  row_number() OVER (PARTITION BY d ORDER BY h) AS rk FROM h),
+sk AS (SELECT d, h FROM daily WHERE rk <= 256),
+expl AS (SELECT CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+    INTERVAL 1 DAY)) AS DATE) AS day, h FROM sk),
+u AS (SELECT DISTINCT day, h FROM expl),
+r AS (SELECT day, h,
+  row_number() OVER (PARTITION BY day ORDER BY h) AS rk FROM u),
+s AS (SELECT day, count(*) AS n_hashes,
+  MAX(CASE WHEN rk = 256 THEN h END) AS h_k
+  FROM r WHERE rk <= 256 GROUP BY day)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+  CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+    ELSE round(CAST(255.0 AS DOUBLE) * CAST(1152921504606846976.0 AS DOUBLE)
+      / CAST(h_k AS DOUBLE), 4) END AS active_7d_est
+FROM s""")
+def rolling_distinct_users_kmv_7d(spark, sf_dir):
+    # sketch-rollup pattern at its purest: build ONE bottom-256 KMV
+    # sketch per day (the nightly job), then answer the rolling 7-day
+    # distinct-actives question by MERGING the 7 daily sketches per
+    # window — explode each day's <= 256 hashes into the windows it
+    # serves, re-rank, cut, estimate. Raw user ids are touched exactly
+    # once; any other window length is answerable later from the same
+    # daily sketches, which is why production pipelines persist sketches
+    # and not counts. Integer state end-to-end -> fully oracle-checked
+    # (compare the exact twin rolling_active_users_7d, which must
+    # re-explode every raw (user, day) pair per window).
+    from pyspark.sql.window import Window
+
+    from thewhisperdb_spark.operators.aggregates import md5_hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("user_id").isNotNull())
+             .select(F.to_date("ts").alias("d"),
+                     md5_hash60("user_id").alias("h"))
+             .distinct())
+    wday = Window.partitionBy("d").orderBy("h")
+    sk = (daily.withColumn("rk", F.row_number().over(wday))
+          .filter(F.col("rk") <= 256).select("d", "h"))
+    expl = sk.select(
+        F.explode(F.expr("sequence(d, date_add(d, 6), interval 1 day)"))
+        .alias("day"), "h").distinct()
+    wwin = Window.partitionBy("day").orderBy("h")
+    merged = (expl.withColumn("rk", F.row_number().over(wwin))
+              .filter(F.col("rk") <= 256))
+    s = merged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max(F.when(F.col("rk") == 256, F.col("h"))).alias("h_k"))
+    est = F.when(
+        F.col("n_hashes") < 256, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.round(F.lit(255.0 * float(1 << 60)) / F.col("h_k").cast("double"),
+                4))
+    return s.select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    est.alias("active_7d_est"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
