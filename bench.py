@@ -121,6 +121,7 @@ HEADLINE = [
     "data_quality_report",
     "benford_digit_report",
     "price_quantiles_kmv_sample",
+    "rolling_distinct_users_kmv_7d",
 ]
 
 
