@@ -166,3 +166,47 @@ def test_interval_union_matches_bruteforce(spark, per_user, dur):
            for r in EV.interval_union_length(df, duration_s=dur).collect()}
     want = {u: _py_islands(starts, dur) for u, starts in per_user.items()}
     assert got == want
+
+
+@SETTINGS
+@given(st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.sets(st.integers(0, 400), min_size=1, max_size=120),
+    min_size=2, max_size=3))
+def test_kmv_pairwise_jaccard_exact_when_unsaturated(spark, groups):
+    """When every group has fewer than k distinct keys, the sketches ARE
+    the full sets and the 'estimate' must equal the exact Jaccard of the
+    key sets, for every pair."""
+    from thewhisperdb_spark.operators import aggregates as AG
+
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, k long")
+    sk = AG.kmv_sketch(df, "k", group_cols=("g",), k=256)
+    got = {(r["a"], r["b"]): r["jaccard_est"]
+           for r in AG.kmv_pairwise_jaccard(sk, "g", k=256).collect()}
+    names = sorted(groups)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            inter = len(groups[a] & groups[b])
+            union = len(groups[a] | groups[b])
+            assert got[(a, b)] == round(inter / union, 6), (a, b)
+
+
+@SETTINGS
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=200,
+                unique=True))
+def test_sample_quantiles_exact_below_k(spark, values):
+    """Below k the sample is the whole set, so each quantile must equal
+    the discrete quantile (value at rank ceil(q*n)) computed in Python."""
+    from thewhisperdb_spark.operators.sampling import sample_quantiles
+
+    import math
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "id long, v double")
+    row = sample_quantiles(df, "v", ["id"], qs=(0.1, 0.5, 0.9),
+                           k=4096).collect()[0]
+    sv = sorted(values)
+    n = len(sv)
+    for q, col in ((0.1, "q_10"), (0.5, "q_50"), (0.9, "q_90")):
+        assert row[col] == float(sv[max(math.ceil(q * n), 1) - 1]), (q, n)
