@@ -152,3 +152,24 @@ def test_interval_union_length_merges_overlaps(spark):
     got = {r["user_id"]: (r["n_islands"], r["active_seconds"])
            for r in EV.interval_union_length(df, duration_s=200).collect()}
     assert got == {1: (2, 500), 2: (1, 400)}
+
+
+def test_interval_union_variable_ends_swallowed_intervals(spark):
+    """Variable-length intervals: a long interval swallows several later
+    short ones (the case where 'previous row's end' instead of the
+    running max would be wrong)."""
+    from pyspark.sql import functions as F
+
+    from thewhisperdb_spark.operators import events as EV
+
+    rows = [  # [0, 1000) swallows [100, 200) and [300, 400); [1500, 1600) apart
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:16:40"),
+        (1, "2024-01-01 00:01:40", "2024-01-01 00:03:20"),
+        (1, "2024-01-01 00:05:00", "2024-01-01 00:06:40"),
+        (1, "2024-01-01 00:25:00", "2024-01-01 00:26:40"),
+    ]
+    df = (spark.createDataFrame(rows, "user_id long, ts string, te string")
+          .withColumn("ts", F.to_timestamp("ts"))
+          .withColumn("te", F.to_timestamp("te")))
+    got = EV.interval_union_length(df, end_col="te").collect()[0]
+    assert (got["n_islands"], got["active_seconds"]) == (2, 1100)

@@ -85,25 +85,32 @@ def funnel_conversion(events: DataFrame, steps: list[str],
 
 def interval_union_length(events: DataFrame, user_col: str = "user_id",
                           ts_col: str = "ts",
-                          duration_s: int = 1800) -> DataFrame:
+                          duration_s: int = 1800,
+                          end_col: str | None = None) -> DataFrame:
     """Gaps-and-islands: total COVERED time per user when each event opens
-    a fixed-length activity window [ts, ts + duration) — overlapping
-    windows must not double-count, so naive sum(duration) is wrong and a
-    per-second explode is quadratic. The standard O(n log n) rewrite:
+    an activity window [ts, ts + duration) — overlapping windows must not
+    double-count, so naive sum(duration) is wrong and a per-second
+    explode is quadratic. The standard O(n log n) rewrite:
 
       1. order each user's events by start; an event begins a NEW island
          iff its start exceeds the running max of all PREVIOUS ends
-         (window frame ...PRECEDING AND 1 PRECEDING);
+         (window frame ...PRECEDING AND 1 PRECEDING) — the running MAX,
+         not the previous row's end, is what makes variable-length
+         intervals correct (a long interval can swallow several later
+         short ones);
       2. island id = running count of new-island flags;
       3. island length = max(end) - min(start); active time = Σ islands.
 
+    ``end_col`` (a timestamp column) switches from fixed ``duration_s``
+    to per-row interval ends — true sessions, bookings, on-call shifts.
     Everything is integer epoch-second arithmetic — engine-exact. One
     exchange on the user key serves both windows and the final aggregate.
     Returns (user, n_islands, active_seconds)."""
     start = F.unix_timestamp(F.col(ts_col))
+    end = (F.unix_timestamp(F.col(end_col)) if end_col is not None
+           else start + F.lit(duration_s))
     d = events.select(F.col(user_col).alias("user"),
-                      start.alias("s"),
-                      (start + F.lit(duration_s)).alias("e"))
+                      start.alias("s"), end.alias("e"))
     w = Window.partitionBy("user").orderBy("s", "e")
     prev_max_end = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
