@@ -200,3 +200,32 @@ def test_gopher_filter_runs_under_readstream(spark, tmp_path_factory):
               .select("doc_id", "n_words", "keep").collect()}
     assert got == expect
     assert got[1][1] and not got[2][1] and not got[3][1]
+
+
+def test_stream_shards_sink_matches_batch_export(spark, tmp_path):
+    """Incremental shard publishing must land in the SAME deterministic
+    layout as the batch export: after draining the stream, the shard
+    manifest over the streamed tree equals the manifest over a batch
+    write_training_shards of the same rows (ignoring the idempotency
+    batch_id sub-partition)."""
+    from pyspark.sql import functions as F
+
+    from thewhisperdb_spark.sources import textio
+
+    docs = spark.createDataFrame(
+        [(i, f"doc-{i}", "en") for i in range(300)],
+        "doc_id long, text string, lang string")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)  # 3 files -> up to 3 micro-batches
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out, ckpt = str(tmp_path / "shards"), str(tmp_path / "ckpt")
+    q = SJ.stream_shards_sink(stream, out, ckpt, "doc_id", n_shards=4)
+    q.awaitTermination()
+    batch_out = str(tmp_path / "batch_shards")
+    textio.write_training_shards(docs, batch_out, "doc_id", n_shards=4)
+    man_s = sorted(map(tuple, textio.shard_manifest(
+        spark, out, "doc_id", ("text", "lang")).collect()))
+    man_b = sorted(map(tuple, textio.shard_manifest(
+        spark, batch_out, "doc_id", ("text", "lang")).collect()))
+    assert man_s == man_b and len(man_s) == 4

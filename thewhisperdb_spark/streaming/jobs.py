@@ -341,3 +341,38 @@ def stream_append_to_ivf(stream: DataFrame, index_path: str,
     return (stream.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+def stream_shards_sink(stream_df: DataFrame, out_dir: str,
+                       checkpoint_dir: str, id_col: str,
+                       n_shards: int = 8):
+    """Streaming twin of ``textio.write_training_shards``: each arriving
+    micro-batch is md5(id)-shard-assigned and written under BOTH its
+    deterministic shard and its batch id (``shard=K/batch_id=N/``) via
+    foreachBatch. The batch_id sub-partition makes the sink idempotent
+    (a replayed batch overwrites its own directory, the
+    idempotent_parquet_sink recipe); the shard super-partition keeps the
+    dataset's deterministic layout, so readers see exactly the shards a
+    batch export of the same rows would produce — and the SAME
+    shard_manifest audits either. Incremental dataset publishing in the
+    same layout as the batch path, which is the point: sketches/manifests
+    computed nightly keep working as the stream appends.
+
+    Returns the started StreamingQuery (availableNow drains and stops).
+    """
+    from thewhisperdb_spark.sources.textio import shard_assign
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        (shard_assign(df, id_col, n_shards)
+         .withColumn("batch_id", F.lit(int(batch_id)))
+         .repartition(n_shards, F.col("shard"))
+         .write.mode("overwrite")
+         .partitionBy("shard", "batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(out_dir))
+
+    return (stream_df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
