@@ -5516,6 +5516,82 @@ def rolling_distinct_users_kmv_7d(spark, sf_dir):
                     est.alias("active_7d_est"))
 
 
+@q("attribution_report",
+   """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts,
+  CAST(value AS DECIMAL(18,6)) AS val FROM events
+  WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts AS cts, event_id AS cid,
+  CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS INTEGER)
+    AS channel FROM events WHERE event_type = 'click'),
+j AS (SELECT p.pid, p.val, c.channel, c.cts, c.cid FROM p JOIN c
+  ON c.user_id = p.user_id AND c.cts <= p.pts
+  AND c.cts >= p.pts - INTERVAL 7 DAY),
+r AS (SELECT pid, val, channel,
+  row_number() OVER (PARTITION BY pid ORDER BY cts DESC, cid DESC)
+    AS rn_last,
+  row_number() OVER (PARTITION BY pid ORDER BY cts ASC, cid ASC)
+    AS rn_first,
+  count(*) OVER (PARTITION BY pid) AS n FROM j)
+SELECT model, channel,
+  CAST(SUM(attr) AS DOUBLE) AS attributed_value, count(*) AS n_touches
+FROM (
+  SELECT 'last_touch' AS model, channel, val AS attr FROM r
+    WHERE rn_last = 1
+  UNION ALL SELECT 'first_touch', channel, val FROM r WHERE rn_first = 1
+  UNION ALL SELECT 'linear', channel,
+    CAST(round(CAST(val AS DOUBLE) / n, 6) AS DECIMAL(18,6)) FROM r)
+GROUP BY model, channel""")
+def attribution_report(spark, sf_dir):
+    # multi-touch attribution over click→purchase paths: each purchase's
+    # value credited to the clicks in its trailing 7-day window under
+    # three models — last-touch, first-touch, linear. The click join is
+    # the bounded range-join shape (user equi-key + time residual, same
+    # as range_join_clicks_before_purchase); the three models share ONE
+    # joined frame via two rank windows + a count. Linear's per-touch
+    # quotient is rounded to 6 BEFORE the decimal sum, so float division
+    # happens once per row identically on both engines and the aggregate
+    # stays order-insensitive. Channel is the deterministic props-derived
+    # k % 4 (the testdata has no channel column).
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("pid"), "user_id",
+                 F.col("ts").alias("pts"),
+                 F.col("value").cast("decimal(18,6)").alias("val")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("cts"),
+                 F.col("event_id").alias("cid"),
+                 (F.get_json_object("props", "$.k").cast("long") % 4)
+                 .cast("int").alias("channel")))
+    j = p.join(c, (F.col("c_user") == F.col("user_id"))
+               & (F.col("cts") <= F.col("pts"))
+               & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")))
+    wp = Window.partitionBy("pid")
+    r = j.select(
+        "pid", "val", "channel",
+        F.row_number().over(wp.orderBy(F.col("cts").desc(),
+                                       F.col("cid").desc())).alias("rn_last"),
+        F.row_number().over(wp.orderBy(F.col("cts").asc(),
+                                       F.col("cid").asc())).alias("rn_first"),
+        F.count(F.lit(1)).over(wp).alias("n"))
+    last = (r.filter(F.col("rn_last") == 1)
+            .select(F.lit("last_touch").alias("model"), "channel",
+                    F.col("val").alias("attr")))
+    first = (r.filter(F.col("rn_first") == 1)
+             .select(F.lit("first_touch").alias("model"), "channel",
+                     F.col("val").alias("attr")))
+    linear = r.select(
+        F.lit("linear").alias("model"), "channel",
+        F.round(F.col("val").cast("double") / F.col("n"), 6)
+        .cast("decimal(18,6)").alias("attr"))
+    return (last.unionByName(first).unionByName(linear)
+            .groupBy("model", "channel")
+            .agg(F.sum("attr").cast("double").alias("attributed_value"),
+                 F.count(F.lit(1)).alias("n_touches")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
