@@ -5592,6 +5592,58 @@ def attribution_report(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_touches")))
 
 
+@q("join_key_overlap_estimate",
+   """WITH ha AS (SELECT DISTINCT CAST('0x' || substr(md5(
+    CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM orders),
+hb AS (SELECT DISTINCT CAST('0x' || substr(md5(
+    CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM customer WHERE c_acctbal > 5000),
+ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+  FROM ha) WHERE rk <= 256),
+skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+  FROM hb) WHERE rk <= 256),
+m AS (SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+  SELECT h, 1 AS in_a, 0 AS in_b FROM ska
+  UNION ALL SELECT h, 0, 1 FROM skb) GROUP BY h),
+r AS (SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rk FROM m),
+s AS (SELECT count(*) AS n_union_sample,
+  CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+  MAX(CASE WHEN rk = 256 THEN h END) AS h_k FROM r WHERE rk <= 256),
+e AS (SELECT n_union_sample, n_both,
+  CASE WHEN n_union_sample < 256 THEN CAST(n_union_sample AS DOUBLE)
+    ELSE round(CAST(255.0 AS DOUBLE)
+      * CAST(1152921504606846976.0 AS DOUBLE) / CAST(h_k AS DOUBLE), 4)
+  END AS union_est FROM s),
+ex AS (SELECT count(*) AS n_exact FROM
+  (SELECT DISTINCT o_custkey FROM orders) o
+  JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) c
+  ON c.c_custkey = o.o_custkey)
+SELECT e.n_union_sample, e.n_both, e.union_est,
+  round(CAST(e.n_both AS DOUBLE) / CAST(e.n_union_sample AS DOUBLE)
+    * e.union_est, 4) AS intersection_est,
+  ex.n_exact FROM e, ex""")
+def join_key_overlap_estimate(spark, sf_dir):
+    # sketch-driven join planning: how many join keys actually match
+    # between orders.o_custkey and the rich-customer slice of
+    # c_custkey, estimated from two 256-hash KMV sketches WITHOUT
+    # re-scanning either table — |A∩B| ≈ co-membership fraction of the
+    # union's bottom-k × the union-size estimate. The number a planner
+    # wants before choosing broadcast vs shuffle vs skew handling; the
+    # exact intersection rides along to show the sketch error.
+    # Deterministic integers + two float expressions = oracle-checked.
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"))
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") > 5000)
+         .select(F.col("c_custkey").alias("k")))
+    sk_a = AG.kmv_sketch(o, "k", k=256).select("h")
+    sk_b = AG.kmv_sketch(c, "k", k=256).select("h")
+    est = AG.kmv_intersection_estimate(sk_a, sk_b, k=256)
+    exact = (o.distinct().join(c, "k", "left_semi")
+             .agg(F.count(F.lit(1)).alias("n_exact")))
+    return est.crossJoin(F.broadcast(exact))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -398,3 +398,37 @@ def kmv_pairwise_jaccard(sketch: DataFrame, group_col: str,
                     F.round(F.col("n_both").cast("double")
                             / F.col("n_union_sample").cast("double"), 6)
                     .alias("jaccard_est")))
+
+
+def kmv_intersection_estimate(sk_a: DataFrame, sk_b: DataFrame,
+                              k: int = 256) -> DataFrame:
+    """Distinct-key INTERSECTION size from two ungrouped KMV sketches —
+    what a query planner wants before choosing a join strategy: how many
+    join keys actually match, without scanning either table again.
+    bottom-k of the union (derivable from the sketches), then
+    |A ∩ B| ≈ co-membership fraction × union-size estimate, both factors
+    exact integers/one float expression — deterministic, so the estimate
+    itself is oracle-checkable. Returns one row
+    (n_union_sample, n_both, union_est, intersection_est)."""
+    ua = sk_a.select("h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    ub = sk_b.select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    memb = (ua.unionByName(ub).groupBy("h")
+            .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
+    w = Window.partitionBy().orderBy("h")
+    top = (memb.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= k))
+    agg = top.agg(
+        F.count(F.lit(1)).alias("n_union_sample"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("n_both"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("h_k"))
+    union_est = F.when(
+        F.col("n_union_sample") < k,
+        F.col("n_union_sample").cast("double")
+    ).otherwise(
+        F.round(F.lit((k - 1) * _KMV_2_60) / F.col("h_k").cast("double"), 4))
+    return (agg.withColumn("union_est", union_est)
+            .select("n_union_sample", "n_both", "union_est",
+                    F.round(F.col("n_both").cast("double")
+                            / F.col("n_union_sample").cast("double")
+                            * F.col("union_est"), 4)
+                    .alias("intersection_est")))
