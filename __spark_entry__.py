@@ -5644,6 +5644,45 @@ def join_key_overlap_estimate(spark, sf_dir):
     return est.crossJoin(F.broadcast(exact))
 
 
+@q("repeated_span_scrub_stats",
+   """WITH t AS (SELECT doc_id,
+  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents WHERE doc_id < 300),
+e AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok,
+  CASE WHEN i + 7 <= len(tk)
+    THEN array_to_string(tk[i:i+7], ' ') END AS sh
+  FROM t, unnest(generate_series(1, len(tk))) AS u(i)),
+d AS (SELECT sh FROM e WHERE sh IS NOT NULL
+  GROUP BY sh HAVING count(*) >= 2),
+m AS (SELECT e.doc_id, e.pos, e.tok,
+  CASE WHEN d.sh IS NOT NULL THEN 1 ELSE 0 END AS ds
+  FROM e LEFT JOIN d ON e.sh = d.sh),
+c AS (SELECT doc_id, pos, tok, MAX(ds) OVER (PARTITION BY doc_id
+  ORDER BY pos ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+  FROM m)
+SELECT doc_id, count(*) AS n_tokens,
+  CAST(SUM(covered) AS BIGINT) AS n_removed,
+  md5(COALESCE(string_agg(tok, ' ' ORDER BY pos)
+    FILTER (WHERE covered = 0), '')) AS clean_md5
+FROM c GROUP BY doc_id""")
+def repeated_span_scrub_stats(spark, sf_dir):
+    # span-level exact-substring dedup (the Lee et al. ExactSubstr shape
+    # at 8-token-shingle granularity): corpus-repeated spans — license
+    # headers, navigation boilerplate — are removed from INSIDE otherwise
+    # unique documents, which document/line dedup cannot see. Sliced to
+    # doc_id < 300 because the synthetic corpus is deliberately
+    # self-similar (at full SF most shingles repeat by construction); on
+    # real corpora the duplicated-shingle set is the small side and
+    # broadcasts. The reassembled text is md5'd so the full scrub —
+    # positions, coverage, order — is hash-audited, not just counted.
+    from thewhisperdb_spark.operators.dedup import repeated_span_scrub
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    out = repeated_span_scrub(d, k=8, min_count=2)
+    return out.select("doc_id", "n_tokens", "n_removed",
+                      F.md5("clean_text").alias("clean_md5"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

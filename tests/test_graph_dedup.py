@@ -372,3 +372,25 @@ def test_winnow_overlap_pairs_grades_verbatim_overlap(spark):
     assert (1, 2) in got and got[(1, 2)] >= 5     # long shared prefix
     assert (3, 4) in got                          # exact dups share all
     assert (1, 3) not in got and (2, 4) not in got
+
+
+def test_repeated_span_scrub_cross_doc_and_self_repeat(spark):
+    """ExactSubstr-style span scrub: a 3-token span shared by two docs is
+    removed from BOTH (boilerplate case); a self-repeating doc scrubs to
+    empty; unique text survives untouched."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from thewhisperdb_spark.operators.dedup import repeated_span_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),        # shares "a b c" with doc 2
+         (2, "z a b c q"),
+         (3, "m n m n m n"),      # self-repeating spans
+         (4, "p q r s t")],       # unique -> untouched
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for r in repeated_span_scrub(docs, k=3, min_count=2).collect()}
+    assert got[1] == (5, 3, "d e")
+    assert got[2] == (5, 3, "z q")
+    assert got[3] == (6, 6, "")
+    assert got[4] == (5, 0, "p q r s t")

@@ -539,3 +539,60 @@ def unit_dedup(df: DataFrame, unit_tokens: int = 10, id_col: str = "doc_id",
                     lambda s: s["unit"]))).alias("clean_text"),
                 F.count(F.lit(1)).cast("long").alias("n_units"),
                 F.sum(F.col("is_first").cast("long")).alias("n_kept")))
+
+
+def repeated_span_scrub(df: DataFrame, k: int = 8, min_count: int = 2,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Span-level exact-substring dedup (the ExactSubstr shape of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    at token-shingle granularity): any ``k``-token span occurring
+    ``min_count``+ times ACROSS THE CORPUS (self-repeats included) marks
+    every token position it covers; covered tokens are removed and the
+    document reassembled from the survivors. Unlike document-level dedup
+    this scrubs boilerplate embedded in otherwise-unique documents — the
+    license header, the navigation bar — which document or line dedup
+    cannot see.
+
+    Shape at scale: |tokens| exploded rows, one shuffle to count shingle
+    occurrences, duplicated-shingle starts joined back (the duplicated
+    set is df-filtered and usually small — broadcast when it fits), and
+    coverage derived per document by a [-(k-1), 0] rolling max over start
+    flags — no per-position set materialization. Exactness condition:
+    a position is removed iff SOME duplicated k-shingle covers it, which
+    is exactly the Lee et al. span rule at shingle resolution.
+
+    Returns (id, n_tokens, n_removed, clean_text)."""
+    toks = tokens(F.col(text_col))
+    # (pos, tok, shingle-starting-here) minted IN-ARRAY before the
+    # explode — no window needed to build shingles, the per-doc slice
+    # does it (same trick as unit_dedup); sh is NULL for tail positions
+    # that can't start a full k-shingle
+    entries = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(toks, i + 1).alias("tok"),
+            F.when(i + k <= F.size(toks),
+                   F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("sh")))
+    base = (df.select(id_col, F.explode(entries).alias("e"))
+            .select(id_col, "e.pos", "e.tok", "e.sh"))
+    dup = (base.filter(F.col("sh").isNotNull())
+           .groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= min_count)
+           .select("sh", F.lit(1).alias("is_dup")))
+    marked = (base.join(F.broadcast(dup), "sh", "left")
+              .withColumn("dup_start",
+                          F.coalesce(F.col("is_dup"), F.lit(0))))
+    wcov = (Window.partitionBy(id_col).orderBy("pos")
+            .rowsBetween(-(k - 1), 0))
+    cov = marked.withColumn("covered", F.max("dup_start").over(wcov))
+    return (cov.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum(F.col("covered").cast("long")).alias("n_removed"),
+                 F.concat_ws(" ", F.array_compact(F.transform(
+                     F.array_sort(F.collect_list(F.struct(
+                         F.col("pos"),
+                         F.when(F.col("covered") == 0, F.col("tok"))
+                         .alias("tok")))),
+                     lambda s: s["tok"]))).alias("clean_text")))
