@@ -5683,6 +5683,46 @@ def repeated_span_scrub_stats(spark, sf_dir):
                       F.md5("clean_text").alias("clean_md5"))
 
 
+@q("daily_revenue_gap_filled",
+   """WITH spine AS (SELECT CAST(unnest(generate_series(
+    DATE '1996-01-01', DATE '1996-03-31', INTERVAL 1 DAY)) AS DATE) AS d),
+rev AS (SELECT CAST(o_orderdate AS DATE) AS d,
+  SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS r, count(*) AS n
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+  CAST(COALESCE(rev.r, 0) AS DOUBLE) AS revenue,
+  CAST(COALESCE(rev.n, 0) AS BIGINT) AS n_orders
+FROM spine LEFT JOIN rev ON rev.d = spine.d""")
+def daily_revenue_gap_filled(spark, sf_dir):
+    # date-spine gap filling: a quarter's daily revenue INCLUDING
+    # zero-order days (absent group keys are the classic reporting bug —
+    # a groupBy can't produce rows for days that never happened). The
+    # spine is a sequence() literal exploded driver-free and broadcast
+    # onto the aggregated frame; revenue stays exact decimal until the
+    # output cast.
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1996-04-01").cast("timestamp"))))
+    rev = (o.groupBy(F.to_date("o_orderdate").alias("d"))
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .alias("r"),
+                F.count(F.lit(1)).alias("n")))
+    spine = spark.range(1).select(F.explode(F.expr(
+        "sequence(DATE '1996-01-01', DATE '1996-03-31', interval 1 day)"))
+        .alias("d"))
+    return (F.broadcast(spine).join(rev, "d", "left")
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    F.coalesce(F.col("r"), F.lit(0))
+                    .cast("double").alias("revenue"),
+                    F.coalesce(F.col("n"), F.lit(0))
+                    .cast("long").alias("n_orders")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
