@@ -5723,6 +5723,87 @@ def daily_revenue_gap_filled(spark, sf_dir):
                     .cast("long").alias("n_orders")))
 
 
+@q("customer_spend_concentration",
+   """WITH per AS (SELECT o_custkey,
+  SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS v FROM orders
+  GROUP BY o_custkey),
+r AS (SELECT v, row_number() OVER (ORDER BY v, o_custkey) AS i,
+  count(*) OVER () AS n, SUM(v) OVER () AS tot FROM per),
+g AS (SELECT MAX(n) AS n, CAST(MAX(tot) AS DOUBLE) AS total,
+  CAST(SUM(i * v) AS DOUBLE) AS iv,
+  CAST(SUM(CASE WHEN i > n - CAST(floor(0.2 * n) AS BIGINT) THEN v
+    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS top_v
+  FROM r)
+SELECT n AS n_customers, round(total, 4) AS total_spend,
+  round(2.0 * iv / (n * total) - (n + 1.0) / n, 6) AS gini,
+  round(top_v / total, 6) AS top20_share
+FROM g""")
+def customer_spend_concentration(spark, sf_dir):
+    # revenue-inequality metrics from ONE customer-grain aggregate:
+    # Gini = 2·Σ(i·v_i)/(n·Σv) − (n+1)/n over spend ranked ascending
+    # (ties pinned by custkey), and the top-20%% revenue share (the
+    # Pareto check). Every sum is exact decimal over integer ranks, so
+    # the two final float expressions are engine-stable. At scale the
+    # ranking runs on the CUSTOMER-grain frame (|customers| rows), never
+    # the order fact.
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per = (o.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .alias("v")))
+    wall = Window.partitionBy()
+    r = per.select(
+        "v",
+        F.row_number().over(wall.orderBy("v", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("v").over(wall).alias("tot"))
+    zero = F.lit(0).cast("decimal(18,6)")
+    g = r.agg(
+        F.max("n").alias("n"),
+        F.max("tot").cast("double").alias("total"),
+        F.sum(F.col("i") * F.col("v")).cast("double").alias("iv"),
+        F.sum(F.when(
+            F.col("i") > F.col("n")
+            - F.floor(F.lit(0.2) * F.col("n")).cast("long"),
+            F.col("v")).otherwise(zero)).cast("double").alias("top_v"))
+    return g.select(
+        F.col("n").alias("n_customers"),
+        F.round("total", 4).alias("total_spend"),
+        F.round(F.lit(2.0) * F.col("iv")
+                / (F.col("n") * F.col("total"))
+                - (F.col("n") + F.lit(1.0)) / F.col("n"), 6).alias("gini"),
+        F.round(F.col("top_v") / F.col("total"), 6).alias("top20_share"))
+
+
+@q("daily_new_vs_returning",
+   """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events),
+f AS (SELECT user_id, MIN(d) AS first_d FROM ud GROUP BY user_id)
+SELECT strftime(ud.d, '%Y-%m-%d') AS day,
+  CAST(SUM(CASE WHEN ud.d = f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+    AS new_users,
+  CAST(SUM(CASE WHEN ud.d > f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+    AS returning_users
+FROM ud JOIN f ON f.user_id = ud.user_id GROUP BY ud.d""")
+def daily_new_vs_returning(spark, sf_dir):
+    # the growth-dashboard staple: per day, how many active users are on
+    # their FIRST day vs returning. Dedupe to (user, day), derive each
+    # user's first day in the same user-keyed exchange (window min —
+    # Catalyst reuses the partitioning), classify, and count per day.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = F.min("d").over(Window.partitionBy("user_id"))
+    return (ud.withColumn("first_d", first)
+            .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+            .agg(F.sum((F.col("d") == F.col("first_d")).cast("long"))
+                 .alias("new_users"),
+                 F.sum((F.col("d") > F.col("first_d")).cast("long"))
+                 .alias("returning_users")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
