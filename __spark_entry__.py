@@ -5804,6 +5804,110 @@ def daily_new_vs_returning(spark, sf_dir):
                  .alias("returning_users")))
 
 
+@q("segment_priority_chi2",
+   """WITH obs AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+  count(*) AS n FROM orders o JOIN customer c
+  ON c.c_custkey = o.o_custkey GROUP BY 1, 2),
+tot AS (SELECT seg, pri, n,
+  SUM(n) OVER (PARTITION BY seg) AS row_n,
+  SUM(n) OVER (PARTITION BY pri) AS col_n,
+  SUM(n) OVER () AS grand FROM obs)
+SELECT seg, pri, n,
+  round(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+    / CAST(grand AS DOUBLE), 6) AS expected,
+  round(pow(CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE)
+      * CAST(col_n AS DOUBLE) / CAST(grand AS DOUBLE), 2)
+    / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+      / CAST(grand AS DOUBLE)), 6) AS chi2_term
+FROM tot""")
+def segment_priority_chi2(spark, sf_dir):
+    # chi-square independence screen for two categorical dimensions
+    # (market segment × order priority): observed cell counts, expected
+    # under independence (row_total × col_total / grand), and each cell's
+    # χ² contribution — the contingency diagnostics a feature-selection
+    # or bias audit runs. All three marginals come from windows over the
+    # already-aggregated |cells| frame, so the fact join is scanned once;
+    # counts are exact integers and each float expression is written once.
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey",
+                                                   "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey",
+                                                     "c_mktsegment")
+    obs = (o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+           .groupBy(F.col("c_mktsegment").alias("seg"),
+                    F.col("o_orderpriority").alias("pri"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = obs.select(
+        "seg", "pri", "n",
+        F.sum("n").over(Window.partitionBy("seg")).alias("row_n"),
+        F.sum("n").over(Window.partitionBy("pri")).alias("col_n"),
+        F.sum("n").over(Window.partitionBy()).alias("grand"))
+    exp = (F.col("row_n").cast("double") * F.col("col_n").cast("double")
+           / F.col("grand").cast("double"))
+    return tot.select(
+        "seg", "pri", "n",
+        F.round(exp, 6).alias("expected"),
+        F.round(F.pow(F.col("n").cast("double") - exp, 2) / exp, 6)
+        .alias("chi2_term"))
+
+
+@q("funnel_time_to_convert",
+   """WITH f AS (SELECT user_id,
+  MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id),
+conv AS (SELECT user_id, CAST(floor(epoch(first_purchase)) AS BIGINT)
+    - CAST(floor(epoch(first_view)) AS BIGINT) AS lag_s
+  FROM f WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view),
+r AS (SELECT lag_s, user_id,
+  row_number() OVER (ORDER BY lag_s, user_id) AS rv,
+  count(*) OVER () AS n FROM conv)
+SELECT count(*) AS n_converted,
+  CAST(MAX(CASE WHEN rv = CAST(ceil(0.5 * n) AS BIGINT)
+    THEN lag_s END) AS BIGINT) AS median_lag_s,
+  CAST(MAX(CASE WHEN rv = CAST(ceil(0.9 * n) AS BIGINT)
+    THEN lag_s END) AS BIGINT) AS p90_lag_s,
+  CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+  CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+FROM r""")
+def funnel_time_to_convert(spark, sf_dir):
+    # conversion-latency distribution: per user, first view -> first
+    # purchase lag (users whose first purchase precedes any view are
+    # excluded — they converted through another door); exact discrete
+    # median/p90 by rank selection over the converters frame (|users|
+    # grain, never the fact), ties pinned by user id. Epoch flooring and
+    # timezone offsets cancel in the difference.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("first_purchase"))
+    conv = (f.filter(F.col("first_view").isNotNull()
+                     & F.col("first_purchase").isNotNull()
+                     & (F.col("first_purchase") >= F.col("first_view")))
+            .select("user_id",
+                    (F.unix_timestamp("first_purchase")
+                     - F.unix_timestamp("first_view")).alias("lag_s")))
+    wall = Window.partitionBy()
+    r = conv.select(
+        "lag_s",
+        F.row_number().over(wall.orderBy("lag_s", "user_id")).alias("rv"),
+        F.count(F.lit(1)).over(wall).alias("n"))
+    sel = lambda q: F.max(F.when(  # noqa: E731
+        F.col("rv") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+        F.col("lag_s"))).cast("long")
+    return r.agg(F.count(F.lit(1)).alias("n_converted"),
+                 sel(0.5).alias("median_lag_s"),
+                 sel(0.9).alias("p90_lag_s"),
+                 F.min("lag_s").cast("long").alias("min_lag_s"),
+                 F.max("lag_s").cast("long").alias("max_lag_s"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
