@@ -5908,6 +5908,91 @@ def funnel_time_to_convert(spark, sf_dir):
                  F.max("lag_s").cast("long").alias("max_lag_s"))
 
 
+@q("ivm_revenue_by_region",
+   """WITH new_o AS (SELECT o_orderkey, o_custkey,
+  CASE WHEN md5(CAST(o_orderkey AS VARCHAR)) BETWEEN '1' AND '3'
+    THEN o_totalprice + 7 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE md5(CAST(o_orderkey AS VARCHAR)) >= '1'
+  UNION ALL SELECT o_orderkey + 1000000, o_custkey, o_totalprice
+  FROM orders WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1')
+SELECT r.r_name AS region,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  count(*) AS n
+FROM new_o o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name""")
+def ivm_revenue_by_region(spark, sf_dir):
+    # incremental view maintenance: the materialized revenue-by-region
+    # aggregate is REFRESHED from a CDC delta — deletes contribute
+    # −(value, 1), arrivals +(value, 1), an update both — folded into the
+    # old aggregate by relational.incremental_agg_update. The base table
+    # is never rescanned: cost is |old_agg| + |delta|. The oracle
+    # recomputes the aggregate from scratch on the new snapshot, so a
+    # hash match proves the delta algebra (SUM/COUNT self-maintenance)
+    # exactly. Deterministic md5-keyed mutation, same scheme as
+    # snapshot_diff_cdc.
+    from thewhisperdb_spark.operators.relational import (
+        incremental_agg_update)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    key = F.md5(F.col("o_orderkey").cast("string"))
+    new_o = (o.filter(key >= "1")
+             .withColumn("o_totalprice",
+                         F.when(key.between("1", "3"),
+                                F.col("o_totalprice") + 7)
+                         .otherwise(F.col("o_totalprice")))
+             .unionByName(o.filter(key < "1")
+                          .withColumn("o_orderkey",
+                                      F.col("o_orderkey") + 1000000)))
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region"))
+
+    def with_region(df):
+        return (df.join(F.broadcast(c),
+                        F.col("c_custkey") == F.col("o_custkey"))
+                .join(F.broadcast(n),
+                      F.col("n_nationkey") == F.col("c_nationkey"))
+                .join(F.broadcast(reg),
+                      F.col("r_regionkey") == F.col("n_regionkey")))
+
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    old_agg = (with_region(o).groupBy("region")
+               .agg(F.sum(dec).alias("rev"),
+                    F.count(F.lit(1)).alias("n")))
+    oj = o.alias("o")
+    nj = new_o.alias("nn")
+    j = oj.join(nj, F.col("o.o_orderkey") == F.col("nn.o_orderkey"),
+                "full_outer")
+    o_gone = F.col("nn.o_orderkey").isNull()
+    o_new = F.col("o.o_orderkey").isNull()
+    changed = (~o_gone & ~o_new
+               & ((F.col("o.o_totalprice") != F.col("nn.o_totalprice"))
+                  | (F.col("o.o_custkey") != F.col("nn.o_custkey"))))
+    minus = (j.filter(o_gone | changed)
+             .select(F.col("o.o_custkey").alias("o_custkey"),
+                     (-F.col("o.o_totalprice").cast("decimal(18,6)"))
+                     .alias("rev_d"), F.lit(-1).cast("long").alias("n_d")))
+    plus = (j.filter(o_new | changed)
+            .select(F.col("nn.o_custkey").alias("o_custkey"),
+                    F.col("nn.o_totalprice").cast("decimal(18,6)")
+                    .alias("rev_d"), F.lit(1).cast("long").alias("n_d")))
+    delta = (with_region(minus.unionByName(plus))
+             .select("region", F.col("rev_d").alias("rev"),
+                     F.col("n_d").alias("n")))
+    refreshed = incremental_agg_update(old_agg, delta, ["region"],
+                                       ["rev"], "n")
+    return refreshed.select("region",
+                            F.col("rev").cast("double").alias("revenue"),
+                            F.col("n"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

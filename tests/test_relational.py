@@ -204,3 +204,21 @@ def test_scd2_build_collapses_runs_and_roundtrips(spark):
     got = sorted((r["fts"].strftime("%m"), r["tier"]) for r in
                  scd2_point_in_time_join(fact, hist, "k", "fts").collect())
     assert got == [("02", "bronze"), ("04", "gold")]
+
+
+def test_incremental_agg_update_semantics(spark):
+    """IVM fold: inserts add, deletes subtract, an update contributes both
+    signs, and a group whose count hits zero disappears from the view."""
+    from thewhisperdb_spark.operators.relational import (
+        incremental_agg_update)
+
+    old = spark.createDataFrame(
+        [("a", 10, 2), ("b", 5, 1)], "k string, rev long, n long")
+    delta = spark.createDataFrame(
+        [("a", 3, 1),     # insert into a
+         ("b", -5, -1),   # delete b's only row -> group vanishes
+         ("c", 7, 1)],    # brand-new group
+        "k string, rev long, n long")
+    got = sorted(map(tuple, incremental_agg_update(
+        old, delta, ["k"], ["rev"], "n").collect()))
+    assert got == [("a", 13, 3), ("c", 7, 1)]

@@ -279,3 +279,28 @@ def scd2_build(changes: DataFrame, key: str, ts_col: str,
         key, *payload_cols,
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w).alias("valid_to"))
+
+
+def incremental_agg_update(old_agg: DataFrame, signed_delta: DataFrame,
+                           key_cols: list[str],
+                           sum_cols: list[str],
+                           count_col: str = "n") -> DataFrame:
+    """Incremental view maintenance for SUM/COUNT aggregates: fold a
+    SIGNED delta (rows carrying +measure for arrivals and −measure for
+    removals; an update contributes both) into a materialized aggregate
+    WITHOUT rescanning the base table — new_agg = old_agg ⊕ Σ delta per
+    key, groups whose count reaches zero dropped. SUM and COUNT are
+    self-maintainable (MIN/MAX are not under deletes — they need the
+    base or an auxiliary structure; refuse them upstream).
+
+    Cost: |old_agg| + |delta| rows through one grouped sum — the
+    materialized-view refresh a streaming/batch CDC pipeline runs per
+    tick, instead of the full base aggregation. Exactness requires the
+    measures to be exactly additive — pass decimals, not floats."""
+    cols = [*key_cols, *sum_cols, count_col]
+    both = (old_agg.select(*cols)
+            .unionByName(signed_delta.select(*cols)))
+    out = (both.groupBy(*key_cols)
+           .agg(*[F.sum(c).alias(c) for c in sum_cols],
+                F.sum(count_col).alias(count_col)))
+    return out.filter(F.col(count_col) > 0)
