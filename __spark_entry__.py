@@ -5993,6 +5993,118 @@ def ivm_revenue_by_region(spark, sf_dir):
                             F.col("n"))
 
 
+@q("cohort_ltv_curve",
+   """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d
+  FROM events GROUP BY user_id),
+v AS (SELECT e.user_id, f.cohort_d,
+  CAST(CAST(e.ts AS DATE) - f.cohort_d AS BIGINT) AS age_d,
+  CAST(e.value AS DECIMAL(18,6)) AS val
+  FROM events e JOIN f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'),
+wk AS (SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+  CAST(floor(age_d / 7) AS BIGINT) AS age_week, SUM(val) AS wv
+  FROM v WHERE age_d <= 27 GROUP BY 1, 2)
+SELECT cohort_day, age_week,
+  CAST(SUM(wv) OVER (PARTITION BY cohort_day ORDER BY age_week)
+    AS DOUBLE) AS cum_revenue
+FROM wk""")
+def cohort_ltv_curve(spark, sf_dir):
+    # cohort lifetime-value curve: purchase revenue accumulated by weeks
+    # since each user's first-seen day, cumulative per cohort — the
+    # retention matrix's revenue twin. The cumulative window runs over
+    # the tiny (cohort × ≤4 weeks) aggregated frame; per-week sums are
+    # exact decimal so the running totals are engine-stable.
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_d"))
+    v = (ev.filter(F.col("event_type") == "purchase")
+         .join(f.withColumnRenamed("user_id", "fu"),
+               F.col("fu") == F.col("user_id"))
+         .select("cohort_d",
+                 F.datediff(F.to_date("ts"), F.col("cohort_d"))
+                 .cast("long").alias("age_d"),
+                 F.col("value").cast("decimal(18,6)").alias("val"))
+         .filter(F.col("age_d") <= 27))
+    wk = (v.groupBy(F.date_format("cohort_d", "yyyy-MM-dd")
+                    .alias("cohort_day"),
+                    F.floor(F.col("age_d") / 7).cast("long")
+                    .alias("age_week"))
+          .agg(F.sum("val").alias("wv")))
+    wcum = (Window.partitionBy("cohort_day").orderBy("age_week")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return wk.select("cohort_day", "age_week",
+                     F.sum("wv").over(wcum).cast("double")
+                     .alias("cum_revenue"))
+
+
+@q("daily_error_rate_slo",
+   """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS errors, count(*) AS total
+  FROM events GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day, errors, total,
+  round(CAST(errors AS DOUBLE) / CAST(total AS DOUBLE), 6)
+    AS error_rate,
+  round(CAST(SUM(errors) OVER (ORDER BY day
+      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / CAST(SUM(total) OVER (ORDER BY day
+      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+    AS error_rate_7d
+FROM d""")
+def daily_error_rate_slo(spark, sf_dir):
+    # SLO dashboard shape: daily error rate plus the trailing-7-row burn
+    # window, both as single divisions of exact integer window sums (the
+    # rolling ratio is sum(err)/sum(total), NOT an average of daily
+    # rates — the classic SLO-burn mistake this query spells correctly).
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (ev.groupBy(F.to_date("ts").alias("day"))
+         .agg(F.sum((F.col("event_type") == "error").cast("long"))
+              .alias("errors"),
+              F.count(F.lit(1)).alias("total")))
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "errors", "total",
+        F.round(F.col("errors").cast("double")
+                / F.col("total").cast("double"), 6).alias("error_rate"),
+        F.round(F.sum("errors").over(w7).cast("double")
+                / F.sum("total").over(w7).cast("double"), 6)
+        .alias("error_rate_7d"))
+
+
+@q("user_rate_anomalies",
+   """WITH m AS (SELECT user_id, date_trunc('minute', ts) AS minute,
+  count(*) AS n FROM events GROUP BY 1, 2),
+s AS (SELECT user_id, CAST(MAX(n) AS BIGINT) AS max_per_minute,
+  CAST(SUM(n) AS BIGINT) AS total_events,
+  count(*) AS active_minutes FROM m GROUP BY user_id)
+SELECT user_id, max_per_minute, total_events, active_minutes,
+  round(CAST(total_events AS DOUBLE) / CAST(active_minutes AS DOUBLE), 6)
+    AS mean_per_active_minute
+FROM s WHERE max_per_minute >= 2""")
+def user_rate_anomalies(spark, sf_dir):
+    # bot/abuse screen: per-user peak events-per-minute plus activity
+    # shape, flagging users whose burst rate crosses the threshold — two
+    # partial-aggregating shuffles on (user, minute) then (user); no
+    # windows, no self-joins, the per-minute grain bounds state.
+    ev = load_table(spark, sf_dir, "events")
+    m = (ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("minute"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    s = (m.groupBy("user_id")
+         .agg(F.max("n").cast("long").alias("max_per_minute"),
+              F.sum("n").cast("long").alias("total_events"),
+              F.count(F.lit(1)).alias("active_minutes")))
+    return (s.filter(F.col("max_per_minute") >= 2)
+            .select("user_id", "max_per_minute", "total_events",
+                    "active_minutes",
+                    F.round(F.col("total_events").cast("double")
+                            / F.col("active_minutes").cast("double"), 6)
+                    .alias("mean_per_active_minute")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
