@@ -500,3 +500,29 @@ def test_dq_predicate_report_single_scan(spark):
         "a": F.col("x") < 0, "b": F.col("x") > 100,
         "c": F.col("x").isNull()}))
     assert plan.count("Range") == 1  # the source appears once
+
+
+def test_plan_doctor_flags_and_clears(spark):
+    """plan_doctor catches a cartesian product and a single-partition
+    window over a fact, and stays quiet on clean plans."""
+    from thewhisperdb_spark.plans.doctor import plan_lints
+
+    a = spark.range(10).select(F.col("id").alias("x"))
+    b = spark.range(10).select(F.col("id").alias("y"))
+    cart = a.crossJoin(b)  # small side -> BroadcastNestedLoopJoin, Cross
+    assert any("cartesian" in w for w in plan_lints(cart))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:  # no broadcast allowed -> literal CartesianProduct operator
+        assert any("cartesian" in w
+                   for w in plan_lints(a.crossJoin(b)))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    from pyspark.sql import Window
+    gw = a.withColumn("rk", F.row_number().over(Window.orderBy("x")))
+    assert any("single-partition" in w for w in plan_lints(gw))
+
+    clean = (a.join(b.withColumnRenamed("y", "x"), "x")
+             .groupBy("x").count())
+    assert plan_lints(clean) == []
