@@ -526,3 +526,21 @@ def test_plan_doctor_flags_and_clears(spark):
     clean = (a.join(b.withColumnRenamed("y", "x"), "x")
              .groupBy("x").count())
     assert plan_lints(clean) == []
+
+
+def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: re-writing one day replaces that
+    day's content and leaves other days' files byte-untouched; a
+    full-mode overwrite would have dropped them."""
+    from thewhisperdb_spark.catalog import backfill_partitions, save_partitioned
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)],
+        "day string, v long")
+    save_partitioned(base, path, "day")
+    fix = spark.createDataFrame([("2024-01-01", 99)], "day string, v long")
+    backfill_partitions(fix, path, "day")
+    got = {(str(r["day"]), r["v"])  # partition col type is re-inferred
+           for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 99), ("2024-01-02", 3)}

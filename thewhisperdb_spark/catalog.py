@@ -124,3 +124,15 @@ def save_partitioned(df: DataFrame, path: str, *cols: str) -> None:
     the archive. Mirrors the reference's date-sharded attachment layout
     (``src/server/FileStorage.cpp:134-143``) at the table level."""
     df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def backfill_partitions(df: DataFrame, path: str, *cols: str) -> None:
+    """Partial refresh of a hive-partitioned table: overwrite ONLY the
+    partitions present in ``df`` (dynamic partition overwrite), leaving
+    every other partition's files untouched — the backfill/late-data
+    repair primitive. A full-mode overwrite here would silently drop the
+    rest of the table, the classic backfill accident; static->dynamic is
+    scoped to this one write, not the session."""
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*cols).parquet(path))
