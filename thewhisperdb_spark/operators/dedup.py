@@ -581,7 +581,11 @@ def repeated_span_scrub(df: DataFrame, k: int = 8, min_count: int = 2,
            .groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
            .filter(F.col("c") >= min_count)
            .select("sh", F.lit(1).alias("is_dup")))
-    marked = (base.join(F.broadcast(dup), "sh", "left")
+    # no forced broadcast: on clean corpora the duplicated-shingle set is
+    # small and AQE broadcasts it anyway; on self-similar/boilerplate-heavy
+    # corpora it can approach |shingles| and a hint would OOM — the
+    # size-gated choice belongs to the optimizer here
+    marked = (base.join(dup, "sh", "left")
               .withColumn("dup_start",
                           F.coalesce(F.col("is_dup"), F.lit(0))))
     wcov = (Window.partitionBy(id_col).orderBy("pos")
