@@ -745,7 +745,7 @@ def brand_type_revenue(spark, sf_dir):
     # part-dimension certification: fact->dim broadcast join + grouped agg
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
             .groupBy("p_brand", "p_type")
             .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
                  .cast("double").alias("revenue"),
@@ -3444,7 +3444,7 @@ def top3_parts_per_brand(spark, sf_dir):
     from pyspark.sql import Window
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    rev = (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
            .groupBy("p_brand", "l_partkey")
            .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
                 .cast("double").alias("revenue")))
@@ -4442,7 +4442,7 @@ def tpch_q14_promo_revenue(spark, sf_dir):
     rev = (F.col("l_extendedprice").cast("decimal(18,6)")
            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)"))
     zero = F.lit(0).cast("decimal(18,6)")
-    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
     agg = j.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
         .alias("promo_dec"),
@@ -4764,7 +4764,10 @@ def tpch_q8_market_share(spark, sf_dir):
     rev = (F.col("l_extendedprice").cast("decimal(18,6)")
            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)"))
     zero = F.lit(0).cast("decimal(18,6)")
-    allv = (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    # part carries NO broadcast hint: unlike region/nation/supplier it is
+    # fact-class at TPC-H scale (catalog.BROADCAST_TABLES) — AQE broadcasts
+    # the type-filtered side when it is actually small
+    allv = (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
             .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
             .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
             .join(c, F.col("c_custkey") == F.col("o_custkey"))
@@ -4809,7 +4812,7 @@ def tpch_q9_product_type_profit(spark, sf_dir):
         "l_extendedprice", "l_discount")
     rev = (F.col("l_extendedprice").cast("decimal(18,6)")
            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)"))
-    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
             .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
             .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
             .groupBy("nation",
@@ -4896,7 +4899,7 @@ def tpch_q16_part_supplier_counts(spark, sf_dir):
          .select("p_partkey", "p_brand", "p_type", "p_size"))
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey")
-    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
 
@@ -4924,7 +4927,7 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
           .agg((F.lit(0.2) * F.avg("l_quantity")).alias("thresh")))
     p = (load_table(spark, sf_dir, "part")
          .filter(F.col("p_brand") == "Brand#3").select("p_partkey"))
-    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
             .join(pa, F.col("pa_key") == F.col("l_partkey"))
             .filter(F.col("l_quantity") < F.col("thresh"))
             .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
@@ -4962,7 +4965,7 @@ def tpch_q19_discounted_revenue(spark, sf_dir):
            & F.col("l_quantity").between(20, 30)))
     rev = (F.col("l_extendedprice").cast("decimal(18,6)")
            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)"))
-    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
             .filter(band)
             .agg(F.sum(rev).cast("double").alias("revenue")))
 
