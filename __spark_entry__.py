@@ -3627,7 +3627,7 @@ def supplier_names_rollup(spark, sf_dir):
 @q("events_bool_aggs",
    "SELECT user_id, bool_or(value > 90) AS any_high, "
    "bool_and(value >= 0) AS all_nonneg, "
-   "count_if(event_type = 'click') AS n_clicks, count(*) AS n "
+   "CAST(count_if(event_type = 'click') AS BIGINT) AS n_clicks, count(*) AS n "
    "FROM events GROUP BY user_id")
 def events_bool_aggs(spark, sf_dir):
     # boolean-aggregate surface: bool_or / bool_and / count_if compile to
@@ -5667,7 +5667,11 @@ SELECT doc_id, count(*) AS n_tokens,
   CAST(SUM(covered) AS BIGINT) AS n_removed,
   md5(COALESCE(string_agg(tok, ' ' ORDER BY pos)
     FILTER (WHERE covered = 0), '')) AS clean_md5
-FROM c GROUP BY doc_id""")
+FROM c GROUP BY doc_id
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_removed,
+  md5('') AS clean_md5
+FROM t WHERE COALESCE(len(tk), 0) = 0""")
 def repeated_span_scrub_stats(spark, sf_dir):
     # span-level exact-substring dedup (the Lee et al. ExactSubstr shape
     # at 8-token-shingle granularity): corpus-repeated spans — license

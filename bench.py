@@ -149,12 +149,28 @@ def main():
         timings[key] = round(statistics.median(runs), 3)
         print(f"# {key}: {timings[key]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # Full per-query map goes to a file: with 90 headline keys the one-line
+    # JSON outgrew the driver's ~2KB stdout tail capture in r4 and the round
+    # recorded "parsed: null". The LAST stdout line is now a compact summary
+    # (metric/value/unit/sf + the 10 slowest keys) that always fits.
+    full = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "queries": slowest,
     }))
 
 

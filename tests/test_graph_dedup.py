@@ -394,3 +394,23 @@ def test_repeated_span_scrub_cross_doc_and_self_repeat(spark):
     assert got[2] == (5, 3, "z q")
     assert got[3] == (6, 6, "")
     assert got[4] == (5, 0, "p q r s t")
+
+
+def test_repeated_span_scrub_empty_and_null_docs(spark):
+    """Empty / whitespace-only / NULL-text docs must not crash the job
+    (sequence(0,-1) + element_at used to throw, ADVICE r4) and must come
+    back as (id, 0, 0, '') rows instead of silently disappearing."""
+    from thewhisperdb_spark.operators.dedup import repeated_span_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"),   # normal doc with a self-repeat
+         (2, ""),              # empty
+         (3, "   "),           # whitespace-only
+         (4, None)],           # NULL text
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for r in repeated_span_scrub(docs, k=3, min_count=2).collect()}
+    assert set(got) == {1, 2, 3, 4}          # nothing dropped
+    assert got[1] == (6, 6, "")              # self-repeat scrubs to empty
+    for i in (2, 3, 4):
+        assert got[i] == (0, 0, "")

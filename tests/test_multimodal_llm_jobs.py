@@ -263,6 +263,25 @@ def test_http_embedder_request_response_shape():
         bad(["a"])
 
 
+def test_http_clients_fail_fast_without_api_key(monkeypatch):
+    # default transport + no resolvable key must raise at construction, not
+    # send "Authorization: Bearer " (empty) to a real endpoint (ADVICE r4)
+    import pytest
+
+    from thewhisperdb_spark.functions.llm import HttpEmbedder, HttpTagGenerator
+
+    monkeypatch.delenv("WHISPERDB_LLM_API_KEY", raising=False)
+    with pytest.raises(ValueError, match="API key"):
+        HttpEmbedder(base_url="https://llm.example.test")
+    with pytest.raises(ValueError, match="API key"):
+        HttpTagGenerator(["t"], base_url="https://llm.example.test")
+    # an injected transport is exempt (tests, custom auth schemes)
+    HttpEmbedder(base_url="x", transport=lambda *a: {"data": []})
+    # and an env-provided key satisfies the default transport
+    monkeypatch.setenv("WHISPERDB_LLM_API_KEY", "sk-env")
+    assert HttpEmbedder(base_url="x").api_key == "sk-env"
+
+
 def test_http_tag_generator_request_response_shape():
     # chat-completions tagger: vocabulary + max-new-tags prompt contract,
     # temperature/max_tokens knobs (TagClient.cpp:159-211), raw completions

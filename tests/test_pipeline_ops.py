@@ -277,8 +277,10 @@ def test_mixture_weights_rejects_unknown_targets(spark):
 
     rows = [(1, "t1 t2", "a"), (2, "t3", "b")]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
-    with pytest.raises(ValueError, match="webb"):
-        SM.mixture_weights(df, targets={"webb": 0.5, "b": 0.5})
+    # validation is lazy (raise_error inside the plan, not an eager
+    # plan-construction-time collect) — it fires at action time
+    with pytest.raises(Exception, match="webb"):
+        SM.mixture_weights(df, targets={"webb": 0.5, "b": 0.5}).collect()
     # observed strata absent from targets get the explicit 0.0 weight
     got = {r.source: r.mix_weight
            for r in SM.mixture_weights(df, targets={"b": 1.0}).collect()}

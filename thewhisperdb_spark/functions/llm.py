@@ -186,14 +186,24 @@ def _resolve_llm_config(base_url, model, model_env: str, model_default: str,
     URL / model / key, default transport — one place, no copy-paste drift."""
     import os
 
+    resolved_key = (api_key if api_key is not None
+                    else os.environ.get("WHISPERDB_LLM_API_KEY", ""))
+    resolved_transport = transport or _default_transport
+    if resolved_transport is _default_transport and not resolved_key:
+        # a misconfigured deployment would otherwise send
+        # "Authorization: Bearer " (empty) over the network and surface as
+        # a confusing remote 401 — fail fast at construction (ADVICE r4).
+        # An injected transport (tests, custom auth) skips the check.
+        raise ValueError(
+            "no API key: pass api_key= or set WHISPERDB_LLM_API_KEY "
+            "(required when using the default HTTP transport)")
     return (
         (base_url or os.environ.get("WHISPERDB_LLM_BASE_URL",
                                     "https://api.openai.com")).rstrip("/"),
         model or os.environ.get(model_env, model_default),
-        api_key if api_key is not None
-        else os.environ.get("WHISPERDB_LLM_API_KEY", ""),
+        resolved_key,
         float(timeout),
-        transport or _default_transport,
+        resolved_transport,
     )
 
 

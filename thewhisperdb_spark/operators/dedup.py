@@ -563,7 +563,19 @@ def repeated_span_scrub(df: DataFrame, k: int = 8, min_count: int = 2,
     is exactly the Lee et al. span rule at shingle resolution.
 
     Returns (id, n_tokens, n_removed, clean_text)."""
-    toks = tokens(F.col(text_col))
+    src = df.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    # Empty/whitespace-only/NULL-text docs: sequence(0, size-1) would be
+    # sequence(0, -1) = [0, -1] and element_at(toks, 0) throws — and raw
+    # corpora are full of empty docs, exactly this operator's input. They
+    # carry no spans, so route them around the scrub and union back as
+    # (id, 0, 0, '') so no document silently disappears (ADVICE r4).
+    toks = F.col("__toks")
+    nonempty = src.filter(F.size(toks) > 0)
+    empties = (src.filter(F.coalesce(F.size(toks), F.lit(0)) <= 0)
+               .select(id_col,
+                       F.lit(0).cast("long").alias("n_tokens"),
+                       F.lit(0).cast("long").alias("n_removed"),
+                       F.lit("").alias("clean_text")))
     # (pos, tok, shingle-starting-here) minted IN-ARRAY before the
     # explode — no window needed to build shingles, the per-doc slice
     # does it (same trick as unit_dedup); sh is NULL for tail positions
@@ -575,7 +587,7 @@ def repeated_span_scrub(df: DataFrame, k: int = 8, min_count: int = 2,
             F.element_at(toks, i + 1).alias("tok"),
             F.when(i + k <= F.size(toks),
                    F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("sh")))
-    base = (df.select(id_col, F.explode(entries).alias("e"))
+    base = (nonempty.select(id_col, F.explode(entries).alias("e"))
             .select(id_col, "e.pos", "e.tok", "e.sh"))
     dup = (base.filter(F.col("sh").isNotNull())
            .groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
@@ -591,12 +603,13 @@ def repeated_span_scrub(df: DataFrame, k: int = 8, min_count: int = 2,
     wcov = (Window.partitionBy(id_col).orderBy("pos")
             .rowsBetween(-(k - 1), 0))
     cov = marked.withColumn("covered", F.max("dup_start").over(wcov))
-    return (cov.groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
-                 F.sum(F.col("covered").cast("long")).alias("n_removed"),
-                 F.concat_ws(" ", F.array_compact(F.transform(
-                     F.array_sort(F.collect_list(F.struct(
-                         F.col("pos"),
-                         F.when(F.col("covered") == 0, F.col("tok"))
-                         .alias("tok")))),
-                     lambda s: s["tok"]))).alias("clean_text")))
+    scrubbed = (cov.groupBy(id_col)
+                .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                     F.sum(F.col("covered").cast("long")).alias("n_removed"),
+                     F.concat_ws(" ", F.array_compact(F.transform(
+                         F.array_sort(F.collect_list(F.struct(
+                             F.col("pos"),
+                             F.when(F.col("covered") == 0, F.col("tok"))
+                             .alias("tok")))),
+                         lambda s: s["tok"]))).alias("clean_text")))
+    return scrubbed.unionByName(empties)

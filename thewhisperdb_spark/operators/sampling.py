@@ -94,20 +94,27 @@ def mixture_weights(df: DataFrame, strata_col: str = "source",
         target = F.lit(1.0) / F.col("_n_strata")
     else:
         # a target key matching no observed stratum is almost always a typo
-        # that would silently zero-weight the real stratum — fail loudly
-        # (the check reads only the |strata|-row aggregate, not the corpus)
-        observed = {r[0] for r in per.select(strata_col).collect()}
-        unknown = set(targets) - observed
-        if unknown:
-            raise ValueError(
-                f"targets name strata not present in the data: "
-                f"{sorted(unknown)} (observed: {sorted(observed)})")
+        # that would silently zero-weight the real stratum — fail loudly.
+        # The check is LAZY (raise_error over the |strata|-row window, no
+        # eager collect): the old plan-construction-time .collect() forced
+        # a full corpus aggregation twice — once for the check, once when
+        # the returned frame ran (ADVICE r4).
+        matched = F.sum(
+            F.when(F.col(strata_col).isin(list(targets)), 1).otherwise(0)
+        ).over(wall)
+        guard = F.when(
+            matched < F.lit(len(set(targets))),
+            F.raise_error(F.concat(
+                F.lit("mixture_weights: targets name strata not present "
+                      "in the data; expected all of "),
+                F.lit(str(sorted(targets))))).cast("double"))
         # observed strata absent from `targets` get weight 0.0 — the
         # explicit "drop unlisted domains" semantic
         target = F.lit(0.0)
         for value, share in targets.items():
             target = F.when(F.col(strata_col) == value,
                             F.lit(float(share))).otherwise(target)
+        target = F.coalesce(guard, target)
     share = F.col("n_tokens").cast("double") / F.col("_total")
     return out.select(
         strata_col, "n_docs", "n_tokens",

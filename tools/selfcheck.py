@@ -16,8 +16,17 @@ import pandas as pd
 
 def norm_cell(v):
     if isinstance(v, float):
-        # mirror a tolerant driver: stabilize float formatting
-        return f"{v:.9g}"
+        # Stabilize float formatting BUT keep a float marker: the driver
+        # hashes an int-typed 5 differently from a float-typed 5.0 (r4
+        # events_bool_aggs went driver-red because DuckDB count_if returns
+        # HUGEINT -> pandas float64 while Spark returned BIGINT, and the old
+        # %.9g collapse hid it locally). A float that formats without a
+        # decimal point or exponent gets ".0" appended so the local suite
+        # fails exactly where the driver would.
+        s = f"{v:.9g}"
+        if "." not in s and "e" not in s and "n" not in s:  # nan/inf keep as-is
+            s += ".0"
+        return s
     return str(v)
 
 
