@@ -2495,22 +2495,63 @@ def incremental_prefix_dedup(spark, sf_dir):
             .groupBy("doc_id").agg(F.min("c_id").alias("dup_of")))
 
 
-@q("kmeans_clusters", None)
+@q("kmeans_clusters",
+   # contract oracle (embed_documents_fallback pattern): the float-iterative
+   # assignments aren't SQL-portable, but the conservation contract is —
+   # every embedding assigned exactly once, to a cluster label that is a
+   # real seed vec_id (kmeans_fit labels cells by their deterministic
+   # xxhash64-min seed ids, not 0..k-1)
+   "SELECT vec_id, CAST(1 AS BIGINT) AS n_assign, TRUE AS cluster_valid "
+   "FROM embeddings")
 def kmeans_clusters(spark, sf_dir):
     # distributed spherical k-means (literal-centroid argmax assign, one
     # map-side-combined shuffle per iteration); deterministic init -> stable
-    # rows; pytest checks blob recovery + determinism
-    return V.kmeans_assign(_emb(spark, sf_dir), k=10, max_iter=5)
+    # rows; pytest checks blob recovery + determinism. The driver-checked
+    # output is the per-row assignment contract (exactly-once, label is a
+    # valid seed id); the float assignments themselves stay pytest-verified.
+    emb = _emb(spark, sf_dir)
+    lab = V.kmeans_assign(emb, k=10, max_iter=5)
+    seeds = emb.select(F.col("vec_id").alias("cluster"),
+                       F.lit(True).alias("_seed"))
+    return (lab.join(seeds, "cluster", "left")
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n_assign"),
+                 F.bool_and(F.coalesce("_seed", F.lit(False)))
+                 .alias("cluster_valid")))
 
 
-@q("kmeans_diverse_sample", None)
+@q("kmeans_diverse_sample",
+   # contract oracle: per-cluster caps + dense 1..n ranks + sampled ids
+   # valid and unique — all portable; which ids land in which float-derived
+   # cluster is pytest territory
+   "SELECT TRUE AS caps_ok, TRUE AS rk_dense, "
+   "CAST(0 AS BIGINT) AS n_invalid_ids, CAST(0 AS BIGINT) AS n_dup_ids "
+   "FROM (SELECT 1 FROM embeddings LIMIT 1)")
 def kmeans_diverse_sample(spark, sf_dir):
     # diversity-aware subsampling: cluster the embedding space, then draw a
     # fixed-N deterministic sample per cluster — the curation pattern for
-    # balancing a training mix across semantic regions
-    lab = V.kmeans_assign(_emb(spark, sf_dir), k=10, max_iter=5)
-    return (SM.stratified_sample(lab, "cluster", 5, id_col="vec_id")
-            .select("vec_id", "cluster", "rk"))
+    # balancing a training mix across semantic regions. Checked contract:
+    # <=5 rows per cluster with ranks exactly 1..n, and every sampled
+    # vec_id exists in embeddings exactly once.
+    emb = _emb(spark, sf_dir)
+    lab = V.kmeans_assign(emb, k=10, max_iter=5)
+    smp = (SM.stratified_sample(lab, "cluster", 5, id_col="vec_id")
+           .select("vec_id", "cluster", "rk"))
+    per_cluster = smp.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("rk").alias("max_rk"),
+        F.count_distinct("rk").alias("n_rk"))
+    caps = per_cluster.agg(
+        F.bool_and(F.col("n") <= 5).alias("caps_ok"),
+        F.bool_and((F.col("max_rk") == F.col("n"))
+                   & (F.col("n_rk") == F.col("n"))).alias("rk_dense"))
+    ids = (smp.join(emb.select("vec_id", F.lit(1).alias("ok")),
+                    "vec_id", "left")
+           .agg(F.sum(F.when(F.col("ok").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_invalid_ids"),
+                (F.count(F.lit(1)) - F.count_distinct("vec_id"))
+                .cast("long").alias("n_dup_ids")))
+    return caps.crossJoin(ids)  # 1-row x 1-row
 
 
 @q("streaming_sliding_counts",
