@@ -94,6 +94,50 @@ def test_resize_images_nearest_neighbor(media_df):
         resize_images(media_df, 4, 4, None).collect()
 
 
+def test_image_pipeline_real_bytes_no_injection(spark):
+    """binaryFile -> metadata -> decode -> features -> resize end-to-end on
+    COMMITTED real image bytes with the default stdlib codec — no injected
+    fakes (VERDICT r4 item 5). Fixtures: tests/fixtures/tiny.{ppm,bmp,pgm}."""
+    import os
+
+    from thewhisperdb_spark.sources.multimodal import (
+        decode_ppm_bmp,
+        resize_images,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    media = with_media_metadata(
+        read_binary_files(spark, root, glob="tiny.*"))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert rows["tiny.ppm"]["modality"] == "image"
+    assert rows["tiny.bmp"]["mime"] == "image/bmp"
+    assert rows["tiny.pgm"]["mime"] == "image/x-portable-graymap"
+
+    feats = {r["path"].rsplit("/", 1)[-1]: r
+             for r in extract_image_features(media).collect()}
+    # P6 PPM: 6x4 gradient, pixel (r,c) = (40c, 60r, 128)
+    assert (feats["tiny.ppm"]["height"], feats["tiny.ppm"]["width"]) == (4, 6)
+    exp_mean = sum((min(255, 40 * c) + min(255, 60 * r) + 128) / (3 * 255.0)
+                   for r in range(4) for c in range(6)) / 24
+    assert abs(feats["tiny.ppm"]["mean_intensity"] - exp_mean) < 1e-12
+    # BMP: bottom-up storage must come back top-down; pixel (r,c) BGR =
+    # (10r, 20c, 255)
+    assert (feats["tiny.bmp"]["height"], feats["tiny.bmp"]["width"]) == (4, 4)
+    bmp_raster = decode_ppm_bmp(
+        open(os.path.join(root, "tiny.bmp"), "rb").read())
+    assert bmp_raster[0][0] == 255 / (3 * 255.0)          # r=0,c=0
+    assert bmp_raster[3][2] == (30 + 40 + 255) / (3 * 255.0)
+    # ASCII PGM: 3x2 with maxval 15
+    pgm = decode_ppm_bmp(open(os.path.join(root, "tiny.pgm"), "rb").read())
+    assert pgm == [[0 / 15, 5 / 15, 10 / 15], [15 / 15, 3 / 15, 9 / 15]]
+
+    # resize through the same default codec
+    rs = {r["path"].rsplit("/", 1)[-1]: r
+          for r in resize_images(media, 2, 2).collect()}
+    assert all(r["height"] == 2 and r["width"] == 2 for r in rs.values())
+    assert len(rs) == 3
+
+
 def test_frame_sampling(media_df):
     frames = sample_frames(media_df, every_n_bytes=1 << 16, frame_bytes=64).collect()
     assert len(frames) == 4                 # 256 KiB / 64 KiB

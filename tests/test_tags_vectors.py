@@ -219,6 +219,13 @@ def test_ivf_index_format_version_guard(spark, tmp_path):
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
     with pytest.raises(ValueError, match="format v1"):
         V.ivf_index_probe(spark, path, q, k=2, n_probe=2)
+    # interrupted build (-1 sentinel: build died between invalidate and
+    # final stamp) -> loud failure, distinct message
+    (spark.createDataFrame([(-1, "md5-min-v2")],
+                           "format_version int, hash_scheme string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+    with pytest.raises(ValueError, match="in-progress/interrupted"):
+        V.ivf_index_probe(spark, path, q, k=2, n_probe=2)
     # missing marker (pre-versioning index) -> loud failure on append too
     shutil.rmtree(f"{path}/meta")
     with pytest.raises(ValueError, match="no meta"):

@@ -7,11 +7,14 @@ attachment bytes on disk + pdftotext extraction
 (``src/server/FileStorage.cpp``, ``src/embedding/TextExtractor.cpp:26-81``);
 here the same shape generalizes to image/audio/video feature pipelines.
 
-Decode stubs: the container has no image/audio codecs, so ``_decode_image``
-raises NotImplementedError unless a codec hook is injected; the
-DETERMINISTIC_FAKE hook derives reproducible pseudo-pixels from the byte
-content so the Spark-side plumbing (schemas, batching, partitioning, UDF
-signatures) is fully real and tested without codecs.
+Decoding: the default image hook :func:`decode_ppm_bmp` is a stdlib-only
+decoder for codec-free formats (netpbm PPM/PGM, uncompressed BMP), so the
+binaryFile -> decode -> features -> resize pipeline runs end-to-end on real
+bytes. Entropy-coded formats (PNG/JPEG) and audio/video raise
+NotImplementedError unless a codec hook is injected; the DETERMINISTIC_FAKE
+hooks derive reproducible pseudo-pixels from byte content so the Spark-side
+plumbing (schemas, batching, partitioning, UDF signatures) stays fully
+tested without codecs.
 """
 
 from __future__ import annotations
@@ -48,7 +51,10 @@ _EXT_MODALITY = {
     ".txt": ("text", "text/plain"), ".md": ("text", "text/markdown"),
     ".text": ("text", "text/plain"), ".pdf": ("text", "application/pdf"),
     ".png": ("image", "image/png"), ".jpg": ("image", "image/jpeg"),
-    ".jpeg": ("image", "image/jpeg"), ".wav": ("audio", "audio/wav"),
+    ".jpeg": ("image", "image/jpeg"),
+    ".ppm": ("image", "image/x-portable-pixmap"),
+    ".pgm": ("image", "image/x-portable-graymap"),
+    ".bmp": ("image", "image/bmp"), ".wav": ("audio", "audio/wav"),
     ".mp3": ("audio", "audio/mpeg"), ".mp4": ("video", "video/mp4"),
 }
 
@@ -126,6 +132,113 @@ def extract_text(media: DataFrame, cap: int = _TEXT_CAP) -> DataFrame:
 ImageDecoder = Callable[[bytes], "list[list[float]]"]
 
 
+_PPM_WS = b" \t\r\n\x0b\x0c"
+
+
+def _ppm_token(buf: bytes, i: int) -> tuple[bytes, int]:
+    """Next whitespace-delimited token at/after ``i``, skipping '#' comments
+    (the netpbm header grammar). Returns (token, end_index)."""
+    n = len(buf)
+    while i < n:
+        if buf[i] in _PPM_WS:
+            i += 1
+        elif buf[i:i + 1] == b"#":
+            while i < n and buf[i] not in b"\r\n":
+                i += 1
+        else:
+            break
+    j = i
+    while j < n and buf[j] not in _PPM_WS:
+        j += 1
+    return buf[i:j], j
+
+
+def _decode_netpbm(content: bytes) -> list[list[float]]:
+    magic, i = _ppm_token(content, 0)
+    w, i = _ppm_token(content, i)
+    h, i = _ppm_token(content, i)
+    mx, i = _ppm_token(content, i)
+    w, h, maxval = int(w), int(h), int(mx)
+    if w <= 0 or h <= 0 or maxval <= 0:
+        raise ValueError(f"bad netpbm dimensions {w}x{h} maxval={maxval}")
+    ch = 3 if magic in (b"P3", b"P6") else 1
+    if magic in (b"P5", b"P6"):
+        i += 1  # exactly one whitespace byte separates header from raster
+        bpp = 1 if maxval < 256 else 2
+        need = w * h * ch * bpp
+        data = content[i:i + need]
+        if len(data) < need:
+            raise ValueError(f"truncated netpbm raster: {len(data)}/{need}")
+        if bpp == 1:
+            px: list[int] = list(data)
+        else:
+            px = [int.from_bytes(data[k:k + 2], "big")
+                  for k in range(0, need, 2)]
+    else:  # P2 / P3 ASCII
+        px = []
+        while len(px) < w * h * ch:
+            t, i = _ppm_token(content, i)
+            if not t:
+                raise ValueError("truncated ASCII netpbm raster")
+            px.append(int(t))
+    if ch == 3:
+        gray = [(px[k] + px[k + 1] + px[k + 2]) / (3.0 * maxval)
+                for k in range(0, w * h * 3, 3)]
+    else:
+        gray = [p / maxval for p in px]
+    return [gray[r * w:(r + 1) * w] for r in range(h)]
+
+
+def _decode_bmp(content: bytes) -> list[list[float]]:
+    import struct
+
+    if len(content) < 54:
+        raise ValueError("truncated BMP header")
+    off = struct.unpack_from("<I", content, 10)[0]
+    w, h = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    comp = struct.unpack_from("<I", content, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BI_RGB BMP is built in "
+            f"(got bpp={bpp} compression={comp}); inject a codec for others")
+    top_down, h = h < 0, abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) // 4 * 4
+    if len(content) < off + stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = []
+    for r in range(h):
+        base = off + (r if top_down else h - 1 - r) * stride
+        rows.append([(content[base + c * nb]          # B
+                      + content[base + c * nb + 1]    # G
+                      + content[base + c * nb + 2])   # R
+                     / (3.0 * 255.0) for c in range(w)])
+    return rows
+
+
+def decode_ppm_bmp(content: bytes) -> list[list[float]]:
+    """Default image decode hook: stdlib-only decoders for the formats that
+    need no codec library — netpbm (P2/P3 ASCII, P5/P6 binary, 8/16-bit
+    maxval) and uncompressed 24/32-bit BI_RGB BMP — so the
+    binaryFile -> decode -> features/resize pipeline runs end-to-end on real
+    bytes, like the reference's attachment path
+    (``src/server/FileStorage.cpp:13-71`` -> ``TextExtractor.cpp``).
+    Returns a row-major grayscale raster in [0, 1] (RGB averaged).
+    Entropy-coded formats (PNG/JPEG) still require an injected codec —
+    that gate is now per-format instead of module-wide."""
+    content = bytes(content)
+    magic = content[:2]
+    if magic in (b"P2", b"P3", b"P5", b"P6"):
+        return _decode_netpbm(content)
+    if magic == b"BM":
+        return _decode_bmp(content)
+    raise NotImplementedError(
+        f"no built-in codec for this image format (magic {magic!r}): the "
+        "default decoder handles netpbm (PPM/PGM) and uncompressed BMP — "
+        "inject a decoder (e.g. PIL-based) for PNG/JPEG")
+
+
 def deterministic_fake_decoder(content: bytes, h: int = 8, w: int = 8):
     """Codec-free stand-in: derive an h×w pseudo-grayscale raster from the
     byte content (sha256 expansion) — stable across runs/machines, so feature
@@ -151,18 +264,17 @@ IMAGE_FEATURE_SCHEMA = StructType([
 def extract_image_features(media: DataFrame,
                            decoder: ImageDecoder | None = None) -> DataFrame:
     """Decode -> feature-extract for image rows. ``decoder`` is the injectable
-    codec hook (None -> NotImplementedError at execution time, documenting the
-    missing-codec gate; tests inject ``deterministic_fake_decoder``)."""
+    codec hook; None uses :func:`decode_ppm_bmp`, which handles netpbm/BMP
+    natively and raises NotImplementedError per-row for entropy-coded
+    formats (PNG/JPEG) until a real codec is injected."""
+    dec = decoder or decode_ppm_bmp
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"path": [], "height": [], "width": [],
                     "mean_intensity": [], "histogram": []}
             for path, content in zip(pdf["path"], pdf["content"]):
-                if decoder is None:
-                    raise NotImplementedError(
-                        "no image codec in this environment: inject a decoder "
-                        "(e.g. PIL-based) or use deterministic_fake_decoder")
-                raster = decoder(bytes(content))
+                raster = dec(bytes(content))
                 flat = [p for row in raster for p in row]
                 hist = [0.0] * 8
                 for p in flat:
@@ -193,21 +305,19 @@ def resize_images(media: DataFrame, out_h: int, out_w: int,
     decoded raster to ``out_h`` x ``out_w`` (the standard pre-embedding
     normalization step — every vision encoder wants a fixed input shape).
     The resample itself is real numpy (index-gather per Arrow batch, no
-    Python pixel loops); only the codec is the injectable hook, same gate
-    as extract_image_features (None -> NotImplementedError; tests inject
-    ``deterministic_fake_decoder``). Returns (path, height, width, pixels)
-    with pixels as the resized row-major raster."""
+    Python pixel loops); only the codec is the injectable hook, same
+    default as extract_image_features (None -> :func:`decode_ppm_bmp`).
+    Returns (path, height, width, pixels) with pixels as the resized
+    row-major raster."""
     import numpy as np
+
+    dec = decoder or decode_ppm_bmp
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"path": [], "height": [], "width": [], "pixels": []}
             for path, content in zip(pdf["path"], pdf["content"]):
-                if decoder is None:
-                    raise NotImplementedError(
-                        "no image codec in this environment: inject a decoder "
-                        "(e.g. PIL-based) or use deterministic_fake_decoder")
-                raster = np.asarray(decoder(bytes(content)), dtype=np.float64)
+                raster = np.asarray(dec(bytes(content)), dtype=np.float64)
                 if raster.ndim != 2 or raster.size == 0:
                     raise ValueError(
                         f"decoder returned an empty or non-2D raster "
