@@ -138,6 +138,49 @@ def test_image_pipeline_real_bytes_no_injection(spark):
     assert len(rs) == 3
 
 
+def test_audio_pipeline_real_bytes_no_injection(spark):
+    """binaryFile -> decode -> audio features on a COMMITTED 16-bit PCM WAV
+    with the default stdlib RIFF parser — no injected fakes. The fixture is
+    a 200-sample 400 Hz sine at 8 kHz, amplitude 16000/32768, so RMS ~
+    0.488/sqrt(2) and ZCR ~ 2*400/8000."""
+    import math
+    import os
+    import struct
+
+    from thewhisperdb_spark.sources.multimodal import (
+        decode_wav,
+        extract_audio_features,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    media = with_media_metadata(read_binary_files(spark, root, glob="*.wav"))
+    r = extract_audio_features(media).collect()[0]
+    assert r["sample_rate"] == 8000
+    assert abs(r["duration_s"] - 200 / 8000) < 1e-12
+    assert abs(r["rms"] - (16000 / 32768) / math.sqrt(2)) < 0.01
+    assert abs(r["zero_crossing_rate"] - 2 * 400 / 8000) < 0.02
+
+    # stereo averaging: L=+0.5, R=-0.5 -> mono 0.0
+    n = 4
+    frames = struct.pack(f"<{2 * n}h", *([16384, -16384] * n))
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(frames)) + frames)
+    rate, pcm = decode_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    assert rate == 8000 and pcm == [0.0] * n
+    # 8-bit unsigned: 128 is silence, 255 ~ +1
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    riff8 = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+             + b"data" + struct.pack("<I", 3) + bytes([128, 255, 0]))
+    _, pcm8 = decode_wav(b"RIFF" + struct.pack("<I", len(riff8) + 1) + riff8)
+    assert pcm8 == [0.0, 127 / 128, -1.0]
+    # compressed/unknown formats keep the loud injection gate
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="RIFF/WAVE PCM"):
+        decode_wav(b"\xff\xfb\x90mp3-frame-bytes")
+
+
 def test_frame_sampling(media_df):
     frames = sample_frames(media_df, every_n_bytes=1 << 16, frame_bytes=64).collect()
     assert len(frames) == 4                 # 256 KiB / 64 KiB

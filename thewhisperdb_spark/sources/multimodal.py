@@ -7,10 +7,11 @@ attachment bytes on disk + pdftotext extraction
 (``src/server/FileStorage.cpp``, ``src/embedding/TextExtractor.cpp:26-81``);
 here the same shape generalizes to image/audio/video feature pipelines.
 
-Decoding: the default image hook :func:`decode_ppm_bmp` is a stdlib-only
-decoder for codec-free formats (netpbm PPM/PGM, uncompressed BMP), so the
-binaryFile -> decode -> features -> resize pipeline runs end-to-end on real
-bytes. Entropy-coded formats (PNG/JPEG) and audio/video raise
+Decoding: the default hooks are stdlib-only decoders for codec-free
+formats — :func:`decode_ppm_bmp` (netpbm PPM/PGM, uncompressed BMP) for
+images and :func:`decode_wav` (RIFF/WAVE integer PCM) for audio — so the
+binaryFile -> decode -> features/resize pipelines run end-to-end on real
+bytes. Compressed formats (PNG/JPEG/MP3) and video raise
 NotImplementedError unless a codec hook is injected; the DETERMINISTIC_FAKE
 hooks derive reproducible pseudo-pixels from byte content so the Spark-side
 plumbing (schemas, batching, partitioning, UDF signatures) stays fully
@@ -379,6 +380,57 @@ def media_from_storage(spark: SparkSession, root: str) -> DataFrame:
 AudioDecoder = Callable[[bytes], "tuple[int, list[float]]"]
 
 
+def decode_wav(content: bytes) -> tuple[int, list[float]]:
+    """Default audio decode hook: stdlib-only RIFF/WAVE PCM parser (8-bit
+    unsigned and 16-bit signed LE, any channel count — channels averaged to
+    mono), the audio counterpart of :func:`decode_ppm_bmp`. Returns
+    (sample_rate, samples in [-1, 1]). Compressed audio (MP3/AAC/float
+    WAV) raises NotImplementedError until a codec is injected."""
+    import struct
+
+    content = bytes(content)
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"no built-in codec for this audio format (magic "
+            f"{content[:4]!r}): the default decoder handles RIFF/WAVE PCM — "
+            "inject a decoder (e.g. soundfile-based) for compressed audio")
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(content):
+        cid = content[i:i + 4]
+        csize = struct.unpack_from("<I", content, i + 4)[0]
+        body = content[i + 8:i + 8 + csize]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, n_ch = struct.unpack_from("<HH", fmt, 0)
+    rate = struct.unpack_from("<I", fmt, 4)[0]
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit integer PCM WAV is built in (format="
+            f"{audio_format}, bits={bits}); inject a codec for others")
+    if bits == 16:
+        n = len(data) // 2
+        frames = struct.unpack(f"<{n}h", data[:n * 2])
+        scale = 32768.0
+    else:
+        frames = [b - 128 for b in data]
+        scale = 128.0
+    if n_ch > 1:  # average interleaved channels to mono
+        usable = len(frames) // n_ch * n_ch
+        samples = [sum(frames[k:k + n_ch]) / (n_ch * scale)
+                   for k in range(0, usable, n_ch)]
+    else:
+        samples = [f / scale for f in frames]
+    return rate, samples
+
+
 def deterministic_fake_audio_decoder(content: bytes,
                                      sample_rate: int = 8000,
                                      n_samples: int = 1024):
@@ -408,20 +460,17 @@ def extract_audio_features(media: DataFrame,
     """Decode -> feature-extract for audio rows (duration, RMS level,
     zero-crossing rate — the standard cheap audio-quality triage features).
     Same injectable-codec contract as ``extract_image_features``: None ->
-    NotImplementedError at execution time (documented missing-codec gate);
-    tests inject ``deterministic_fake_audio_decoder``. Arrow-batched
+    :func:`decode_wav` (stdlib RIFF/PCM), which raises NotImplementedError
+    per-row for compressed formats until a codec is injected. Arrow-batched
     mapInPandas — the Spark-side shape is real regardless of codec."""
+    dec = decoder or decode_wav
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"path": [], "sample_rate": [], "duration_s": [],
                     "rms": [], "zero_crossing_rate": []}
             for path, content in zip(pdf["path"], pdf["content"]):
-                if decoder is None:
-                    raise NotImplementedError(
-                        "no audio codec in this environment: inject a decoder "
-                        "(e.g. soundfile-based) or use "
-                        "deterministic_fake_audio_decoder")
-                rate, pcm = decoder(bytes(content))
+                rate, pcm = dec(bytes(content))
                 n = len(pcm) or 1
                 rms = (sum(x * x for x in pcm) / n) ** 0.5
                 zc = sum(1 for a, b in zip(pcm, pcm[1:])
