@@ -210,3 +210,55 @@ def test_sample_quantiles_exact_below_k(spark, values):
     n = len(sv)
     for q, col in ((0.1, "q_10"), (0.5, "q_50"), (0.9, "q_90")):
         assert row[col] == float(sv[max(math.ceil(q * n), 1) - 1]), (q, n)
+
+
+@given(st.integers(1, 12), st.integers(1, 12), st.data())
+@settings(max_examples=30, deadline=None)
+def test_ppm_decode_roundtrip(w, h, data):
+    """Encoding any raster as P6/P5/P2 bytes and decoding with the default
+    stdlib codec recovers it exactly (maxval-255 quantization grid)."""
+    from thewhisperdb_spark.sources.multimodal import decode_ppm_bmp
+
+    pix = [[data.draw(st.integers(0, 255)) for _ in range(w)]
+           for _ in range(h)]
+    # P5 grayscale binary
+    p5 = (b"P5\n# c\n%d %d\n255\n" % (w, h)
+          + bytes(p for row in pix for p in row))
+    assert decode_ppm_bmp(p5) == [[p / 255 for p in row] for row in pix]
+    # P6 RGB binary with r=g=b -> same grayscale
+    p6 = (b"P6 %d %d 255\n" % (w, h)
+          + bytes(c for row in pix for p in row for c in (p, p, p)))
+    got = decode_ppm_bmp(p6)
+    for r in range(h):
+        for c in range(w):
+            assert abs(got[r][c] - pix[r][c] / 255) < 1e-12
+    # P2 ASCII with comments interleaved
+    body = " ".join(str(p) for row in pix for p in row)
+    p2 = b"P2\n# hdr\n%d\n# mid\n%d\n255\n%s\n" % (w, h, body.encode())
+    assert decode_ppm_bmp(p2) == [[p / 255 for p in row] for row in pix]
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+       st.sampled_from([1, 2, 3]))
+@settings(max_examples=30, deadline=None)
+def test_wav_decode_roundtrip(samples, n_ch):
+    """Any 16-bit PCM sample stream encodes to RIFF bytes and decodes back
+    exactly; multi-channel input comes back as the per-frame channel mean."""
+    import struct
+
+    from thewhisperdb_spark.sources.multimodal import decode_wav
+
+    frames = samples * n_ch  # interleave: frame k = samples[k] on every ch
+    inter = []
+    for s in samples:
+        inter.extend([s] * n_ch)
+    data = struct.pack(f"<{len(inter)}h", *inter)
+    fmt = struct.pack("<HHIIHH", 1, n_ch, 16000, 16000 * 2 * n_ch,
+                      2 * n_ch, 16)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    rate, pcm = decode_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    assert rate == 16000
+    assert len(pcm) == len(samples)
+    for got, s in zip(pcm, samples):
+        assert abs(got - s / 32768.0) < 1e-12
