@@ -2229,7 +2229,11 @@ def streaming_enrich_segment_totals(spark, sf_dir):
    "AS DECIMAL(18,9)) AS s FROM tok JOIN freq USING (w) CROSS JOIN tot) "
    "SELECT doc_id, COUNT(*) AS n_tokens, "
    "ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 4) AS avg_surprisal "
-   "FROM surp GROUP BY doc_id")
+   "FROM surp GROUP BY doc_id "
+   "UNION ALL "
+   "SELECT doc_id, CAST(0 AS BIGINT) AS n_tokens, 0.0 AS avg_surprisal "
+   "FROM documents WHERE COALESCE(len(list_filter(string_split(text, ' '), "
+   "t -> t <> '')), 0) = 0")
 def unigram_surprisal_score(spark, sf_dir):
     # corpus-trained unigram LM scoring (perplexity-proxy quality filter):
     # high mean token surprisal = rare-token noise candidate. Decimal-summed
@@ -2618,7 +2622,11 @@ def streaming_click_purchase_join(spark, sf_dir):
    "SELECT cnt.doc_id AS doc_id, MAX(n) AS n_tokens, "
    "round(CAST(SUM(CAST(round(-(c / n) * log2(c / n), 9) AS DECIMAL(18,9))) "
    "AS DOUBLE), 4) AS entropy "
-   "FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id")
+   "FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id "
+   "UNION ALL "
+   "SELECT doc_id, CAST(0 AS BIGINT) AS n_tokens, 0.0 AS entropy "
+   "FROM documents WHERE COALESCE(len(list_filter(string_split(text, ' '), "
+   "t -> t <> '')), 0) = 0")
 def token_entropy_score(spark, sf_dir):
     # per-doc Shannon entropy of the token distribution (information-density
     # quality signal); decimal-summed contributions per the float-parity rule

@@ -1,0 +1,109 @@
+"""Degenerate-corpus sweep: every text-shaped operator must survive the
+inputs raw corpora actually contain — empty strings, whitespace-only,
+NULL text, single characters, one long unbroken token, unicode — without
+throwing (ANSI mode is ON in Spark 4, so sequence/element_at/slice edge
+cases that silently worked pre-ANSI now crash jobs; ADVICE r4 found one
+such crash in repeated_span_scrub, this suite pins the whole class).
+
+The contract checked here is "no crash + sane row accounting", not exact
+values (covered per-operator elsewhere)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from thewhisperdb_spark.operators import dedup as D
+from thewhisperdb_spark.operators import packing as PK
+from thewhisperdb_spark.operators import sampling as SM
+from thewhisperdb_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def degenerate_docs(spark):
+    rows = [
+        (1, "normal document with several plain tokens", "en", "web"),
+        (2, "", "en", "web"),                      # empty
+        (3, "   \t  \n ", "en", "web"),            # whitespace-only
+        (4, None, "en", "web"),                    # NULL text
+        (5, "x", "en", "web"),                     # single char
+        (6, "a b", "en", "web"),                   # two one-char tokens
+        (7, "supercalifragilistic" * 40, "en", "crawl"),  # one huge token
+        (8, "héllo wörld ünïcode ", "de", "crawl"),       # unicode
+        (9, "dup dup dup dup dup dup dup dup", "en", "crawl"),  # self-repeat
+        (10, ". , ! ? ; :", "en", "web"),          # punctuation-only tokens
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    return df.withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))))
+
+
+def test_text_scalar_ops_survive(degenerate_docs):
+    out = degenerate_docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("tc"),
+        TX.bpe_token_count(F.col("text")).alias("btc"),
+        TX.char_ngrams(F.col("text")).alias("cg"),
+        TX.word_ngrams(F.col("text")).alias("wg"),
+        TX.word_ngrams_all(F.col("text")).alias("wga"),
+        TX.repetition_ratio(F.col("text")).alias("rr"),
+        TX.truncate_text(F.col("text"), 10).alias("tt"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.phrase_match(F.col("text"), "plain tokens").alias("pm"),
+        TX.deletion_variants(F.col("text")).alias("dv"),
+    ).collect()
+    assert len(out) == 10
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["pm"] is True
+    assert by_id[2]["tc"] == 0          # empty -> zero tokens, not a crash
+
+
+def test_quality_and_scoring_ops_survive(degenerate_docs):
+    assert TX.quality_features(degenerate_docs).count() == 10
+    assert TX.gopher_quality_flags(degenerate_docs).count() == 10
+    # one row per (doc, n) for ns=(2, 3, 4)
+    assert TX.top_ngram_char_stats(degenerate_docs).count() == 30
+    assert TX.dup_ngram_char_fraction(degenerate_docs).count() == 10
+    assert TX.language_id(degenerate_docs).count() == 10
+    assert TX.token_entropy(degenerate_docs).count() == 10
+    assert TX.unigram_surprisal(degenerate_docs).count() == 10
+
+
+def test_fingerprint_and_bpe_ops_survive(degenerate_docs):
+    # winnowing selects >=1 fingerprint per doc (empty docs fingerprint
+    # their empty window) — and never throws
+    fp = TX.winnow_fingerprints(degenerate_docs)
+    assert fp.groupBy("doc_id").count().count() == 10
+    TX.winnow_overlap_pairs(degenerate_docs).collect()
+    assert TX.bpe_pair_counts(degenerate_docs).count() > 0
+    # single-char-word-only corpora have NO adjacent pairs: train must
+    # stop cleanly, not throw (ANSI element_at hazard)
+    single = degenerate_docs.sparkSession.createDataFrame(
+        [(1, "a b c"), (2, "x y")], "doc_id long, text string")
+    assert TX.bpe_train_merges(single, n_merges=3) == []
+    merges = TX.bpe_train_merges(degenerate_docs, n_merges=2)
+    assert len(merges) <= 2
+
+
+def test_dedup_ops_survive(degenerate_docs):
+    assert D.exact_duplicates(degenerate_docs).count() >= 0
+    assert D.drop_exact_duplicates(degenerate_docs).count() <= 10
+    D.shingle_jaccard_pairs(degenerate_docs, n=3, threshold=0.5).collect()
+    D.minhash_lsh_pairs(degenerate_docs, n_hashes=16, bands=4,
+                        threshold=0.5).collect()
+    D.simhash_duplicates(degenerate_docs).collect()
+    D.simhash_band_pairs(degenerate_docs, max_hamming=3).collect()
+    # span scrub: every doc comes back exactly once (ADVICE r4 regression)
+    out = D.repeated_span_scrub(degenerate_docs, k=3, min_count=2)
+    assert out.count() == 10
+    # unit dedup reconstructs all docs
+    assert D.unit_dedup(degenerate_docs).count() == 10
+
+
+def test_packing_and_sampling_survive(degenerate_docs):
+    assert PK.pack_sequences(degenerate_docs, budget=16).count() >= 1
+    # chunking drops token-less docs by contract, keeps the rest
+    chunked = PK.chunk_documents(degenerate_docs, width=4, stride=3)
+    ids = {r["doc_id"] for r in chunked.select("doc_id").distinct().collect()}
+    assert 1 in ids and 2 not in ids and 4 not in ids
+    assert SM.mixture_weights(degenerate_docs, strata_col="source").count() == 2

@@ -123,7 +123,10 @@ def unigram_surprisal(df: DataFrame, id_col: str = "doc_id",
     frequency table is vocab-sized: broadcast it when bounded, shuffle-join
     when web-scale. Per-token surprisals are rounded to 9 dp and summed as
     DECIMAL so the per-doc mean is independent of partial-merge order.
-    Returns (id_col, n_tokens, avg_surprisal)."""
+    Returns (id_col, n_tokens, avg_surprisal); token-less documents come
+    back as (id, 0, 0.0) rather than silently vanishing through the
+    explode (same rule as token_entropy — a missing score row could let a
+    junk doc slip past a downstream filter)."""
     tok = df.select(F.col(id_col).alias("_id"),
                     F.explode(tokens(F.col(text_col))).alias("w"))
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
@@ -134,11 +137,18 @@ def unigram_surprisal(df: DataFrame, id_col: str = "doc_id",
                     F.round(-F.log(F.col("cnt").cast("double")
                                    / F.col("total")), 9)
                     .cast("decimal(18,9)").alias("s")))
-    return (surp.groupBy("_id")
-            .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 F.round((F.sum("s").cast("double")
-                          / F.count(F.lit(1))), 4).alias("avg_surprisal"))
-            .select(F.col("_id").alias(id_col), "n_tokens", "avg_surprisal"))
+    scored = (surp.groupBy("_id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.round((F.sum("s").cast("double")
+                            / F.count(F.lit(1))), 4).alias("avg_surprisal"))
+              .select(F.col("_id").alias(id_col), "n_tokens",
+                      "avg_surprisal"))
+    empties = (df.filter(
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)) <= 0)
+        .select(F.col(id_col),
+                F.lit(0).cast("long").alias("n_tokens"),
+                F.lit(0.0).alias("avg_surprisal")))
+    return scored.unionByName(empties)
 
 
 def truncate_text(col: Column, limit: int = 8000, ellipsis: bool = False) -> Column:
@@ -511,6 +521,10 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
     independent of engine/partial-merge summation order.
 
     Returns (id_col, n_tokens, entropy) with entropy rounded to 4 dp.
+    Token-less documents (empty/whitespace/NULL text) return as
+    (id, 0, 0.0) — the degenerate-quality floor — instead of silently
+    vanishing through the explode (a missing score row could let a junk
+    doc slip past a downstream entropy filter).
     """
     tok = df.select(F.col(id_col).alias("_id"),
                     F.explode(tokens(F.col(text_col))).alias("w"))
@@ -518,11 +532,17 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
     tot = cnt.groupBy("_id").agg(F.sum("c").alias("n"))
     p = F.col("c").cast("double") / F.col("n")
     contrib = F.round(-p * F.log2(p), 9).cast("decimal(18,9)")
-    return (cnt.join(tot, "_id")
-            .groupBy("_id")
-            .agg(F.max("n").alias("n_tokens"),
-                 F.round(F.sum(contrib).cast("double"), 4).alias("entropy"))
-            .select(F.col("_id").alias(id_col), "n_tokens", "entropy"))
+    scored = (cnt.join(tot, "_id")
+              .groupBy("_id")
+              .agg(F.max("n").alias("n_tokens"),
+                   F.round(F.sum(contrib).cast("double"), 4).alias("entropy"))
+              .select(F.col("_id").alias(id_col), "n_tokens", "entropy"))
+    empties = (df.filter(
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)) <= 0)
+        .select(F.col(id_col),
+                F.lit(0).cast("long").alias("n_tokens"),
+                F.lit(0.0).alias("entropy")))
+    return scored.unionByName(empties)
 
 
 def bpe_pair_counts(df: DataFrame, text_col: str = "text",
@@ -573,13 +593,17 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 8,
     vocab = vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pair_cnt = (vocab.select(
+        # the >=2-symbol filter must sit BELOW the explode: under ANSI mode
+        # element_at(syms, i+1) on a 1-symbol word would throw if the
+        # transform ever evaluated — don't rely on the optimizer pushing a
+        # later filter through the Generate
+        pair_cnt = (vocab.filter(F.size("syms") >= 2)
+            .select(
             F.explode(F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("syms") - 1, F.lit(1))),
+                F.sequence(F.lit(1), F.size("syms") - 1),
                 lambda i: F.struct(F.element_at("syms", i).alias("a"),
                                    F.element_at("syms", i + 1).alias("b")),
             )).alias("p"), "wc")
-            .filter(F.size("syms") >= 2)
             .groupBy("p").agg(F.sum("wc").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("p.a").asc(), F.col("p.b").asc())
             .limit(1).collect())
