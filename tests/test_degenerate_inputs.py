@@ -107,3 +107,62 @@ def test_packing_and_sampling_survive(degenerate_docs):
     ids = {r["doc_id"] for r in chunked.select("doc_id").distinct().collect()}
     assert 1 in ids and 2 not in ids and 4 not in ids
     assert SM.mixture_weights(degenerate_docs, strata_col="source").count() == 2
+
+
+def test_graph_ops_survive_empty_and_tiny(spark):
+    """Graph kernels on empty edge sets and singleton graphs: iterative
+    kernels must converge immediately, not loop or crash — at 100 TB a
+    filtered subgraph being empty is routine."""
+    from thewhisperdb_spark.operators import graph as G
+
+    empty_e = spark.createDataFrame([], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    cc = G.connected_components(verts, empty_e).collect()
+    assert {r["id"]: r["component"] for r in cc} == {1: 1, 2: 2}
+    assert G.degrees(empty_e).count() == 0
+    tri = G.triangle_count(empty_e).collect()
+    assert tri == [] or tri[0]["n_triangles"] == 0
+    pr = {r["id"]: r["rank"] for r in
+          G.pagerank(verts, empty_e, n_iter=2).collect()}
+    assert len(pr) == 2 and abs(sum(pr.values()) - 1.0) < 1e-6
+    lp = G.label_propagation(verts, empty_e, max_iter=2).collect()
+    assert {r["label"] for r in lp} == {1, 2}   # no edges -> own label
+    assert G.core_numbers(empty_e).count() == 0
+    # single self-loop-free edge
+    one = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert G.bfs_levels(one, source=1).count() == 2
+    assert G.core_numbers(one).count() == 2
+
+
+def test_sketches_survive_empty(spark):
+    from thewhisperdb_spark.operators import aggregates as AG
+
+    empty = spark.createDataFrame([], "user_id long, event_type string")
+    assert AG.kmv_sketch(empty, "user_id").count() == 0
+    est = AG.kmv_estimate(AG.kmv_sketch(empty, "user_id")).collect()
+    assert est == [] or est[0]["n_est"] == 0.0
+    assert AG.cms_build(empty.select(F.col("event_type").alias("term")),
+                        "term").count() == 0
+    assert AG.hll_registers(empty, "user_id").count() == 0
+
+
+def test_vector_ops_survive_zero_and_mismatched(spark):
+    """Reference edge rules (Clustering.cpp:7-27): zero-norm or
+    dimension-mismatched vectors score 0.0, never NaN/crash."""
+    from thewhisperdb_spark.operators import vectors as V
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]),       # zero vector
+         (3, [1.0, 0.0, 0.0]),                   # mismatched dim
+         (4, [0.6, 0.8])],
+        "vec_id long, embedding array<double>")
+    row = (emb.alias("a").crossJoin(emb.alias("b"))
+           .select(V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+                   .alias("c")).collect())
+    vals = [r["c"] for r in row]
+    assert all(v == v for v in vals)             # no NaN
+    assert all(-1.0001 <= v <= 1.0001 for v in vals)
+    pairs = V.similar_pairs(emb, threshold=0.5).collect()
+    assert all({p["a"], p["b"]} <= {1, 2, 3, 4} for p in pairs)
+    # kNN over a corpus containing zero/mismatched vectors
+    V.brute_force_knn_join(emb, emb, k=2).collect()

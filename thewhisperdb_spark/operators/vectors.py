@@ -111,30 +111,83 @@ def similar_pairs(embeddings: DataFrame, threshold: float,
         b = a if key[0] == key[1] else pdf[pdf["side"] == 1]
         if len(a) == 0 or len(b) == 0:
             return pd.DataFrame({"a": [], "b": [], "similarity": []})
-        ma = np.array([np.asarray(x, dtype=np.float64) for x in a["v"]])
-        mb = ma if b is a else np.array(
-            [np.asarray(x, dtype=np.float64) for x in b["v"]])
-        na = np.linalg.norm(ma, axis=1)
-        nb = na if b is a else np.linalg.norm(mb, axis=1)
-        na[na == 0.0] = np.inf  # zero-norm -> similarity 0 (Clustering.cpp:22-24)
-        if b is not a:
-            nb[nb == 0.0] = np.inf
-        sims = (ma / na[:, None]) @ (mb / nb[:, None]).T
-        ia, ib = np.nonzero(sims >= thr)
-        ids_a = a["id"].to_numpy()[ia]
-        ids_b = b["id"].to_numpy()[ib]
-        if b is a:
-            # diagonal block: square matrix, keep the upper triangle
-            keep = ids_a < ids_b
-            ids_a, ids_b, ia, ib = ids_a[keep], ids_b[keep], ia[keep], ib[keep]
+        diag = b is a
+        # Rows are grouped by vector DIMENSION before the matmul: a corpus
+        # with a truncated/NULL embedding must not crash the whole block
+        # (np.array on ragged rows throws) — per the reference edge rule
+        # (Clustering.cpp:7-27) cross-dimension pairs score 0.0, so they
+        # can only be emitted at thr <= 0 and same-dim subgroups keep the
+        # dense BLAS path.
+        _empty = np.zeros(0)
+        va = [_empty if x is None else np.asarray(x, dtype=np.float64)
+              for x in a["v"]]
+        ids_a_all = a["id"].to_numpy()
+        if diag:
+            vb, ids_b_all = va, ids_a_all
         else:
-            # cross block: every hit is a distinct unordered pair; canonicalize
-            lo = np.minimum(ids_a, ids_b)
-            hi = np.maximum(ids_a, ids_b)
-            keep = lo < hi  # drops only (impossible) id collisions
-            ids_a, ids_b, ia, ib = lo[keep], hi[keep], ia[keep], ib[keep]
-        return pd.DataFrame({"a": ids_a, "b": ids_b,
-                             "similarity": sims[ia, ib]})
+            vb = [_empty if x is None else np.asarray(x, dtype=np.float64)
+                  for x in b["v"]]
+            ids_b_all = b["id"].to_numpy()
+
+        def by_dim(vs):
+            g: dict[int, list[int]] = {}
+            for i, v in enumerate(vs):
+                g.setdefault(v.shape[0], []).append(i)
+            return g
+
+        ga = by_dim(va)
+        gb = ga if diag else by_dim(vb)
+        frames = []
+
+        def emit(ids_a, ids_b, sims_vals):
+            sims_vals = np.asarray(sims_vals)
+            if diag:
+                # block is its own partner: keep the upper triangle
+                keep = ids_a < ids_b
+            else:
+                lo = np.minimum(ids_a, ids_b)
+                hi = np.maximum(ids_a, ids_b)
+                keep = lo < hi  # drops only (impossible) id collisions
+                ids_a, ids_b = lo, hi
+            frames.append(pd.DataFrame({
+                "a": ids_a[keep], "b": ids_b[keep],
+                "similarity": sims_vals[keep]}))
+
+        for d, ia_idx in ga.items():
+            ib_idx = gb.get(d)
+            if not ib_idx:
+                continue
+            ma = (np.stack([va[i] for i in ia_idx])
+                  if d else np.zeros((len(ia_idx), 0)))
+            same = diag  # diagonal block: subgroup indices are identical
+            mb = ma if same else (np.stack([vb[i] for i in ib_idx])
+                                  if d else np.zeros((len(ib_idx), 0)))
+            na = np.linalg.norm(ma, axis=1) if d else np.zeros(len(ia_idx))
+            nb = na if same else (np.linalg.norm(mb, axis=1) if d
+                                  else np.zeros(len(ib_idx)))
+            na = np.where(na == 0.0, np.inf, na)  # zero-norm -> sim 0
+            nb = na if same else np.where(nb == 0.0, np.inf, nb)
+            sims = ((ma / na[:, None]) @ (mb / nb[:, None]).T
+                    if d else np.zeros((len(ia_idx), len(ib_idx))))
+            ii, jj = np.nonzero(sims >= thr)
+            emit(ids_a_all[np.asarray(ia_idx)[ii]],
+                 ids_b_all[np.asarray(ib_idx)[jj]], sims[ii, jj])
+        if thr <= 0.0:
+            # cross-dimension pairs are exactly 0.0 (reference rule) and
+            # only reachable when the threshold admits them
+            for da, ia_idx in ga.items():
+                for db, ib_idx in gb.items():
+                    if da == db:
+                        continue
+                    ii, jj = np.meshgrid(np.arange(len(ia_idx)),
+                                         np.arange(len(ib_idx)),
+                                         indexing="ij")
+                    emit(ids_a_all[np.asarray(ia_idx)[ii.ravel()]],
+                         ids_b_all[np.asarray(ib_idx)[jj.ravel()]],
+                         np.zeros(ii.size))
+        if not frames:
+            return pd.DataFrame({"a": [], "b": [], "similarity": []})
+        return pd.concat(frames, ignore_index=True)
 
     return (grouped.groupBy("bi", "bj")
             .applyInPandas(gram, "a long, b long, similarity double"))
@@ -194,24 +247,49 @@ def brute_force_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
     import numpy as np
 
     q_ids = np.array([r["query_id"] for r in q_rows])
-    qm = np.array([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
-    qn = np.linalg.norm(qm, axis=1)
-    qn[qn == 0.0] = np.inf
-    qm = qm / qn[:, None]
+    # Queries grouped by DIMENSION before normalization: a ragged query set
+    # (truncated/NULL embedding) must not crash the broadcast build, and per
+    # the reference edge rule (Clustering.cpp:7-27) cross-dimension or
+    # zero-norm pairs score exactly 0.0 — the zero-initialized sims matrix
+    # below encodes that for free.
+    qv_list = [np.zeros(0) if r["qv"] is None
+               else np.asarray(r["qv"], dtype=np.float64) for r in q_rows]
+    q_groups: dict[int, list[int]] = {}
+    for i, v in enumerate(qv_list):
+        q_groups.setdefault(v.shape[0], []).append(i)
+    q_norm = {}
+    for d, idx in q_groups.items():
+        if d == 0:
+            continue
+        m = np.stack([qv_list[i] for i in idx])
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0.0] = np.inf
+        q_norm[d] = (np.asarray(idx), m / n[:, None])
     sc = corpus.sparkSession.sparkContext
-    bq = sc.broadcast((q_ids, qm))
+    bq = sc.broadcast((q_ids, q_norm))
 
     kk = int(k)
 
     def score(batches):
-        ids_q, mat_q = bq.value
+        ids_q, by_dim = bq.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mc = np.array([np.asarray(x, dtype=np.float64) for x in pdf["cv"]])
-            cn = np.linalg.norm(mc, axis=1)
-            cn[cn == 0.0] = np.inf
-            sims = mat_q @ (mc / cn[:, None]).T            # |Q| × batch
+            _e = np.zeros(0)
+            cv_list = [_e if x is None else np.asarray(x, dtype=np.float64)
+                       for x in pdf["cv"]]
+            c_groups: dict[int, list[int]] = {}
+            for j, v in enumerate(cv_list):
+                c_groups.setdefault(v.shape[0], []).append(j)
+            sims = np.zeros((len(ids_q), len(pdf)))        # |Q| × batch
+            for d, (qidx, qmat) in by_dim.items():
+                jidx = c_groups.get(d)
+                if not jidx:
+                    continue
+                mc = np.stack([cv_list[j] for j in jidx])
+                cn = np.linalg.norm(mc, axis=1)
+                cn[cn == 0.0] = np.inf
+                sims[np.ix_(qidx, jidx)] = qmat @ (mc / cn[:, None]).T
             c_ids = pdf["neighbor_id"].to_numpy()
             mask = ids_q[:, None] == c_ids[None, :]        # self-match exclusion
             sims[mask] = -np.inf
