@@ -166,3 +166,23 @@ def test_vector_ops_survive_zero_and_mismatched(spark):
     assert all({p["a"], p["b"]} <= {1, 2, 3, 4} for p in pairs)
     # kNN over a corpus containing zero/mismatched vectors
     V.brute_force_knn_join(emb, emb, k=2).collect()
+
+
+def test_pq_fails_loudly_on_ragged_vectors(spark):
+    """PQ requires one fixed dimension: a ragged/NULL vector must raise a
+    ValueError naming the offending ids, not numpy's bare
+    'inhomogeneous shape' error."""
+    import pytest
+
+    from thewhisperdb_spark.operators import vectors as V
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0, 0.0]), (4, None)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="share one dimension"):
+        V.pq_train(emb, m=2, n_centroids=2)
+    clean = emb.filter(F.size("embedding") == 2)
+    cb = V.pq_train(clean, m=2, n_centroids=2)
+    with pytest.raises(Exception, match="codebook dim"):
+        V.pq_encode(emb, cb).collect()
+    assert V.pq_encode(clean, cb).count() == 2

@@ -538,6 +538,15 @@ def pq_train(corpus: DataFrame, m: int = 8, n_centroids: int = 16,
     rows = (corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
             .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
             .limit(sample_size).collect())
+    dims = {(0 if r["v"] is None else len(r["v"])): r["i"] for r in rows}
+    if len(dims) > 1:
+        # fail loudly with the offending ids — PQ requires one fixed dim
+        # (codebooks are per-subspace), and the bare numpy 'inhomogeneous
+        # shape' error names nothing
+        raise ValueError(
+            f"pq_train: embeddings must share one dimension, found dims "
+            f"{sorted(dims)} (example ids: {dims}); clean or filter the "
+            "corpus before PQ")
     X = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(X, axis=1)
     norms[norms == 0.0] = np.inf
@@ -579,9 +588,21 @@ def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id",
 
     def enc(batches):
         cb = bcb.value
+        d_expect = mm * dsub
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            bad = {int(i): (0 if v is None else len(v))
+                   for i, v in zip(pdf["id"], pdf["v"])
+                   if v is None or len(v) != d_expect}
+            if bad:
+                # same loud contract as pq_train: a ragged/NULL vector must
+                # name itself, not die as a numpy shape error
+                sample = dict(list(bad.items())[:5])
+                raise ValueError(
+                    f"pq_encode: {len(bad)} vector(s) don't match the "
+                    f"codebook dim {d_expect} (id->dim sample: {sample}); "
+                    "clean or filter the corpus before PQ")
             X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             norms = np.linalg.norm(X, axis=1)
             norms[norms == 0.0] = np.inf
