@@ -10,6 +10,37 @@ from __future__ import annotations
 import io
 import sys
 from contextlib import redirect_stdout
+KNOB_INDEX = """## Cluster tuning knobs (the one-page index)
+
+`session.py` pins the session-wide posture — AQE + skew-join handling +
+post-shuffle coalescing, `spark.sql.shuffle.partitions` = cores (override to
+~2-3x total executor cores on a cluster), 64 MiB autoBroadcast threshold,
+Arrow for the pandas-UDF stages. Per-operator knobs, all plumbed as Python
+arguments (no config-file indirection), and what to move at 100 TB:
+
+| Operator (where) | Knob(s) | Default | At 100 TB |
+|---|---|---|---|
+| MinHash LSH dedup (`operators/dedup.py:minhash_lsh_pairs`) | `n_hashes`, `bands` (rows/band = n_hashes/bands sets the S-curve), `threshold` | 64 hashes, 16 bands | more bands -> more recall + bigger candidate join; keep rows/band >= 4 so buckets stay selective; candidate join is banded equi-join, AQE handles skewed buckets |
+| N-gram Jaccard dedup (`dedup.py:shingle_jaccard_pairs`) | `n` (shingle width), `threshold`, `max_df` hot-shingle cap | 3-gram, 0.9, max_df off | SET `max_df` first (100-1000): it bounds the co-occurrence join fan-out (a shingle in d docs mints d^2 pairs) at a provably-zero recall cost for pairs under the threshold |
+| SimHash dedup (`dedup.py:simhash_band_pairs`) | `bits`, `bands` (pigeonhole-lossless for hamming <= bands-1) | 32 bits, 4 bands | band join scales linearly in bands; raise bits for selectivity before raising bands (bands drive candidate volume) |
+| Span scrub (`dedup.py:repeated_span_scrub`) | `k` (span tokens), `min_count` | 8, 2 | duplicated-shingle join is AQE-size-gated (no forced broadcast); raise min_count on boilerplate-heavy corpora to shrink the dup side |
+| Decontamination (`dedup.py:contamination_overlap_scores`) | shingle `n`, test-side broadcast | 8-gram | test split is the small side — broadcast survives as long as test fits executors; else plain equi-join, still one shuffle |
+| IVF k-NN (`operators/vectors.py:ivf_assign/ivf_index_*`) | `n_cells`, `n_probe`, rebuild cadence (append drifts centroids) | 16 cells, 4 probes | n_cells ~ sqrt(corpus); probe cost = n_probe/n_cells of the lists; persisted index prunes partitions at planning time (static IN on `cell`) |
+| PQ ADC (`vectors.py:pq_train/pq_knn_join`) | `m` subspaces, `n_centroids` per subspace, `sample_size` for training, exact re-rank depth | m=8, 16 codes, 10k sample | codebooks broadcast (m*n_centroids*dim/m floats — tiny); re-rank depth trades recall for exact-scan cost on the shortlist |
+| k-means (`vectors.py:kmeans_fit`) | `k`, `max_iter` | 10, 5 | per-iter cost = one corpus scan + k*dim-float driver roundtrip; localCheckpoint the unit vectors once (done) |
+| ANN LSH (`vectors.py:ann_lsh_pairs`) | `n_planes`, `n_tables` | 8 planes, 4 tables | recall knob is tables (union of buckets), precision knob is planes (bucket selectivity); both scale as equi-joins |
+| Connected components (`operators/graph.py:connected_components`) | checkpoint cadence (pointer-doubling rounds) | every round | rounds = O(log diameter); edge-touched vertices only — singletons never shuffle |
+| PageRank (`graph.py:pagerank`) | `max_iter`, checkpoint every 2 rounds | 10 iters | contribution agg is one shuffle/round on src; dangling mass is a 1-row broadcast fold |
+| LPA / coreness (`graph.py`) | `max_iter` (2 sync rounds per materialization) | 10 | cost is iteration count, not plan shape; early-stops on 2-periodic fixpoints |
+| BFS (`graph.py:bfs_hops`) | checkpoint EVERY hop (do not batch — frontier lineage compounds) | per hop | sum of work = edges touched; frontier anti-join stays semi-join shaped |
+| Sketches (`operators/aggregates.py` CMS/HLL/KMV) | CMS `depth x width`, HLL `b` (2^b registers), KMV `k` | 4x1024, b=8, k=256 | all mergeable partial aggregates — shard output is <= depth*width / 2^b / k rows regardless of input size; rollups reuse shards (`rolling_distinct_users_kmv_7d` pattern) |
+| Streaming jobs (`streaming/jobs.py`) | watermark delay, window/slide, state timeout | 10 min watermark | watermark bounds state; KMV/session state is per-key-bounded (k rows / gap timeout) |
+| Sampling / mixtures (`operators/sampling.py`) | strata caps, `k`, md5 key | — | md5-keyed order is partition-count-independent: same sample on any cluster layout |
+| Text quality (`operators/text.py` Gopher/entropy/BPE) | n-gram widths, BPE `vocab_size`/`min_pair` | — | all bound-array HOFs per row; BPE train collapses to vocab-first aggregate, apply is a broadcast trie |
+| Packing (`operators/packing.py:pack_sequences`) | `budget` (tokens per packed sequence), `shard_col` | caller-set | per-shard window math; shards are independent — partition on shard_col |
+| Shard export (`sources/textio.py:write_training_shards`) | `n_shards` (md5-assigned, layout-independent) | 8 | size shards to ~`spark.sql.files.maxPartitionBytes` (128 MiB) so downstream scans get 1 task/shard; manifest audits the export without a row compare |
+"""
+
 
 
 def main():
@@ -44,7 +75,8 @@ def main():
         f"Generated by tools/planreport.py at {sf_dir}. Things to read for:\n"
         "PushedFilters / pruned ReadSchema on scans, BroadcastHashJoin only\n"
         "on dimension-sized sides, TakeOrderedAndProject for top-k, and wide\n"
-        "WholeStageCodegen spans (no per-row Python anywhere).\n\n")
+        "WholeStageCodegen spans (no per-row Python anywhere).\n\n"
+        + KNOB_INDEX + "\n")
     with open(out_md, "w") as f:
         f.write(header + "\n".join(sections))
     print(f"wrote {out_md} ({len(sections)} plans)")
@@ -52,3 +84,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+
