@@ -1379,12 +1379,13 @@ def range_join_clicks_before_purchase(spark, sf_dir):
 
 
 @q("price_quartiles_approx",
-   # Valid at the driver's correctness scale: groups at sf0.01 (~3k rows)
-   # are smaller than the sketch accuracy (10000), where Greenwald-Khanna
-   # is EXACT and lands on the same discrete rank convention as DuckDB's
-   # quantile_disc (verified: identical at 25/50/75 across all groups).
-   # Above the accuracy bound the sketch is approximate by design and the
-   # comparison would not hold — the correctness gate runs at sf0.01.
+   # Valid at both sweep scales: groups at sf0.01 (~3k rows) and sf0.1
+   # (~30k rows) are smaller than the sketch accuracy (100000), where
+   # Greenwald-Khanna is EXACT and lands on the same discrete rank
+   # convention as DuckDB's quantile_disc (verified: identical at 25/50/75
+   # across all groups at both SFs). Above the accuracy bound the sketch
+   # is approximate by design and the comparison would not hold — at real
+   # cluster scale this key is an approximate operator by contract.
    "WITH s AS (SELECT o_orderpriority, "
    "quantile_disc(o_totalprice, 0.25) AS p25, "
    "quantile_disc(o_totalprice, 0.5) AS p50, "
@@ -1403,7 +1404,8 @@ def price_quartiles_approx(spark, sf_dir):
     # array<double> column is not canonicalizable by hash-based comparators.
     o = load_table(spark, sf_dir, "orders")
     agg = (o.groupBy("o_orderpriority")
-           .agg(F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000)
+           .agg(F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75],
+                                    100_000)
                 .alias("qs"),
                 F.count(F.lit(1)).alias("n")))
     q_idx = F.array(F.lit(25), F.lit(50), F.lit(75))
