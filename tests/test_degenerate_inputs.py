@@ -186,3 +186,22 @@ def test_pq_fails_loudly_on_ragged_vectors(spark):
     with pytest.raises(Exception, match="codebook dim"):
         V.pq_encode(emb, cb).collect()
     assert V.pq_encode(clean, cb).count() == 2
+
+
+def test_kmeans_empty_and_all_null_corpus(spark):
+    import pytest
+
+    from thewhisperdb_spark.operators import vectors as V
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        V.kmeans_fit(empty, k=2)
+    nulls = spark.createDataFrame([(1, None), (2, None)],
+                                  "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        V.kmeans_fit(nulls, k=2)
+    # a NULL first row must not break dim detection
+    mixed = spark.createDataFrame([(1, None), (2, [1.0, 0.0]),
+                                   (3, [0.0, 1.0])],
+                                  "vec_id long, embedding array<double>")
+    assert V.kmeans_assign(mixed, k=2, max_iter=1).count() == 3

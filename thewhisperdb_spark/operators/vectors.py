@@ -439,10 +439,21 @@ def kmeans_fit(embeddings: DataFrame, k: int = 10, max_iter: int = 5,
     label rows."""
     import numpy as np
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    dim_row = (embeddings.select(vec_col)
+               .filter(F.col(vec_col).isNotNull()).first())
+    if dim_row is None:
+        raise ValueError(
+            "kmeans_fit: no non-null vectors in the corpus — nothing to "
+            "cluster")
+    dim = len(dim_row[0])
     spark = embeddings.sparkSession
-    emb_u = with_unit_vector(embeddings, vec_col, "_u").select(
-        F.col(id_col).alias("_id"), "_u")
+    # centroid estimation uses only valid vectors (non-NULL, detected dim):
+    # a NULL row seeded as a centroid or a short row indexed at _u[i] under
+    # ANSI mode would crash the fit; assignment of irregular rows is the
+    # caller's concern (ivf_assign degrades them gracefully)
+    emb_u = (with_unit_vector(embeddings, vec_col, "_u")
+             .filter(F.size(F.col(vec_col)) == dim)
+             .select(F.col(id_col).alias("_id"), "_u"))
     # k-means re-scans the unit vectors max_iter times; materialize once
     emb_u = emb_u.localCheckpoint(eager=True)
     init = (emb_u.orderBy(F.xxhash64(F.col("_id")).asc(), F.col("_id").asc())
