@@ -229,3 +229,24 @@ def test_stream_shards_sink_matches_batch_export(spark, tmp_path):
     man_b = sorted(map(tuple, textio.shard_manifest(
         spark, batch_out, "doc_id", ("text", "lang")).collect()))
     assert man_s == man_b and len(man_s) == 4
+
+
+def test_streaming_jobs_survive_empty_input(spark, tmp_path_factory):
+    """An input directory whose parquet holds ZERO rows (schema only) must
+    run every streaming job to completion with empty output — the
+    no-events-yet cold start every deployed pipeline hits."""
+    path = str(tmp_path_factory.mktemp("stream_empty") / "events")
+    (spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string")
+     .write.parquet(path))
+    stream = SJ.stream_events_from_dir(spark, path)
+    assert SJ.run_to_memory(
+        SJ.windowed_event_counts(stream, "1 hour"),
+        "empty_win", "complete").count() == 0
+    stream2 = SJ.stream_events_from_dir(spark, path)
+    assert SJ.run_to_memory(
+        SJ.sessionize_stream(stream2), "empty_sess", "append").count() == 0
+    stream3 = SJ.stream_events_from_dir(spark, path)
+    assert SJ.run_to_memory(
+        SJ.kmv_distinct_stream(stream3), "empty_kmv", "update").count() == 0
