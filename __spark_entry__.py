@@ -1302,22 +1302,31 @@ def events_user_stats(spark, sf_dir):
         _sum_dec("value", "total_value"))
 
 
-@q("events_distinct_users_hll", None)
+@q("events_distinct_users_hll",
+   # accuracy-contract oracle: the Datasketches estimate itself isn't
+   # SQL-portable, but the exact count is, and "estimate within 2% of
+   # exact" IS the sketch's contract at lgK=14 (rel err ~0.8%, so 2% is
+   # >2 sigma of headroom without masking a broken sketch)
+   "SELECT event_type, count(*) AS n, "
+   "count(DISTINCT user_id) AS n_users_exact, TRUE AS within_2pct "
+   "FROM events GROUP BY event_type")
 def events_distinct_users_hll(spark, sf_dir):
     # Sketch surface for the 100 TB posture: per-type distinct users via an
     # HLL sketch (Datasketches HllSketch under `hll_sketch_agg`). Unlike
     # count(DISTINCT ...), the sketch is a MERGEABLE partial aggregate —
     # map-side partials combine without re-shuffling raw user ids, and stored
     # sketches can be unioned across days/partitions (`hll_union_agg`) for
-    # rollups without touching raw data. Approximate, so rows-only for the
-    # driver; tests/test_scale_patterns.py asserts the estimate lands within
-    # HLL error bounds of the exact count at lgK=14.
+    # rollups without touching raw data. The driver-checked output pairs the
+    # exact count (portable) with the sketch-accuracy contract; the float
+    # estimate also stays bounds-checked in tests/test_scale_patterns.py.
     ev = load_table(spark, sf_dir, "events")
+    est = F.hll_sketch_estimate(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(14)))
+    exact = F.count_distinct(F.col("user_id"))
     return (ev.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.hll_sketch_estimate(
-                     F.hll_sketch_agg(F.col("user_id"), F.lit(14))
-                 ).alias("n_users_approx")))
+                 exact.alias("n_users_exact"),
+                 (F.abs(est - exact) <= 0.02 * exact).alias("within_2pct")))
 
 
 @q("streaming_windowed_counts",
@@ -1829,15 +1838,36 @@ def ivf_knn(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
-@q("pq_knn", None)
+@q("pq_knn",
+   # contract oracle (kmeans pattern): the float-codebook shortlist isn't
+   # SQL-portable, but the k-NN output contract is — per query exactly k
+   # neighbors with dense 1..k ranks, no self-match, valid corpus ids,
+   # similarities in [-1, 1]
+   "SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_neighbors, "
+   "TRUE AS ranks_dense, TRUE AS no_self, TRUE AS ids_valid, "
+   "TRUE AS sims_bounded FROM embeddings WHERE vec_id < 20")
 def pq_knn(spark, sf_dir):
     # PQ-compressed ANN (train -> encode to m-byte codes -> ADC table-lookup
     # scan -> exact re-rank): the I/O-bound scale path where the corpus scan
     # reads 32x fewer bytes than raw vectors. Recall vs brute force measured
-    # in tests/test_tags_vectors.py.
+    # in tests/test_tags_vectors.py; the driver-checked output is the
+    # per-query k-NN contract (which neighbors is float territory).
     e = _emb(spark, sf_dir)
-    return V.pq_knn_join(e.filter(F.col("vec_id") < 20), e, k=5,
-                         m=8, n_centroids=32, rerank=64)
+    out = V.pq_knn_join(e.filter(F.col("vec_id") < 20), e, k=5,
+                        m=8, n_centroids=32, rerank=64)
+    valid = e.select(F.col("vec_id").alias("neighbor_id"),
+                     F.lit(True).alias("_ok"))
+    n = F.count(F.lit(1))
+    return (out.join(valid, "neighbor_id", "left")
+            .groupBy("query_id")
+            .agg(n.alias("n_neighbors"),
+                 ((F.max("rank") == n) & (F.count_distinct("rank") == n))
+                 .alias("ranks_dense"),
+                 F.bool_and(F.col("neighbor_id") != F.col("query_id"))
+                 .alias("no_self"),
+                 F.bool_and(F.coalesce("_ok", F.lit(False))).alias("ids_valid"),
+                 F.bool_and(F.abs("similarity") <= 1.000001)
+                 .alias("sims_bounded")))
 
 
 @q("doc_fingerprint",
@@ -6323,8 +6353,9 @@ _VERIFY_FALLBACK = [
     "orders_bit_ops",
     "docs_hash_suite",
     "array_ops_extended",
-    # rows-only entries behind every oracle-backed key (the weaker check
-    # shouldn't burn a window slot while oracle stamps are still missing)
+    # formerly rows-only entries (contract-oracled in round 5) — kept at
+    # the back of the static fallback; the live ordering derives from
+    # CORRECTNESS files anyway
     "events_distinct_users_hll",
     "pq_knn",
 ]
