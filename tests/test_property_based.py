@@ -262,3 +262,41 @@ def test_wav_decode_roundtrip(samples, n_ch):
     assert len(pcm) == len(samples)
     for got, s in zip(pcm, samples):
         assert abs(got - s / 32768.0) < 1e-12
+
+
+@given(st.lists(st.lists(st.sampled_from("abcd"), min_size=0, max_size=14),
+                min_size=1, max_size=8),
+       st.integers(2, 4), st.integers(2, 3))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repeated_span_scrub_matches_reference(spark, docs_toks, k, min_count):
+    """Differential test of the ExactSubstr-style span scrub against a naive
+    Python implementation of the Lee et al. span rule at shingle
+    granularity: position p is removed iff SOME corpus-duplicated k-shingle
+    covers it."""
+    from collections import Counter
+
+    from thewhisperdb_spark.operators.dedup import repeated_span_scrub
+
+    corpus = {i + 1: toks for i, toks in enumerate(docs_toks)}
+    # reference: count k-shingles across the corpus (self-repeats included)
+    counts = Counter()
+    for toks in corpus.values():
+        for s in range(len(toks) - k + 1):
+            counts[tuple(toks[s:s + k])] += 1
+    expect = {}
+    for i, toks in corpus.items():
+        covered = [False] * len(toks)
+        for s in range(len(toks) - k + 1):
+            if counts[tuple(toks[s:s + k])] >= min_count:
+                for p in range(s, s + k):
+                    covered[p] = True
+        kept = [t for t, c in zip(toks, covered) if not c]
+        expect[i] = (len(toks), sum(covered), " ".join(kept))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in corpus.items()],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for r in repeated_span_scrub(df, k=k, min_count=min_count).collect()}
+    assert got == expect
