@@ -56,3 +56,25 @@ def test_spot_queries_run(spark):
     for key in ("scan_nodes", "tpch_q1_pricing_summary", "topk_similar",
                 "events_sessionize"):
         assert qs[key](spark, sf).count() > 0, key
+
+
+def test_bench_headline_contract():
+    """Every bench headline key must be a registered query, with no
+    duplicates — and the compact summary line bench.py prints last must
+    stay well inside the driver's ~2KB stdout tail capture (round 4
+    recorded parsed:null when the one-line JSON outgrew it)."""
+    import json
+
+    import bench
+
+    qs = E.queries()
+    missing = [k for k in bench.HEADLINE if k not in qs]
+    assert missing == []
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    # reconstruct the summary line shape with worst-case float widths
+    slowest = {k: 999.999 for k in bench.HEADLINE[:10]}
+    line = json.dumps({
+        "metric": "headline_queries_total_sec", "value": 99999.999,
+        "unit": "sec", "sf": 0.1, "n_queries": len(bench.HEADLINE),
+        "queries": slowest})
+    assert len(line) < 1500
