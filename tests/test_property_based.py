@@ -300,3 +300,73 @@ def test_repeated_span_scrub_matches_reference(spark, docs_toks, k, min_count):
     got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
            for r in repeated_span_scrub(df, k=k, min_count=min_count).collect()}
     assert got == expect
+
+
+@given(st.lists(st.text(alphabet="abxy ", min_size=0, max_size=30),
+                min_size=1, max_size=6),
+       st.integers(2, 4), st.integers(2, 4))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnow_fingerprints_match_reference(spark, texts, k, w):
+    """Differential test of winnowing (Schleimer et al. SIGMOD'03) against
+    a naive Python implementation: md5-derived k-gram hashes, min of each
+    w-window, distinct — including the short-doc clamps (docs shorter than
+    one gram/window select the min of what exists)."""
+    import hashlib
+
+    from thewhisperdb_spark.operators.text import winnow_fingerprints
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+
+    expect = {}
+    for i, t in enumerate(texts, start=1):
+        n_starts = max(len(t) - (k - 1), 1)
+        grams = [t[s:s + k] for s in range(n_starts)]
+        hashes = [h(g) for g in grams]
+        n_win = max(len(hashes) - (w - 1), 1)
+        expect[i] = {min(hashes[s:s + w]) for s in range(n_win)}
+
+    df = spark.createDataFrame(list(enumerate(texts, start=1)),
+                               "doc_id long, text string")
+    out = winnow_fingerprints(df, k=k, w=w).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert got == expect
+
+
+@given(st.lists(st.lists(st.sampled_from("pq"), min_size=0, max_size=9),
+                min_size=1, max_size=6),
+       st.integers(2, 3))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_unit_dedup_matches_reference(spark, docs_toks, ut):
+    """Differential test of cross-corpus unit dedup (C4-style first
+    occurrence by (doc_id, pos)) against a naive reference, including the
+    empty-doc single-empty-unit clamp."""
+    from thewhisperdb_spark.operators.dedup import unit_dedup
+
+    corpus = {i + 1: toks for i, toks in enumerate(docs_toks)}
+    units_of = {}
+    for i, toks in corpus.items():
+        n_units = max(-(-len(toks) // ut), 1)
+        units_of[i] = [" ".join(toks[j * ut:(j + 1) * ut])
+                       for j in range(n_units)]
+    first = {}   # unit -> (doc_id, pos)
+    for i in sorted(corpus):
+        for pos, u in enumerate(units_of[i]):
+            if u not in first:
+                first[u] = (i, pos)
+    expect = {}
+    for i in corpus:
+        kept = [u for pos, u in enumerate(units_of[i])
+                if first[u] == (i, pos)]
+        expect[i] = (" ".join(kept), len(units_of[i]), len(kept))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in corpus.items()],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_units"], r["n_kept"])
+           for r in unit_dedup(df, unit_tokens=ut).collect()}
+    assert got == expect
