@@ -370,3 +370,110 @@ def test_unit_dedup_matches_reference(spark, docs_toks, ut):
     got = {r["doc_id"]: (r["clean_text"], r["n_units"], r["n_kept"])
            for r in unit_dedup(df, unit_tokens=ut).collect()}
     assert got == expect
+
+
+@st.composite
+def _random_edges(draw):
+    n = draw(st.integers(2, 10))
+    m = draw(st.integers(0, 14))
+    edges = [(draw(st.integers(1, n)), draw(st.integers(1, n)))
+             for _ in range(m)]
+    return n, [(a, b) for a, b in edges if a != b]
+
+
+@given(_random_edges())
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_match_union_find(spark, graph):
+    from thewhisperdb_spark.operators import graph as G
+
+    n, edges = graph
+    parent = list(range(n + 1))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp_min = {}
+    for v in range(1, n + 1):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expect = {v: comp_min[find(v)] for v in range(1, n + 1)}
+
+    verts = spark.createDataFrame([(v,) for v in range(1, n + 1)], "id long")
+    edf = spark.createDataFrame(edges or [(1, 1)], "src long, dst long")
+    if not edges:
+        edf = edf.filter("src != dst")   # typed-empty frame
+    got = {r["id"]: r["component"]
+           for r in G.connected_components(verts, edf).collect()}
+    assert got == expect
+
+
+@given(_random_edges())
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_core_numbers_match_peeling(spark, graph):
+    """h-index fixpoint coreness vs the textbook peeling algorithm."""
+    from collections import defaultdict
+
+    from thewhisperdb_spark.operators import graph as G
+
+    n, edges = graph
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    # naive peeling: repeatedly remove min-degree vertex
+    deg = {v: len(adj[v]) for v in adj}
+    core = {}
+    live = dict(deg)
+    neighbors = {v: set(adj[v]) for v in adj}
+    k = 0
+    while live:
+        v = min(live, key=lambda x: (live[x], x))
+        k = max(k, live[v])
+        core[v] = k
+        for u in neighbors[v]:
+            if u in live and u != v:
+                live[u] -= 1
+                neighbors[u].discard(v)
+        del live[v]
+
+    if not edges:
+        return
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["coreness"] for r in G.core_numbers(edf).collect()}
+    assert got == core
+
+
+@given(_random_edges())
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bfs_levels_match_naive(spark, graph):
+    from collections import defaultdict, deque
+
+    from thewhisperdb_spark.operators import graph as G
+
+    n, edges = graph
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = {1: 0}
+    dq = deque([1])
+    while dq:
+        v = dq.popleft()
+        for u in adj[v]:
+            if u not in expect:
+                expect[u] = expect[v] + 1
+                dq.append(u)
+
+    if not edges:
+        return
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["hops"] for r in G.bfs_levels(edf, source=1).collect()}
+    assert got == expect
