@@ -477,3 +477,46 @@ def test_bfs_levels_match_naive(spark, graph):
     edf = spark.createDataFrame(edges, "src long, dst long")
     got = {r["id"]: r["hops"] for r in G.bfs_levels(edf, source=1).collect()}
     assert got == expect
+
+
+@given(st.lists(st.tuples(st.integers(1, 3), st.integers(0, 20)),
+                min_size=1, max_size=10),
+       st.lists(st.tuples(st.integers(1, 3), st.integers(0, 20),
+                          st.integers(0, 9)),
+                min_size=0, max_size=10),
+       st.sampled_from(["backward", "forward"]))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_naive(spark, lrows, rrows, direction):
+    """Differential test of the union+window as-of join against a naive
+    per-row scan, including key/timestamp ties (greatest value wins) and
+    the n_prior passed-row count."""
+    from thewhisperdb_spark.operators.relational import asof_join
+
+    def naive(k, t):
+        if direction == "backward":
+            cand = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= t]
+            pick = max(cand) if cand else (None, None)
+        else:
+            cand = [(rt, v) for rk, rt, v in rrows if rk == k and rt >= t]
+            # nearest future ts; ties at same ts -> greatest value
+            pick = (min(c[0] for c in cand),) if cand else (None,)
+            if cand:
+                best_t = pick[0]
+                pick = (best_t, max(v for rt, v in cand if rt == best_t))
+            else:
+                pick = (None, None)
+        return pick[1], len(cand)
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        "row_id long, k long, lts long")
+    right = spark.createDataFrame(
+        rrows or [(0, 0, 0)], "k long, rts long, v long")
+    if not rrows:
+        right = right.filter("k > 0")
+    out = asof_join(left, right, "k", "lts", "rts", ("v",),
+                    direction=direction)
+    got = {r["row_id"]: (r["asof_v"], r["n_prior"]) for r in out.collect()}
+    expect = {i: naive(k, t) for i, (k, t) in enumerate(lrows)}
+    assert got == expect
