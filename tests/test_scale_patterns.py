@@ -168,13 +168,21 @@ def test_hll_sketch_distinct_within_error_bounds(spark):
              .agg(F.count_distinct("user_id").alias("n_users")).collect()}
     assert set(got) == set(exact) and len(got) > 0
     for et, row in got.items():
-        # HLL at lgK=14: rse ~ 1.04/sqrt(2^14) ~ 0.8%; allow 3 sigma
-        assert abs(row["n_users_approx"] - exact[et]) <= max(3, 0.025 * exact[et])
+        # the key's output IS the contract now (round 5): exact distinct
+        # count matches, and the within_2pct accuracy bool holds
+        assert row["n_users_exact"] == exact[et]
+        assert row["within_2pct"] is True
 
     # the sketch aggregate must partial-aggregate map-side (mergeable), not
-    # expand to a distinct-style double shuffle
-    plan = (entrymod.queries()["events_distinct_users_hll"](spark, sf)
-            ._jdf.queryExecution().executedPlan().toString())
+    # expand to a distinct-style double shuffle — asserted on a sketch-only
+    # plan (the driver KEY now also computes the exact count for its
+    # accuracy contract, which legitimately adds the distinct's exchanges)
+    sketch_only = (load_table(spark, sf, "events")
+                   .groupBy("event_type")
+                   .agg(F.hll_sketch_estimate(
+                       F.hll_sketch_agg(F.col("user_id"), F.lit(14)))
+                       .alias("n_users_approx")))
+    plan = sketch_only._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
 
 
