@@ -143,8 +143,9 @@ def unigram_surprisal(df: DataFrame, id_col: str = "doc_id",
                             / F.count(F.lit(1))), 4).alias("avg_surprisal"))
               .select(F.col("_id").alias(id_col), "n_tokens",
                       "avg_surprisal"))
+    # same cheap token-less predicate as token_entropy (rlike, no re-split)
     empties = (df.filter(
-        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)) <= 0)
+        ~F.coalesce(F.col(text_col).rlike(r"\S"), F.lit(False)))
         .select(F.col(id_col),
                 F.lit(0).cast("long").alias("n_tokens"),
                 F.lit(0.0).alias("avg_surprisal")))
@@ -537,8 +538,10 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
               .agg(F.max("n").alias("n_tokens"),
                    F.round(F.sum(contrib).cast("double"), 4).alias("entropy"))
               .select(F.col("_id").alias(id_col), "n_tokens", "entropy"))
+    # token-less <=> no non-whitespace char (tokens() splits on \s+) — a
+    # short-circuiting rlike, NOT a second tokenization of the corpus
     empties = (df.filter(
-        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)) <= 0)
+        ~F.coalesce(F.col(text_col).rlike(r"\S"), F.lit(False)))
         .select(F.col(id_col),
                 F.lit(0).cast("long").alias("n_tokens"),
                 F.lit(0.0).alias("entropy")))
