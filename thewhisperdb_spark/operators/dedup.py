@@ -571,11 +571,14 @@ def repeated_span_scrub(df: DataFrame, k: int = 8, min_count: int = 2,
     # (id, 0, 0, '') so no document silently disappears (ADVICE r4).
     toks = F.col("__toks")
     nonempty = src.filter(F.size(toks) > 0)
-    empties = (src.filter(F.coalesce(F.size(toks), F.lit(0)) <= 0)
-               .select(id_col,
-                       F.lit(0).cast("long").alias("n_tokens"),
-                       F.lit(0).cast("long").alias("n_removed"),
-                       F.lit("").alias("clean_text")))
+    # token-less <=> no non-whitespace char (tokens() splits on \s+): the
+    # rlike branch reads df without re-tokenizing the corpus
+    empties = (df.filter(
+        ~F.coalesce(F.col(text_col).rlike(r"\S"), F.lit(False)))
+        .select(id_col,
+                F.lit(0).cast("long").alias("n_tokens"),
+                F.lit(0).cast("long").alias("n_removed"),
+                F.lit("").alias("clean_text")))
     # (pos, tok, shingle-starting-here) minted IN-ARRAY before the
     # explode — no window needed to build shingles, the per-doc slice
     # does it (same trick as unit_dedup); sh is NULL for tail positions
