@@ -5091,6 +5091,59 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
                  .cast("double").alias("totacctbal")))
 
 
+@q("tpch_q21_suppliers_kept_waiting",
+   # the oracle keeps TPC-H's literal EXISTS / NOT-EXISTS formulation; the
+   # Spark side proves the aggregate rewrite below is equivalent
+   """WITH l AS (SELECT l_orderkey, l_suppkey,
+  l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT s_name, n_name, count(*) AS numwait FROM (
+  SELECT l1.l_orderkey, l1.l_suppkey FROM l l1
+  WHERE l1.late
+    AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+  GROUP BY 1, 2) w
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 10""")
+def tpch_q21_suppliers_kept_waiting(spark, sf_dir):
+    # TPC-H Q21 shape (suppliers who kept multi-supplier orders waiting),
+    # adapted to this schema's lateness rule (no receipt/commit dates:
+    # late = shipped >90 days after the order date, as in tpch_q4). The
+    # classic correlated EXISTS/NOT-EXISTS pair is rewritten as ONE
+    # per-order aggregate — an order qualifies its (unique) late supplier
+    # iff it has >=2 distinct suppliers and exactly 1 distinct LATE
+    # supplier — so the per-order pass reuses the join's orderkey
+    # partitioning (no extra exchange) instead of two more self-joins.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    per_order = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                 .groupBy("l_orderkey")
+                 .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                      F.count_distinct(F.when(late, F.col("l_suppkey")))
+                      .alias("n_late_supp"),
+                      F.max(F.when(late, F.col("l_suppkey")))
+                      .alias("lone_late_supp")))
+    waits = (per_order
+             .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+             .groupBy(F.col("lone_late_supp").alias("s_suppkey"))
+             .agg(F.count(F.lit(1)).alias("numwait")))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (waits.join(F.broadcast(s), "s_suppkey")
+            .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+            .groupBy("s_name", "n_name")
+            .agg(F.sum("numwait").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+            .limit(10))
+
+
 @q("events_distinct_users_kmv",
    """WITH h AS (SELECT DISTINCT event_type,
   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
