@@ -520,3 +520,51 @@ def test_asof_join_matches_naive(spark, lrows, rrows, direction):
     got = {r["row_id"]: (r["asof_v"], r["n_prior"]) for r in out.collect()}
     expect = {i: naive(k, t) for i, (k, t) in enumerate(lrows)}
     assert got == expect
+
+
+@given(_random_edges(), st.integers(1, 5))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_label_propagation_matches_reference(spark, graph, max_iter):
+    """Differential test of deterministic synchronous LPA against a naive
+    simulation with identical semantics: mode-of-neighbor-labels with
+    min-label tie-break, two sync rounds per early-stop check (stop on a
+    zero TWO-round delta), single final step for odd max_iter, isolated
+    vertices keeping their own id."""
+    from collections import Counter, defaultdict
+
+    from thewhisperdb_spark.operators import graph as G
+
+    n, edges = graph
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    touched = set(adj)
+    labels = {v: v for v in touched}
+
+    def step(lab):
+        out = {}
+        for v in touched:
+            c = Counter(lab[u] for u in adj[v])
+            out[v] = max(c.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        return out
+
+    for _ in range(max_iter // 2):
+        nl = step(step(labels))
+        same = nl == labels
+        labels = nl
+        if same:
+            break
+    if max_iter % 2:
+        labels = step(labels)
+    expect = {v: labels.get(v, v) for v in range(1, n + 1)}
+
+    verts = spark.createDataFrame([(v,) for v in range(1, n + 1)], "id long")
+    edf = spark.createDataFrame(edges or [(1, 1)], "src long, dst long")
+    if not edges:
+        edf = edf.filter("src != dst")
+    got = {r["id"]: r["label"]
+           for r in G.label_propagation(verts, edf,
+                                        max_iter=max_iter).collect()}
+    assert got == expect
