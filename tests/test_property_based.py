@@ -568,3 +568,50 @@ def test_label_propagation_matches_reference(spark, graph, max_iter):
            for r in G.label_propagation(verts, edf,
                                         max_iter=max_iter).collect()}
     assert got == expect
+
+
+@given(st.lists(
+    st.one_of(
+        st.integers(0, 999),                               # valid doc marker
+        st.text(alphabet='{}[]",:abcxyz0123456789 ',
+                min_size=1, max_size=25)),                 # garbage line
+    min_size=1, max_size=20))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jsonl_quarantine_conserves_every_line(spark, tmp_path_factory, items):
+    """Fuzz the PERMISSIVE JSONL ingest: for any mix of valid documents and
+    garbage lines, clean + quarantined must partition the input — no line
+    lost, no job failure, and every valid doc lands clean."""
+    import json
+
+    from thewhisperdb_spark.sources import textio
+
+    lines = []
+    n_valid = 0
+    for it in items:
+        if isinstance(it, int):
+            lines.append(json.dumps({"doc_id": it, "text": f"t{it}",
+                                     "lang": "en", "source": "s"}))
+            n_valid += 1
+        else:
+            s = it.replace("\n", " ").strip()
+            if not s:
+                s = "###"
+            lines.append(s)
+    p = tmp_path_factory.mktemp("fuzz") / "docs.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+
+    # cache the parsed frame before pruning to the corrupt column — the
+    # QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction split_quarantine documents
+    df = textio.read_jsonl(spark, str(p)).cache()
+    df.count()
+    clean, bad = textio.split_quarantine(df)
+    n_clean, n_bad = clean.count(), bad.count()
+    assert n_clean + n_bad == len(lines)
+    # every intended-valid doc parsed clean (garbage can also parse clean if
+    # it happens to be a JSON object — that's PERMISSIVE's contract)
+    assert n_clean >= n_valid
+    # quarantined payloads carry the raw line for the dead-letter sink
+    for r in bad.select(textio.CORRUPT_COL).collect():
+        assert r[0] in lines
+    df.unpersist()
