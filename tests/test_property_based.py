@@ -615,3 +615,69 @@ def test_jsonl_quarantine_conserves_every_line(spark, tmp_path_factory, items):
     for r in bad.select(textio.CORRUPT_COL).collect():
         assert r[0] in lines
     df.unpersist()
+
+
+@given(st.lists(st.text(alphabet="abcde fg", min_size=0, max_size=24),
+                min_size=2, max_size=8))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_simhash_band_pairs_lossless_vs_bruteforce(spark, texts):
+    """The pigeonhole claim, tested: banded candidate generation + verify
+    must return EXACTLY the brute-force set of pairs with hamming(simhash)
+    <= max_hamming (max_hamming < bands => lossless)."""
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.operators.text import tags_of
+
+    df = spark.createDataFrame(list(enumerate(texts, start=1)),
+                               "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in D.simhash_band_pairs(df, bits=32, bands=4,
+                                         max_hamming=3).collect()}
+    # brute force over the same simhash values
+    hs = {r["doc_id"]: r["h"] for r in
+          df.select("doc_id",
+                    D.simhash(tags_of(F.col("text")), 32).alias("h"))
+          .collect()}
+    expect = {}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(hs[a] ^ hs[b]).count("1")
+            if d <= 3:
+                expect[(a, b)] = d
+    assert got == expect
+
+
+@given(st.lists(st.text(alphabet="abc d", min_size=0, max_size=20),
+                min_size=2, max_size=6),
+       st.sampled_from([0.5, 0.7, 0.9]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_minhash_lsh_pairs_lossless_vs_bruteforce(spark, texts, theta):
+    """The >=min-bands candidate filter must not change the result set:
+    operator output == brute-force signature comparison at the same
+    threshold (est_jaccard = fraction of agreeing minhashes)."""
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.operators.text import char_ngrams
+
+    df = spark.createDataFrame(list(enumerate(texts, start=1)),
+                               "doc_id long, text string")
+    n_hashes, bands = 16, 8
+    got = {(r["a"], r["b"]): r["est_jaccard"]
+           for r in D.minhash_lsh_pairs(df, n_hashes=n_hashes, bands=bands,
+                                        threshold=theta).collect()}
+    sigs = {r["doc_id"]: r["sig"] for r in
+            df.select("doc_id",
+                      D.minhash_signature(char_ngrams(F.col("text"), 3),
+                                          n_hashes).alias("sig")).collect()}
+    expect = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sigs[a], sigs[b]
+            if sa is None or sb is None:
+                continue   # shingle-less docs mint no signature/pairs
+            est = sum(x == y for x, y in zip(sa, sb)) / n_hashes
+            if est >= theta:
+                expect[(a, b)] = round(est, 6)
+    assert {k: round(v, 6) for k, v in got.items()} == expect
