@@ -5144,6 +5144,38 @@ def tpch_q21_suppliers_kept_waiting(spark, sf_dir):
             .limit(10))
 
 
+@q("lsh_index_incremental_dedup",
+   # the lossless >=min-bands banding means the oracle is the mathematical
+   # definition (all-pairs signature comparison), restricted to cross-split
+   # pairs — the persisted index must change nothing about the result
+   "WITH " + _minhash_ctes() + " "
+   "SELECT a AS index_id, b AS batch_id, est_jaccard FROM prs "
+   "WHERE a < 400 AND b >= 400")
+def lsh_index_incremental_dedup(spark, sf_dir):
+    # Incremental dedup against a PERSISTED signature index — the
+    # daily-crawl pattern at 100 TB: the historical corpus (doc_id < 400)
+    # is shingled+hashed ONCE into <tmp>/signatures + band-partitioned
+    # buckets (operators/dedup.py:lsh_index_build, IVF-style meta sentinel
+    # + version gate), and the arriving batch (doc_id >= 400) hashes only
+    # itself and probes via the banded bucket join. Hash-checked against
+    # the all-pairs signature-comparison oracle, proving the at-rest index
+    # path returns exactly the online result.
+    import tempfile
+
+    from thewhisperdb_spark.operators import dedup as D
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="whisper_lsh_idx_")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 400), path,
+                      n_hashes=32, bands=8, shingle_n=5)
+    out = D.lsh_index_probe(spark, path,
+                            docs.filter(F.col("doc_id") >= 400),
+                            threshold=0.8)
+    # est = matches/32 is an exact binary fraction on both engines — no
+    # rounding needed (same rule as minhash_lsh_dedup)
+    return out.select("index_id", "batch_id", "est_jaccard")
+
+
 @q("events_distinct_users_kmv",
    """WITH h AS (SELECT DISTINCT event_type,
   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h

@@ -414,3 +414,70 @@ def test_repeated_span_scrub_empty_and_null_docs(spark):
     assert got[1] == (6, 6, "")              # self-repeat scrubs to empty
     for i in (2, 3, 4):
         assert got[i] == (0, 0, "")
+
+
+def test_lsh_index_probe_matches_online_pairs(spark, tmp_path):
+    """Persisted-index probe must return exactly the cross-split subset of
+    the online minhash_lsh_pairs result (same signatures, same banding,
+    same threshold) — the daily-batch dedup path computes nothing new."""
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.operators.text import word_ngrams
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents") \
+        .select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    path = str(tmp_path / "lsh_idx")
+    D.lsh_index_build(corpus, path, n_hashes=32, bands=8, shingle_n=5)
+    got = {(r["index_id"], r["batch_id"]): round(r["est_jaccard"], 6)
+           for r in D.lsh_index_probe(spark, path, batch,
+                                      threshold=0.8).collect()}
+    online = D.minhash_lsh_pairs(
+        docs, n_hashes=32, bands=8, threshold=0.8,
+        shingler=lambda c: word_ngrams(c, 5))
+    expect = {(r["a"], r["b"]): round(r["est_jaccard"], 6)
+              for r in online.collect()
+              if r["a"] < 400 <= r["b"]}
+    assert got == expect and len(got) > 0
+
+
+def test_lsh_index_append_and_gate(spark, tmp_path):
+    import pytest
+
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    path = str(tmp_path / "lsh_idx2")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 30), path,
+                      n_hashes=16, bands=4, shingle_n=5)
+    # append a delta, probe the delta's own docs: each must hit itself in
+    # the index at est 1.0 once appended
+    delta = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+    D.lsh_index_append(spark, path, delta)
+    hits = {(r["batch_id"], r["index_id"]): r["est_jaccard"]
+            for r in D.lsh_index_probe(spark, path, delta,
+                                       threshold=0.99).collect()}
+    for i in range(30, 40):
+        assert hits.get((i, i)) == 1.0
+    # parameter/version gate: stale or in-progress meta fails loudly
+    spark.createDataFrame(
+        [(0, 16, 4, 5, True, "xxhash64-v1")],
+        "format_version int, n_hashes int, bands int, shingle_n int, "
+        "portable boolean, hash_scheme string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="format v0"):
+        D.lsh_index_probe(spark, path, delta)
+    spark.createDataFrame(
+        [(-1, 16, 4, 5, True, "md5-min-v2")],
+        "format_version int, n_hashes int, bands int, shingle_n int, "
+        "portable boolean, hash_scheme string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="in-progress"):
+        D.lsh_index_append(spark, path, delta)
+    import shutil
+    shutil.rmtree(f"{path}/meta")
+    with pytest.raises(ValueError, match="no meta"):
+        D.lsh_index_probe(spark, path, delta)

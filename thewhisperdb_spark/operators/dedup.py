@@ -616,3 +616,149 @@ def repeated_span_scrub(df: DataFrame, k: int = 8, min_count: int = 2,
                              .alias("tok")))),
                          lambda s: s["tok"]))).alias("clean_text")))
     return scrubbed.unionByName(empties)
+
+
+# ---- persisted incremental LSH dedup index ---------------------------------
+#
+# The daily-crawl dedup pattern at 100 TB: signatures for the historical
+# corpus are computed ONCE and persisted; each arriving batch hashes only
+# its own documents and probes the index through the banded bucket join.
+# Mirrors the IVF index protocol (vectors.ivf_index_*): meta sentinel
+# written LAST, loud version/parameter gate on probe/append — a probe
+# against an index built with different banding parameters would silently
+# generate wrong candidates, so parameter drift must fail, not degrade.
+
+LSH_INDEX_FORMAT_VERSION = 1
+
+
+def _lsh_sig_banded(df: DataFrame, n_hashes: int, bands: int,
+                    shingle_n: int, id_col: str, text_col: str,
+                    portable: bool) -> tuple[DataFrame, DataFrame]:
+    """(signatures, banded buckets) with the exact banding scheme of
+    minhash_lsh_pairs — word-(shingle_n)-gram shingles, md5-portable
+    signatures, xxhash64 bucket per band slice. Signatures are
+    localCheckpointed (referenced by the bucket explode and later joins)."""
+    from thewhisperdb_spark.operators.text import word_ngrams
+
+    rows_per_band = n_hashes // bands
+    sig = (df.select(F.col(id_col).alias("id"),
+                     word_ngrams(F.col(text_col), shingle_n).alias("sh"))
+           .select("id", minhash_signature(F.col("sh"), n_hashes,
+                                           portable=portable).alias("sig"))
+           .filter(F.col("sig").isNotNull())
+           .localCheckpoint(eager=True))
+    banded = sig.select(
+        "id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(",", F.slice(
+                    F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    .cast("array<string>"))).alias("bucket")))).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    return sig, banded
+
+
+def _lsh_index_meta(spark, path: str) -> dict:
+    """Read + gate the index meta; loud errors for missing/in-progress/
+    version-mismatched indexes (same discipline as vectors._check_index_version)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{path}/meta").collect()
+    except AnalysisException as e:
+        raise ValueError(
+            f"LSH index at {path} has no meta marker — not an index, or an "
+            "interrupted build removed it; rebuild with lsh_index_build") from e
+    m = rows[0].asDict() if rows else {}
+    ver = int(m.get("format_version", 0))
+    if ver == -1:
+        raise ValueError(
+            f"LSH index at {path} is marked in-progress/interrupted "
+            "(format_version -1); rebuild with lsh_index_build")
+    if ver != LSH_INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"LSH index at {path} is format v{ver}, this build reads "
+            f"v{LSH_INDEX_FORMAT_VERSION}; rebuild with lsh_index_build")
+    return m
+
+
+def lsh_index_build(df: DataFrame, path: str, n_hashes: int = 32,
+                    bands: int = 8, shingle_n: int = 5,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    portable: bool = True) -> None:
+    """Materialize the signature index: ``<path>/signatures`` (id, sig),
+    ``<path>/buckets`` (bucket, id) hive-partitioned by band, and
+    ``<path>/meta`` holding the banding parameters. Meta is the
+    build-completion sentinel: invalidated first (-1), stamped last."""
+    spark = df.sparkSession
+
+    def write_meta(version: int) -> None:
+        (spark.createDataFrame(
+            [(version, n_hashes, bands, shingle_n, portable,
+              "md5-min-v2" if portable else "xxhash64-v1")],
+            "format_version int, n_hashes int, bands int, shingle_n int, "
+            "portable boolean, hash_scheme string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+    write_meta(-1)
+    sig, banded = _lsh_sig_banded(df, n_hashes, bands, shingle_n,
+                                  id_col, text_col, portable)
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    (banded.write.mode("overwrite").partitionBy("band")
+     .parquet(f"{path}/buckets"))
+    write_meta(LSH_INDEX_FORMAT_VERSION)
+
+
+def lsh_index_append(spark, path: str, new_df: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text") -> None:
+    """Add a batch to the index with the INDEX'S OWN banding parameters
+    (read from meta — caller-supplied params can't drift)."""
+    m = _lsh_index_meta(spark, path)
+    sig, banded = _lsh_sig_banded(new_df, int(m["n_hashes"]),
+                                  int(m["bands"]), int(m["shingle_n"]),
+                                  id_col, text_col, bool(m["portable"]))
+    sig.write.mode("append").parquet(f"{path}/signatures")
+    banded.write.mode("append").partitionBy("band").parquet(f"{path}/buckets")
+
+
+def lsh_index_probe(spark, path: str, batch: DataFrame,
+                    threshold: float = 0.8, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Near-dup pairs between a NEW batch and the persisted corpus:
+    (batch_id, index_id, est_jaccard) with est >= threshold. Only the
+    batch is shingled/hashed; the corpus side is the at-rest index. The
+    threshold-derived >=min-bands candidate floor is the same lossless
+    filter as minhash_lsh_pairs (a pair at est >= θ must collide in at
+    least bands − (k − ceil(θ·k)) bands)."""
+    import math
+
+    m = _lsh_index_meta(spark, path)
+    n_hashes, bands = int(m["n_hashes"]), int(m["bands"])
+    sig_b, banded_b = _lsh_sig_banded(batch, n_hashes, bands,
+                                      int(m["shingle_n"]), id_col, text_col,
+                                      bool(m["portable"]))
+    idx_buckets = spark.read.parquet(f"{path}/buckets")
+    min_bands = max(1, bands - (n_hashes
+                                - math.ceil(threshold * n_hashes - 1e-9)))
+    cand = (banded_b.select(F.col("id").alias("batch_id"), "band", "bucket")
+            .join(idx_buckets.select(F.col("id").alias("index_id"),
+                                     "band", "bucket"),
+                  ["band", "bucket"])
+            .groupBy("batch_id", "index_id")
+            .agg(F.count(F.lit(1)).alias("_nb"))
+            .filter(F.col("_nb") >= min_bands).drop("_nb"))
+    idx_sig = spark.read.parquet(f"{path}/signatures")
+    est = (F.size(F.filter(F.zip_with(F.col("bsig"), F.col("isig"),
+                                      lambda x, y: x == y), lambda v: v))
+           .cast("double") / F.lit(n_hashes))
+    return (cand
+            .join(sig_b.select(F.col("id").alias("batch_id"),
+                               F.col("sig").alias("bsig")), "batch_id")
+            .join(idx_sig.select(F.col("id").alias("index_id"),
+                                 F.col("sig").alias("isig")), "index_id")
+            .select("batch_id", "index_id",
+                    est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))
