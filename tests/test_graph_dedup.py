@@ -481,3 +481,36 @@ def test_lsh_index_append_and_gate(spark, tmp_path):
     shutil.rmtree(f"{path}/meta")
     with pytest.raises(ValueError, match="no meta"):
         D.lsh_index_probe(spark, path, delta)
+
+
+def test_lsh_index_compact_preserves_probe_results(spark, tmp_path):
+    """Compaction after several appends must not change probe output, must
+    shrink the signature file count, and must leave the version stamp
+    intact (localCheckpoint barrier: the rewrite can't stream from the
+    files it overwrites)."""
+    import glob
+
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    path = str(tmp_path / "lsh_idx3")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 20), path,
+                      n_hashes=16, bands=4, shingle_n=5)
+    for lo in (20, 30, 40):
+        D.lsh_index_append(
+            spark, path,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)))
+    batch = docs.filter(F.col("doc_id") >= 40)
+    before = {(r["batch_id"], r["index_id"]): r["est_jaccard"]
+              for r in D.lsh_index_probe(spark, path, batch,
+                                         threshold=0.9).collect()}
+    files_before = len(glob.glob(f"{path}/signatures/*.parquet"))
+    D.lsh_index_compact(spark, path)
+    files_after = len(glob.glob(f"{path}/signatures/*.parquet"))
+    after = {(r["batch_id"], r["index_id"]): r["est_jaccard"]
+             for r in D.lsh_index_probe(spark, path, batch,
+                                        threshold=0.9).collect()}
+    assert after == before and len(after) > 0
+    assert files_after < files_before

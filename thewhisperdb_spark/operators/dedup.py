@@ -762,3 +762,37 @@ def lsh_index_probe(spark, path: str, batch: DataFrame,
             .select("batch_id", "index_id",
                     est.alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= threshold))
+
+
+def lsh_index_compact(spark, path: str,
+                      target_rows_per_file: int = 4_000_000) -> None:
+    """Index maintenance: appends accumulate one small file set per batch,
+    and bucket-join scan cost at probe time is dominated by file count once
+    deltas are frequent. Rewrite signatures and buckets with data-derived
+    file counts (textio.write_compacted's rule), preserving the band
+    partitioning. The meta sentinel is invalidated during the rewrite and
+    re-stamped after, so a compaction that dies mid-flight leaves an index
+    that loudly fails the gate instead of one with half-rewritten files."""
+    import math as _math
+
+    m = _lsh_index_meta(spark, path)
+    sig = spark.read.parquet(f"{path}/signatures").localCheckpoint(eager=True)
+    buckets = (spark.read.parquet(f"{path}/buckets")
+               .localCheckpoint(eager=True))
+    n_sig = sig.count()
+
+    def write_meta(version: int) -> None:
+        (spark.createDataFrame(
+            [(version, int(m["n_hashes"]), int(m["bands"]),
+              int(m["shingle_n"]), bool(m["portable"]), str(m["hash_scheme"]))],
+            "format_version int, n_hashes int, bands int, shingle_n int, "
+            "portable boolean, hash_scheme string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+    write_meta(-1)
+    (sig.repartition(max(1, _math.ceil(n_sig / target_rows_per_file)))
+     .write.mode("overwrite").parquet(f"{path}/signatures"))
+    (buckets.repartition(int(m["bands"]), "band")
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(f"{path}/buckets"))
+    write_meta(LSH_INDEX_FORMAT_VERSION)
