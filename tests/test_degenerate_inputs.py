@@ -205,3 +205,34 @@ def test_kmeans_empty_and_all_null_corpus(spark):
                                    (3, [0.0, 1.0])],
                                   "vec_id long, embedding array<double>")
     assert V.kmeans_assign(mixed, k=2, max_iter=1).count() == 3
+
+
+def test_lsh_index_empty_corpus_and_batch(spark, tmp_path):
+    """Index cold starts: an empty corpus builds a valid (empty) index that
+    probes cleanly; probing an empty batch returns no rows; degenerate
+    docs (empty/NULL text) in the corpus mint no signatures and no pairs."""
+    from thewhisperdb_spark.operators import dedup as D
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "lsh_cold")
+    D.lsh_index_build(empty, path, n_hashes=16, bands=4)
+    batch = spark.createDataFrame(
+        [(100, "some real document text here today"),
+         (101, ""), (102, None)],
+        "doc_id long, text string")
+    assert D.lsh_index_probe(spark, path, batch).count() == 0
+    assert D.lsh_index_probe(spark, path, empty).count() == 0
+    # degenerate corpus: token-less docs (empty/whitespace/NULL) all reduce
+    # to the single clamp shingle, so they are mutual exact-dups of the
+    # empty document (est 1.0) — the same semantics as the online operator
+    # and its oracle; the real doc pairs only with its own duplicate
+    path2 = str(tmp_path / "lsh_cold2")
+    D.lsh_index_build(batch, path2, n_hashes=16, bands=4)
+    hits = D.lsh_index_probe(
+        spark, path2,
+        spark.createDataFrame([(200, "some real document text here today"),
+                               (201, "   ")],
+                              "doc_id long, text string"),
+        threshold=0.9).collect()
+    got = {(r["batch_id"], r["index_id"]) for r in hits}
+    assert got == {(200, 100), (201, 101), (201, 102)}

@@ -740,7 +740,10 @@ def lsh_index_probe(spark, path: str, batch: DataFrame,
     sig_b, banded_b = _lsh_sig_banded(batch, n_hashes, bands,
                                       int(m["shingle_n"]), id_col, text_col,
                                       bool(m["portable"]))
-    idx_buckets = spark.read.parquet(f"{path}/buckets")
+    # declared schemas: an index built from an EMPTY corpus has no parquet
+    # parts to infer from (cold start), but is still a valid index
+    idx_buckets = (spark.read.schema("id long, bucket long, band int")
+                   .parquet(f"{path}/buckets"))
     min_bands = max(1, bands - (n_hashes
                                 - math.ceil(threshold * n_hashes - 1e-9)))
     cand = (banded_b.select(F.col("id").alias("batch_id"), "band", "bucket")
@@ -750,7 +753,8 @@ def lsh_index_probe(spark, path: str, batch: DataFrame,
             .groupBy("batch_id", "index_id")
             .agg(F.count(F.lit(1)).alias("_nb"))
             .filter(F.col("_nb") >= min_bands).drop("_nb"))
-    idx_sig = spark.read.parquet(f"{path}/signatures")
+    idx_sig = (spark.read.schema("id long, sig array<long>")
+               .parquet(f"{path}/signatures"))
     est = (F.size(F.filter(F.zip_with(F.col("bsig"), F.col("isig"),
                                       lambda x, y: x == y), lambda v: v))
            .cast("double") / F.lit(n_hashes))
@@ -776,9 +780,10 @@ def lsh_index_compact(spark, path: str,
     import math as _math
 
     m = _lsh_index_meta(spark, path)
-    sig = spark.read.parquet(f"{path}/signatures").localCheckpoint(eager=True)
-    buckets = (spark.read.parquet(f"{path}/buckets")
-               .localCheckpoint(eager=True))
+    sig = (spark.read.schema("id long, sig array<long>")
+           .parquet(f"{path}/signatures").localCheckpoint(eager=True))
+    buckets = (spark.read.schema("id long, bucket long, band int")
+               .parquet(f"{path}/buckets").localCheckpoint(eager=True))
     n_sig = sig.count()
 
     def write_meta(version: int) -> None:
