@@ -514,3 +514,98 @@ def test_lsh_index_compact_preserves_probe_results(spark, tmp_path):
                                         threshold=0.9).collect()}
     assert after == before and len(after) > 0
     assert files_after < files_before
+
+
+def test_lsh_index_double_append_is_noop(spark, tmp_path):
+    """Retrying a batch append (the normal failure mode for a daily-crawl
+    index job) must leave the index bit-identical: probe output unchanged,
+    signature and bucket row counts unchanged, meta still stamped valid."""
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    path = str(tmp_path / "lsh_idx4")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 30), path,
+                      n_hashes=16, bands=4, shingle_n=5)
+    delta = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+    D.lsh_index_append(spark, path, delta)
+
+    def state():
+        n_sig = spark.read.parquet(f"{path}/signatures").count()
+        n_buk = spark.read.parquet(f"{path}/buckets").count()
+        probe = sorted(
+            (r["batch_id"], r["index_id"], round(r["est_jaccard"], 6))
+            for r in D.lsh_index_probe(spark, path, delta,
+                                       threshold=0.9).collect())
+        return n_sig, n_buk, probe
+
+    before = state()
+    D.lsh_index_append(spark, path, delta)      # exact replay
+    assert state() == before
+    # partial replay: 5 already-indexed docs + 5 new ones — only the new
+    # 5 may land, and no (batch, index) probe pair may appear twice
+    mixed = docs.filter((F.col("doc_id") >= 35) & (F.col("doc_id") < 45))
+    D.lsh_index_append(spark, path, mixed)
+    n_sig, _, probe = state()
+    assert n_sig == before[0] + 5
+    assert len({(b, i) for b, i, _ in probe}) == len(probe)
+    # meta is stamped valid after every append (crash-atomicity bracket)
+    ver = spark.read.parquet(f"{path}/meta").collect()[0]["format_version"]
+    assert ver == D.LSH_INDEX_FORMAT_VERSION
+
+
+def test_lsh_index_string_ids_roundtrip(spark, tmp_path):
+    """An index built over string doc ids must probe and compact cleanly:
+    the id type is recorded in meta at build time and the declared read
+    schemas derive from it (ADVICE r5: they were hard-coded long)."""
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .select(F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+                    .alias("doc_id"), "text"))
+    path = str(tmp_path / "lsh_idx5")
+    D.lsh_index_build(docs.filter(F.length("doc_id") < 7), path,
+                      n_hashes=16, bands=4, shingle_n=5)
+    batch = docs.limit(10)
+    hits = {(r["batch_id"], r["index_id"]): r["est_jaccard"]
+            for r in D.lsh_index_probe(spark, path, batch,
+                                       threshold=0.99).collect()}
+    selfhits = [k for k in hits if k[0] == k[1]]
+    assert len(selfhits) > 0 and all(hits[k] == 1.0 for k in selfhits)
+    D.lsh_index_compact(spark, path)
+    hits2 = {(r["batch_id"], r["index_id"]): r["est_jaccard"]
+             for r in D.lsh_index_probe(spark, path, batch,
+                                        threshold=0.99).collect()}
+    assert hits2 == hits
+    # id-type gate: appending long ids into a string-id index fails loudly
+    import pytest
+    long_ids = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text").limit(3)
+    with pytest.raises(ValueError, match="stores string ids"):
+        D.lsh_index_append(spark, path, long_ids)
+
+
+def test_lsh_index_probe_prunes_signature_scan(spark, tmp_path):
+    """The verify join must not scan the full signatures parquet: the
+    (tiny) distinct candidate index_ids are broadcast-semi-joined ahead of
+    it, so at a 100 TB index the scan is bounded by the daily batch's
+    candidate set, not the corpus."""
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    path = str(tmp_path / "lsh_idx6")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 30), path,
+                      n_hashes=16, bands=4, shingle_n=5)
+    out = D.lsh_index_probe(spark, path, docs.limit(5), threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only FileScan in the probe plan is the signatures read (buckets
+    # were consumed into the checkpointed candidate set), and it must sit
+    # under a broadcast LeftSemi join on the candidate ids
+    assert "FileScan parquet" in plan, plan
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan, plan
+    semi_idx = plan.index("LeftSemi")
+    assert plan.index("FileScan parquet") > semi_idx, plan

@@ -250,3 +250,47 @@ def test_streaming_jobs_survive_empty_input(spark, tmp_path_factory):
     stream3 = SJ.stream_events_from_dir(spark, path)
     assert SJ.run_to_memory(
         SJ.kmv_distinct_stream(stream3), "empty_kmv", "update").count() == 0
+
+
+def test_stream_append_to_lsh_matches_batch_append(spark, tmp_path):
+    """Documents arriving over N micro-batches must produce a
+    bit-identical LSH index to one batch append of the same rows:
+    identical signature sets and identical probe output (signatures are
+    content-deterministic, so row-set equality IS bit-identity here)."""
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 30)
+    delta = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+
+    batch_path = str(tmp_path / "lsh_batch")
+    D.lsh_index_build(base, batch_path, n_hashes=16, bands=4, shingle_n=5)
+    D.lsh_index_append(spark, batch_path, delta)
+
+    stream_path = str(tmp_path / "lsh_stream")
+    D.lsh_index_build(base, stream_path, n_hashes=16, bands=4, shingle_n=5)
+    src = str(tmp_path / "src")
+    delta.repartition(3).write.parquet(src)          # 3 micro-batches
+    stream = (spark.readStream.schema(delta.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = SJ.stream_append_to_lsh(stream, stream_path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    def sig_rows(path):
+        return sorted((r["id"], tuple(r["sig"])) for r in
+                      spark.read.parquet(f"{path}/signatures").collect())
+
+    assert sig_rows(stream_path) == sig_rows(batch_path)
+    probe_in = docs.filter(F.col("doc_id") >= 50).limit(20)
+
+    def probe(path):
+        return sorted(
+            (r["batch_id"], r["index_id"], round(r["est_jaccard"], 6))
+            for r in D.lsh_index_probe(spark, path, probe_in,
+                                       threshold=0.9).collect())
+
+    got, want = probe(stream_path), probe(batch_path)
+    assert got == want and len(got) > 0

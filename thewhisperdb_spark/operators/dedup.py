@@ -640,14 +640,21 @@ def _lsh_sig_banded(df: DataFrame, n_hashes: int, bands: int,
     localCheckpointed (referenced by the bucket explode and later joins)."""
     from thewhisperdb_spark.operators.text import word_ngrams
 
-    rows_per_band = n_hashes // bands
     sig = (df.select(F.col(id_col).alias("id"),
                      word_ngrams(F.col(text_col), shingle_n).alias("sh"))
            .select("id", minhash_signature(F.col("sh"), n_hashes,
                                            portable=portable).alias("sig"))
            .filter(F.col("sig").isNotNull())
            .localCheckpoint(eager=True))
-    banded = sig.select(
+    return sig, _lsh_band(sig, n_hashes, bands)
+
+
+def _lsh_band(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """Band a (id, sig) frame into (id, band, bucket) rows — one xxhash64
+    bucket per contiguous signature slice, the same banding as
+    minhash_lsh_pairs. Split out so append can band AFTER its anti-join."""
+    rows_per_band = n_hashes // bands
+    return sig.select(
         "id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -658,7 +665,6 @@ def _lsh_sig_banded(df: DataFrame, n_hashes: int, bands: int,
                     .cast("array<string>"))).alias("bucket")))).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
-    return sig, banded
 
 
 def _lsh_index_meta(spark, path: str) -> dict:
@@ -682,7 +688,25 @@ def _lsh_index_meta(spark, path: str) -> dict:
         raise ValueError(
             f"LSH index at {path} is format v{ver}, this build reads "
             f"v{LSH_INDEX_FORMAT_VERSION}; rebuild with lsh_index_build")
+    # pre-r6 indexes carry no id_type column; they were all long-id builds
+    m.setdefault("id_type", "bigint")
     return m
+
+
+def _lsh_meta_writer(spark, path: str, n_hashes: int, bands: int,
+                     shingle_n: int, portable: bool, hash_scheme: str,
+                     id_type: str):
+    """One meta writer shared by build/append/compact so the sentinel
+    protocol (invalidate with -1 first, stamp the real version last) is
+    spelled identically at every site."""
+    def write_meta(version: int) -> None:
+        (spark.createDataFrame(
+            [(version, n_hashes, bands, shingle_n, portable, hash_scheme,
+              id_type)],
+            "format_version int, n_hashes int, bands int, shingle_n int, "
+            "portable boolean, hash_scheme string, id_type string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+    return write_meta
 
 
 def lsh_index_build(df: DataFrame, path: str, n_hashes: int = 32,
@@ -691,21 +715,18 @@ def lsh_index_build(df: DataFrame, path: str, n_hashes: int = 32,
                     portable: bool = True) -> None:
     """Materialize the signature index: ``<path>/signatures`` (id, sig),
     ``<path>/buckets`` (bucket, id) hive-partitioned by band, and
-    ``<path>/meta`` holding the banding parameters. Meta is the
+    ``<path>/meta`` holding the banding parameters AND the id column's
+    data type (probe/compact derive their declared read schemas from it —
+    a string-id index must not be read back as long). Meta is the
     build-completion sentinel: invalidated first (-1), stamped last."""
     spark = df.sparkSession
-
-    def write_meta(version: int) -> None:
-        (spark.createDataFrame(
-            [(version, n_hashes, bands, shingle_n, portable,
-              "md5-min-v2" if portable else "xxhash64-v1")],
-            "format_version int, n_hashes int, bands int, shingle_n int, "
-            "portable boolean, hash_scheme string")
-         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
-
-    write_meta(-1)
     sig, banded = _lsh_sig_banded(df, n_hashes, bands, shingle_n,
                                   id_col, text_col, portable)
+    write_meta = _lsh_meta_writer(
+        spark, path, n_hashes, bands, shingle_n, portable,
+        "md5-min-v2" if portable else "xxhash64-v1",
+        sig.schema["id"].dataType.simpleString())
+    write_meta(-1)
     sig.write.mode("overwrite").parquet(f"{path}/signatures")
     (banded.write.mode("overwrite").partitionBy("band")
      .parquet(f"{path}/buckets"))
@@ -715,13 +736,44 @@ def lsh_index_build(df: DataFrame, path: str, n_hashes: int = 32,
 def lsh_index_append(spark, path: str, new_df: DataFrame,
                      id_col: str = "doc_id", text_col: str = "text") -> None:
     """Add a batch to the index with the INDEX'S OWN banding parameters
-    (read from meta — caller-supplied params can't drift)."""
+    (read from meta — caller-supplied params can't drift).
+
+    Retry-idempotent and crash-atomic: incoming ids are anti-joined
+    against the persisted signatures before anything is written, so
+    re-running a failed/duplicated batch job (the normal operating
+    condition for a daily-crawl index) is a no-op for already-indexed
+    docs; and the two appends are bracketed by the same meta sentinel
+    invalidate/stamp as build/compact, so a crash between the signatures
+    write and the buckets write leaves an index that loudly fails the
+    gate instead of one whose probe silently misses the torn batch.
+    A torn append requires lsh_index_build to recover (documented
+    trade-off: the sentinel makes the tear detectable, not repairable)."""
     m = _lsh_index_meta(spark, path)
-    sig, banded = _lsh_sig_banded(new_df, int(m["n_hashes"]),
-                                  int(m["bands"]), int(m["shingle_n"]),
-                                  id_col, text_col, bool(m["portable"]))
-    sig.write.mode("append").parquet(f"{path}/signatures")
+    n_hashes, bands = int(m["n_hashes"]), int(m["bands"])
+    sig, _ = _lsh_sig_banded(new_df, n_hashes, bands, int(m["shingle_n"]),
+                             id_col, text_col, bool(m["portable"]))
+    in_type = sig.schema["id"].dataType.simpleString()
+    if in_type != m["id_type"]:
+        raise ValueError(
+            f"LSH index at {path} stores {m['id_type']} ids; appending a "
+            f"batch with {in_type} ids would corrupt the index")
+    idx_ids = (spark.read.schema(f"id {m['id_type']}, sig array<long>")
+               .parquet(f"{path}/signatures").select("id"))
+    # de-dup vs the index BEFORE any write: the anti-join must see the
+    # pre-append state, and the survivors are checkpointed so banding and
+    # both writes observe one fixed computation
+    new_sig = (sig.join(idx_ids, "id", "left_anti")
+               .localCheckpoint(eager=True))
+    if new_sig.isEmpty():
+        return  # fully-replayed batch: nothing to write, meta untouched
+    banded = _lsh_band(new_sig, n_hashes, bands)
+    write_meta = _lsh_meta_writer(
+        spark, path, n_hashes, bands, int(m["shingle_n"]),
+        bool(m["portable"]), str(m["hash_scheme"]), str(m["id_type"]))
+    write_meta(-1)
+    new_sig.write.mode("append").parquet(f"{path}/signatures")
     banded.write.mode("append").partitionBy("band").parquet(f"{path}/buckets")
+    write_meta(LSH_INDEX_FORMAT_VERSION)
 
 
 def lsh_index_probe(spark, path: str, batch: DataFrame,
@@ -740,21 +792,33 @@ def lsh_index_probe(spark, path: str, batch: DataFrame,
     sig_b, banded_b = _lsh_sig_banded(batch, n_hashes, bands,
                                       int(m["shingle_n"]), id_col, text_col,
                                       bool(m["portable"]))
-    # declared schemas: an index built from an EMPTY corpus has no parquet
-    # parts to infer from (cold start), but is still a valid index
-    idx_buckets = (spark.read.schema("id long, bucket long, band int")
+    # declared schemas (id type recorded in meta at build time): an index
+    # built from an EMPTY corpus has no parquet parts to infer from (cold
+    # start), but is still a valid index
+    id_type = str(m["id_type"])
+    idx_buckets = (spark.read.schema(f"id {id_type}, bucket long, band int")
                    .parquet(f"{path}/buckets"))
     min_bands = max(1, bands - (n_hashes
                                 - math.ceil(threshold * n_hashes - 1e-9)))
+    # the candidate pair set is bounded by the batch size (small daily
+    # batch), so materialize it once: it feeds both the verify join and
+    # the broadcast semi-join that prunes the full-corpus signature scan
     cand = (banded_b.select(F.col("id").alias("batch_id"), "band", "bucket")
             .join(idx_buckets.select(F.col("id").alias("index_id"),
                                      "band", "bucket"),
                   ["band", "bucket"])
             .groupBy("batch_id", "index_id")
             .agg(F.count(F.lit(1)).alias("_nb"))
-            .filter(F.col("_nb") >= min_bands).drop("_nb"))
-    idx_sig = (spark.read.schema("id long, sig array<long>")
-               .parquet(f"{path}/signatures"))
+            .filter(F.col("_nb") >= min_bands).drop("_nb")
+            .localCheckpoint(eager=True))
+    # probe-side signature pruning: at a 100 TB index the verify join must
+    # not scan every signature — a broadcast semi-join on the (tiny)
+    # distinct candidate index_ids filters the scan as it streams
+    idx_sig = (spark.read.schema(f"id {id_type}, sig array<long>")
+               .parquet(f"{path}/signatures")
+               .join(F.broadcast(cand.select(F.col("index_id").alias("id"))
+                                 .distinct()),
+                     "id", "left_semi"))
     est = (F.size(F.filter(F.zip_with(F.col("bsig"), F.col("isig"),
                                       lambda x, y: x == y), lambda v: v))
            .cast("double") / F.lit(n_hashes))
@@ -780,20 +844,16 @@ def lsh_index_compact(spark, path: str,
     import math as _math
 
     m = _lsh_index_meta(spark, path)
-    sig = (spark.read.schema("id long, sig array<long>")
+    id_type = str(m["id_type"])
+    sig = (spark.read.schema(f"id {id_type}, sig array<long>")
            .parquet(f"{path}/signatures").localCheckpoint(eager=True))
-    buckets = (spark.read.schema("id long, bucket long, band int")
+    buckets = (spark.read.schema(f"id {id_type}, bucket long, band int")
                .parquet(f"{path}/buckets").localCheckpoint(eager=True))
     n_sig = sig.count()
-
-    def write_meta(version: int) -> None:
-        (spark.createDataFrame(
-            [(version, int(m["n_hashes"]), int(m["bands"]),
-              int(m["shingle_n"]), bool(m["portable"]), str(m["hash_scheme"]))],
-            "format_version int, n_hashes int, bands int, shingle_n int, "
-            "portable boolean, hash_scheme string")
-         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
-
+    write_meta = _lsh_meta_writer(
+        spark, path, int(m["n_hashes"]), int(m["bands"]),
+        int(m["shingle_n"]), bool(m["portable"]), str(m["hash_scheme"]),
+        id_type)
     write_meta(-1)
     (sig.repartition(max(1, _math.ceil(n_sig / target_rows_per_file)))
      .write.mode("overwrite").parquet(f"{path}/signatures"))

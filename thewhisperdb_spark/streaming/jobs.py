@@ -343,6 +343,32 @@ def stream_append_to_ivf(stream: DataFrame, index_path: str,
             .trigger(availableNow=True).start())
 
 
+def stream_append_to_lsh(stream: DataFrame, index_path: str,
+                         checkpoint_dir: str, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """Streaming LSH dedup-index maintenance — the daily-crawl loop as a
+    stream: each micro-batch of arriving documents is signed with the
+    index's own banding parameters and appended via foreachBatch. The
+    streaming checkpoint gives exactly-once batch tracking, and
+    lsh_index_append is itself retry-idempotent (anti-join vs persisted
+    signatures) so even a replayed micro-batch cannot duplicate index
+    rows — the two layers together make the sink safe under every
+    restart mode. Callers typically probe first in the same foreachBatch
+    (stream in → probe → drop near-dups → append survivors); this job is
+    the append leg. Returns the started StreamingQuery."""
+    from thewhisperdb_spark.operators.dedup import lsh_index_append
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lsh_index_append(batch_df.sparkSession, index_path, batch_df,
+                         id_col=id_col, text_col=text_col)
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
 def stream_shards_sink(stream_df: DataFrame, out_dir: str,
                        checkpoint_dir: str, id_col: str,
                        n_shards: int = 8):
