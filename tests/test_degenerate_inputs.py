@@ -236,3 +236,29 @@ def test_lsh_index_empty_corpus_and_batch(spark, tmp_path):
         threshold=0.9).collect()
     got = {(r["batch_id"], r["index_id"]) for r in hits}
     assert got == {(200, 100), (201, 101), (201, 102)}
+
+
+def test_knn_join_drops_degenerate_queries(spark):
+    """A NULL / zero-dim / zero-norm QUERY vector must produce no output
+    rows (not k arbitrary neighbors at similarity 0.0 — a fabricated
+    neighbor list, ADVICE r5); valid queries in the same call are
+    unaffected, and degenerate CORPUS vectors still score 0.0 pair-wise."""
+    from thewhisperdb_spark.operators import vectors as V
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]),       # zero vector
+         (3, None),                               # NULL
+         (4, [0.6, 0.8]), (5, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = V.brute_force_knn_join(emb, emb, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert 2 not in by_q and 3 not in by_q        # degenerate queries: no rows
+    assert set(by_q) == {1, 4, 5}                 # valid queries unaffected
+    # all-degenerate query set: empty frame, stable schema
+    degen = emb.filter(F.col("vec_id").isin(2, 3))
+    empty = V.brute_force_knn_join(degen, emb, k=3)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == \
+        ["query_id", "neighbor_id", "similarity", "rank"]

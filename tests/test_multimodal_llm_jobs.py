@@ -364,6 +364,10 @@ def test_http_clients_fail_fast_without_api_key(monkeypatch):
         HttpTagGenerator(["t"], base_url="https://llm.example.test")
     # an injected transport is exempt (tests, custom auth schemes)
     HttpEmbedder(base_url="x", transport=lambda *a: {"data": []})
+    # an EXPLICITLY passed key — including "" for keyless local endpoints
+    # (vLLM/ollama) — is intentional and exempt (ADVICE r5)
+    assert HttpEmbedder(base_url="x", api_key="").api_key == ""
+    assert HttpTagGenerator(["t"], base_url="x", api_key="").api_key == ""
     # and an env-provided key satisfies the default transport
     monkeypatch.setenv("WHISPERDB_LLM_API_KEY", "sk-env")
     assert HttpEmbedder(base_url="x").api_key == "sk-env"

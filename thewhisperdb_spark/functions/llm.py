@@ -189,13 +189,19 @@ def _resolve_llm_config(base_url, model, model_env: str, model_default: str,
     resolved_key = (api_key if api_key is not None
                     else os.environ.get("WHISPERDB_LLM_API_KEY", ""))
     resolved_transport = transport or _default_transport
-    if resolved_transport is _default_transport and not resolved_key:
+    if (resolved_transport is _default_transport and api_key is None
+            and not resolved_key):
         # a misconfigured deployment would otherwise send
         # "Authorization: Bearer " (empty) over the network and surface as
         # a confusing remote 401 — fail fast at construction (ADVICE r4).
-        # An injected transport (tests, custom auth) skips the check.
+        # An injected transport (tests, custom auth) skips the check, and
+        # an EXPLICITLY passed api_key — including "" — is intentional
+        # (keyless local endpoints: vLLM/ollama via WHISPERDB_LLM_BASE_URL),
+        # so only a key left to env resolution that came back empty raises
+        # (ADVICE r5).
         raise ValueError(
-            "no API key: pass api_key= or set WHISPERDB_LLM_API_KEY "
+            "no API key: pass api_key= (use api_key='' for keyless local "
+            "endpoints) or set WHISPERDB_LLM_API_KEY "
             "(required when using the default HTTP transport)")
     return (
         (base_url or os.environ.get("WHISPERDB_LLM_BASE_URL",

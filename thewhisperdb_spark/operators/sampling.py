@@ -81,7 +81,16 @@ def mixture_weights(df: DataFrame, strata_col: str = "source",
     window is exactly right at that size, and it avoids re-scanning the
     corpus for a separate totals aggregate — .explain shows one
     ReadSchema, not two). Returns (strata_col, n_docs, n_tokens,
-    token_share, mix_weight), ratios rounded to 6."""
+    token_share, mix_weight), ratios rounded to 6.
+
+    Unknown-target validation is LAZY (a raise_error column over the
+    |strata|-row aggregate, see below) and therefore only fires when at
+    least one stratum row exists: on an EMPTY corpus there are zero rows
+    for the guard to evaluate, so unknown targets pass silently and the
+    result is simply empty. Documented trade-off (ADVICE r5) — the empty
+    frame is unambiguous ("no data"), and the alternative eager emptiness
+    check would re-introduce the double corpus scan the lazy guard was
+    built to remove."""
     from thewhisperdb_spark.operators.text import token_count
 
     per = df.groupBy(strata_col).agg(

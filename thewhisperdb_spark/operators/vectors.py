@@ -246,24 +246,33 @@ def brute_force_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
             [], "query_id long, neighbor_id long, similarity double, rank long")
     import numpy as np
 
-    q_ids = np.array([r["query_id"] for r in q_rows])
-    # Queries grouped by DIMENSION before normalization: a ragged query set
-    # (truncated/NULL embedding) must not crash the broadcast build, and per
-    # the reference edge rule (Clustering.cpp:7-27) cross-dimension or
-    # zero-norm pairs score exactly 0.0 — the zero-initialized sims matrix
-    # below encodes that for free.
+    # Degenerate queries (NULL / zero-dim / zero-norm vector) are DROPPED
+    # here, before the broadcast: such a query scores 0.0 against every
+    # corpus vector (reference edge rule, Clustering.cpp:7-27), so its
+    # "top-k" would be k arbitrary ids at similarity 0.0 — a fabricated
+    # neighbor list with no signal (ADVICE r5). No rows for them is the
+    # honest answer; callers needing the pair-level 0.0 semantics use
+    # cosine()/similar_pairs, which keep it.
     qv_list = [np.zeros(0) if r["qv"] is None
                else np.asarray(r["qv"], dtype=np.float64) for r in q_rows]
+    keep_q = [i for i, v in enumerate(qv_list)
+              if v.shape[0] > 0 and np.linalg.norm(v) > 0.0]
+    if not keep_q:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, similarity double, rank long")
+    q_ids = np.array([q_rows[i]["query_id"] for i in keep_q])
+    qv_list = [qv_list[i] for i in keep_q]
+    # Queries grouped by DIMENSION before normalization: a ragged query set
+    # (truncated embeddings) must not crash the broadcast build, and per
+    # the reference edge rule cross-dimension pairs score exactly 0.0 —
+    # the zero-initialized sims matrix below encodes that for free.
     q_groups: dict[int, list[int]] = {}
     for i, v in enumerate(qv_list):
         q_groups.setdefault(v.shape[0], []).append(i)
     q_norm = {}
     for d, idx in q_groups.items():
-        if d == 0:
-            continue
         m = np.stack([qv_list[i] for i in idx])
         n = np.linalg.norm(m, axis=1)
-        n[n == 0.0] = np.inf
         q_norm[d] = (np.asarray(idx), m / n[:, None])
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_norm))
