@@ -5144,6 +5144,177 @@ def tpch_q21_suppliers_kept_waiting(spark, sf_dir):
             .limit(10))
 
 
+# The testdata ships no partsupp table; Q2/Q11/Q20 run against the
+# deterministic fabricated partsupp relation (sources/synthetic.py:
+# partsupp_view — 4 suppliers per part via the portable md5 hash, exact
+# integer-valued costs). This CTE is its DuckDB twin, verified
+# row-identical to the Spark view.
+_SQL_PARTSUPP = """sc AS (SELECT count(*) AS s FROM supplier),
+iv AS (SELECT unnest(generate_series(0, 3)) AS i),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+    ((CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15) AS BIGINT)
+      + i) % s) AS ps_suppkey,
+    1 + (CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || '#' ||
+      CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 9999) AS ps_availqty,
+    CAST(1 + (CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || '$' ||
+      CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 1000) AS DOUBLE)
+      AS ps_supplycost
+  FROM part, sc, iv)"""
+
+
+def _partsupp(spark, sf_dir):
+    from thewhisperdb_spark.sources.synthetic import partsupp_view
+    return partsupp_view(spark, sf_dir)
+
+
+@q("tpch_q2_minimum_cost_supplier",
+   f"""WITH {_SQL_PARTSUPP},
+eu AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'EUROPE'),
+cand AS (
+  SELECT s_acctbal, s_name, n_name, p.p_partkey, ps_supplycost,
+    min(ps_supplycost) OVER (PARTITION BY p.p_partkey) AS min_cost
+  FROM part p JOIN partsupp ON ps_partkey = p.p_partkey
+  JOIN eu ON s_suppkey = ps_suppkey
+  WHERE p.p_type = 'LARGE' AND p.p_size <= 25)
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost AS supplycost
+FROM cand WHERE ps_supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")
+def tpch_q2_minimum_cost_supplier(spark, sf_dir):
+    # TPC-H Q2 shape: for each surviving part, the EUROPE supplier(s)
+    # offering the minimum supply cost. The region✕nation✕supplier chain
+    # is dimension-sized (broadcast); partsupp is generated on-read off
+    # the part scan; the per-part minimum is a window over the already
+    # region-pruned join output, so the only exchange is the window's
+    # hash partition on ps_partkey. Top-100 by a unique sort key
+    # (pair-unique p_partkey ⊕ s_name) keeps the LIMIT deterministic.
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 25))
+         .select("p_partkey"))
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    r = (load_table(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    eu = (load_table(spark, sf_dir, "supplier")
+          .select("s_suppkey", "s_acctbal", "s_name", "s_nationkey")
+          .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+          .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+          .select("s_suppkey", "s_acctbal", "s_name", "n_name"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("p_partkey")
+    cand = (_partsupp(spark, sf_dir)
+            .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+            .join(F.broadcast(eu), F.col("s_suppkey") == F.col("ps_suppkey"))
+            .withColumn("min_cost", F.min("ps_supplycost").over(w)))
+    return (cand.filter(F.col("ps_supplycost") == F.col("min_cost"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    F.col("ps_supplycost").alias("supplycost"))
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(100))
+
+
+@q("tpch_q11_important_stock",
+   f"""WITH {_SQL_PARTSUPP},
+nat AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_9'),
+val AS (
+  SELECT ps_partkey, SUM(ps_supplycost * ps_availqty) AS value
+  FROM partsupp JOIN nat ON s_suppkey = ps_suppkey GROUP BY ps_partkey)
+SELECT ps_partkey, CAST(value AS DOUBLE) AS value FROM val
+WHERE value > (SELECT 2.0 * AVG(value) FROM val)""")
+def tpch_q11_important_stock(spark, sf_dir):
+    # TPC-H Q11 shape: parts whose stock value held by one nation's
+    # suppliers clears a global threshold. The spec's fixed 0.0001/SF
+    # fraction is scale-dependent; here the threshold is 2× the average
+    # per-part value — scale-invariant, same one-global-aggregate shape.
+    # value is a sum of exact integer-valued doubles (< 2^53), so the
+    # threshold comparison is bit-identical across engines. The global
+    # avg enters as a 1-row broadcast over the already-aggregated frame.
+    nat = (load_table(spark, sf_dir, "supplier")
+           .select("s_suppkey", "s_nationkey")
+           .join(F.broadcast(load_table(spark, sf_dir, "nation")
+                             .filter(F.col("n_name") == "NATION_9")
+                             .select("n_nationkey")),
+                 F.col("n_nationkey") == F.col("s_nationkey"))
+           .select("s_suppkey"))
+    val = (_partsupp(spark, sf_dir)
+           .join(F.broadcast(nat), F.col("s_suppkey") == F.col("ps_suppkey"))
+           .groupBy("ps_partkey")
+           .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty"))
+                .alias("value")))
+    thresh = val.agg((F.lit(2.0) * F.avg("value")).alias("_t"))
+    return (val.join(F.broadcast(thresh))
+            .filter(F.col("value") > F.col("_t"))
+            .select("ps_partkey", F.col("value").cast("double")
+                    .alias("value")))
+
+
+@q("tpch_q20_potential_promotion",
+   f"""WITH {_SQL_PARTSUPP},
+small_ps AS (
+  SELECT ps_partkey, ps_suppkey, ps_availqty FROM partsupp
+  WHERE ps_partkey IN (SELECT p_partkey FROM part
+                       WHERE p_name LIKE 'small%')),
+qty AS (
+  SELECT l_partkey, l_suppkey, 0.5 * SUM(l_quantity) AS half_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey),
+surplus AS (
+  SELECT DISTINCT ps_suppkey FROM small_ps
+  JOIN qty ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE ps_availqty > half_qty)
+SELECT s_name, n_name FROM supplier
+JOIN surplus ON ps_suppkey = s_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA' ORDER BY s_name""")
+def tpch_q20_potential_promotion(spark, sf_dir):
+    # TPC-H Q20 shape: suppliers in one region holding surplus stock
+    # (availqty > half the 2-year shipped quantity) of 'small%' parts.
+    # The correlated-subquery formulation is the standard aggregate-then-
+    # equi-join rewrite: one shuffle aggregates lineitem per
+    # (partkey, suppkey); partsupp (generate-on-read, part-pruned via a
+    # broadcast semi) joins it on the same composite key; half_qty =
+    # 0.5 × an exact integer-valued sum, so the comparison is engine-exact.
+    small = (load_table(spark, sf_dir, "part")
+             .filter(F.col("p_name").like("small%")).select("p_partkey"))
+    ps = (_partsupp(spark, sf_dir)
+          .join(F.broadcast(small),
+                F.col("p_partkey") == F.col("ps_partkey"), "left_semi"))
+    qty = (load_table(spark, sf_dir, "lineitem")
+           .filter((F.col("l_shipdate")
+                    >= F.lit("1996-01-01").cast("timestamp"))
+                   & (F.col("l_shipdate")
+                      < F.lit("1998-01-01").cast("timestamp")))
+           .groupBy("l_partkey", "l_suppkey")
+           .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty")))
+    surplus = (ps.join(qty, (F.col("l_partkey") == F.col("ps_partkey"))
+                       & (F.col("l_suppkey") == F.col("ps_suppkey")))
+               .filter(F.col("ps_availqty") > F.col("half_qty"))
+               .select("ps_suppkey").distinct())
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    r = (load_table(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    return (load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_name", "s_nationkey")
+            .join(F.broadcast(surplus),
+                  F.col("ps_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(r),
+                  F.col("r_regionkey") == F.col("n_regionkey"))
+            .select("s_name", "n_name")
+            .orderBy("s_name"))
+
+
 @q("lsh_index_incremental_dedup",
    # the lossless >=min-bands banding means the oracle is the mathematical
    # definition (all-pairs signature comparison), restricted to cross-split

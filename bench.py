@@ -122,6 +122,10 @@ HEADLINE = [
     "benford_digit_report",
     "price_quantiles_kmv_sample",
     "rolling_distinct_users_kmv_7d",
+    # round-6 headliners (TPC-H closed at 22/22 via fabricated partsupp)
+    "tpch_q2_minimum_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q20_potential_promotion",
 ]
 
 

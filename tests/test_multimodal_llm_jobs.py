@@ -49,11 +49,45 @@ def test_media_metadata(media_df):
 
 
 def test_extract_text_cap(media_df):
-    got = {r["path"].rsplit("/", 1)[-1]: r["extracted"]
+    got = {r["path"].rsplit("/", 1)[-1]: (r["extracted"], r["status"])
            for r in extract_text(media_df, cap=100).collect()}
-    assert got["a.txt"] == "hello multimodal world"
-    assert len(got["b.md"]) == 100          # truncation semantics (S8)
-    assert got["c.png"] == ""               # non-text -> empty
+    assert got["a.txt"] == ("hello multimodal world", "ok")
+    assert len(got["b.md"][0]) == 100       # truncation semantics (S8)
+    assert got["b.md"][1] == "ok"
+    assert got["c.png"] == ("", "unsupported")   # non-text: attributable ""
+    assert got["d.mp4"][1] == "unsupported"
+
+
+def test_extract_text_status_attributes_empties(spark, tmp_path):
+    """"" results must carry WHY (VERDICT r5: a missing pdftotext was
+    indistinguishable from an empty document): empty text file -> empty,
+    pdf without the tool (or a broken pdf with it) -> tool_missing/error/
+    timeout, never 'ok'; unknown mime -> unsupported."""
+    from thewhisperdb_spark.sources.multimodal import (
+        _pdf_to_text, read_binary_files, with_media_metadata)
+
+    root = tmp_path / "m"
+    root.mkdir()
+    (root / "fake.pdf").write_bytes(b"%PDF-1.4 not really a pdf")
+    (root / "blob.xyz").write_bytes(b"\x01\x02")
+    got = {r["path"].rsplit("/", 1)[-1]: (r["extracted"], r["status"])
+           for r in extract_text(
+               with_media_metadata(read_binary_files(spark, str(root)))
+           ).collect()}
+    # zero-byte / NULL-content rows (binaryFile skips 0-byte files, so
+    # pin via a constructed frame): legitimately empty -> 'empty'
+    made = spark.createDataFrame(
+        [("m/e.txt", "text/plain", b""), ("m/n.txt", "text/plain", None)],
+        "path string, mime string, content binary")
+    for r in extract_text(made).collect():
+        assert (r["extracted"], r["status"]) == ("", "empty")
+    assert got["blob.xyz"] == ("", "unsupported")
+    pdf_text, pdf_status = got["fake.pdf"]
+    assert pdf_text == ""
+    assert pdf_status in ("tool_missing", "error", "timeout")
+    # the helper's status mapping, pinned directly
+    text, status = _pdf_to_text(b"%PDF junk")
+    assert (text, status == "tool_missing" or status == "error") == ("", True)
 
 
 def test_image_features_deterministic(media_df):

@@ -436,9 +436,12 @@ def kmeans_fit(embeddings: DataFrame, k: int = 10, max_iter: int = 5,
     - **assign**: centroids are k·dim floats and live on the driver between
       iterations, so they inline as LITERAL expressions — assignment is a
       codegen'd per-row argmax (``_nearest_cell``), not a join;
-    - **update**: per-dimension ``avg`` unrolled over the (small, known) dim —
-      ONE partial-aggregating shuffle of k·dim running sums per iteration,
-      combined map-side, no explode;
+    - **update**: ``posexplode`` + one ``avg`` keyed on (cell, pos) — ONE
+      partial-aggregating shuffle of k·dim running sums per iteration,
+      combined map-side, and the PLAN is dim-independent (a single
+      3-expression aggregate whatever the dim; the earlier per-component
+      unrolled form generated dim aggregate expressions — a 1024-column
+      codegen blob at real embedding dims);
     - the driver round-trip also cuts lineage, so the plan doesn't nest
       ``max_iter`` levels deep.
 
@@ -475,15 +478,27 @@ def kmeans_fit(embeddings: DataFrame, k: int = 10, max_iter: int = 5,
 
     for _ in range(max_iter):
         lits = [(c, unit(v)) for c, v in cents]
-        new = (emb_u
-               .select(_nearest_cell(F.col("_u"), lits).alias("cell"), "_u")
-               .groupBy("cell")
-               .agg(*[F.avg(F.col("_u")[i]).alias(f"_c{i}") for i in range(dim)])
-               .collect())
-        cents = [(int(r["cell"]), [float(r[f"_c{i}"]) for i in range(dim)])
-                 for r in new]
+        rows = _kmeans_centroid_update(emb_u, lits).collect()
+        acc: dict[int, list[float]] = {}
+        for r in rows:
+            acc.setdefault(int(r["cell"]), [0.0] * dim)[r["pos"]] = r["c"]
+        cents = sorted(acc.items())
     return spark.createDataFrame(
         [(c, v) for c, v in cents], "cell long, cvec array<double>")
+
+
+def _kmeans_centroid_update(emb_u: DataFrame, lits) -> DataFrame:
+    """One Lloyd's update step as (cell, pos, c) component rows: assign
+    each unit vector to its nearest literal centroid, posexplode, avg per
+    (cell, pos). The aggregate is THREE expressions regardless of dim
+    (the per-component ``F.avg(_u[i]) for i in range(dim)`` form it
+    replaces planned dim aggregate expressions — a whole-stage-codegen
+    blob at dim 1024). Split out so tests can assert the plan shape."""
+    return (emb_u
+            .select(_nearest_cell(F.col("_u"), lits).alias("cell"),
+                    F.posexplode(F.col("_u")).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("c")))
 
 
 def kmeans_assign(embeddings: DataFrame, k: int = 10, max_iter: int = 5,

