@@ -294,3 +294,93 @@ def test_stream_append_to_lsh_matches_batch_append(spark, tmp_path):
 
     got, want = probe(stream_path), probe(batch_path)
     assert got == want and len(got) > 0
+
+
+SYN_A = ("the amazing zebra quantum physics lecture covered entanglement "
+         "superposition decoherence and measurement in exhaustive detail "
+         "for the thirty fifth session of the seminar series")
+SYN_B = ("completely different prose about medieval agriculture crop "
+         "rotation three field systems oxen ploughs and the gradual "
+         "adoption of the heavy wheeled plough across northern europe")
+
+
+def test_dedup_ingest_batch_full_loop_and_replay(spark, tmp_path):
+    """The complete daily-crawl loop per micro-batch: cross-corpus dups
+    dropped via the index probe, within-batch dups collapsed to the min-id
+    survivor, survivors published under their batch partition and appended
+    to the index — and an exact replay of a batch changes NOTHING."""
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 30)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    D.lsh_index_build(base, idx, n_hashes=16, bands=4, shingle_n=5)
+    t5 = docs.filter(F.col("doc_id") == 5).collect()[0]["text"]
+
+    b0 = (docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+          .unionByName(spark.createDataFrame(
+              [(2001, SYN_A),    # within-batch dup pair: 2001 survives
+               (2002, SYN_A),    # ... 2002 dropped (min-id keep)
+               (2003, t5)],      # cross-corpus dup of indexed doc 5: dropped
+              "doc_id long, text string")))
+    SJ.dedup_ingest_batch(b0, 0, idx, out, threshold=0.9)
+
+    def published():
+        return {(r["doc_id"], r["ingest_batch"])
+                for r in spark.read.parquet(out).collect()}
+
+    def index_counts():
+        return (spark.read.parquet(f"{idx}/signatures").count(),
+                spark.read.parquet(f"{idx}/buckets").count())
+
+    surv0 = {d for d, b in published() if b == 0}
+    assert 2001 in surv0 and 2002 not in surv0 and 2003 not in surv0
+    assert surv0 <= {r["doc_id"] for r in b0.collect()}
+    state = (published(), index_counts())
+
+    # exact replay of batch 0: same published rows, same index
+    SJ.dedup_ingest_batch(b0, 0, idx, out, threshold=0.9)
+    assert (published(), index_counts()) == state
+
+    # batch 1: a dup of a batch-0 SURVIVOR is dropped (the index grew),
+    # genuinely new text survives
+    b1 = spark.createDataFrame([(3001, SYN_A), (3002, SYN_B)],
+                               "doc_id long, text string")
+    SJ.dedup_ingest_batch(b1, 1, idx, out, threshold=0.9)
+    surv1 = {d for d, b in published() if b == 1}
+    assert surv1 == {3002}
+    assert {d for d, b in published() if b == 0} == surv0  # batch 0 intact
+
+
+def test_stream_dedup_ingest_runs_end_to_end(spark, tmp_path):
+    """The streaming wrapper drains a real readStream through the loop:
+    survivors published, index grown by exactly the survivor count."""
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 30)
+    idx = str(tmp_path / "idx2")
+    out = str(tmp_path / "out2")
+    D.lsh_index_build(base, idx, n_hashes=16, bands=4, shingle_n=5)
+    n_base = spark.read.parquet(f"{idx}/signatures").count()
+
+    delta = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 50))
+    src = str(tmp_path / "src2")
+    delta.repartition(2).write.parquet(src)       # 2 micro-batches
+    stream = (spark.readStream.schema(delta.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = SJ.stream_dedup_ingest(stream, idx, out, str(tmp_path / "ckpt2"),
+                               threshold=0.9)
+    q.awaitTermination()
+
+    surv = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert surv <= {r["doc_id"] for r in delta.collect()} and surv
+    assert spark.read.parquet(f"{idx}/signatures").count() \
+        == n_base + len(surv)

@@ -369,6 +369,79 @@ def stream_append_to_lsh(stream: DataFrame, index_path: str,
             .trigger(availableNow=True).start())
 
 
+def dedup_ingest_batch(df: DataFrame, batch_id: int, index_path: str,
+                       survivors_dir: str, threshold: float = 0.8,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> None:
+    """One micro-batch of the full daily-crawl dedup loop: probe the
+    persisted LSH index for cross-corpus near-dups, drop them, near-dedup
+    the remainder WITHIN the batch (same banding parameters as the index,
+    read from its meta), publish the survivors under their batch
+    partition, then append the survivors to the index.
+
+    Replay-idempotent end to end, in this order:
+    - probe hits with ``batch_id == index_id`` are self-matches of an
+      already-appended replay and are ignored (doc ids are assumed unique
+      across batches — the upstream crawl contract — so a same-id hit can
+      only be the doc itself);
+    - the survivors sink is partitioned by batch id with dynamic
+      overwrite (a replayed batch rewrites exactly its own partition with
+      identical rows);
+    - the sink write precedes the index append, and the append is itself
+      anti-joined + sentinel-bracketed (lsh_index_append), so every
+      crash/replay interleaving converges to the same index and the same
+      published survivors."""
+    from thewhisperdb_spark.operators.dedup import (
+        _lsh_index_meta, drop_near_duplicates, lsh_index_append,
+        lsh_index_probe)
+    from thewhisperdb_spark.operators.text import word_ngrams
+
+    if df.isEmpty():
+        return
+    spark = df.sparkSession
+    df = df.localCheckpoint(eager=True)
+    m = _lsh_index_meta(spark, index_path)
+    hits = (lsh_index_probe(spark, index_path, df, threshold=threshold,
+                            id_col=id_col, text_col=text_col)
+            .filter(F.col("batch_id") != F.col("index_id"))
+            .select(F.col("batch_id").alias(id_col)).distinct())
+    fresh = df.join(hits, id_col, "left_anti")
+    shingle_n = int(m["shingle_n"])
+    survivors = drop_near_duplicates(
+        fresh, id_col=id_col, text_col=text_col,
+        n_hashes=int(m["n_hashes"]), bands=int(m["bands"]),
+        threshold=threshold,
+        shingler=lambda c: word_ngrams(c, shingle_n)
+    ).localCheckpoint(eager=True)      # one computation feeds sink + append
+    (survivors.withColumn("ingest_batch", F.lit(int(batch_id)))
+     .write.mode("overwrite").partitionBy("ingest_batch")
+     .option("partitionOverwriteMode", "dynamic").parquet(survivors_dir))
+    lsh_index_append(spark, index_path, survivors,
+                     id_col=id_col, text_col=text_col)
+
+
+def stream_dedup_ingest(stream: DataFrame, index_path: str,
+                        survivors_dir: str, checkpoint_dir: str,
+                        threshold: float = 0.8, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """The COMPLETE daily-crawl pattern as one streaming job: documents
+    stream in, near-dups against the ever-growing persisted corpus index
+    are dropped, the batch is internally near-deduped, survivors are
+    published (batch-partitioned parquet) and appended to the index —
+    ``dedup_ingest_batch`` per micro-batch under a streaming checkpoint.
+    At 100 TB the index is the only stateful structure and only the
+    day's delta is ever shingled/hashed. Returns the started
+    StreamingQuery (availableNow drains and stops)."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(batch_df, batch_id, index_path, survivors_dir,
+                           threshold=threshold, id_col=id_col,
+                           text_col=text_col)
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
 def stream_shards_sink(stream_df: DataFrame, out_dir: str,
                        checkpoint_dir: str, id_col: str,
                        n_shards: int = 8):
