@@ -528,6 +528,48 @@ def embedding_cosine_near_dup(spark, sf_dir):
     return out.select("a", "b", F.round("similarity", 6).alias("similarity"))
 
 
+@q("semantic_dedup_contract",
+   # contract oracle (kmeans_clusters pattern): which pairs the
+   # float-iterative clustering surfaces isn't SQL-portable, but the
+   # SemDeDup invariants are — every embedding verdicted exactly once,
+   # keep == (id == group min), every dropped doc witnessed by a
+   # within-cluster pair, and every emitted pair actually >= θ. The
+   # Spark side COMPUTES the checks (false -> hash mismatch); the oracle
+   # pins n_total exactly and the booleans as constants.
+   "SELECT CAST(count(*) AS BIGINT) AS n_total, TRUE AS conserved_ok, "
+   "TRUE AS keep_rule_ok, TRUE AS dropped_have_witness, "
+   "TRUE AS pairs_meet_theta FROM embeddings")
+def semantic_dedup_contract(spark, sf_dir):
+    # SemDeDup (cluster -> within-cluster BLAS gram -> CC survivor):
+    # operators/dedup.py:semantic_dedup_pairs/semantic_dedup; recall &
+    # planted-dup behavior pytest-pinned (test_graph_dedup.py)
+    emb = _emb(spark, sf_dir)
+    lab = V.kmeans_assign(emb, k=8, max_iter=3)
+    pairs = D.semantic_dedup_pairs(emb, threshold=0.45, k=8, max_iter=3,
+                                   labels=lab).localCheckpoint(eager=True)
+    verdict = D.semantic_dedup(emb, threshold=0.45, k=8, max_iter=3,
+                               labels=lab)
+    wit = (pairs.select(F.col("a").alias("_w"))
+           .unionByName(pairs.select(F.col("b").alias("_w"))).distinct())
+    checks = (verdict
+              .join(wit, verdict["vec_id"] == wit["_w"], "left")
+              .groupBy()
+              .agg(F.count(F.lit(1)).alias("n_total"),
+                   (F.count_distinct("vec_id") == F.count(F.lit(1)))
+                   .alias("conserved_ok"),
+                   F.coalesce(F.bool_and(
+                       F.col("keep") == (F.col("vec_id") == F.col("group"))),
+                       F.lit(True)).alias("keep_rule_ok"),
+                   F.coalesce(F.bool_and(
+                       F.when(~F.col("keep"), F.col("_w").isNotNull())
+                       .otherwise(F.lit(True))), F.lit(True))
+                   .alias("dropped_have_witness")))
+    theta_ok = pairs.groupBy().agg(
+        F.coalesce(F.bool_and(F.col("similarity") >= 0.45), F.lit(True))
+        .alias("pairs_meet_theta"))
+    return checks.join(F.broadcast(theta_ok))
+
+
 @q("ngram_jaccard_dedup",
    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
 sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -609,3 +609,62 @@ def test_lsh_index_probe_prunes_signature_scan(spark, tmp_path):
     assert "LeftSemi" in plan and "BroadcastExchange" in plan, plan
     semi_idx = plan.index("LeftSemi")
     assert plan.index("FileScan parquet") > semi_idx, plan
+
+
+def test_semantic_dedup_drops_planted_embedding_neardups(spark):
+    """SemDeDup shape: planted near-identical vectors collapse to the
+    min-id survivor; distinct directions and ragged/NULL vectors survive
+    as singletons; output conserves every input row exactly once."""
+    from thewhisperdb_spark.operators import dedup as D
+
+    import math
+    rows = []
+    # 3 well-separated directions; ids 0..2 originals, 10..12 near-copies
+    for i, base in enumerate(([1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                              [0.0, 0.0, 1.0])):
+        rows.append((i, base))
+        rows.append((10 + i, [x + (0.001 if j == i else 0.0005)
+                              for j, x in enumerate(base)]))
+    rows += [(20, [math.sqrt(1 / 3.0)] * 3),   # distinct direction
+             (21, None),                        # NULL vector
+             (22, [1.0, 0.0])]                  # ragged dim
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["group"], r["keep"])
+           for r in D.semantic_dedup(emb, threshold=0.99, k=3,
+                                     max_iter=3).collect()}
+    assert len(out) == 9                        # conservation
+    for i in range(3):
+        assert out[i] == (i, True)              # originals kept
+        assert out[10 + i] == (i, False)        # copies dropped to min id
+    for v in (20, 21, 22):
+        assert out[v] == (v, True)              # singletons keep themselves
+
+
+def test_semantic_dedup_pairs_recall_vs_exact_kernel(spark):
+    """Within-cluster pruning is a strict SUBSET of the exact O(n²) kernel
+    (no fabricated pairs) on the real embeddings table, and at the θ≈1
+    operating point recall is total: near-IDENTICAL vectors always share a
+    cluster (the SemDeDup premise) — pinned by planting exact copies of
+    real corpus vectors and requiring every planted pair back. (At low θ
+    a pair may legitimately straddle clusters; that loss is the
+    documented price of Σ|c|² vs n² work.)"""
+    from thewhisperdb_spark.operators import dedup as D
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["a"], r["b"]) for r in
+             D.embedding_near_dup_pairs(emb, threshold=0.45).collect()}
+    got = {(r["a"], r["b"]) for r in
+           D.semantic_dedup_pairs(emb, threshold=0.45, k=4,
+                                  max_iter=3).collect()}
+    assert got <= exact and exact                # no false pairs
+    # plant exact copies (vec_id + 10000) of 25 real vectors: every
+    # (v, v+10000) pair MUST be recovered through the cluster pruning
+    base = emb.select("vec_id", "embedding")
+    planted = base.unionByName(
+        base.filter(F.col("vec_id") < 25)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding"))
+    got2 = {(r["a"], r["b"]) for r in
+            D.semantic_dedup_pairs(planted, threshold=0.999, k=4,
+                                   max_iter=3).collect()}
+    want = {(i, i + 10000) for i in range(25)}
+    assert want <= got2

@@ -387,6 +387,97 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
     return similar_pairs(embeddings, threshold, id_col, vec_col)
 
 
+def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                         k: int = 16, max_iter: int = 5,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         labels: DataFrame | None = None) -> DataFrame:
+    """SemDeDup-style candidate pairs (Abbas et al., arXiv:2303.09540):
+    k-means the embedding space, then compute cosine >= θ pairs WITHIN
+    each cluster only. Clustering bounds the pair work to Σ|cluster|²·d
+    instead of n²·d — the published scale recipe for embedding-level
+    dedup of web corpora (near-dups land in the same cluster at the θ≈1
+    operating point; recall vs the exact kernel is measured in pytest).
+    Each cluster's pairs are ONE BLAS gram matmul over its Arrow batch
+    (``applyInPandas`` keyed on the cluster id — the skew knob is k:
+    more clusters, smaller matmuls). Ragged/NULL vectors score 0.0
+    cross-dim (reference edge rule) and thus pair with nothing at θ>0.
+    ``labels`` lets a caller reuse a precomputed (id, cluster) frame.
+    Returns (a, b, similarity) with a < b, both in the same cluster."""
+    import numpy as np
+    import pandas as pd
+
+    from thewhisperdb_spark.operators.vectors import kmeans_assign
+
+    lab = labels if labels is not None else kmeans_assign(
+        embeddings, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    rows = (embeddings
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .join(lab.select(F.col(id_col).alias("id"), "cluster"), "id"))
+    thr = float(threshold)
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "similarity": []})
+        _e = np.zeros(0)
+        vs = [_e if x is None else np.asarray(x, dtype=np.float64)
+              for x in pdf["v"]]
+        ids = pdf["id"].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        by_dim: dict[int, list[int]] = {}
+        for i, v in enumerate(vs):
+            if v.shape[0] > 0:
+                by_dim.setdefault(v.shape[0], []).append(i)
+        for idx in by_dim.values():
+            if len(idx) < 2:
+                continue
+            m = np.stack([vs[i] for i in idx])
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0.0] = np.inf
+            u = m / nrm[:, None]
+            sims = u @ u.T
+            ii, jj = np.where(np.triu(sims >= thr, 1))
+            ids_d = ids[np.asarray(idx)]
+            a, b = ids_d[ii], ids_d[jj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(sims[ii, jj])
+        if not out_a:
+            return pd.DataFrame({"a": [], "b": [], "similarity": []})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "similarity": np.concatenate(out_s)})
+
+    return rows.groupBy("cluster").applyInPandas(
+        gram, "a long, b long, similarity double")
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
+                   k: int = 16, max_iter: int = 5, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   labels: DataFrame | None = None) -> DataFrame:
+    """Full SemDeDup verdict per row: within-cluster cosine pairs
+    (``semantic_dedup_pairs``) resolved through connected components to
+    (id, cluster, group, keep) — ``group`` is the min-id member (the
+    survivor), ``keep`` = id == group; singletons keep themselves. The
+    drop set is exactly ``near_dup_groups``' semantics, so the quality-
+    preferring ``pick_survivors`` composes here too. ``labels`` reuses a
+    precomputed (id, cluster) assignment (one k-means fit serves both
+    the pairs and the verdict)."""
+    from thewhisperdb_spark.operators.vectors import kmeans_assign
+
+    lab = labels if labels is not None else kmeans_assign(
+        embeddings, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    pairs = semantic_dedup_pairs(embeddings, threshold, k, max_iter,
+                                 id_col, vec_col, labels=lab)
+    lab_pairs = pairs.select("a", "b").localCheckpoint(eager=True)
+    ids = embeddings.select(F.col(id_col).alias(id_col))
+    groups = near_dup_groups(ids, lab_pairs, id_col)
+    return (groups.join(lab, id_col)
+            .select(id_col, "cluster", "group", "keep"))
+
+
 def cross_split_contamination(df: DataFrame, test_pred: Column, n: int = 8,
                               id_col: str = "doc_id",
                               text_col: str = "text") -> DataFrame:
