@@ -338,3 +338,57 @@ def test_kmeans_update_plan_is_dim_independent(spark):
     cents = kmeans_fit(base, k=3, max_iter=4).collect()
     assert len(cents) == 3
     assert all(len(r["cvec"]) == dim for r in cents)
+
+
+def test_ivf_index_rebalance_fixes_append_drift(spark, tmp_path):
+    """Appends assigned to stale centroids pile a shifted corpus into hot
+    cells; rebalance (warm-started Lloyd refinement + sentinel-bracketed
+    rewrite) must rebalance the lists WITHOUT losing a single id, keep the
+    version gate green, and keep exhaustive probe results exact."""
+    from thewhisperdb_spark.operators import vectors as V
+
+    dim = 16
+
+    def blob(start, n, axis):
+        # n vectors tightly around basis direction `axis`
+        return spark.range(start, start + n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.when(i == axis, F.lit(1.0)).otherwise(
+                    F.pmod(F.xxhash64(F.col("id"), i), F.lit(50))
+                    .cast("double") / 1000.0)).alias("embedding"))
+
+    a = blob(0, 200, 0)
+    path = str(tmp_path / "ivf_rb")
+    V.ivf_index_build(a, path, n_cells=4)
+    # a far-away blob appended against blob-A centroids: hot-cell skew
+    b = blob(1000, 200, 8)
+    V.ivf_index_append(spark, path, b)
+
+    def cell_sizes():
+        return {r["cell"]: r["n"] for r in
+                spark.read.parquet(f"{path}/lists")
+                .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    def ids():
+        return {r["vec_id"] for r in
+                spark.read.parquet(f"{path}/lists").select("vec_id").collect()}
+
+    before_sizes, before_ids = cell_sizes(), ids()
+    assert max(before_sizes.values()) >= 200      # blob B piled together
+    V.ivf_index_rebalance(spark, path, max_iter=3)
+    after_sizes, after_ids = cell_sizes(), ids()
+    assert after_ids == before_ids                # no id lost or invented
+    assert max(after_sizes.values()) < max(before_sizes.values())
+    # refreshed centroids separate the blobs: exhaustive probe stays exact
+    q = blob(0, 5, 0).unionByName(blob(1000, 5, 8))
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in V.ivf_index_probe(spark, path, q, k=3,
+                                      n_probe=4).collect()}
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in V.brute_force_knn_join(
+                q, a.unionByName(b), k=3).collect()}
+    assert got == want
+    # gate still green (sentinel re-stamped by the rewrite)
+    V.ivf_index_probe(spark, path, q, k=1, n_probe=1).collect()

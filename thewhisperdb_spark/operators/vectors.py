@@ -423,7 +423,8 @@ def _nearest_cell(u: Column, cents: list[tuple[int, list[float]]]) -> Column:
 
 
 def kmeans_fit(embeddings: DataFrame, k: int = 10, max_iter: int = 5,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               init: list | None = None) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column (spherical:
     cosine assignment on unit vectors) — the document-clustering /
     IVF-codebook kernel.
@@ -446,9 +447,12 @@ def kmeans_fit(embeddings: DataFrame, k: int = 10, max_iter: int = 5,
       ``max_iter`` levels deep.
 
     Clusters that lose all members drop out (k may shrink); callers needing
-    exactly k re-seed. Returns a (cell, cvec) centroid DataFrame; feed to
-    ``ivf_assign(embeddings, k, centroids=...)`` (or ``kmeans_assign``) to
-    label rows."""
+    exactly k re-seed. ``init`` seeds the fit with EXISTING (cell, vector)
+    pairs instead of the xxhash64-min rows — the warm-start path for index
+    REBALANCING, where Lloyd steps refine drifted centroids in place
+    (labels keep their original cell ids). Returns a (cell, cvec) centroid
+    DataFrame; feed to ``ivf_assign(embeddings, k, centroids=...)`` (or
+    ``kmeans_assign``) to label rows."""
     import numpy as np
 
     dim_row = (embeddings.select(vec_col)
@@ -468,9 +472,13 @@ def kmeans_fit(embeddings: DataFrame, k: int = 10, max_iter: int = 5,
              .select(F.col(id_col).alias("_id"), "_u"))
     # k-means re-scans the unit vectors max_iter times; materialize once
     emb_u = emb_u.localCheckpoint(eager=True)
-    init = (emb_u.orderBy(F.xxhash64(F.col("_id")).asc(), F.col("_id").asc())
-            .limit(k).collect())
-    cents = [(int(r["_id"]), list(r["_u"])) for r in init]
+    if init is not None:
+        cents = [(int(c), list(v)) for c, v in init]
+    else:
+        seeds = (emb_u.orderBy(F.xxhash64(F.col("_id")).asc(),
+                               F.col("_id").asc())
+                 .limit(k).collect())
+        cents = [(int(r["_id"]), list(r["_u"])) for r in seeds]
 
     def unit(v):
         n = float(np.linalg.norm(v))
@@ -909,3 +917,31 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
                              centroids=cents)
     (assigned.write.mode("append").partitionBy("cell")
      .parquet(f"{path}/lists"))
+
+
+def ivf_index_rebalance(spark, path: str, max_iter: int = 3,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """The rebuild-cadence knob made concrete: counter the centroid drift
+    that ``ivf_index_append`` accepts (appended deltas are assigned to
+    STALE centroids, so a shifted corpus piles into a few hot cells,
+    degrading both probe recall and partition balance).
+
+    Refines the centroids with ``max_iter`` Lloyd steps over the CURRENT
+    corpus, warm-started from the existing centroids (cell ids are
+    preserved — no re-init, so a mild drift converges in 1-2 cheap
+    rounds), then rewrites the inverted lists under the refreshed
+    assignment via ``ivf_index_build`` — inheriting its meta-sentinel
+    protocol, so a rebalance that dies mid-rewrite leaves an index that
+    loudly fails the version gate. The corpus is localCheckpointed first
+    (the rewrite cannot stream from the files it overwrites). Ids and
+    row count are preserved exactly; only cell membership moves."""
+    _check_index_version(spark, path)
+    cents = spark.read.parquet(f"{path}/centroids")
+    init = [(int(r["cell"]), list(r["cvec"])) for r in cents.collect()]
+    corpus = (spark.read.parquet(f"{path}/lists")
+              .select(id_col, vec_col).localCheckpoint(eager=True))
+    refreshed = kmeans_fit(corpus, k=len(init), max_iter=max_iter,
+                           id_col=id_col, vec_col=vec_col, init=init)
+    ivf_index_build(corpus, path, n_cells=len(init), id_col=id_col,
+                    vec_col=vec_col, centroids=refreshed)
