@@ -552,3 +552,24 @@ def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
     got = {(str(r["day"]), r["v"])  # partition col type is re-inferred
            for r in spark.read.parquet(path).collect()}
     assert got == {("2024-01-01", 99), ("2024-01-02", 3)}
+
+
+def test_semantic_dedup_pairs_plan_shape(spark):
+    """SemDeDup's within-cluster gram must plan as groupBy-cluster +
+    Arrow-batched applyInPandas: no cartesian/nested-loop pair blowup, no
+    row-wise Python (BatchEvalPython), and no plan_lints findings beyond
+    the (verified-bounded) 1-row aggregate patterns it doesn't use."""
+    from thewhisperdb_spark.operators.dedup import semantic_dedup_pairs
+    from thewhisperdb_spark.plans.doctor import plan_lints
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    labels = emb.select("vec_id",
+                        F.pmod(F.col("vec_id"), F.lit(4)).cast("long")
+                        .alias("cluster"))
+    out = semantic_dedup_pairs(emb, threshold=0.9, labels=labels)
+    plan = _plan_of(out)
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan_lints(out) == [], plan_lints(out)
