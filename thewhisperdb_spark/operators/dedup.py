@@ -875,7 +875,14 @@ def lsh_index_probe(spark, path: str, batch: DataFrame,
     batch is shingled/hashed; the corpus side is the at-rest index. The
     threshold-derived >=min-bands candidate floor is the same lossless
     filter as minhash_lsh_pairs (a pair at est >= θ must collide in at
-    least bands − (k − ceil(θ·k)) bands)."""
+    least bands − (k − ceil(θ·k)) bands).
+
+    Sizing contract: the batch is the DELTA (daily crawl), so the
+    candidate pair set — materialized once and broadcast (as distinct
+    index ids) to prune the full-corpus signature scan — is bounded by
+    |batch| × collisions, not by the corpus. To compare two corpus-sized
+    splits, use minhash_lsh_pairs directly instead of probing one side
+    as a 'batch'."""
     import math
 
     m = _lsh_index_meta(spark, path)
