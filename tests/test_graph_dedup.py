@@ -668,3 +668,31 @@ def test_semantic_dedup_pairs_recall_vs_exact_kernel(spark):
                                    max_iter=3).collect()}
     want = {(i, i + 10000) for i in range(25)}
     assert want <= got2
+
+
+def test_lsh_index_stats_reflects_appends_and_compaction(spark, tmp_path):
+    """Stats expose the compaction trigger: the signature file count grows
+    with appends and shrinks after compact, while the logical content
+    (docs, bucket rows) is conserved; banding params echo the meta."""
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    path = str(tmp_path / "lsh_stats")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 20), path,
+                      n_hashes=16, bands=4, shingle_n=5)
+    for lo in (20, 30):
+        D.lsh_index_append(
+            spark, path,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)))
+    s1 = D.lsh_index_stats(spark, path).collect()[0]
+    assert s1["n_docs"] == 40
+    assert s1["n_bucket_rows"] == 40 * 4       # one row per doc per band
+    assert (s1["n_hashes"], s1["bands"], s1["shingle_n"]) == (16, 4, 5)
+    assert s1["max_bucket"] >= 1 and s1["p99_bucket"] >= 1
+    D.lsh_index_compact(spark, path)
+    s2 = D.lsh_index_stats(spark, path).collect()[0]
+    assert s2["n_sig_files"] < s1["n_sig_files"]
+    for k in ("n_docs", "n_bucket_rows", "n_distinct_buckets", "max_bucket"):
+        assert s2[k] == s1[k]

@@ -392,3 +392,31 @@ def test_ivf_index_rebalance_fixes_append_drift(spark, tmp_path):
     assert got == want
     # gate still green (sentinel re-stamped by the rewrite)
     V.ivf_index_probe(spark, path, q, k=1, n_probe=1).collect()
+
+
+def test_ivf_index_stats_tracks_drift_and_rebalance(spark, tmp_path):
+    """Stats expose the rebalance trigger: skew jumps after a drifted
+    append and falls back after rebalance; counts stay conserved."""
+    from thewhisperdb_spark.operators import vectors as V
+
+    dim = 16
+
+    def blob(start, n, axis):
+        return spark.range(start, start + n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.when(i == axis, F.lit(1.0)).otherwise(
+                    F.pmod(F.xxhash64(F.col("id"), i), F.lit(50))
+                    .cast("double") / 1000.0)).alias("embedding"))
+
+    path = str(tmp_path / "ivf_st")
+    V.ivf_index_build(blob(0, 200, 0), path, n_cells=4)
+    V.ivf_index_append(spark, path, blob(1000, 200, 8))
+    before = V.ivf_index_stats(spark, path).collect()[0]
+    assert before["n_vectors"] == 400 and before["n_cells"] == 4
+    V.ivf_index_rebalance(spark, path, max_iter=3)
+    after = V.ivf_index_stats(spark, path).collect()[0]
+    assert after["n_vectors"] == 400
+    assert after["skew"] < before["skew"]
+    assert after["max_cell"] < before["max_cell"]

@@ -930,6 +930,43 @@ def lsh_index_probe(spark, path: str, batch: DataFrame,
             .filter(F.col("est_jaccard") >= threshold))
 
 
+def lsh_index_stats(spark, path: str) -> DataFrame:
+    """Operational health of a persisted LSH index, as one row — the
+    measurements behind the maintenance knobs in PLANS.md: ``n_files``
+    drives compaction cadence (probe cost is file-count-bound once
+    appends are frequent) and ``max_bucket``/``p99_bucket`` expose hot
+    buckets (boilerplate shingles — probe-time candidate blowup; the fix
+    is raising bands or pre-scrubbing boilerplate, both re-buildable
+    decisions this row informs). Aggregates ride the at-rest parquet;
+    nothing is re-hashed. Returns (n_docs, n_bucket_rows,
+    n_distinct_buckets, max_bucket, p99_bucket, n_sig_files, n_hashes,
+    bands, shingle_n)."""
+    import glob
+
+    m = _lsh_index_meta(spark, path)
+    id_type = str(m["id_type"])
+    sig = spark.read.schema(f"id {id_type}, sig array<long>") \
+        .parquet(f"{path}/signatures")
+    buckets = spark.read.schema(f"id {id_type}, bucket long, band int") \
+        .parquet(f"{path}/buckets")
+    per_bucket = (buckets.groupBy("band", "bucket")
+                  .agg(F.count(F.lit(1)).alias("n")))
+    bstats = per_bucket.agg(
+        F.count(F.lit(1)).alias("n_distinct_buckets"),
+        F.sum("n").alias("n_bucket_rows"),
+        F.max("n").alias("max_bucket"),
+        F.percentile_approx("n", 0.99).alias("p99_bucket"))
+    n_docs = sig.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_files = len(glob.glob(f"{path}/signatures/*.parquet"))
+    return (n_docs.join(F.broadcast(bstats))
+            .select("n_docs", "n_bucket_rows", "n_distinct_buckets",
+                    "max_bucket", "p99_bucket",
+                    F.lit(n_files).alias("n_sig_files"),
+                    F.lit(int(m["n_hashes"])).alias("n_hashes"),
+                    F.lit(int(m["bands"])).alias("bands"),
+                    F.lit(int(m["shingle_n"])).alias("shingle_n")))
+
+
 def lsh_index_compact(spark, path: str,
                       target_rows_per_file: int = 4_000_000) -> None:
     """Index maintenance: appends accumulate one small file set per batch,

@@ -919,6 +919,32 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
      .parquet(f"{path}/lists"))
 
 
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Operational health of a persisted IVF index, as one row — the
+    measurement behind the rebalance-cadence knob (PLANS.md): ``skew`` =
+    max cell size / median cell size is THE append-drift indicator (a
+    shifted corpus piles into hot cells; rebalance when skew degrades),
+    and ``n_empty_cells`` shows centroids stranded by drift. Aggregates
+    ride the at-rest partitioned lists. Returns (n_cells, n_vectors,
+    max_cell, median_cell, skew, n_empty_cells)."""
+    _check_index_version(spark, path)
+    n_cents = spark.read.parquet(f"{path}/centroids").count()
+    per_cell = (spark.read.parquet(f"{path}/lists")
+                .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+    return per_cell.agg(
+        F.count(F.lit(1)).alias("n_nonempty"),
+        F.sum("n").alias("n_vectors"),
+        F.max("n").alias("max_cell"),
+        F.percentile_approx("n", 0.5).alias("median_cell"),
+    ).select(
+        F.lit(n_cents).alias("n_cells"), "n_vectors", "max_cell",
+        "median_cell",
+        (F.col("max_cell").cast("double") / F.col("median_cell"))
+        .alias("skew"),
+        (F.lit(n_cents) - F.col("n_nonempty")).cast("long")
+        .alias("n_empty_cells"))
+
+
 def ivf_index_rebalance(spark, path: str, max_iter: int = 3,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> None:
