@@ -262,3 +262,27 @@ def test_knn_join_drops_degenerate_queries(spark):
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == \
         ["query_id", "neighbor_id", "similarity", "rank"]
+
+
+def test_index_stats_cold_start_report_zeros(spark, tmp_path):
+    """Stats over indexes built from EMPTY corpora report zeros (never
+    NULLs that would poison downstream cadence comparisons)."""
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.operators import vectors as V
+
+    lsh = str(tmp_path / "lsh_cold")
+    D.lsh_index_build(
+        spark.createDataFrame([], "doc_id long, text string"), lsh,
+        n_hashes=16, bands=4, shingle_n=5)
+    s = D.lsh_index_stats(spark, lsh).collect()[0]
+    assert (s["n_docs"], s["n_bucket_rows"], s["max_bucket"],
+            s["p99_bucket"]) == (0, 0, 0, 0)
+
+    ivf = str(tmp_path / "ivf_cold")
+    V.ivf_index_build(
+        spark.createDataFrame([], "vec_id long, embedding array<double>"),
+        ivf, n_cells=4)
+    t = V.ivf_index_stats(spark, ivf).collect()[0]
+    assert (t["n_cells"], t["n_vectors"], t["max_cell"],
+            t["median_cell"]) == (0, 0, 0, 0)
+    assert t["skew"] == 1.0

@@ -951,11 +951,14 @@ def lsh_index_stats(spark, path: str) -> DataFrame:
         .parquet(f"{path}/buckets")
     per_bucket = (buckets.groupBy("band", "bucket")
                   .agg(F.count(F.lit(1)).alias("n")))
+    # coalesce to 0: a cold-start index (built over an empty corpus) has
+    # zero bucket rows, and NULL stats would poison downstream comparisons
     bstats = per_bucket.agg(
         F.count(F.lit(1)).alias("n_distinct_buckets"),
-        F.sum("n").alias("n_bucket_rows"),
-        F.max("n").alias("max_bucket"),
-        F.percentile_approx("n", 0.99).alias("p99_bucket"))
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_bucket_rows"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket"),
+        F.coalesce(F.percentile_approx("n", 0.99), F.lit(0))
+        .alias("p99_bucket"))
     n_docs = sig.agg(F.count(F.lit(1)).alias("n_docs"))
     n_files = len(glob.glob(f"{path}/signatures/*.parquet"))
     return (n_docs.join(F.broadcast(bstats))

@@ -927,20 +927,35 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     and ``n_empty_cells`` shows centroids stranded by drift. Aggregates
     ride the at-rest partitioned lists. Returns (n_cells, n_vectors,
     max_cell, median_cell, skew, n_empty_cells)."""
+    from pyspark.errors import AnalysisException
+
     _check_index_version(spark, path)
-    n_cents = spark.read.parquet(f"{path}/centroids").count()
-    per_cell = (spark.read.parquet(f"{path}/lists")
-                .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+    try:
+        n_cents = spark.read.parquet(f"{path}/centroids").count()
+        per_cell = (spark.read.parquet(f"{path}/lists")
+                    .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+    except AnalysisException:
+        # cold start: an index built over an EMPTY corpus has no parquet
+        # parts to infer from (no centroids, no lists) — a valid index
+        # whose health row is all zeros, not an error
+        return spark.createDataFrame(
+            [(0, 0, 0, 0, 1.0, 0)],
+            "n_cells long, n_vectors long, max_cell long, "
+            "median_cell long, skew double, n_empty_cells long")
+    # coalesce to 0 / skew 1.0: an index whose lists are empty (cold
+    # start) reports zeros, not NULLs
     return per_cell.agg(
         F.count(F.lit(1)).alias("n_nonempty"),
-        F.sum("n").alias("n_vectors"),
-        F.max("n").alias("max_cell"),
-        F.percentile_approx("n", 0.5).alias("median_cell"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_vectors"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_cell"),
+        F.coalesce(F.percentile_approx("n", 0.5), F.lit(0))
+        .alias("median_cell"),
     ).select(
         F.lit(n_cents).alias("n_cells"), "n_vectors", "max_cell",
         "median_cell",
-        (F.col("max_cell").cast("double") / F.col("median_cell"))
-        .alias("skew"),
+        F.when(F.col("median_cell") > 0,
+               F.col("max_cell").cast("double") / F.col("median_cell"))
+        .otherwise(F.lit(1.0)).alias("skew"),
         (F.lit(n_cents) - F.col("n_nonempty")).cast("long")
         .alias("n_empty_cells"))
 
