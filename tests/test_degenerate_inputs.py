@@ -286,3 +286,17 @@ def test_index_stats_cold_start_report_zeros(spark, tmp_path):
     assert (t["n_cells"], t["n_vectors"], t["max_cell"],
             t["median_cell"]) == (0, 0, 0, 0)
     assert t["skew"] == 1.0
+    # cold-start contract for the other IVF index ops: probe returns a
+    # typed empty frame, rebalance is a no-op, append fails LOUDLY (no
+    # centroids to assign to — silent accept would strand the vectors)
+    import pytest
+
+    q = spark.createDataFrame([(1, [1.0, 0.0])],
+                              "vec_id long, embedding array<double>")
+    probe = V.ivf_index_probe(spark, ivf, q, k=3)
+    assert probe.count() == 0
+    assert [f.name for f in probe.schema.fields] == \
+        ["query_id", "neighbor_id", "similarity", "rank"]
+    V.ivf_index_rebalance(spark, ivf)          # no-op, no crash
+    with pytest.raises(ValueError, match="no centroids"):
+        V.ivf_index_append(spark, ivf, q)

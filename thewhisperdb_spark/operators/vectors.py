@@ -865,10 +865,20 @@ def ivf_index_probe(spark, path: str, queries: DataFrame, k: int,
     PartitionFilters in the plan) — no reliance on runtime DPP. Returns
     (query_id, neighbor_id, similarity, rank).
     """
+    from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
     _check_index_version(spark, path)
-    cents = spark.read.parquet(f"{path}/centroids")
+    try:
+        cents = spark.read.parquet(f"{path}/centroids")
+    except AnalysisException:
+        # cold start (index built over an empty corpus): no centroids, so
+        # every query's neighbor set is vacuously empty — return a typed
+        # empty frame (query id type taken from the queries side)
+        qt = queries.schema[q_id].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {qt}, similarity double, "
+                "rank int")
     cent_u = with_unit_vector(cents, "cvec", "cu").select("cell", "cu")
     q_u = with_unit_vector(
         queries.select(F.col(q_id).alias("query_id"),
@@ -884,8 +894,17 @@ def ivf_index_probe(spark, path: str, queries: DataFrame, k: int,
         .select("query_id", "qu", "cell"))
     probes = probes.localCheckpoint(eager=True)
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-    lists = (spark.read.parquet(f"{path}/lists")
-             .filter(F.col("cell").isin(cells)))
+    try:
+        lists = (spark.read.parquet(f"{path}/lists")
+                 .filter(F.col("cell").isin(cells)))
+    except AnalysisException:
+        # lists are hive-partitioned, so an empty build leaves NO parts to
+        # infer from even though the (unpartitioned) centroids file reads —
+        # same cold-start case as above
+        qt = queries.schema[q_id].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {qt}, similarity double, "
+                "rank int")
     corp_u = with_unit_vector(
         lists.select(F.col("vec_id").alias("neighbor_id"),
                      F.col(vec_col).alias("cv"), "cell"), "cv", "cu2")
@@ -910,9 +929,20 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
     argmax as the build; the write is an append of only the delta's
     partitions. Centroid drift is the accepted tradeoff (rebuild cadence is
     the knob, exactly as in production IVF systems)."""
+    from pyspark.errors import AnalysisException
+
     _check_index_version(spark, path)
-    cents = spark.read.parquet(f"{path}/centroids")
-    n_cells = cents.count()
+    try:
+        cents = spark.read.parquet(f"{path}/centroids")
+        n_cells = cents.count()
+    except AnalysisException:
+        n_cells = 0
+    if n_cells == 0:
+        raise ValueError(
+            f"IVF index at {path} has no centroids (built over an empty "
+            "corpus) — appended vectors would assign to nothing and be "
+            "silently stranded; rebuild with ivf_index_build over a "
+            "non-empty corpus")
     assigned, _ = ivf_assign(new_vectors, n_cells, id_col, vec_col,
                              centroids=cents)
     (assigned.write.mode("append").partitionBy("cell")
@@ -977,11 +1007,16 @@ def ivf_index_rebalance(spark, path: str, max_iter: int = 3,
     loudly fails the version gate. The corpus is localCheckpointed first
     (the rewrite cannot stream from the files it overwrites). Ids and
     row count are preserved exactly; only cell membership moves."""
+    from pyspark.errors import AnalysisException
+
     _check_index_version(spark, path)
-    cents = spark.read.parquet(f"{path}/centroids")
-    init = [(int(r["cell"]), list(r["cvec"])) for r in cents.collect()]
-    corpus = (spark.read.parquet(f"{path}/lists")
-              .select(id_col, vec_col).localCheckpoint(eager=True))
+    try:
+        cents = spark.read.parquet(f"{path}/centroids")
+        init = [(int(r["cell"]), list(r["cvec"])) for r in cents.collect()]
+        corpus = (spark.read.parquet(f"{path}/lists")
+                  .select(id_col, vec_col).localCheckpoint(eager=True))
+    except AnalysisException:
+        return  # cold start: nothing to rebalance, index left untouched
     refreshed = kmeans_fit(corpus, k=len(init), max_iter=max_iter,
                            id_col=id_col, vec_col=vec_col, init=init)
     ivf_index_build(corpus, path, n_cells=len(init), id_col=id_col,
