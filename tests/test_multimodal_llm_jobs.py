@@ -502,3 +502,47 @@ def test_audio_features_deterministic(media_df):
     # decode without a codec hook is an explicit NotImplementedError gate
     with pytest.raises(Exception):
         extract_audio_features(media_df, None).collect()
+
+
+def test_quarantine_mode_isolates_corrupt_media(media_df):
+    """on_error='quarantine' — the 100 TB operating mode: one corrupt or
+    codec-less file must not abort a million-file job. Failed rows come
+    back with NULL features and an attributable status; clean rows are
+    bit-identical to the default mode; the default stays LOUD."""
+    import pytest
+
+    from thewhisperdb_spark.sources.multimodal import (
+        extract_audio_features, extract_image_features, resize_images)
+
+    # media_df has c.png (fake PNG -> no built-in codec) among images and
+    # f.wav (fake RIFF bytes -> parse error) among audio
+    out = {r["path"].rsplit("/", 1)[-1]: r
+           for r in extract_image_features(
+               media_df, None, on_error="quarantine").collect()}
+    assert out["c.png"]["mean_intensity"] is None
+    assert out["c.png"]["status"].startswith("NotImplementedError")
+    rz = {r["path"].rsplit("/", 1)[-1]: r
+          for r in resize_images(media_df, 4, 4, None,
+                                 on_error="quarantine").collect()}
+    assert rz["c.png"]["pixels"] is None
+    assert rz["c.png"]["status"].startswith("NotImplementedError")
+    au = {r["path"].rsplit("/", 1)[-1]: r
+          for r in extract_audio_features(
+              media_df, None, on_error="quarantine").collect()}
+    assert au["f.wav"]["rms"] is None
+    assert au["f.wav"]["status"].startswith(("NotImplementedError",
+                                             "ValueError"))
+    # clean rows match the default mode exactly (deterministic decoder)
+    ok = {r["path"]: r["mean_intensity"] for r in extract_image_features(
+        media_df, deterministic_fake_decoder).collect()}
+    qk = {r["path"]: (r["mean_intensity"], r["status"])
+          for r in extract_image_features(
+              media_df, deterministic_fake_decoder,
+              on_error="quarantine").collect()}
+    assert {p: v for p, (v, s) in qk.items()} == ok
+    assert all(s == "ok" for _, s in qk.values())
+    # default mode unchanged: loud per-format gate
+    with pytest.raises(Exception, match="no built-in codec"):
+        extract_image_features(media_df, None).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        extract_image_features(media_df, None, on_error="skip")

@@ -283,20 +283,55 @@ IMAGE_FEATURE_SCHEMA = StructType([
 ])
 
 
+def _quarantine_status(exc: Exception) -> str:
+    """Status string for a quarantined decode failure: the class name
+    carries the taxonomy (NotImplementedError = missing codec vs
+    ValueError = corrupt bytes), the message the forensics."""
+    return f"{type(exc).__name__}: {str(exc)[:160]}"
+
+
 def extract_image_features(media: DataFrame,
-                           decoder: ImageDecoder | None = None) -> DataFrame:
+                           decoder: ImageDecoder | None = None,
+                           on_error: str = "raise") -> DataFrame:
     """Decode -> feature-extract for image rows. ``decoder`` is the injectable
     codec hook; None uses :func:`decode_ppm_bmp`, which handles netpbm/BMP
     natively and raises NotImplementedError per-row for entropy-coded
-    formats (PNG/JPEG) until a real codec is injected."""
+    formats (PNG/JPEG) until a real codec is injected.
+
+    ``on_error``: ``"raise"`` (default) keeps the loud per-format gate —
+    right for development and for corpora known to be clean.
+    ``"quarantine"`` is the 100 TB operating mode: a corrupt or
+    unsupported file must not abort a million-file job, so failed rows
+    come back with NULL features and a ``status`` column carrying the
+    exception (``ok`` otherwise), for routing to a quarantine sink."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', "
+                         f"got {on_error!r}")
     dec = decoder or decode_ppm_bmp
+    quarantine = on_error == "quarantine"
+    schema = (StructType(IMAGE_FEATURE_SCHEMA.fields
+                         + [StructField("status", StringType())])
+              if quarantine else IMAGE_FEATURE_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"path": [], "height": [], "width": [],
                     "mean_intensity": [], "histogram": []}
+            if quarantine:
+                rows["status"] = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                raster = dec(bytes(content))
+                try:
+                    raster = dec(bytes(content))
+                except Exception as e:  # noqa: BLE001 — quarantined per row
+                    if not quarantine:
+                        raise
+                    rows["path"].append(path)
+                    rows["height"].append(None)
+                    rows["width"].append(None)
+                    rows["mean_intensity"].append(None)
+                    rows["histogram"].append(None)
+                    rows["status"].append(_quarantine_status(e))
+                    continue
                 flat = [p for row in raster for p in row]
                 hist = [0.0] * 8
                 for p in flat:
@@ -307,10 +342,12 @@ def extract_image_features(media: DataFrame,
                 rows["width"].append(len(raster[0]) if raster else 0)
                 rows["mean_intensity"].append(sum(flat) / n)
                 rows["histogram"].append([c / n for c in hist])
+                if quarantine:
+                    rows["status"].append("ok")
             yield pd.DataFrame(rows)
 
     img = media.filter(F.col("modality") == "image").select("path", "content")
-    return img.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+    return img.mapInPandas(run, schema)
 
 
 RESIZED_SCHEMA = StructType([
@@ -322,7 +359,8 @@ RESIZED_SCHEMA = StructType([
 
 
 def resize_images(media: DataFrame, out_h: int, out_w: int,
-                  decoder: ImageDecoder | None = None) -> DataFrame:
+                  decoder: ImageDecoder | None = None,
+                  on_error: str = "raise") -> DataFrame:
     """Decode -> RESIZE for image rows: nearest-neighbor resample of the
     decoded raster to ``out_h`` x ``out_w`` (the standard pre-embedding
     normalization step — every vision encoder wants a fixed input shape).
@@ -330,21 +368,42 @@ def resize_images(media: DataFrame, out_h: int, out_w: int,
     Python pixel loops); only the codec is the injectable hook, same
     default as extract_image_features (None -> :func:`decode_ppm_bmp`).
     Returns (path, height, width, pixels) with pixels as the resized
-    row-major raster."""
+    row-major raster. ``on_error="quarantine"`` adds a ``status`` column
+    and NULL-pixels rows for failed decodes instead of aborting the job
+    (see extract_image_features — same 100 TB rationale)."""
     import numpy as np
 
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', "
+                         f"got {on_error!r}")
     dec = decoder or decode_ppm_bmp
+    quarantine = on_error == "quarantine"
+    schema = (StructType(RESIZED_SCHEMA.fields
+                         + [StructField("status", StringType())])
+              if quarantine else RESIZED_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"path": [], "height": [], "width": [], "pixels": []}
+            if quarantine:
+                rows["status"] = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                raster = np.asarray(dec(bytes(content)), dtype=np.float64)
-                if raster.ndim != 2 or raster.size == 0:
-                    raise ValueError(
-                        f"decoder returned an empty or non-2D raster "
-                        f"(shape {raster.shape}) for {path}; resize needs "
-                        "at least one source pixel")
+                try:
+                    raster = np.asarray(dec(bytes(content)), dtype=np.float64)
+                    if raster.ndim != 2 or raster.size == 0:
+                        raise ValueError(
+                            f"decoder returned an empty or non-2D raster "
+                            f"(shape {raster.shape}) for {path}; resize "
+                            "needs at least one source pixel")
+                except Exception as e:  # noqa: BLE001 — quarantined per row
+                    if not quarantine:
+                        raise
+                    rows["path"].append(path)
+                    rows["height"].append(None)
+                    rows["width"].append(None)
+                    rows["pixels"].append(None)
+                    rows["status"].append(_quarantine_status(e))
+                    continue
                 h, w = raster.shape[0], raster.shape[1]
                 # nearest-neighbor: pixel centers mapped back to source grid
                 ri = np.minimum((np.arange(out_h) + 0.5) * h / out_h,
@@ -356,10 +415,12 @@ def resize_images(media: DataFrame, out_h: int, out_w: int,
                 rows["height"].append(out_h)
                 rows["width"].append(out_w)
                 rows["pixels"].append([list(r) for r in resized])
+                if quarantine:
+                    rows["status"].append("ok")
             yield pd.DataFrame(rows)
 
     img = media.filter(F.col("modality") == "image").select("path", "content")
-    return img.mapInPandas(run, RESIZED_SCHEMA)
+    return img.mapInPandas(run, schema)
 
 
 FRAME_SCHEMA = StructType([
@@ -477,21 +538,45 @@ AUDIO_FEATURE_SCHEMA = StructType([
 
 
 def extract_audio_features(media: DataFrame,
-                           decoder: AudioDecoder | None = None) -> DataFrame:
+                           decoder: AudioDecoder | None = None,
+                           on_error: str = "raise") -> DataFrame:
     """Decode -> feature-extract for audio rows (duration, RMS level,
     zero-crossing rate — the standard cheap audio-quality triage features).
     Same injectable-codec contract as ``extract_image_features``: None ->
     :func:`decode_wav` (stdlib RIFF/PCM), which raises NotImplementedError
     per-row for compressed formats until a codec is injected. Arrow-batched
-    mapInPandas — the Spark-side shape is real regardless of codec."""
+    mapInPandas — the Spark-side shape is real regardless of codec.
+    ``on_error="quarantine"`` adds a ``status`` column and NULL-features
+    rows for failed decodes instead of aborting the job (see
+    extract_image_features — same 100 TB rationale)."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', "
+                         f"got {on_error!r}")
     dec = decoder or decode_wav
+    quarantine = on_error == "quarantine"
+    schema = (StructType(AUDIO_FEATURE_SCHEMA.fields
+                         + [StructField("status", StringType())])
+              if quarantine else AUDIO_FEATURE_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"path": [], "sample_rate": [], "duration_s": [],
                     "rms": [], "zero_crossing_rate": []}
+            if quarantine:
+                rows["status"] = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                rate, pcm = dec(bytes(content))
+                try:
+                    rate, pcm = dec(bytes(content))
+                except Exception as e:  # noqa: BLE001 — quarantined per row
+                    if not quarantine:
+                        raise
+                    rows["path"].append(path)
+                    rows["sample_rate"].append(None)
+                    rows["duration_s"].append(None)
+                    rows["rms"].append(None)
+                    rows["zero_crossing_rate"].append(None)
+                    rows["status"].append(_quarantine_status(e))
+                    continue
                 n = len(pcm) or 1
                 rms = (sum(x * x for x in pcm) / n) ** 0.5
                 zc = sum(1 for a, b in zip(pcm, pcm[1:])
@@ -501,7 +586,9 @@ def extract_audio_features(media: DataFrame,
                 rows["duration_s"].append(len(pcm) / rate if rate else 0.0)
                 rows["rms"].append(rms)
                 rows["zero_crossing_rate"].append(zc / max(n - 1, 1))
+                if quarantine:
+                    rows["status"].append("ok")
             yield pd.DataFrame(rows)
 
     aud = media.filter(F.col("modality") == "audio").select("path", "content")
-    return aud.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+    return aud.mapInPandas(run, schema)
