@@ -384,3 +384,31 @@ def test_stream_dedup_ingest_runs_end_to_end(spark, tmp_path):
     assert surv <= {r["doc_id"] for r in delta.collect()} and surv
     assert spark.read.parquet(f"{idx}/signatures").count() \
         == n_base + len(surv)
+
+
+def test_dedup_ingest_batch_quality_preferring_survivors(spark, tmp_path):
+    """quality_col routes within-batch groups through pick_survivors: the
+    HIGHEST-quality member survives (not the min id), and only the
+    survivor is published and indexed."""
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    idx = str(tmp_path / "idxq")
+    out = str(tmp_path / "outq")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 10), idx,
+                      n_hashes=16, bands=4, shingle_n=5)
+    b0 = spark.createDataFrame(
+        [(2001, SYN_A, 5.0),       # dup pair: 2002 has HIGHER quality
+         (2002, SYN_A, 9.0),       # ... so 2002 survives despite larger id
+         (2003, SYN_B, 1.0)],      # singleton survives regardless
+        "doc_id long, text string, quality double")
+    SJ.dedup_ingest_batch(b0, 0, idx, out, threshold=0.9,
+                          quality_col="quality")
+    surv = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert surv == {2002, 2003}
+    indexed = {r["id"] for r in
+               spark.read.parquet(f"{idx}/signatures").collect()}
+    assert 2002 in indexed and 2001 not in indexed

@@ -371,8 +371,8 @@ def stream_append_to_lsh(stream: DataFrame, index_path: str,
 
 def dedup_ingest_batch(df: DataFrame, batch_id: int, index_path: str,
                        survivors_dir: str, threshold: float = 0.8,
-                       id_col: str = "doc_id",
-                       text_col: str = "text") -> None:
+                       id_col: str = "doc_id", text_col: str = "text",
+                       quality_col: str | None = None) -> None:
     """One micro-batch of the full daily-crawl dedup loop: probe the
     persisted LSH index for cross-corpus near-dups, drop them, near-dedup
     the remainder WITHIN the batch (same banding parameters as the index,
@@ -390,10 +390,23 @@ def dedup_ingest_batch(df: DataFrame, batch_id: int, index_path: str,
     - the sink write precedes the index append, and the append is itself
       anti-joined + sentinel-bracketed (lsh_index_append), so every
       crash/replay interleaving converges to the same index and the same
-      published survivors."""
+      published survivors.
+
+    Single-writer contract (shared with lsh_index_append): one ingest job
+    per index at a time — the streaming checkpoint serializes batches
+    within a job, but two CONCURRENT jobs appending to the same index can
+    both anti-join the same pre-append state and double-write.
+
+    ``quality_col``: when set, within-batch dup groups keep their
+    HIGHEST-``quality_col`` member (id tiebreak) via ``pick_survivors``
+    instead of the min-id canonical keep — production dedup's "keep the
+    best variant, drop the truncated mirror" policy. NOTE: with a quality
+    policy the survivor choice is only deterministic under replay because
+    the whole batch replays identically (the checkpoint guarantees
+    that)."""
     from thewhisperdb_spark.operators.dedup import (
-        _lsh_index_meta, drop_near_duplicates, lsh_index_append,
-        lsh_index_probe)
+        _lsh_index_meta, lsh_index_append, lsh_index_probe,
+        minhash_lsh_pairs, near_dup_groups, pick_survivors)
     from thewhisperdb_spark.operators.text import word_ngrams
 
     if df.isEmpty():
@@ -407,12 +420,18 @@ def dedup_ingest_batch(df: DataFrame, batch_id: int, index_path: str,
             .select(F.col("batch_id").alias(id_col)).distinct())
     fresh = df.join(hits, id_col, "left_anti")
     shingle_n = int(m["shingle_n"])
-    survivors = drop_near_duplicates(
-        fresh, id_col=id_col, text_col=text_col,
-        n_hashes=int(m["n_hashes"]), bands=int(m["bands"]),
-        threshold=threshold,
-        shingler=lambda c: word_ngrams(c, shingle_n)
-    ).localCheckpoint(eager=True)      # one computation feeds sink + append
+    pairs = minhash_lsh_pairs(
+        fresh, n_hashes=int(m["n_hashes"]), bands=int(m["bands"]),
+        threshold=threshold, id_col=id_col, text_col=text_col,
+        shingler=lambda c: word_ngrams(c, shingle_n))
+    groups = near_dup_groups(fresh, pairs.select("a", "b"), id_col)
+    if quality_col is None:
+        survivors = fresh.join(
+            groups.filter(F.col("keep")).select(id_col), id_col)
+    else:
+        survivors = pick_survivors(fresh, groups, quality_col, id_col)
+    survivors = survivors.localCheckpoint(eager=True)
+    # one computation feeds sink + append
     (survivors.withColumn("ingest_batch", F.lit(int(batch_id)))
      .write.mode("overwrite").partitionBy("ingest_batch")
      .option("partitionOverwriteMode", "dynamic").parquet(survivors_dir))
