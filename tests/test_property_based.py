@@ -681,3 +681,52 @@ def test_minhash_lsh_pairs_lossless_vs_bruteforce(spark, texts, theta):
             if est >= theta:
                 expect[(a, b)] = round(est, 6)
     assert {k: round(v, 6) for k, v in got.items()} == expect
+
+
+@SETTINGS
+@given(st.lists(st.lists(st.sampled_from("abc def ghi jkl mno".split()),
+                         min_size=2, max_size=8),
+                min_size=4, max_size=18),
+       st.integers(min_value=0, max_value=2 ** 31 - 1))
+def test_lsh_index_probe_equals_online_pairs_any_split(
+        spark, tmp_path_factory, token_docs, split_seed):
+    """For ANY corpus and ANY split into (indexed, batch): probing the
+    persisted index returns EXACTLY the cross-split subset of the online
+    minhash_lsh_pairs result, a replayed append changes nothing, and the
+    signature count equals the number of docs with non-empty shingles.
+    (word-2-gram shingles so short generated docs still collide.)"""
+    import shutil
+
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.operators.text import word_ngrams
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_docs)]
+    idx_ids = {i for i, _ in docs if (i * 2654435761 + split_seed) % 3 != 0}
+    if not idx_ids or len(idx_ids) == len(docs):
+        idx_ids = {docs[0][0]}          # force a non-trivial split
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus = df.filter(F.col("doc_id").isin(list(idx_ids)))
+    batch = df.filter(~F.col("doc_id").isin(list(idx_ids)))
+
+    root = tmp_path_factory.mktemp("lsh_prop")
+    path = str(root / "idx")
+    D.lsh_index_build(corpus, path, n_hashes=16, bands=4, shingle_n=2)
+    # replayed append of already-indexed docs: bit-level no-op
+    n_sig = spark.read.parquet(f"{path}/signatures").count()
+    D.lsh_index_append(spark, path, corpus.limit(2))
+    assert spark.read.parquet(f"{path}/signatures").count() == n_sig
+
+    got = {(r["index_id"], r["batch_id"]): round(r["est_jaccard"], 9)
+           for r in D.lsh_index_probe(spark, path, batch,
+                                      threshold=0.75).collect()}
+    online = D.minhash_lsh_pairs(df, n_hashes=16, bands=4, threshold=0.75,
+                                 shingler=lambda c: word_ngrams(c, 2))
+    want = {}
+    for r in online.collect():
+        a, b = r["a"], r["b"]
+        if a in idx_ids and b not in idx_ids:
+            want[(a, b)] = round(r["est_jaccard"], 9)
+        elif b in idx_ids and a not in idx_ids:
+            want[(b, a)] = round(r["est_jaccard"], 9)
+    assert got == want
+    shutil.rmtree(str(root), ignore_errors=True)
