@@ -696,3 +696,27 @@ def test_lsh_index_stats_reflects_appends_and_compaction(spark, tmp_path):
     assert s2["n_sig_files"] < s1["n_sig_files"]
     for k in ("n_docs", "n_bucket_rows", "n_distinct_buckets", "max_bucket"):
         assert s2[k] == s1[k]
+
+
+def test_semantic_dedup_block_split_is_exact(spark):
+    """block_rows splits oversized clusters into block-pair tasks (the
+    similar_pairs outer-product layout within the cluster) — the guard
+    against one mega-cluster pinning |c|^2 on one executor. The pair set
+    must be EXACTLY the unblocked result at any block size."""
+    from thewhisperdb_spark.operators import dedup as D
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    # one cluster for everything -> the degenerate mega-cluster case
+    labels = emb.select("vec_id", F.lit(0).cast("long").alias("cluster"))
+
+    def pairs(block_rows):
+        return {(r["a"], r["b"]): round(r["similarity"], 9)
+                for r in D.semantic_dedup_pairs(
+                    emb, threshold=0.45, labels=labels,
+                    block_rows=block_rows).collect()}
+
+    unblocked = pairs(10 ** 9)
+    assert unblocked                         # testdata has pairs
+    for br in (7, 64):                       # heavy and mild splitting
+        assert pairs(br) == unblocked

@@ -391,19 +391,25 @@ def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                          k: int = 16, max_iter: int = 5,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         labels: DataFrame | None = None) -> DataFrame:
+                         labels: DataFrame | None = None,
+                         block_rows: int = 4096) -> DataFrame:
     """SemDeDup-style candidate pairs (Abbas et al., arXiv:2303.09540):
     k-means the embedding space, then compute cosine >= θ pairs WITHIN
     each cluster only. Clustering bounds the pair work to Σ|cluster|²·d
     instead of n²·d — the published scale recipe for embedding-level
     dedup of web corpora (near-dups land in the same cluster at the θ≈1
     operating point; recall vs the exact kernel is measured in pytest).
-    Each cluster's pairs are ONE BLAS gram matmul over its Arrow batch
-    (``applyInPandas`` keyed on the cluster id — the skew knob is k:
-    more clusters, smaller matmuls). Ragged/NULL vectors score 0.0
-    cross-dim (reference edge rule) and thus pair with nothing at θ>0.
-    ``labels`` lets a caller reuse a precomputed (id, cluster) frame.
-    Returns (a, b, similarity) with a < b, both in the same cluster."""
+    Each cluster's pairs come from BLAS gram matmuls over Arrow batches
+    (``applyInPandas``). Two skew guards compose: ``k`` (more clusters,
+    smaller matmuls) and ``block_rows`` — a cluster larger than
+    ``block_rows`` is hash-split into √-scale blocks and every unordered
+    block pair becomes its own task (the ``similar_pairs`` outer-product
+    layout, WITHIN the cluster), so one degenerate mega-cluster (a
+    boilerplate-heavy corpus) cannot pin |c|²·d work on a single
+    executor; the result is EXACT either way. Ragged/NULL vectors score
+    0.0 cross-dim (reference edge rule) and thus pair with nothing at
+    θ>0. ``labels`` lets a caller reuse a precomputed (id, cluster)
+    frame. Returns (a, b, similarity) with a < b, same cluster."""
     import numpy as np
     import pandas as pd
 
@@ -414,42 +420,79 @@ def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     rows = (embeddings
             .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
             .join(lab.select(F.col(id_col).alias("id"), "cluster"), "id"))
+    # per-cluster block count: ceil(|cluster| / block_rows), joined back as
+    # a broadcast (k rows). Normal clusters get nb=1 — single group, no
+    # replication; only oversized clusters fan out into block pairs.
+    sizes = (rows.groupBy("cluster")
+             .agg(F.ceil(F.count(F.lit(1)) / F.lit(int(block_rows)))
+                  .cast("int").alias("_nb")))
+    blocked = (rows.join(F.broadcast(sizes), "cluster")
+               .withColumn("blk", F.pmod(F.xxhash64(F.col("id")),
+                                         F.col("_nb")).cast("int")))
+    a_side = blocked.select(
+        "cluster", "id", "v", F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.col("_nb") - 1)).alias("bj"),
+        F.lit(0).alias("side"))
+    b_side = blocked.filter(F.col("blk") > 0).select(
+        "cluster", "id", "v",
+        F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("bi"),
+        F.col("blk").alias("bj"), F.lit(1).alias("side"))
+    grouped = a_side.unionByName(b_side)
     thr = float(threshold)
 
-    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
+    def gram(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a_rows = pdf[pdf["side"] == 0]
+        diag = key[1] == key[2]
+        b_rows = a_rows if diag else pdf[pdf["side"] == 1]
+        if len(a_rows) == 0 or len(b_rows) == 0 or (diag and len(a_rows) < 2):
             return pd.DataFrame({"a": [], "b": [], "similarity": []})
         _e = np.zeros(0)
-        vs = [_e if x is None else np.asarray(x, dtype=np.float64)
-              for x in pdf["v"]]
-        ids = pdf["id"].to_numpy()
+
+        def mats(part):
+            vs = [_e if x is None else np.asarray(x, dtype=np.float64)
+                  for x in part["v"]]
+            by_dim: dict[int, list[int]] = {}
+            for i, v in enumerate(vs):
+                if v.shape[0] > 0:
+                    by_dim.setdefault(v.shape[0], []).append(i)
+            return vs, part["id"].to_numpy(), by_dim
+
+        va, ids_a, dims_a = mats(a_rows)
+        vb, ids_b, dims_b = (va, ids_a, dims_a) if diag else mats(b_rows)
         out_a, out_b, out_s = [], [], []
-        by_dim: dict[int, list[int]] = {}
-        for i, v in enumerate(vs):
-            if v.shape[0] > 0:
-                by_dim.setdefault(v.shape[0], []).append(i)
-        for idx in by_dim.values():
-            if len(idx) < 2:
+        for d, idx_a in dims_a.items():
+            idx_b = dims_b.get(d)
+            if not idx_b:
                 continue
-            m = np.stack([vs[i] for i in idx])
-            nrm = np.linalg.norm(m, axis=1)
-            nrm[nrm == 0.0] = np.inf
-            u = m / nrm[:, None]
-            sims = u @ u.T
-            ii, jj = np.where(np.triu(sims >= thr, 1))
-            ids_d = ids[np.asarray(idx)]
-            a, b = ids_d[ii], ids_d[jj]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            out_a.append(lo)
-            out_b.append(hi)
-            out_s.append(sims[ii, jj])
+            ma = np.stack([va[i] for i in idx_a])
+            na = np.linalg.norm(ma, axis=1)
+            na[na == 0.0] = np.inf
+            ua = ma / na[:, None]
+            if diag:
+                sims = ua @ ua.T
+                ii, jj = np.where(np.triu(sims >= thr, 1))
+            else:
+                mb = np.stack([vb[j] for j in idx_b])
+                nb_ = np.linalg.norm(mb, axis=1)
+                nb_[nb_ == 0.0] = np.inf
+                sims = ua @ (mb / nb_[:, None]).T
+                ii, jj = np.where(sims >= thr)
+            if len(ii) == 0:
+                continue
+            a = ids_a[np.asarray(idx_a)][ii]
+            b = ids_b[np.asarray(idx_b)][jj]
+            keep = a != b
+            a, b, s = a[keep], b[keep], sims[ii, jj][keep]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_s.append(s)
         if not out_a:
             return pd.DataFrame({"a": [], "b": [], "similarity": []})
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b),
                              "similarity": np.concatenate(out_s)})
 
-    return rows.groupBy("cluster").applyInPandas(
+    return grouped.groupBy("cluster", "bi", "bj").applyInPandas(
         gram, "a long, b long, similarity double")
 
 
