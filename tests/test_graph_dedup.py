@@ -720,3 +720,38 @@ def test_semantic_dedup_block_split_is_exact(spark):
     assert unblocked                         # testdata has pairs
     for br in (7, 64):                       # heavy and mild splitting
         assert pairs(br) == unblocked
+
+
+def test_lsh_index_delete_takedown(spark, tmp_path):
+    """Takedown: deleted docs stop surfacing as probe candidates, the rest
+    of the index is untouched, re-running the takedown is a no-op, the
+    sentinel is re-stamped, and the id-type gate fires for wrong types."""
+    import pytest
+
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    path = str(tmp_path / "lsh_del")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 40), path,
+                      n_hashes=16, bands=4, shingle_n=5)
+    batch = docs.filter(F.col("doc_id") < 40)   # self-probe: est 1.0 hits
+    before = {(r["batch_id"], r["index_id"]) for r in
+              D.lsh_index_probe(spark, path, batch, threshold=0.99).collect()}
+    assert all((i, i) in before for i in range(40))
+
+    kill = spark.createDataFrame([(5,), (17,), (9999,)], "doc_id long")
+    D.lsh_index_delete(spark, path, kill)       # 9999 absent: ignored
+    after = {(r["batch_id"], r["index_id"]) for r in
+             D.lsh_index_probe(spark, path, batch, threshold=0.99).collect()}
+    assert not any(i in (5, 17) for _, i in after)     # taken down
+    assert after == {(b, i) for b, i in before if i not in (5, 17)}
+    s = D.lsh_index_stats(spark, path).collect()[0]
+    assert s["n_docs"] == 38 and s["n_bucket_rows"] == 38 * 4
+    D.lsh_index_delete(spark, path, kill)       # idempotent replay
+    assert D.lsh_index_stats(spark, path).collect()[0]["n_docs"] == 38
+    with pytest.raises(ValueError, match="stores bigint ids"):
+        D.lsh_index_delete(
+            spark, path,
+            spark.createDataFrame([("x",)], "doc_id string"))

@@ -420,3 +420,30 @@ def test_ivf_index_stats_tracks_drift_and_rebalance(spark, tmp_path):
     assert after["n_vectors"] == 400
     assert after["skew"] < before["skew"]
     assert after["max_cell"] < before["max_cell"]
+
+
+def test_ivf_index_delete_takedown(spark, tmp_path):
+    """Takedown on the IVF index: deleted vectors vanish from probes and
+    stats, survivors and centroids untouched, replay idempotent."""
+    from thewhisperdb_spark.operators import vectors as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_del")
+    V.ivf_index_build(emb, path, n_cells=4)
+    q = emb.limit(5)
+    kill = spark.createDataFrame([(r["neighbor_id"],) for r in
+                                  V.ivf_index_probe(spark, path, q, k=1,
+                                                    n_probe=4).collect()],
+                                 "vec_id long")
+    n_kill = kill.distinct().count()
+    V.ivf_index_delete(spark, path, kill)
+    killed = {r["vec_id"] for r in kill.collect()}
+    got = {r["neighbor_id"] for r in
+           V.ivf_index_probe(spark, path, q, k=3, n_probe=4).collect()}
+    assert not (got & killed)
+    st = V.ivf_index_stats(spark, path).collect()[0]
+    assert st["n_vectors"] == emb.count() - n_kill
+    V.ivf_index_delete(spark, path, kill)       # replay: no-op
+    assert V.ivf_index_stats(spark, path).collect()[0]["n_vectors"] \
+        == emb.count() - n_kill

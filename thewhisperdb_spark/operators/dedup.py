@@ -973,6 +973,47 @@ def lsh_index_probe(spark, path: str, batch: DataFrame,
             .filter(F.col("est_jaccard") >= threshold))
 
 
+def lsh_index_delete(spark, path: str, ids: DataFrame,
+                     id_col: str = "doc_id") -> None:
+    """Takedown support — the maintenance op every web-crawl corpus
+    eventually needs (DMCA, robots revocation, right-to-be-forgotten):
+    remove the given doc ids from the persisted index so deleted
+    documents stop surfacing as probe candidates. A compact-style
+    rewrite: signatures and buckets are anti-joined against the
+    (typically tiny — broadcast) delete set and rewritten under the same
+    meta sentinel as build/compact, so a delete that dies mid-rewrite
+    leaves an index that loudly fails the gate instead of one
+    half-scrubbed. Ids absent from the index are ignored (idempotent:
+    re-running a takedown is a no-op). The id column must match the
+    index's stored type (same gate as append)."""
+    m = _lsh_index_meta(spark, path)
+    id_type = str(m["id_type"])
+    del_ids = ids.select(F.col(id_col).alias("id")).distinct()
+    in_type = del_ids.schema["id"].dataType.simpleString()
+    if in_type != id_type:
+        raise ValueError(
+            f"LSH index at {path} stores {id_type} ids; deleting by "
+            f"{in_type} ids would silently match nothing")
+    sig = (spark.read.schema(f"id {id_type}, sig array<long>")
+           .parquet(f"{path}/signatures")
+           .join(F.broadcast(del_ids), "id", "left_anti")
+           .localCheckpoint(eager=True))
+    buckets = (spark.read.schema(f"id {id_type}, bucket long, band int")
+               .parquet(f"{path}/buckets")
+               .join(F.broadcast(del_ids), "id", "left_anti")
+               .localCheckpoint(eager=True))
+    write_meta = _lsh_meta_writer(
+        spark, path, int(m["n_hashes"]), int(m["bands"]),
+        int(m["shingle_n"]), bool(m["portable"]), str(m["hash_scheme"]),
+        id_type)
+    write_meta(-1)
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    (buckets.repartition(int(m["bands"]), "band")
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(f"{path}/buckets"))
+    write_meta(LSH_INDEX_FORMAT_VERSION)
+
+
 def lsh_index_stats(spark, path: str) -> DataFrame:
     """Operational health of a persisted LSH index, as one row — the
     measurements behind the maintenance knobs in PLANS.md: ``n_files``

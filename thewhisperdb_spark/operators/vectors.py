@@ -949,6 +949,39 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
      .parquet(f"{path}/lists"))
 
 
+def ivf_index_delete(spark, path: str, ids: DataFrame,
+                     id_col: str = "vec_id") -> None:
+    """Takedown support for the IVF index (see ``lsh_index_delete`` — same
+    rationale): remove vectors by id from the inverted lists. Centroids
+    are untouched (they are statistics, not documents — the next
+    ``ivf_index_rebalance`` re-fits them over the survivors); the lists
+    are anti-joined against the (broadcast) delete set and rewritten
+    under the meta sentinel, preserving the cell partitioning. Idempotent
+    for absent ids. No-op on a cold (empty) index."""
+    from pyspark.errors import AnalysisException
+
+    _check_index_version(spark, path)
+
+    def write_meta(version: int) -> None:
+        (spark.createDataFrame([(version, "md5-min-v2")],
+                               "format_version int, hash_scheme string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+    del_ids = ids.select(F.col(id_col).alias(id_col)).distinct()
+    try:
+        lists = (spark.read.parquet(f"{path}/lists")
+                 .join(F.broadcast(del_ids), id_col, "left_anti")
+                 .localCheckpoint(eager=True))
+    except AnalysisException:
+        return  # cold start: nothing to delete
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    write_meta(-1)
+    (lists.repartition(max(int(n_cells), 1), "cell")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/lists"))
+    write_meta(INDEX_FORMAT_VERSION)
+
+
 def ivf_index_stats(spark, path: str) -> DataFrame:
     """Operational health of a persisted IVF index, as one row — the
     measurement behind the rebalance-cadence knob (PLANS.md): ``skew`` =
