@@ -442,7 +442,8 @@ def dedup_ingest_batch(df: DataFrame, batch_id: int, index_path: str,
 def stream_dedup_ingest(stream: DataFrame, index_path: str,
                         survivors_dir: str, checkpoint_dir: str,
                         threshold: float = 0.8, id_col: str = "doc_id",
-                        text_col: str = "text"):
+                        text_col: str = "text",
+                        quality_col: str | None = None):
     """The COMPLETE daily-crawl pattern as one streaming job: documents
     stream in, near-dups against the ever-growing persisted corpus index
     are dropped, the batch is internally near-deduped, survivors are
@@ -454,7 +455,7 @@ def stream_dedup_ingest(stream: DataFrame, index_path: str,
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         dedup_ingest_batch(batch_df, batch_id, index_path, survivors_dir,
                            threshold=threshold, id_col=id_col,
-                           text_col=text_col)
+                           text_col=text_col, quality_col=quality_col)
 
     return (stream.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
