@@ -412,3 +412,69 @@ def test_dedup_ingest_batch_quality_preferring_survivors(spark, tmp_path):
     indexed = {r["id"] for r in
                spark.read.parquet(f"{idx}/signatures").collect()}
     assert 2002 in indexed and 2001 not in indexed
+
+
+def test_embedding_dedup_ingest_batch_and_replay(spark, tmp_path):
+    """The embedding twin of the daily loop: cross-corpus cosine dups
+    dropped via the persisted IVF probe (exhaustive n_probe here),
+    within-batch dups collapse to the min-id survivor, survivors are
+    published and appended, and an exact replay changes nothing."""
+    from thewhisperdb_spark.operators import vectors as V
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    idx = str(tmp_path / "ivf_ing")
+    out = str(tmp_path / "out_ing")
+    V.ivf_index_build(emb.filter(F.col("vec_id") < 300), idx, n_cells=4)
+
+    v5 = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
+    uniq = [1.0] + [0.0] * (len(v5) - 1)
+    # planted rows must match the index's at-rest vector type (the append
+    # type gate rejects drift) — testdata embeddings are array<float>
+    vt = emb.schema["embedding"].dataType.simpleString()
+    b0 = (emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 310))
+          .unionByName(spark.createDataFrame(
+              [(9005, list(v5)),    # exact copy of indexed vec 5: dropped
+               (9100, uniq),        # within-batch dup pair: 9100 survives
+               (9101, uniq)],       # ... 9101 dropped (min-id keep)
+              "vec_id long, embedding array<double>")
+              .select("vec_id", F.col("embedding").cast(vt)
+                      .alias("embedding"))))
+    SJ.embedding_dedup_ingest_batch(b0, 0, idx, out, threshold=0.999,
+                                    n_probe=4)
+
+    def published():
+        return {r["vec_id"] for r in spark.read.parquet(out).collect()}
+
+    surv = published()
+    assert 9100 in surv and 9101 not in surv and 9005 not in surv
+    n_lists = spark.read.parquet(f"{idx}/lists").count()
+    assert n_lists == 300 + len(surv)
+    SJ.embedding_dedup_ingest_batch(b0, 0, idx, out, threshold=0.999,
+                                    n_probe=4)                 # replay
+    assert published() == surv
+    assert spark.read.parquet(f"{idx}/lists").count() == n_lists
+
+
+def test_stream_embedding_dedup_ingest_runs(spark, tmp_path):
+    from thewhisperdb_spark.operators import vectors as V
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    idx = str(tmp_path / "ivf_s2")
+    out = str(tmp_path / "out_s2")
+    V.ivf_index_build(emb.filter(F.col("vec_id") < 300), idx, n_cells=4)
+    delta = emb.filter(F.col("vec_id") >= 300)
+    src = str(tmp_path / "src_s2")
+    delta.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema(delta.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = SJ.stream_embedding_dedup_ingest(stream, idx, out,
+                                         str(tmp_path / "ck_s2"),
+                                         threshold=0.999, n_probe=4)
+    q.awaitTermination()
+    surv = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert surv <= {r["vec_id"] for r in delta.collect()} and surv
+    assert spark.read.parquet(f"{idx}/lists").count() == 300 + len(surv)

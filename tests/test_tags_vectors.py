@@ -447,3 +447,62 @@ def test_ivf_index_delete_takedown(spark, tmp_path):
     V.ivf_index_delete(spark, path, kill)       # replay: no-op
     assert V.ivf_index_stats(spark, path).collect()[0]["n_vectors"] \
         == emb.count() - n_kill
+
+
+def test_ivf_index_append_replay_is_noop(spark, tmp_path):
+    """Retrying an IVF append (the normal failure mode for batch jobs)
+    must leave the index identical: list counts and probe output
+    unchanged, meta stamped valid; a partial replay lands only the new
+    ids."""
+    from thewhisperdb_spark.operators import vectors as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_replay")
+    V.ivf_index_build(emb.filter(F.col("vec_id") < 300), path, n_cells=4)
+    delta = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350))
+    V.ivf_index_append(spark, path, delta)
+
+    def state():
+        q = emb.limit(5)
+        probe = sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in
+                       V.ivf_index_probe(spark, path, q, k=3,
+                                         n_probe=4).collect())
+        return spark.read.parquet(f"{path}/lists").count(), probe
+
+    before = state()
+    V.ivf_index_append(spark, path, delta)        # exact replay
+    assert state() == before
+    # partial replay: 20 already-indexed + 20 new -> exactly 20 land
+    mixed = emb.filter((F.col("vec_id") >= 330) & (F.col("vec_id") < 370))
+    V.ivf_index_append(spark, path, mixed)
+    assert spark.read.parquet(f"{path}/lists").count() == before[0] + 20
+    assert spark.read.parquet(f"{path}/lists") \
+        .select("vec_id").distinct().count() == before[0] + 20
+    ver = spark.read.parquet(f"{path}/meta").collect()[0]["format_version"]
+    assert ver == V.INDEX_FORMAT_VERSION
+
+
+def test_ivf_index_append_type_gate(spark, tmp_path):
+    """Appending a batch whose vector type differs from the at-rest lists
+    must fail LOUDLY (mixed-type parquet poisons every later read with an
+    opaque decode error)."""
+    import pytest
+
+    from thewhisperdb_spark.operators import vectors as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_tg")
+    V.ivf_index_build(emb.filter(F.col("vec_id") < 100), path, n_cells=4)
+    drifted = spark.createDataFrame(
+        [(9000, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    at_rest = emb.schema["embedding"].dataType.simpleString()
+    if at_rest != "array<double>":
+        with pytest.raises(ValueError, match="would corrupt the index"):
+            V.ivf_index_append(spark, path, drifted)
+    # correctly-typed append still works
+    ok = drifted.select("vec_id",
+                        F.col("embedding").cast(at_rest).alias("embedding"))
+    V.ivf_index_append(spark, path, ok)
+    assert spark.read.parquet(f"{path}/lists").count() == 101

@@ -927,8 +927,16 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
     the arriving-corpus path (a nightly crawl delta, a stream batch) that
     avoids rebuilding the index. Assignment is the same broadcast-centroid
     argmax as the build; the write is an append of only the delta's
-    partitions. Centroid drift is the accepted tradeoff (rebuild cadence is
-    the knob, exactly as in production IVF systems)."""
+    partitions. Centroid drift is the accepted tradeoff (rebalance cadence
+    is the knob — ``ivf_index_rebalance``).
+
+    Retry-idempotent and crash-atomic (same discipline as
+    lsh_index_append): already-indexed ids are anti-joined away before
+    writing, so a replayed batch job is a no-op, and the write is
+    bracketed by the meta sentinel so a crash mid-append leaves an index
+    that loudly fails the gate rather than one with a partially-written
+    delta. Single-writer per index (concurrent appenders can both
+    anti-join the pre-append state)."""
     from pyspark.errors import AnalysisException
 
     _check_index_version(spark, path)
@@ -943,10 +951,34 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
             "corpus) — appended vectors would assign to nothing and be "
             "silently stranded; rebuild with ivf_index_build over a "
             "non-empty corpus")
-    assigned, _ = ivf_assign(new_vectors, n_cells, id_col, vec_col,
+    lists = spark.read.parquet(f"{path}/lists")
+    # type gate (the LSH id-type discipline): appending a batch whose id or
+    # vector type differs from the at-rest lists writes mixed-type parquet
+    # that poisons every subsequent read with an opaque decode error
+    for col in (id_col, vec_col):
+        at_rest = lists.schema[col].dataType.simpleString()
+        incoming = new_vectors.schema[col].dataType.simpleString()
+        if at_rest != incoming:
+            raise ValueError(
+                f"IVF index at {path} stores {col} as {at_rest}; appending "
+                f"{incoming} would corrupt the index (cast the batch first)")
+    existing = lists.select(F.col(id_col))
+    fresh = (new_vectors.join(existing, id_col, "left_anti")
+             .localCheckpoint(eager=True))
+    if fresh.isEmpty():
+        return  # fully-replayed batch: nothing to write, meta untouched
+    assigned, _ = ivf_assign(fresh, n_cells, id_col, vec_col,
                              centroids=cents)
+
+    def write_meta(version: int) -> None:
+        (spark.createDataFrame([(version, "md5-min-v2")],
+                               "format_version int, hash_scheme string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+    write_meta(-1)
     (assigned.write.mode("append").partitionBy("cell")
      .parquet(f"{path}/lists"))
+    write_meta(INDEX_FORMAT_VERSION)
 
 
 def ivf_index_delete(spark, path: str, ids: DataFrame,

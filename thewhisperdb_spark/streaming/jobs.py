@@ -462,6 +462,72 @@ def stream_dedup_ingest(stream: DataFrame, index_path: str,
             .trigger(availableNow=True).start())
 
 
+def embedding_dedup_ingest_batch(df: DataFrame, batch_id: int,
+                                 index_path: str, survivors_dir: str,
+                                 threshold: float = 0.99, n_probe: int = 4,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> None:
+    """The EMBEDDING twin of ``dedup_ingest_batch`` — the daily loop for
+    vector corpora (embedding-level semantic dedup against an
+    ever-growing persisted IVF index): probe the index for cosine >= θ
+    near-dups of the arriving batch, drop them, exact-dedup the remainder
+    within the batch (blocked-BLAS all-pairs — the batch is the bounded
+    daily delta), publish survivors batch-partitioned, append survivors
+    to the index.
+
+    Probe recall is the IVF trade-off: a near-dup in an unprobed cell
+    survives — raise ``n_probe`` (``n_probe == n_cells`` is exhaustive)
+    for stricter dedup. Replay-idempotent end to end: the probe's
+    self-id exclusion ignores a replayed batch's own indexed copies, the
+    sink overwrites exactly its batch partition, and ``ivf_index_append``
+    anti-joins already-indexed ids under the meta sentinel. Single-writer
+    per index."""
+    from thewhisperdb_spark.operators.dedup import near_dup_groups
+    from thewhisperdb_spark.operators.vectors import (
+        ivf_index_append, ivf_index_probe, similar_pairs)
+
+    if df.isEmpty():
+        return
+    spark = df.sparkSession
+    df = df.localCheckpoint(eager=True)
+    hits = (ivf_index_probe(spark, index_path, df, k=1, n_probe=n_probe,
+                            q_id=id_col, vec_col=vec_col)
+            .filter(F.col("similarity") >= threshold)
+            .select(F.col("query_id").alias(id_col)).distinct())
+    fresh = df.join(hits, id_col, "left_anti").localCheckpoint(eager=True)
+    if fresh.isEmpty():
+        return
+    pairs = similar_pairs(fresh, threshold, id_col, vec_col)
+    groups = near_dup_groups(fresh, pairs.select("a", "b"), id_col)
+    survivors = (fresh.join(groups.filter(F.col("keep")).select(id_col),
+                            id_col)
+                 .localCheckpoint(eager=True))
+    (survivors.withColumn("ingest_batch", F.lit(int(batch_id)))
+     .write.mode("overwrite").partitionBy("ingest_batch")
+     .option("partitionOverwriteMode", "dynamic").parquet(survivors_dir))
+    ivf_index_append(spark, index_path, survivors,
+                     id_col=id_col, vec_col=vec_col)
+
+
+def stream_embedding_dedup_ingest(stream: DataFrame, index_path: str,
+                                  survivors_dir: str, checkpoint_dir: str,
+                                  threshold: float = 0.99, n_probe: int = 4,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding"):
+    """``embedding_dedup_ingest_batch`` per micro-batch under a streaming
+    checkpoint — the vector-corpus daily-crawl loop as one streaming job.
+    Returns the started StreamingQuery (availableNow drains and stops)."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        embedding_dedup_ingest_batch(
+            batch_df, batch_id, index_path, survivors_dir,
+            threshold=threshold, n_probe=n_probe, id_col=id_col,
+            vec_col=vec_col)
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
 def stream_shards_sink(stream_df: DataFrame, out_dir: str,
                        checkpoint_dir: str, id_col: str,
                        n_shards: int = 8):
