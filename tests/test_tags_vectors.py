@@ -506,3 +506,24 @@ def test_ivf_index_append_type_gate(spark, tmp_path):
                         F.col("embedding").cast(at_rest).alias("embedding"))
     V.ivf_index_append(spark, path, ok)
     assert spark.read.parquet(f"{path}/lists").count() == 101
+
+
+def test_ivf_index_delete_all_then_append_reseeds(spark, tmp_path):
+    """A takedown that empties the index entirely must leave it usable:
+    probe returns empty, and the next append re-seeds the lists."""
+    from thewhisperdb_spark.operators import vectors as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    part = emb.filter(F.col("vec_id") < 50)
+    path = str(tmp_path / "ivf_all")
+    V.ivf_index_build(part, path, n_cells=4)
+    V.ivf_index_delete(spark, path, part.select("vec_id"))
+    q = emb.limit(3)
+    assert V.ivf_index_probe(spark, path, q, k=3, n_probe=4).count() == 0
+    assert V.ivf_index_stats(spark, path).collect()[0]["n_vectors"] == 0
+    V.ivf_index_append(spark, path,
+                       emb.filter(F.col("vec_id") < 20))
+    assert spark.read.parquet(f"{path}/lists").count() == 20
+    got = V.ivf_index_probe(spark, path, q, k=3, n_probe=4)
+    assert got.count() > 0

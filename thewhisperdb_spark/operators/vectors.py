@@ -951,20 +951,30 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
             "corpus) — appended vectors would assign to nothing and be "
             "silently stranded; rebuild with ivf_index_build over a "
             "non-empty corpus")
-    lists = spark.read.parquet(f"{path}/lists")
-    # type gate (the LSH id-type discipline): appending a batch whose id or
-    # vector type differs from the at-rest lists writes mixed-type parquet
-    # that poisons every subsequent read with an opaque decode error
-    for col in (id_col, vec_col):
-        at_rest = lists.schema[col].dataType.simpleString()
-        incoming = new_vectors.schema[col].dataType.simpleString()
-        if at_rest != incoming:
-            raise ValueError(
-                f"IVF index at {path} stores {col} as {at_rest}; appending "
-                f"{incoming} would corrupt the index (cast the batch first)")
-    existing = lists.select(F.col(id_col))
-    fresh = (new_vectors.join(existing, id_col, "left_anti")
-             .localCheckpoint(eager=True))
+    try:
+        lists = spark.read.parquet(f"{path}/lists")
+    except AnalysisException:
+        # a takedown can delete EVERY vector (lists dir left partless while
+        # centroids remain) — the next append re-seeds the lists
+        lists = None
+    if lists is not None:
+        # type gate (the LSH id-type discipline): appending a batch whose
+        # id or vector type differs from the at-rest lists writes
+        # mixed-type parquet that poisons every subsequent read with an
+        # opaque decode error
+        for col in (id_col, vec_col):
+            at_rest = lists.schema[col].dataType.simpleString()
+            incoming = new_vectors.schema[col].dataType.simpleString()
+            if at_rest != incoming:
+                raise ValueError(
+                    f"IVF index at {path} stores {col} as {at_rest}; "
+                    f"appending {incoming} would corrupt the index "
+                    "(cast the batch first)")
+        fresh = (new_vectors.join(lists.select(F.col(id_col)),
+                                  id_col, "left_anti")
+                 .localCheckpoint(eager=True))
+    else:
+        fresh = new_vectors.localCheckpoint(eager=True)
     if fresh.isEmpty():
         return  # fully-replayed batch: nothing to write, meta untouched
     assigned, _ = ivf_assign(fresh, n_cells, id_col, vec_col,
