@@ -5389,6 +5389,53 @@ def lsh_index_incremental_dedup(spark, sf_dir):
     return out.select("index_id", "batch_id", "est_jaccard")
 
 
+@q("daily_crawl_ingest_survivors",
+   # the END-TO-END daily-crawl loop, hash-checked: survivors of one
+   # ingested batch = batch docs with no est>=θ match in the indexed
+   # corpus AND that are the min-id of their within-fresh duplicate
+   # component. Same signature CTEs; cross hits and the fresh-restricted
+   # transitive closure mirror the probe + within-batch dedup stages.
+   "WITH RECURSIVE " + _minhash_ctes() + """,
+cross_hits AS (SELECT DISTINCT b AS doc_id FROM prs
+               WHERE a < 400 AND b >= 400),
+fresh AS (SELECT d.doc_id FROM documents d WHERE d.doc_id >= 400
+          AND d.doc_id NOT IN (SELECT doc_id FROM cross_hits)),
+fp AS (SELECT a, b FROM prs
+       WHERE a IN (SELECT doc_id FROM fresh)
+         AND b IN (SELECT doc_id FROM fresh)),
+und AS (SELECT a AS src, b AS dst FROM fp UNION SELECT b, a FROM fp),
+reach(src, dst) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+SELECT f.doc_id FROM fresh f LEFT JOIN comp c ON c.id = f.doc_id
+WHERE c.id IS NULL OR c.component = f.doc_id""")
+def daily_crawl_ingest_survivors(spark, sf_dir):
+    # The COMPLETE daily-crawl dedup loop as one hash-checked unit
+    # (streaming/jobs.py:dedup_ingest_batch — the foreachBatch body of
+    # stream_dedup_ingest): corpus doc_id<400 built into the persisted LSH
+    # index, batch doc_id>=400 ingested through probe -> cross-corpus drop
+    # -> within-batch near-dedup -> batch-partitioned survivor publish ->
+    # index append. The returned frame is read back from the PUBLISHED
+    # survivors parquet, so the oracle certifies the loop's actual on-disk
+    # output, not an intermediate.
+    import tempfile
+
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="whisper_crawl_")
+    idx, out = os.path.join(root, "idx"), os.path.join(root, "out")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 400), idx,
+                      n_hashes=32, bands=8, shingle_n=5)
+    SJ.dedup_ingest_batch(docs.filter(F.col("doc_id") >= 400), 0, idx, out,
+                          threshold=0.8)
+    return spark.read.parquet(out).select("doc_id")
+
+
 @q("events_distinct_users_kmv",
    """WITH h AS (SELECT DISTINCT event_type,
   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
