@@ -5436,6 +5436,58 @@ def daily_crawl_ingest_survivors(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id")
 
 
+@q("embedding_ingest_survivors",
+   # the IVF twin of daily_crawl_ingest_survivors: with EXHAUSTIVE probing
+   # (n_probe = n_cells) the loop is exact, so the oracle is plain cosine
+   # algebra — no corpus near-dup at >= θ, and min-id of the within-fresh
+   # cosine component. (Production runs n_probe < n_cells and accepts the
+   # recall trade; the key certifies the loop mechanics at recall 1.)
+   "WITH RECURSIVE "
+   "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings "
+   "      WHERE vec_id < 400), "
+   "bt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings "
+   "      WHERE vec_id >= 400), "
+   "cross_hits AS (SELECT DISTINCT bt.vec_id FROM bt JOIN c ON "
+   + _SQL_COS.format(a="bt.v", b="c.v") + " >= 0.45), "
+   "fresh AS (SELECT vec_id, v FROM bt WHERE vec_id NOT IN "
+   "          (SELECT vec_id FROM cross_hits)), "
+   "fp AS (SELECT x.vec_id AS a, y.vec_id AS b FROM fresh x JOIN fresh y "
+   "       ON x.vec_id < y.vec_id AND "
+   + _SQL_COS.format(a="x.v", b="y.v") + " >= 0.45), "
+   """und AS (SELECT a AS src, b AS dst FROM fp UNION SELECT b, a FROM fp),
+reach(src, dst) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+SELECT f.vec_id FROM fresh f LEFT JOIN comp c2 ON c2.id = f.vec_id
+WHERE c2.id IS NULL OR c2.component = f.vec_id""")
+def embedding_ingest_survivors(spark, sf_dir):
+    # The embedding daily-crawl loop as one hash-checked on-disk unit
+    # (streaming/jobs.py:embedding_dedup_ingest_batch — the foreachBatch
+    # body of stream_embedding_dedup_ingest): corpus vec_id<400 built into
+    # the persisted IVF index, batch vec_id>=400 ingested through
+    # exhaustive probe -> cosine>=θ cross drop -> within-batch blocked-BLAS
+    # dedup -> survivor publish -> idempotent index append. Returns the
+    # published survivors parquet.
+    import tempfile
+
+    from thewhisperdb_spark.operators import vectors as V
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="whisper_emb_crawl_")
+    idx, out = os.path.join(root, "idx"), os.path.join(root, "out")
+    n_cells = 8
+    V.ivf_index_build(emb.filter(F.col("vec_id") < 400), idx,
+                      n_cells=n_cells)
+    SJ.embedding_dedup_ingest_batch(
+        emb.filter(F.col("vec_id") >= 400), 0, idx, out,
+        threshold=0.45, n_probe=n_cells)
+    return spark.read.parquet(out).select("vec_id")
+
+
 @q("events_distinct_users_kmv",
    """WITH h AS (SELECT DISTINCT event_type,
   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
