@@ -755,3 +755,17 @@ def test_lsh_index_delete_takedown(spark, tmp_path):
         D.lsh_index_delete(
             spark, path,
             spark.createDataFrame([("x",)], "doc_id string"))
+
+
+def test_near_dup_groups_string_id_fails_loudly(spark):
+    """The LSH INDEX accepts string doc ids, but duplicate-GROUP
+    resolution (CC min-label) is a long-label kernel: a string id must
+    fail at plan time with guidance, not as an opaque mid-job
+    CAST_INVALID_INPUT (found probing the ingest loop with string ids)."""
+    import pytest
+
+    df = spark.createDataFrame([("a", "x"), ("b", "x")],
+                               "doc_id string, text string")
+    pairs = spark.createDataFrame([("a", "b")], "a string, b string")
+    with pytest.raises(ValueError, match="integral id"):
+        D.near_dup_groups(df, pairs)

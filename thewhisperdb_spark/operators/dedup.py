@@ -590,6 +590,19 @@ def near_dup_groups(df: DataFrame, pairs: DataFrame,
     from thewhisperdb_spark.operators.graph import clusters_from_pairs
 
     ids = df.select(F.col(id_col).alias("id"))
+    id_type = ids.schema["id"].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # the CC kernel's min-label propagation runs on long labels (the
+        # right representation at scale); a string id would otherwise
+        # surface as an opaque mid-job CAST_INVALID_INPUT — fail at plan
+        # time with the fix instead (LSH INDEX ops accept string ids;
+        # the group-resolution stage is where the numeric contract starts)
+        raise ValueError(
+            f"near_dup_groups: id column '{id_col}' is {id_type}, but "
+            "duplicate-group resolution requires an integral id (labels "
+            "propagate as longs). Mint a surrogate id first, e.g. "
+            "sources.textio-style row ids or zipWithIndex, and map back "
+            "after.")
     labels = clusters_from_pairs(ids, pairs.select("a", "b"))
     return labels.select(
         F.col("id").alias(id_col), F.col("component").alias("group"),
