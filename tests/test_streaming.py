@@ -478,3 +478,47 @@ def test_stream_embedding_dedup_ingest_runs(spark, tmp_path):
     surv = {r["vec_id"] for r in spark.read.parquet(out).collect()}
     assert surv <= {r["vec_id"] for r in delta.collect()} and surv
     assert spark.read.parquet(f"{idx}/lists").count() == 300 + len(surv)
+
+
+def test_compact_ingest_survivors_folds_old_batches(spark, tmp_path):
+    """Compaction folds all but the newest keep_last_n batch partitions
+    into the archive (ingest_batch=-1) with the row SET conserved, keeps
+    the replay window batch-addressed, and re-running converges (the
+    id-dedupe absorbs a crash between archive write and dir deletion)."""
+    import glob
+
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 10), idx,
+                      n_hashes=16, bands=4, shingle_n=5)
+    for i, lo in enumerate((10, 20, 30, 40)):
+        SJ.dedup_ingest_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)),
+            i, idx, out, threshold=0.95)
+
+    def rows():
+        return {(r["doc_id"], r["ingest_batch"])
+                for r in spark.read.parquet(out).collect()}
+
+    before_ids = {d for d, _ in rows()}
+    SJ.compact_ingest_survivors(spark, out, "doc_id", keep_last_n=2)
+    after = rows()
+    assert {d for d, _ in after} == before_ids          # set conserved
+    assert {b for _, b in after if b >= 0} == {2, 3}    # replay window kept
+    assert any(b == -1 for _, b in after)               # archive exists
+    assert not glob.glob(f"{out}/ingest_batch=0") and \
+        not glob.glob(f"{out}/ingest_batch=1")
+    # idempotent re-run (also the crash-recovery path)
+    SJ.compact_ingest_survivors(spark, out, "doc_id", keep_last_n=2)
+    assert rows() == after
+    # later: fold the rest too
+    SJ.compact_ingest_survivors(spark, out, "doc_id", keep_last_n=0)
+    final = rows()
+    assert {d for d, _ in final} == before_ids
+    assert {b for _, b in final} == {-1}

@@ -528,6 +528,52 @@ def stream_embedding_dedup_ingest(stream: DataFrame, index_path: str,
             .trigger(availableNow=True).start())
 
 
+def compact_ingest_survivors(spark, survivors_dir: str, id_col: str,
+                             keep_last_n: int = 2,
+                             target_rows_per_file: int = 4_000_000) -> None:
+    """Sink maintenance for the ingest loops: the batch-partitioned
+    survivors dir accumulates one ``ingest_batch=N`` directory per
+    micro-batch forever (a year of daily batches = 365 partitions of
+    small files). Fold every batch partition except the newest
+    ``keep_last_n`` into the ``ingest_batch=-1`` archive partition with
+    data-derived file counts, then drop the folded directories.
+
+    The newest ``keep_last_n`` partitions stay batch-addressed because
+    they are the streaming checkpoint's replay window — a replayed batch
+    must still be able to overwrite exactly its own partition.
+
+    Self-healing rather than sentinel-guarded: the archive is written as
+    (old archive ∪ folded partitions) de-duplicated on ``id_col``
+    (survivor ids are unique by construction), THEN the folded
+    directories are deleted — a crash between the two steps leaves
+    duplicate rows split across archive and un-deleted partitions, and
+    re-running the compaction converges (the dedupe absorbs them)."""
+    import math
+
+    src = spark.read.parquet(survivors_dir)
+    batches = sorted(r["ingest_batch"] for r in
+                     src.select("ingest_batch").distinct().collect())
+    live = [b for b in batches if b >= 0]
+    fold = live[:max(0, len(live) - keep_last_n)]
+    if not fold:
+        return
+    archive = (src.filter(F.col("ingest_batch").isin([-1] + fold))
+               .dropDuplicates([id_col])
+               .withColumn("ingest_batch", F.lit(-1))
+               .localCheckpoint(eager=True))   # cannot stream from the
+    #                                            partitions it overwrites
+    n = archive.count()
+    (archive.coalesce(max(1, math.ceil(n / target_rows_per_file)))
+     .write.mode("overwrite").partitionBy("ingest_batch")
+     .option("partitionOverwriteMode", "dynamic").parquet(survivors_dir))
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration())
+    for b in fold:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{survivors_dir}/ingest_batch={b}"), True)
+
+
 def stream_shards_sink(stream_df: DataFrame, out_dir: str,
                        checkpoint_dir: str, id_col: str,
                        n_shards: int = 8):
