@@ -7,7 +7,7 @@ of adversarial-ish draws is worth more than thousands of tiny ones.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -576,6 +576,13 @@ def test_label_propagation_matches_reference(spark, graph, max_iter):
         st.text(alphabet='{}[]",:abcxyz0123456789 ',
                 min_size=1, max_size=25)),                 # garbage line
     min_size=1, max_size=20))
+# pinned regressions: top-level-array lines used to BYPASS the quarantine
+# entirely under the JSON datasource ([] expanded to zero rows, [1,2] to two)
+# — the from_json rewrite makes 1-in-1-out structural; keep these examples so
+# the property never again depends on Hypothesis drawing an array shape
+@example(items=["[]"])
+@example(items=["[1,2]", 7, "[{}]", "[", "]"])
+@example(items=["null", "true", "123", '"str"', "{}"])
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_jsonl_quarantine_conserves_every_line(spark, tmp_path_factory, items):

@@ -48,11 +48,29 @@ def read_jsonl(spark: SparkSession, path: str,
     inference pass — at 100 TB inference is a full extra scan) in PERMISSIVE
     mode: malformed lines land in ``_corrupt_record`` with every data column
     null, instead of failing the job (FAILFAST) or silently vanishing
-    (DROPMALFORMED)."""
-    return (spark.read.schema(_with_corrupt(schema))
-            .option("mode", "PERMISSIVE")
-            .option("columnNameOfCorruptRecord", CORRUPT_COL)
-            .json(path))
+    (DROPMALFORMED).
+
+    Built as ``spark.read.text`` + ``from_json`` rather than the JSON
+    datasource, because the datasource breaks line conservation on lines
+    that are top-level JSON ARRAYS: it expands them into one row per
+    element, so ``[]`` silently vanishes (neither clean nor quarantined)
+    and ``[1,2]`` multiplies into two corrupt rows. ``from_json`` with a
+    struct schema is 1 line in -> exactly 1 row out BY CONSTRUCTION:
+    array/scalar/garbage lines parse to a row whose ``_corrupt_record``
+    holds the raw line, and empty/whitespace lines (null struct) are
+    routed to quarantine explicitly. The text scan still splits large
+    files on line boundaries, so parallelism is unchanged; schema pruning
+    of the parse happens inside ``from_json`` (Catalyst prunes unreferenced
+    struct fields via OptimizeJsonExprs/SchemaPruning)."""
+    full = _with_corrupt(schema)
+    parsed = F.from_json(
+        F.col("value"), full,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL})
+    corrupt = F.when(
+        parsed.isNull() | parsed[CORRUPT_COL].isNotNull(), F.col("value"))
+    return (spark.read.text(path)
+            .select(*[parsed[f.name].alias(f.name) for f in schema.fields],
+                    corrupt.alias(CORRUPT_COL)))
 
 
 def read_csv(spark: SparkSession, path: str,
@@ -70,11 +88,13 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     rows keep the full row — ``_corrupt_record`` holds the raw line (the
     dead-letter payload) with the data columns null. Keeping the data columns
     in the quarantine frame also satisfies Spark's restriction that a raw
-    JSON/CSV scan may not reference ONLY the internal corrupt column
+    CSV scan may not reference ONLY the internal corrupt column
     (QUERY_ONLY_CORRUPT_RECORD_COLUMN). Note the flip side: aggregates that
     prune to the corrupt column alone (e.g. ``bad.count()``) still trip that
-    restriction — materialize first (write the dead-letter sink, cache, or
-    collect), which is what a real quarantine path does anyway."""
+    restriction on the CSV path — materialize first (write the dead-letter
+    sink, cache, or collect), which is what a real quarantine path does
+    anyway. The JSONL path (``from_json`` over a text scan) has no such
+    restriction."""
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, bad
