@@ -769,3 +769,47 @@ def test_near_dup_groups_string_id_fails_loudly(spark):
     pairs = spark.createDataFrame([("a", "b")], "a string, b string")
     with pytest.raises(ValueError, match="integral id"):
         D.near_dup_groups(df, pairs)
+
+
+def test_lsh_index_single_writer_claim(spark, tmp_path):
+    """The single-writer contract is ENFORCED, not prose: (a) an append
+    against an index whose sentinel is already claimed by another writer
+    fails the in-progress gate up front; (b) a writer that loses the
+    token readback (its claim was overwritten by an interleaving writer)
+    raises having written nothing."""
+    import pytest
+
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.operators.indexmeta import claim_sentinel
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    path = str(tmp_path / "claim_idx")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 30), path,
+                      n_hashes=16, bands=4, shingle_n=5)
+    wm = D._lsh_meta_writer(spark, path, 16, 4, 5, True, "md5-min-v2",
+                            "bigint")
+    delta = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 35))
+    # (a) another writer holds the claim -> a second append refuses loudly
+    wm(-1, "other-writer-token")
+    with pytest.raises(ValueError, match="in-progress"):
+        D.lsh_index_append(spark, path, delta)
+    # release the claim: the same append now goes through
+    wm(D.LSH_INDEX_FORMAT_VERSION)
+    D.lsh_index_append(spark, path, delta)
+    hits = {(r["batch_id"], r["index_id"]) for r in
+            D.lsh_index_probe(spark, path, delta, threshold=0.99).collect()}
+    assert {(i, i) for i in range(30, 35)} <= hits
+    # (b) direct claim race: persisted token is always foreign (simulating
+    # an interleaved overwrite of the one-file meta) -> the loser raises
+    def stomped(version, token=None):
+        wm(version, "interloper" if token is not None else None)
+    with pytest.raises(ValueError, match="another writer"):
+        claim_sentinel(spark, f"{path}/meta", stomped)
+    # the losing claim left meta invalidated -> every reader/writer gate
+    # now fails loudly until the surviving writer stamps it
+    with pytest.raises(ValueError, match="in-progress"):
+        D.lsh_index_probe(spark, path, delta)
+    wm(D.LSH_INDEX_FORMAT_VERSION)
+    assert D.lsh_index_probe(spark, path, delta, threshold=0.99).count() > 0

@@ -527,3 +527,45 @@ def test_ivf_index_delete_all_then_append_reseeds(spark, tmp_path):
     assert spark.read.parquet(f"{path}/lists").count() == 20
     got = V.ivf_index_probe(spark, path, q, k=3, n_probe=4)
     assert got.count() > 0
+
+
+def test_ivf_index_single_writer_claim_and_delete_type_gate(spark, tmp_path):
+    """IVF twin of the LSH single-writer test, plus the delete id-type
+    gate: a claimed sentinel rejects a racing append/delete up front, and
+    a delete set whose id type differs from the at-rest lists raises
+    instead of silently anti-join-matching nothing."""
+    import pytest
+
+    from thewhisperdb_spark.operators.indexmeta import claim_sentinel
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_claim")
+    V.ivf_index_build(emb.filter(F.col("vec_id") < 300), path, n_cells=4)
+    wm = V._ivf_meta_writer(spark, path)
+    delta = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 320))
+    wm(-1, "other-writer-token")
+    with pytest.raises(ValueError, match="in-progress"):
+        V.ivf_index_append(spark, path, delta)
+    with pytest.raises(ValueError, match="in-progress"):
+        V.ivf_index_delete(
+            spark, path,
+            spark.createDataFrame([(1,)], "vec_id long"))
+    wm(V.INDEX_FORMAT_VERSION)
+    V.ivf_index_append(spark, path, delta)        # claim released: works
+    # losing the token readback raises without touching data
+    def stomped(version, token=None):
+        wm(version, "interloper" if token is not None else None)
+    with pytest.raises(ValueError, match="another writer"):
+        claim_sentinel(spark, f"{path}/meta", stomped)
+    wm(V.INDEX_FORMAT_VERSION)
+    # delete id-type gate: string ids vs long at-rest lists must refuse
+    with pytest.raises(ValueError, match="silently match nothing"):
+        V.ivf_index_delete(
+            spark, path, spark.createDataFrame([("300",)], "vec_id string"))
+    # a correctly-typed delete still works after all of the above
+    V.ivf_index_delete(spark, path,
+                       spark.createDataFrame([(300,)], "vec_id long"))
+    got = {r["neighbor_id"] for r in
+           V.ivf_index_probe(spark, path, delta, k=3, n_probe=4).collect()}
+    assert 300 not in got and len(got) > 0

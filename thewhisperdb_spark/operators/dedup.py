@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from thewhisperdb_spark.operators.indexmeta import claim_sentinel
 from thewhisperdb_spark.operators.text import char_ngrams, tags_of, tokens
 
 
@@ -845,13 +846,16 @@ def _lsh_meta_writer(spark, path: str, n_hashes: int, bands: int,
                      id_type: str):
     """One meta writer shared by build/append/compact so the sentinel
     protocol (invalidate with -1 first, stamp the real version last) is
-    spelled identically at every site."""
-    def write_meta(version: int) -> None:
+    spelled identically at every site. ``token`` carries the writer claim
+    for ``indexmeta.claim_sentinel`` (single-writer enforcement); the
+    final stamp clears it."""
+    def write_meta(version: int, token: str | None = None) -> None:
         (spark.createDataFrame(
             [(version, n_hashes, bands, shingle_n, portable, hash_scheme,
-              id_type)],
+              id_type, token)],
             "format_version int, n_hashes int, bands int, shingle_n int, "
-            "portable boolean, hash_scheme string, id_type string")
+            "portable boolean, hash_scheme string, id_type string, "
+            "writer_token string")
          .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
     return write_meta
 
@@ -894,7 +898,18 @@ def lsh_index_append(spark, path: str, new_df: DataFrame,
     write and the buckets write leaves an index that loudly fails the
     gate instead of one whose probe silently misses the torn batch.
     A torn append requires lsh_index_build to recover (documented
-    trade-off: the sentinel makes the tear detectable, not repairable)."""
+    trade-off: the sentinel makes the tear detectable, not repairable).
+
+    SINGLE-WRITER, ENFORCED: the sentinel is claimed with a writer token
+    (``indexmeta.claim_sentinel``) before any data write — a second
+    append racing this one either fails the in-progress gate up front or
+    loses the token readback and raises having written nothing, instead
+    of both anti-joining the same pre-append state and double-writing.
+    Probes share the exclusion: the index is gate-unreadable for the
+    duration of the two delta appends (delta-sized, not corpus-sized —
+    seconds for a daily batch), so schedule probes off the append window
+    or retry on the in-progress error; this is the documented
+    availability cost of tear-detectability."""
     m = _lsh_index_meta(spark, path)
     n_hashes, bands = int(m["n_hashes"]), int(m["bands"])
     sig, _ = _lsh_sig_banded(new_df, n_hashes, bands, int(m["shingle_n"]),
@@ -917,7 +932,7 @@ def lsh_index_append(spark, path: str, new_df: DataFrame,
     write_meta = _lsh_meta_writer(
         spark, path, n_hashes, bands, int(m["shingle_n"]),
         bool(m["portable"]), str(m["hash_scheme"]), str(m["id_type"]))
-    write_meta(-1)
+    claim_sentinel(spark, f"{path}/meta", write_meta)
     new_sig.write.mode("append").parquet(f"{path}/signatures")
     banded.write.mode("append").partitionBy("band").parquet(f"{path}/buckets")
     write_meta(LSH_INDEX_FORMAT_VERSION)
@@ -1019,7 +1034,7 @@ def lsh_index_delete(spark, path: str, ids: DataFrame,
         spark, path, int(m["n_hashes"]), int(m["bands"]),
         int(m["shingle_n"]), bool(m["portable"]), str(m["hash_scheme"]),
         id_type)
-    write_meta(-1)
+    claim_sentinel(spark, f"{path}/meta", write_meta)
     sig.write.mode("overwrite").parquet(f"{path}/signatures")
     (buckets.repartition(int(m["bands"]), "band")
      .write.mode("overwrite").partitionBy("band")
@@ -1038,8 +1053,6 @@ def lsh_index_stats(spark, path: str) -> DataFrame:
     nothing is re-hashed. Returns (n_docs, n_bucket_rows,
     n_distinct_buckets, max_bucket, p99_bucket, n_sig_files, n_hashes,
     bands, shingle_n)."""
-    import glob
-
     m = _lsh_index_meta(spark, path)
     id_type = str(m["id_type"])
     sig = spark.read.schema(f"id {id_type}, sig array<long>") \
@@ -1057,7 +1070,15 @@ def lsh_index_stats(spark, path: str) -> DataFrame:
         F.coalesce(F.percentile_approx("n", 0.99), F.lit(0))
         .alias("p99_bucket"))
     n_docs = sig.agg(F.count(F.lit(1)).alias("n_docs"))
-    n_files = len(glob.glob(f"{path}/signatures/*.parquet"))
+    # Hadoop FS listing, not a driver-local glob: on hdfs:// or s3a://
+    # paths a local glob silently reports 0 files — misleading for the
+    # compaction-cadence knob this stat exists to drive
+    jvm = spark._jvm
+    fs_path = jvm.org.apache.hadoop.fs.Path(f"{path}/signatures")
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    n_files = sum(
+        1 for st in fs.listStatus(fs_path)
+        if st.isFile() and st.getPath().getName().endswith(".parquet"))
     return (n_docs.join(F.broadcast(bstats))
             .select("n_docs", "n_bucket_rows", "n_distinct_buckets",
                     "max_bucket", "p99_bucket",
@@ -1089,7 +1110,7 @@ def lsh_index_compact(spark, path: str,
         spark, path, int(m["n_hashes"]), int(m["bands"]),
         int(m["shingle_n"]), bool(m["portable"]), str(m["hash_scheme"]),
         id_type)
-    write_meta(-1)
+    claim_sentinel(spark, f"{path}/meta", write_meta)
     (sig.repartition(max(1, _math.ceil(n_sig / target_rows_per_file)))
      .write.mode("overwrite").parquet(f"{path}/signatures"))
     (buckets.repartition(int(m["bands"]), "band")

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from thewhisperdb_spark.operators.indexmeta import claim_sentinel
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as a left-fold — deterministic order, double precision."""
@@ -820,6 +822,19 @@ def _check_index_version(spark, path: str) -> None:
             "compare equal — rebuild with ivf_index_build")
 
 
+def _ivf_meta_writer(spark, path: str):
+    """One meta writer shared by build/append/delete so the sentinel
+    protocol is spelled identically at every site; ``token`` carries the
+    writer claim for ``indexmeta.claim_sentinel`` (single-writer
+    enforcement), cleared by the final stamp."""
+    def write_meta(version: int, token: str | None = None) -> None:
+        (spark.createDataFrame(
+            [(version, "md5-min-v2", token)],
+            "format_version int, hash_scheme string, writer_token string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+    return write_meta
+
+
 def ivf_index_build(corpus: DataFrame, path: str, n_cells: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     centroids: DataFrame | None = None) -> None:
@@ -834,12 +849,7 @@ def ivf_index_build(corpus: DataFrame, path: str, n_cells: int = 16,
     assigned, cents = ivf_assign(corpus, n_cells, id_col, vec_col,
                                  centroids=centroids)
     spark = corpus.sparkSession
-
-    def write_meta(version: int) -> None:
-        (spark.createDataFrame([(version, "md5-min-v2")],
-                               "format_version int, hash_scheme string")
-         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
-
+    write_meta = _ivf_meta_writer(spark, path)
     # meta is the build-completion sentinel: invalidate it FIRST (version
     # -1), write the data, then stamp the real version LAST — a build that
     # dies anywhere in between leaves an index that loudly FAILS the
@@ -935,8 +945,14 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
     writing, so a replayed batch job is a no-op, and the write is
     bracketed by the meta sentinel so a crash mid-append leaves an index
     that loudly fails the gate rather than one with a partially-written
-    delta. Single-writer per index (concurrent appenders can both
-    anti-join the pre-append state)."""
+    delta. Single-writer per index, ENFORCED: the sentinel is claimed
+    with a writer token (``indexmeta.claim_sentinel``) before the data
+    write — a racing second appender either fails the in-progress gate
+    up front or loses the token readback and raises having written
+    nothing, instead of both anti-joining the same pre-append state and
+    double-writing. Probes share the exclusion (gate-unreadable for the
+    delta-sized append window) — schedule probes off the append cadence
+    or retry on the in-progress error."""
     from pyspark.errors import AnalysisException
 
     _check_index_version(spark, path)
@@ -980,12 +996,8 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
     assigned, _ = ivf_assign(fresh, n_cells, id_col, vec_col,
                              centroids=cents)
 
-    def write_meta(version: int) -> None:
-        (spark.createDataFrame([(version, "md5-min-v2")],
-                               "format_version int, hash_scheme string")
-         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
-
-    write_meta(-1)
+    write_meta = _ivf_meta_writer(spark, path)
+    claim_sentinel(spark, f"{path}/meta", write_meta)
     (assigned.write.mode("append").partitionBy("cell")
      .parquet(f"{path}/lists"))
     write_meta(INDEX_FORMAT_VERSION)
@@ -1003,21 +1015,26 @@ def ivf_index_delete(spark, path: str, ids: DataFrame,
     from pyspark.errors import AnalysisException
 
     _check_index_version(spark, path)
-
-    def write_meta(version: int) -> None:
-        (spark.createDataFrame([(version, "md5-min-v2")],
-                               "format_version int, hash_scheme string")
-         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
-
+    write_meta = _ivf_meta_writer(spark, path)
     del_ids = ids.select(F.col(id_col).alias(id_col)).distinct()
     try:
-        lists = (spark.read.parquet(f"{path}/lists")
-                 .join(F.broadcast(del_ids), id_col, "left_anti")
-                 .localCheckpoint(eager=True))
+        lists = spark.read.parquet(f"{path}/lists")
     except AnalysisException:
         return  # cold start: nothing to delete
+    # id-type gate (the LSH delete discipline): a delete set whose id type
+    # differs from the at-rest lists silently matches NOTHING in the
+    # anti-join — the takedown would "succeed" while removing zero rows
+    at_rest = lists.schema[id_col].dataType.simpleString()
+    incoming = del_ids.schema[id_col].dataType.simpleString()
+    if at_rest != incoming:
+        raise ValueError(
+            f"IVF index at {path} stores {id_col} as {at_rest}; a delete "
+            f"set with {incoming} ids would silently match nothing "
+            "(cast the ids first)")
+    lists = (lists.join(F.broadcast(del_ids), id_col, "left_anti")
+             .localCheckpoint(eager=True))
     n_cells = spark.read.parquet(f"{path}/centroids").count()
-    write_meta(-1)
+    claim_sentinel(spark, f"{path}/meta", write_meta)
     (lists.repartition(max(int(n_cells), 1), "cell")
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{path}/lists"))

@@ -420,10 +420,14 @@ def dedup_ingest_batch(df: DataFrame, batch_id: int, index_path: str,
             .select(F.col("batch_id").alias(id_col)).distinct())
     fresh = df.join(hits, id_col, "left_anti")
     shingle_n = int(m["shingle_n"])
+    # portable comes from the meta too: against a portable=False index the
+    # within-batch stage must use the same minhash family (xxhash64) as
+    # the cross-corpus probe, or the two stages disagree on signatures
     pairs = minhash_lsh_pairs(
         fresh, n_hashes=int(m["n_hashes"]), bands=int(m["bands"]),
         threshold=threshold, id_col=id_col, text_col=text_col,
-        shingler=lambda c: word_ngrams(c, shingle_n))
+        shingler=lambda c: word_ngrams(c, shingle_n),
+        portable=bool(m["portable"]))
     groups = near_dup_groups(fresh, pairs.select("a", "b"), id_col)
     if quality_col is None:
         survivors = fresh.join(
