@@ -522,3 +522,63 @@ def test_compact_ingest_survivors_folds_old_batches(spark, tmp_path):
     final = rows()
     assert {d for d, _ in final} == before_ids
     assert {b for _, b in final} == {-1}
+
+
+def test_compaction_crash_window_converges(spark, tmp_path):
+    """The self-healing claim in compact_ingest_survivors, as a test: a
+    crash BETWEEN the archive write and the folded-dir deletes leaves
+    duplicate rows split across archive and un-deleted partitions; a
+    compaction re-run over that torn state must converge to exactly the
+    clean path's row set. Exercised on BOTH modalities' survivors dirs
+    (text/LSH and embedding/IVF ingest loops)."""
+    import shutil
+
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.operators import vectors as V
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    # --- build one survivors dir per modality via the real ingest loops
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    lsh = str(tmp_path / "lsh_idx")
+    text_out = str(tmp_path / "text_out")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 10), lsh,
+                      n_hashes=16, bands=4, shingle_n=5)
+    for i, lo in enumerate((10, 20, 30, 40)):
+        SJ.dedup_ingest_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)),
+            i, lsh, text_out, threshold=0.95)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    ivf = str(tmp_path / "ivf_idx")
+    emb_out = str(tmp_path / "emb_out")
+    V.ivf_index_build(emb.filter(F.col("vec_id") < 50), ivf, n_cells=4)
+    for i, lo in enumerate((50, 80, 110, 140)):
+        SJ.embedding_dedup_ingest_batch(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 30)),
+            i, ivf, emb_out, threshold=0.999)
+
+    for out, id_col in ((text_out, "doc_id"), (emb_out, "vec_id")):
+        torn = f"{out}_torn"
+        shutil.copytree(out, torn)
+        # clean path on the original
+        SJ.compact_ingest_survivors(spark, out, id_col, keep_last_n=2)
+        clean_rows = {(r[id_col], r["ingest_batch"])
+                      for r in spark.read.parquet(out).collect()}
+        # torn path on the copy: archive written, deletes skipped — the
+        # exact crash window (rows now DUPLICATED across archive and the
+        # still-present folded partitions)
+        fold = SJ._archive_fold_write(spark, torn, id_col,
+                                      keep_last_n=2,
+                                      target_rows_per_file=4_000_000)
+        assert fold == [0, 1]
+        torn_df = spark.read.parquet(torn)
+        n_ids = torn_df.select(id_col).distinct().count()
+        assert torn_df.count() > n_ids            # duplicates present
+        # re-run over the torn state -> converges to the clean row set
+        SJ.compact_ingest_survivors(spark, torn, id_col, keep_last_n=2)
+        torn_rows = {(r[id_col], r["ingest_batch"])
+                     for r in spark.read.parquet(torn).collect()}
+        assert torn_rows == clean_rows

@@ -551,7 +551,27 @@ def compact_ingest_survivors(spark, survivors_dir: str, id_col: str,
     (survivor ids are unique by construction), THEN the folded
     directories are deleted — a crash between the two steps leaves
     duplicate rows split across archive and un-deleted partitions, and
-    re-running the compaction converges (the dedupe absorbs them)."""
+    re-running the compaction converges (the dedupe absorbs them; the
+    torn state is constructed and re-converged in
+    ``test_streaming.test_compaction_crash_window_converges``)."""
+    fold = _archive_fold_write(spark, survivors_dir, id_col, keep_last_n,
+                               target_rows_per_file)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration())
+    for b in fold:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{survivors_dir}/ingest_batch={b}"), True)
+
+
+def _archive_fold_write(spark, survivors_dir: str, id_col: str,
+                        keep_last_n: int,
+                        target_rows_per_file: int) -> list[int]:
+    """First half of ``compact_ingest_survivors`` — everything up to and
+    including the archive write, returning the batch ids whose
+    directories are now safe to delete. Split out so the crash window
+    (archive written, folded dirs NOT yet deleted) is constructible in a
+    test exactly as a real crash would leave it."""
     import math
 
     src = spark.read.parquet(survivors_dir)
@@ -560,7 +580,7 @@ def compact_ingest_survivors(spark, survivors_dir: str, id_col: str,
     live = [b for b in batches if b >= 0]
     fold = live[:max(0, len(live) - keep_last_n)]
     if not fold:
-        return
+        return []
     archive = (src.filter(F.col("ingest_batch").isin([-1] + fold))
                .dropDuplicates([id_col])
                .withColumn("ingest_batch", F.lit(-1))
@@ -570,12 +590,7 @@ def compact_ingest_survivors(spark, survivors_dir: str, id_col: str,
     (archive.coalesce(max(1, math.ceil(n / target_rows_per_file)))
      .write.mode("overwrite").partitionBy("ingest_batch")
      .option("partitionOverwriteMode", "dynamic").parquet(survivors_dir))
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-        spark._jsc.hadoopConfiguration())
-    for b in fold:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(
-            f"{survivors_dir}/ingest_batch={b}"), True)
+    return fold
 
 
 def stream_shards_sink(stream_df: DataFrame, out_dir: str,
