@@ -131,7 +131,8 @@ def test_resize_images_nearest_neighbor(media_df):
 def test_image_pipeline_real_bytes_no_injection(spark):
     """binaryFile -> metadata -> decode -> features -> resize end-to-end on
     COMMITTED real image bytes with the default stdlib codec — no injected
-    fakes (VERDICT r4 item 5). Fixtures: tests/fixtures/tiny.{ppm,bmp,pgm}."""
+    fakes (VERDICT r4 item 5). Fixtures:
+    tests/fixtures/tiny.{ppm,bmp,pgm,png}."""
     import os
 
     from thewhisperdb_spark.sources.multimodal import (
@@ -164,12 +165,21 @@ def test_image_pipeline_real_bytes_no_injection(spark):
     # ASCII PGM: 3x2 with maxval 15
     pgm = decode_ppm_bmp(open(os.path.join(root, "tiny.pgm"), "rb").read())
     assert pgm == [[0 / 15, 5 / 15, 10 / 15], [15 / 15, 3 / 15, 9 / 15]]
+    # PNG (r6 gate closed): 6x4 RGB, pixel (r,c) = (40r+10c, 20r+5c, 128),
+    # one scanline filter per row (None/Sub/Up/Paeth) so the COMMITTED
+    # fixture exercises the filter decoders, not just filter 0
+    assert rows["tiny.png"]["mime"] == "image/png"
+    assert (feats["tiny.png"]["height"], feats["tiny.png"]["width"]) == (4, 6)
+    png_raster = decode_ppm_bmp(
+        open(os.path.join(root, "tiny.png"), "rb").read())
+    assert png_raster == [[(60 * r + 15 * c + 128) / 765.0
+                           for c in range(6)] for r in range(4)]
 
     # resize through the same default codec
     rs = {r["path"].rsplit("/", 1)[-1]: r
           for r in resize_images(media, 2, 2).collect()}
     assert all(r["height"] == 2 and r["width"] == 2 for r in rs.values())
-    assert len(rs) == 3
+    assert len(rs) == 4
 
 
 def test_audio_pipeline_real_bytes_no_injection(spark):
@@ -546,3 +556,101 @@ def test_quarantine_mode_isolates_corrupt_media(media_df):
         extract_image_features(media_df, None).collect()
     with pytest.raises(ValueError, match="on_error"):
         extract_image_features(media_df, None, on_error="skip")
+
+
+def _make_png(w, h, depth, ctype, rasters, filters, plte=None,
+              interlace=0):
+    """Minimal PNG writer for decoder tests: ``rasters`` is a list of h
+    raw scanlines (bytes, w*channels each), ``filters`` the per-row filter
+    type whose FORWARD transform is applied here so the decoder's inverse
+    is what's under test."""
+    import struct
+    import zlib
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    prev = bytes(w * nch)
+    scan = b""
+    for row, ft in zip(rasters, filters):
+        out = bytearray([ft])
+        for k in range(len(row)):
+            a = row[k - nch] if k >= nch else 0
+            b, c = prev[k], (prev[k - nch] if k >= nch else 0)
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else c)
+            out.append((row[k] - pred) & 0xFF)
+        scan += bytes(out)
+        prev = row
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    body = chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                                      interlace))
+    if plte is not None:
+        body += chunk(b"PLTE", plte)
+    return (b"\x89PNG\r\n\x1a\n" + body
+            + chunk(b"IDAT", __import__("zlib").compress(scan))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decoder_filters_color_types_and_gates():
+    """The stdlib PNG decoder: every scanline filter (None/Sub/Up/Average/
+    Paeth) inverts exactly, every 8-bit color type (gray/RGB/palette/
+    gray+alpha/RGBA) maps to the documented grayscale, and the unsupported
+    corners (interlaced, 16-bit, JPEG) fail loudly for quarantine mode."""
+    import pytest
+
+    from thewhisperdb_spark.sources.multimodal import decode_ppm_bmp
+
+    # all five filters on one grayscale image: 5 rows, deliberately
+    # non-monotone values so Average/Paeth predictions differ from Sub/Up
+    rows = [bytes([7, 200, 13, 255]), bytes([0, 90, 91, 2]),
+            bytes([250, 1, 128, 129]), bytes([33, 34, 200, 5]),
+            bytes([100, 99, 98, 97])]
+    png = _make_png(4, 5, 8, 0, rows, filters=[0, 1, 2, 3, 4])
+    assert decode_ppm_bmp(png) == [[v / 255.0 for v in r] for r in rows]
+
+    # palette: indices map through PLTE, grayscale = RGB mean
+    plte = bytes([255, 0, 0, 0, 255, 0, 10, 20, 30])
+    png = _make_png(3, 1, 8, 3, [bytes([2, 0, 1])], [0], plte=plte)
+    assert decode_ppm_bmp(png) == [[60 / 765, 255 / 765, 255 / 765]]
+    # palette index out of range is a loud error, not an IndexError deep
+    # in a comprehension
+    bad = _make_png(1, 1, 8, 3, [bytes([5])], [0], plte=plte)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_ppm_bmp(bad)
+
+    # gray+alpha and RGBA: alpha ignored, RGB averaged
+    png = _make_png(2, 1, 8, 4, [bytes([100, 7, 200, 250])], [1])
+    assert decode_ppm_bmp(png) == [[100 / 255, 200 / 255]]
+    png = _make_png(1, 2, 8, 6, [bytes([30, 60, 90, 0]),
+                                 bytes([90, 120, 150, 255])], [0, 4])
+    assert decode_ppm_bmp(png) == [[180 / 765], [360 / 765]]
+
+    # gates: interlaced and 16-bit raise NotImplementedError (the
+    # injected-codec/quarantine contract), JPEG magic keeps its gate
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_ppm_bmp(_make_png(4, 1, 8, 0, [bytes(4)], [0], interlace=1))
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        # raster irrelevant: the gate fires at the IHDR depth check
+        decode_ppm_bmp(_make_png(2, 1, 16, 0, [], []))
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_ppm_bmp(b"\xff\xd8\xff\xe0jpeg-bytes")
+    # truncation raises via length/zlib checks even though CRCs are not
+    # verified: cut mid-IDAT-data (sig 8 + IHDR 25 + IDAT header 8 + 5 of
+    # its data bytes), which trips the chunk-length check
+    good = _make_png(4, 2, 8, 0, [bytes([1, 2, 3, 4])] * 2, [0, 2])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm_bmp(good[:46])

@@ -7,11 +7,12 @@ attachment bytes on disk + pdftotext extraction
 (``src/server/FileStorage.cpp``, ``src/embedding/TextExtractor.cpp:26-81``);
 here the same shape generalizes to image/audio/video feature pipelines.
 
-Decoding: the default hooks are stdlib-only decoders for codec-free
-formats — :func:`decode_ppm_bmp` (netpbm PPM/PGM, uncompressed BMP) for
-images and :func:`decode_wav` (RIFF/WAVE integer PCM) for audio — so the
-binaryFile -> decode -> features/resize pipelines run end-to-end on real
-bytes. Compressed formats (PNG/JPEG/MP3) and video raise
+Decoding: the default hooks are stdlib-only decoders for codec-free (or
+zlib-only) formats — :func:`decode_ppm_bmp` (netpbm PPM/PGM, uncompressed
+BMP, non-interlaced 8-bit PNG) for images and :func:`decode_wav`
+(RIFF/WAVE integer PCM) for audio — so the binaryFile -> decode ->
+features/resize pipelines run end-to-end on real bytes. JPEG/MP3, PNG's
+interlaced/16-bit corners, and video raise
 NotImplementedError unless a codec hook is injected; the DETERMINISTIC_FAKE
 hooks derive reproducible pseudo-pixels from byte content so the Spark-side
 plumbing (schemas, batching, partitioning, UDF signatures) stays fully
@@ -239,26 +240,136 @@ def _decode_bmp(content: bytes) -> list[list[float]]:
     return rows
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(content: bytes) -> list[list[float]]:
+    """Stdlib PNG decoder — zlib inflate + the five scanline filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6) — for NON-INTERLACED
+    8-BIT-DEPTH images in every color type (gray, RGB, palette,
+    gray+alpha, RGBA): the web's dominant lossless format no longer
+    needs an injected codec. 16/1/2/4-bit depths and Adam7 interlacing
+    stay behind the per-format gate (quarantine mode covers them in
+    bulk jobs). Chunk CRCs are not verified — truncation still raises
+    via the length and zlib checks. Returns the same row-major [0, 1]
+    grayscale raster as the other built-in decoders (RGB averaged,
+    alpha ignored)."""
+    import struct
+    import zlib
+
+    if len(content) < 45 or content[:8] != _PNG_SIG:
+        raise ValueError("truncated or invalid PNG signature")
+    i, ihdr, plte, idat = 8, None, None, []
+    while i + 8 <= len(content):
+        ln, typ = struct.unpack_from(">I4s", content, i)
+        data = content[i + 8:i + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("PNG missing or malformed IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
+    if interlace != 0:
+        raise NotImplementedError(
+            "Adam7-interlaced PNG: inject a codec (built-in handles "
+            "non-interlaced only)")
+    if depth != 8:
+        raise NotImplementedError(
+            f"{depth}-bit PNG: inject a codec (built-in handles 8-bit "
+            "depth only)")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    if ctype == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing or malformed PLTE")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(
+            f"PNG raster length {len(raw)} != expected {(stride + 1) * h}")
+    prev = bytearray(stride)
+    rows: list[list[float]] = []
+    for r in range(h):
+        base = r * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
+        if ft == 1:                                   # Sub
+            for k in range(nch, stride):
+                line[k] = (line[k] + line[k - nch]) & 0xFF
+        elif ft == 2:                                 # Up
+            for k in range(stride):
+                line[k] = (line[k] + prev[k]) & 0xFF
+        elif ft == 3:                                 # Average
+            for k in range(stride):
+                a = line[k - nch] if k >= nch else 0
+                line[k] = (line[k] + ((a + prev[k]) >> 1)) & 0xFF
+        elif ft == 4:                                 # Paeth
+            for k in range(stride):
+                a = line[k - nch] if k >= nch else 0
+                b, c = prev[k], (prev[k - nch] if k >= nch else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else c)
+                line[k] = (line[k] + pred) & 0xFF
+        elif ft != 0:                                 # 0 = None
+            raise ValueError(f"bad PNG filter type {ft} on row {r}")
+        prev = line
+        if ctype == 0:
+            rows.append([v / 255.0 for v in line])
+        elif ctype == 2:
+            rows.append([(line[k] + line[k + 1] + line[k + 2]) / 765.0
+                         for k in range(0, stride, 3)])
+        elif ctype == 3:
+            if max(line) * 3 + 2 >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            rows.append([(plte[3 * v] + plte[3 * v + 1] + plte[3 * v + 2])
+                         / 765.0 for v in line])
+        elif ctype == 4:
+            rows.append([line[k] / 255.0 for k in range(0, stride, 2)])
+        else:                                         # 6 = RGBA
+            rows.append([(line[k] + line[k + 1] + line[k + 2]) / 765.0
+                         for k in range(0, stride, 4)])
+    return rows
+
+
 def decode_ppm_bmp(content: bytes) -> list[list[float]]:
     """Default image decode hook: stdlib-only decoders for the formats that
     need no codec library — netpbm (P2/P3 ASCII, P5/P6 binary, 8/16-bit
-    maxval) and uncompressed 24/32-bit BI_RGB BMP — so the
+    maxval), uncompressed 24/32-bit BI_RGB BMP, and non-interlaced 8-bit
+    PNG (stdlib zlib + the five scanline filters) — so the
     binaryFile -> decode -> features/resize pipeline runs end-to-end on real
     bytes, like the reference's attachment path
     (``src/server/FileStorage.cpp:13-71`` -> ``TextExtractor.cpp``).
     Returns a row-major grayscale raster in [0, 1] (RGB averaged).
-    Entropy-coded formats (PNG/JPEG) still require an injected codec —
-    that gate is now per-format instead of module-wide."""
+    JPEG (and PNG's interlaced/16-bit corners) still require an injected
+    codec — that gate is per-format, not module-wide."""
     content = bytes(content)
     magic = content[:2]
     if magic in (b"P2", b"P3", b"P5", b"P6"):
         return _decode_netpbm(content)
     if magic == b"BM":
         return _decode_bmp(content)
+    if content[:8] == _PNG_SIG:
+        return _decode_png(content)
     raise NotImplementedError(
         f"no built-in codec for this image format (magic {magic!r}): the "
-        "default decoder handles netpbm (PPM/PGM) and uncompressed BMP — "
-        "inject a decoder (e.g. PIL-based) for PNG/JPEG")
+        "default decoder handles netpbm (PPM/PGM), uncompressed BMP, and "
+        "non-interlaced 8-bit PNG — inject a decoder (e.g. PIL-based) "
+        "for JPEG")
 
 
 def deterministic_fake_decoder(content: bytes, h: int = 8, w: int = 8):
