@@ -5488,6 +5488,67 @@ def embedding_ingest_survivors(spark, sf_dir):
     return spark.read.parquet(out).select("vec_id")
 
 
+@q("embedding_ingest_quality_survivors",
+   # quality-preferring twin of embedding_ingest_survivors (the
+   # pick_survivors policy): within each within-fresh cosine component the
+   # survivor is the MAX-squared-norm member, vec_id tiebreak, instead of
+   # the min id. Same recursive-CTE component resolution; q compares
+   # fp-identically across engines because both fold the monomial sum in
+   # array order over the same float->double casts.
+   "WITH RECURSIVE "
+   "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings "
+   "      WHERE vec_id < 400), "
+   "bt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings "
+   "      WHERE vec_id >= 400), "
+   "cross_hits AS (SELECT DISTINCT bt.vec_id FROM bt JOIN c ON "
+   + _SQL_COS.format(a="bt.v", b="c.v") + " >= 0.45), "
+   "fresh AS (SELECT vec_id, v FROM bt WHERE vec_id NOT IN "
+   "          (SELECT vec_id FROM cross_hits)), "
+   "fp AS (SELECT x.vec_id AS a, y.vec_id AS b FROM fresh x JOIN fresh y "
+   "       ON x.vec_id < y.vec_id AND "
+   + _SQL_COS.format(a="x.v", b="y.v") + " >= 0.45), "
+   """und AS (SELECT a AS src, b AS dst FROM fp UNION SELECT b, a FROM fp),
+reach(src, dst) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+mem AS (SELECT f.vec_id, COALESCE(c2.component, f.vec_id) AS comp,
+               list_dot_product(f.v, f.v) AS q
+        FROM fresh f LEFT JOIN comp c2 ON c2.id = f.vec_id)
+SELECT vec_id FROM (SELECT vec_id,
+  row_number() OVER (PARTITION BY comp ORDER BY q DESC, vec_id) AS rn
+  FROM mem) WHERE rn = 1""")
+def embedding_ingest_quality_survivors(spark, sf_dir):
+    # quality_col end-to-end through the EMBEDDING daily-crawl loop
+    # (streaming/jobs.py:embedding_dedup_ingest_batch quality path):
+    # quality = SQUARED L2 norm — division/sqrt-free (rank by ||v||^2 ==
+    # rank by ||v||, the integer-state/monotone-surrogate oracle trick),
+    # so the ranking needs no float function beyond the same
+    # fold-in-array-order sum both engines share. Survivors are published
+    # WITH the quality column; the index append is projected back to
+    # (id, vec) under ivf_index_append's column-set gate.
+    import tempfile
+
+    from thewhisperdb_spark.operators import vectors as V
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    q_sq = F.aggregate(
+        F.col("embedding"), F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"))
+    root = tempfile.mkdtemp(prefix="whisper_embq_crawl_")
+    idx, out = os.path.join(root, "idx"), os.path.join(root, "out")
+    n_cells = 8
+    V.ivf_index_build(emb.filter(F.col("vec_id") < 400), idx,
+                      n_cells=n_cells)
+    SJ.embedding_dedup_ingest_batch(
+        emb.filter(F.col("vec_id") >= 400).withColumn("q", q_sq),
+        0, idx, out, threshold=0.45, n_probe=n_cells, quality_col="q")
+    return spark.read.parquet(out).select("vec_id")
+
+
 @q("events_distinct_users_kmv",
    """WITH h AS (SELECT DISTINCT event_type,
   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h

@@ -974,6 +974,18 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
         # centroids remain) — the next append re-seeds the lists
         lists = None
     if lists is not None:
+        # column-SET gate: appending a batch whose columns differ from the
+        # at-rest lists (an extra payload column, a missing one) writes
+        # mixed-schema parquet — later reads silently pick one schema and
+        # drop/null the other's columns. Project the batch to the index's
+        # columns before appending.
+        at_rest_cols = sorted(c for c in lists.columns if c != "cell")
+        in_cols = sorted(new_vectors.columns)
+        if at_rest_cols != in_cols:
+            raise ValueError(
+                f"IVF index at {path} stores columns {at_rest_cols}; "
+                f"appending {in_cols} would drift the lists schema — "
+                "project the batch to the index's columns first")
         # type gate (the LSH id-type discipline): appending a batch whose
         # id or vector type differs from the at-rest lists writes
         # mixed-type parquet that poisons every subsequent read with an

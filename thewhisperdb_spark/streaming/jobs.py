@@ -470,7 +470,8 @@ def embedding_dedup_ingest_batch(df: DataFrame, batch_id: int,
                                  index_path: str, survivors_dir: str,
                                  threshold: float = 0.99, n_probe: int = 4,
                                  id_col: str = "vec_id",
-                                 vec_col: str = "embedding") -> None:
+                                 vec_col: str = "embedding",
+                                 quality_col: str | None = None) -> None:
     """The EMBEDDING twin of ``dedup_ingest_batch`` — the daily loop for
     vector corpora (embedding-level semantic dedup against an
     ever-growing persisted IVF index): probe the index for cosine >= θ
@@ -485,8 +486,14 @@ def embedding_dedup_ingest_batch(df: DataFrame, batch_id: int,
     self-id exclusion ignores a replayed batch's own indexed copies, the
     sink overwrites exactly its batch partition, and ``ivf_index_append``
     anti-joins already-indexed ids under the meta sentinel. Single-writer
-    per index."""
-    from thewhisperdb_spark.operators.dedup import near_dup_groups
+    per index.
+
+    ``quality_col``: same policy as the text loop — within-batch dup
+    groups keep their HIGHEST-``quality_col`` member (id tiebreak) via
+    ``pick_survivors`` instead of the min-id canonical keep (keep the
+    best-scored variant of a near-identical embedding cluster)."""
+    from thewhisperdb_spark.operators.dedup import (
+        near_dup_groups, pick_survivors)
     from thewhisperdb_spark.operators.vectors import (
         ivf_index_append, ivf_index_probe, similar_pairs)
 
@@ -503,13 +510,19 @@ def embedding_dedup_ingest_batch(df: DataFrame, batch_id: int,
         return
     pairs = similar_pairs(fresh, threshold, id_col, vec_col)
     groups = near_dup_groups(fresh, pairs.select("a", "b"), id_col)
-    survivors = (fresh.join(groups.filter(F.col("keep")).select(id_col),
-                            id_col)
-                 .localCheckpoint(eager=True))
+    if quality_col is None:
+        survivors = fresh.join(
+            groups.filter(F.col("keep")).select(id_col), id_col)
+    else:
+        survivors = pick_survivors(fresh, groups, quality_col, id_col)
+    survivors = survivors.localCheckpoint(eager=True)
     (survivors.withColumn("ingest_batch", F.lit(int(batch_id)))
      .write.mode("overwrite").partitionBy("ingest_batch")
      .option("partitionOverwriteMode", "dynamic").parquet(survivors_dir))
-    ivf_index_append(spark, index_path, survivors,
+    # the PUBLISHED survivors keep every batch column (quality etc.); the
+    # index stores (id, vec) only — ivf_index_append's column-set gate
+    # rejects schema drift, so project explicitly
+    ivf_index_append(spark, index_path, survivors.select(id_col, vec_col),
                      id_col=id_col, vec_col=vec_col)
 
 
@@ -517,7 +530,8 @@ def stream_embedding_dedup_ingest(stream: DataFrame, index_path: str,
                                   survivors_dir: str, checkpoint_dir: str,
                                   threshold: float = 0.99, n_probe: int = 4,
                                   id_col: str = "vec_id",
-                                  vec_col: str = "embedding"):
+                                  vec_col: str = "embedding",
+                                  quality_col: str | None = None):
     """``embedding_dedup_ingest_batch`` per micro-batch under a streaming
     checkpoint — the vector-corpus daily-crawl loop as one streaming job.
     Returns the started StreamingQuery (availableNow drains and stops)."""
@@ -525,7 +539,7 @@ def stream_embedding_dedup_ingest(stream: DataFrame, index_path: str,
         embedding_dedup_ingest_batch(
             batch_df, batch_id, index_path, survivors_dir,
             threshold=threshold, n_probe=n_probe, id_col=id_col,
-            vec_col=vec_col)
+            vec_col=vec_col, quality_col=quality_col)
 
     return (stream.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
