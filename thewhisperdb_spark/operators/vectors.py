@@ -345,7 +345,9 @@ def _rp_signs(vec: Column, dim: int, n_planes: int, seed: int) -> Column:
     v = vec.cast("array<double>")
     sign_bits = []
     for plane in rp_planes(dim, n_planes, seed):
-        r = F.array(*[F.lit(x) for x in plane])
+        # one Literal node per plane (F.lit(list)), not dim element
+        # literals — same expression-tree-size fix as _nearest_cell
+        r = F.lit([float(x) for x in plane])
         dot = F.aggregate(F.zip_with(v, r, lambda x, w: x * w),
                           F.lit(0.0), lambda a, x: a + x)
         sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
@@ -410,10 +412,17 @@ def _nearest_cell(u: Column, cents: list[tuple[int, list[float]]]) -> Column:
     centroids: transform each (cell, unit-centroid) literal to a (sim, cell)
     struct, take array_max (lexicographic -> max sim, cell breaks ties, same
     rule as ivf_assign's struct max). Pure codegen'd map — no join, no
-    shuffle, no broadcast variable."""
+    shuffle, no broadcast variable.
+
+    Each centroid vector is ONE ``F.lit(list)`` Literal node, not a
+    ``CreateArray`` of dim element literals: the per-element form plans a
+    k·dim-node expression tree (12k nodes at k=16, dim=768) whose
+    analysis/codegen dominated the fit at real embedding dims — the same
+    expression-tree blowup the r6 dim-independent UPDATE fix removed from
+    the aggregate side."""
     cent_arr = F.array(*[
         F.struct(F.lit(cell).cast("long").alias("cell"),
-                 F.array(*[F.lit(float(x)) for x in cu]).alias("cu"))
+                 F.lit([float(x) for x in cu]).alias("cu"))
         for cell, cu in cents])
     scored = F.transform(
         cent_arr,
@@ -503,10 +512,20 @@ def _kmeans_centroid_update(emb_u: DataFrame, lits) -> DataFrame:
     (cell, pos). The aggregate is THREE expressions regardless of dim
     (the per-component ``F.avg(_u[i]) for i in range(dim)`` form it
     replaces planned dim aggregate expressions — a whole-stage-codegen
-    blob at dim 1024). Split out so tests can assert the plan shape."""
-    return (emb_u
-            .select(_nearest_cell(F.col("_u"), lits).alias("cell"),
-                    F.posexplode(F.col("_u")).alias("pos", "val"))
+    blob at dim 1024). Split out so tests can assert the plan shape.
+
+    The assignment MUST be projected in its own select BELOW the
+    explode: a generator select places every non-generator expression in
+    the Project ABOVE the Generate, so the one-select form
+    ``select(nearest.alias("cell"), posexplode(_u))`` re-evaluates the
+    k·dim argmax once per EXPLODED ELEMENT — dim× the work (measured
+    768× at dim 768: a 7.8s assignment became a 100-minute update step).
+    With the pre-explode projection the argmax runs once per row and the
+    post-Generate Project sees only an attribute reference."""
+    assigned = emb_u.select(
+        _nearest_cell(F.col("_u"), lits).alias("cell"), F.col("_u"))
+    return (assigned
+            .select("cell", F.posexplode(F.col("_u")).alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.avg("val").alias("c")))
 
