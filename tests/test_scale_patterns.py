@@ -450,27 +450,97 @@ def test_kmv_sketch_accuracy_merge_and_exact_below_k(spark):
         AG.kmv_merge(a, b, k=256, built_k=128)
 
 
-def test_no_cartesian_or_rowwise_python_in_any_headline_plan(spark):
-    """Global plan-shape gate over the ENTIRE bench headline set: no
-    CartesianProduct (an unintended cross join is the classic silent
-    scale-killer) and no BatchEvalPython (row-at-a-time Python UDF — the
-    slow path this repo bans; Python work must go through Arrow'd
-    mapInPandas/applyInPandas, which compile to different operators).
-    BroadcastNestedLoopJoin is allowed: it only appears for intended
-    1-row-aggregate crossJoins (totals/thresholds broadcast)."""
-    import bench
+# Documented allowlist for the all-keys plan-lint gate below: every entry
+# names a lint-finding PREFIX that was verified by hand to be a bounded,
+# intended shape in that key's plan. Two families:
+#
+#   "condition-less nested-loop" — plan_lints flags every condition-less
+#   BroadcastNestedLoopJoin because the |L|x|R| blowup is real WHEN the
+#   build side grows; in these keys the build side is a PROVABLY 1-row
+#   aggregate (a corpus total / threshold / IDF-denominator broadcast into
+#   every row), the pattern the lint message itself carves out.
+#
+#   "global (single-partition) window" — flagged because a single-reducer
+#   window over a fact table is fatal; in these keys the window input is
+#   an already-aggregated dimension-or-smaller frame (tag/cluster/brand/
+#   month/decile grains, per-partition count rows, report summaries),
+#   where one task over k rows is metadata-scale by construction.
+#
+# A NEW key must either lint clean or be added here with the same
+# hand-verification; the gate also fails if an entry goes stale (the key
+# disappears or its plan stops tripping the allowed lint), so this list
+# cannot silently rot.
+PLAN_LINT_ALLOWLIST: dict[str, set[str]] = {
+    # 1-row-aggregate broadcasts (totals / thresholds / norm constants)
+    "bm25_search": {"condition-less nested-loop"},
+    "cosine_similarity": {"condition-less nested-loop"},
+    "data_quality_report": {"condition-less nested-loop"},
+    "dataset_release_report": {"condition-less nested-loop"},
+    "hybrid_search_rrf": {"condition-less nested-loop"},
+    "ivf_knn": {"condition-less nested-loop"},
+    "join_key_overlap_estimate": {"condition-less nested-loop"},
+    "kmeans_clusters": {"condition-less nested-loop"},
+    "kmeans_diverse_sample": {"condition-less nested-loop"},
+    "semantic_dedup_contract": {"condition-less nested-loop"},
+    "topk_similar": {"condition-less nested-loop"},
+    "tpch_q11_important_stock": {"condition-less nested-loop"},
+    "tpch_q20_potential_promotion": {"condition-less nested-loop"},
+    "tpch_q2_minimum_cost_supplier": {"condition-less nested-loop"},
+    "unigram_surprisal_score": {"condition-less nested-loop"},
+    # global windows over aggregated / dimension-scale frames
+    "batch_jaccard_relink": {"global (single-partition) window"},
+    "benford_digit_report": {"global (single-partition) window"},
+    "cluster_sizes": {"global (single-partition) window"},
+    "clusters_report": {"global (single-partition) window"},
+    "customer_spend_concentration": {"global (single-partition) window"},
+    "daily_error_rate_slo": {"global (single-partition) window"},
+    "domain_mixture_weights": {"global (single-partition) window"},
+    "funnel_time_to_convert": {"global (single-partition) window"},
+    "jaccard_pairs": {"global (single-partition) window"},
+    "jaccard_threshold_join": {"global (single-partition) window"},
+    "monthly_revenue_trend": {"global (single-partition) window"},
+    # ntile over the CUSTOMER DIMENSION is the documented tradeoff in the
+    # key itself; the fact-scale path is order_price_deciles
+    "ntile_customer_spend": {"global (single-partition) window"},
+    # the flagged window runs over <= n_ranges per-partition count rows
+    # (metadata-scale); the fact-table ranking is range-partitioned
+    "order_price_deciles": {"global (single-partition) window"},
+    "segment_priority_chi2": {"global (single-partition) window"},
+    "tpch_q15_top_supplier": {"global (single-partition) window"},
+}
+
+
+def test_every_registry_plan_lints_clean(spark):
+    """Plan-shape gate over ALL queries() keys (VERDICT r6 item 5 — the
+    headline-only gate left 150 keys unlinted): every physical plan must
+    pass plans.doctor.plan_lints — no CartesianProduct, no row-at-a-time
+    Python, no unwatermarked stream-stream join, no unexplained
+    condition-less nested-loop or single-partition window — modulo the
+    hand-verified PLAN_LINT_ALLOWLIST above, which is itself checked for
+    staleness (an allowlisted lint that stops firing must be removed)."""
     import __spark_entry__ as entrymod
+
+    from thewhisperdb_spark.plans.doctor import plan_lints
 
     sf = "/root/testdata/sf0.001"
     qs = entrymod.queries()
-    bad = {}
-    for key in bench.HEADLINE:
-        plan = _plan_of(qs[key](spark, sf))
-        hits = [op for op in ("CartesianProduct", "BatchEvalPython")
-                if op in plan]
-        if hits:
-            bad[key] = hits
-    assert not bad, f"scale-killer operators in headline plans: {bad}"
+    assert not set(PLAN_LINT_ALLOWLIST) - set(qs), "allowlist names dead keys"
+    bad, unused = {}, {k: set(v) for k, v in PLAN_LINT_ALLOWLIST.items()}
+    for key in sorted(qs):
+        lints = plan_lints(qs[key](spark, sf))
+        allowed = PLAN_LINT_ALLOWLIST.get(key, set())
+        extra = []
+        for lint in lints:
+            hit = next((p for p in allowed if lint.startswith(p)), None)
+            if hit is None:
+                extra.append(lint.split(":")[0])
+            else:
+                unused.get(key, set()).discard(hit)
+        if extra:
+            bad[key] = extra
+    assert not bad, f"unallowlisted scale-killer shapes: {bad}"
+    stale = {k: v for k, v in unused.items() if v}
+    assert not stale, f"allowlist entries no longer firing — remove: {stale}"
 
 
 def test_scd2_build_single_exchange(spark):
