@@ -5436,6 +5436,57 @@ def daily_crawl_ingest_survivors(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id")
 
 
+@q("daily_crawl_quality_survivors",
+   # quality-preferring twin of daily_crawl_ingest_survivors (the
+   # pick_survivors policy, previously pytest-only on the text loop):
+   # within each within-fresh duplicate component the survivor is the
+   # MAX-n_chars member, doc_id tiebreak — an INTEGER quality column, so
+   # the ranking has no float hazard at all.
+   "WITH RECURSIVE " + _minhash_ctes() + """,
+cross_hits AS (SELECT DISTINCT b AS doc_id FROM prs
+               WHERE a < 400 AND b >= 400),
+fresh AS (SELECT d.doc_id FROM documents d WHERE d.doc_id >= 400
+          AND d.doc_id NOT IN (SELECT doc_id FROM cross_hits)),
+fp AS (SELECT a, b FROM prs
+       WHERE a IN (SELECT doc_id FROM fresh)
+         AND b IN (SELECT doc_id FROM fresh)),
+und AS (SELECT a AS src, b AS dst FROM fp UNION SELECT b, a FROM fp),
+reach(src, dst) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+mem AS (SELECT f.doc_id, COALESCE(c.component, f.doc_id) AS comp,
+               d.n_chars AS q
+        FROM fresh f JOIN documents d ON d.doc_id = f.doc_id
+        LEFT JOIN comp c ON c.id = f.doc_id)
+SELECT doc_id FROM (SELECT doc_id,
+  row_number() OVER (PARTITION BY comp ORDER BY q DESC, doc_id) AS rn
+  FROM mem) WHERE rn = 1""")
+def daily_crawl_quality_survivors(spark, sf_dir):
+    # quality_col end-to-end through the TEXT daily-crawl loop
+    # (streaming/jobs.py:dedup_ingest_batch quality path): same probe ->
+    # cross-drop -> within-batch dedup -> publish -> append loop as the
+    # min-id twin, but duplicate groups keep their LONGEST member
+    # (n_chars) — production dedup's "keep the best variant, drop the
+    # truncated mirror" policy, hash-checked against the recursive-CTE
+    # oracle's per-component argmax.
+    import tempfile
+
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.streaming import jobs as SJ
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    root = tempfile.mkdtemp(prefix="whisper_crawlq_")
+    idx, out = os.path.join(root, "idx"), os.path.join(root, "out")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 400), idx,
+                      n_hashes=32, bands=8, shingle_n=5)
+    SJ.dedup_ingest_batch(docs.filter(F.col("doc_id") >= 400), 0, idx, out,
+                          threshold=0.8, quality_col="n_chars")
+    return spark.read.parquet(out).select("doc_id")
+
+
 @q("embedding_ingest_survivors",
    # the IVF twin of daily_crawl_ingest_survivors: with EXHAUSTIVE probing
    # (n_probe = n_cells) the loop is exact, so the oracle is plain cosine
