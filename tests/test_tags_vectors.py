@@ -334,6 +334,12 @@ def test_kmeans_update_plan_is_dim_independent(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("avg(") <= 4, plan          # partial+final, not dim×
     assert "Generate" in plan                      # the posexplode
+    # r7 placement pin: the argmax (array_max) must be computed BELOW the
+    # Generate (the tree prints parent-first, so its offset is after
+    # Generate's). The one-select form planned it in the Project ABOVE,
+    # re-evaluating the k·dim argmax once per exploded element — dim× the
+    # work (a 7.8s assignment became a 100-minute update step at dim 768).
+    assert plan.index("array_max") > plan.index("Generate"), plan
     # end-to-end at high dim: 3 planted blobs recovered, full-length cvecs
     cents = kmeans_fit(base, k=3, max_iter=4).collect()
     assert len(cents) == 3
