@@ -311,8 +311,8 @@ def test_kmeans_update_plan_is_dim_independent(spark):
     """The Lloyd's update must plan a constant-size aggregate whatever the
     embedding dim (VERDICT r5: the per-component unrolled form generated
     dim avg expressions — a 1024-column codegen blob at real dims). At
-    dim=300 the plan carries ONE avg over posexploded components, and the
-    fit itself still recovers structure end-to-end."""
+    dim=300 the plan carries one sum/sum mean over posexploded BLAS
+    partials, and the fit itself still recovers structure end-to-end."""
     from thewhisperdb_spark.operators.vectors import (
         _kmeans_centroid_update, kmeans_fit, with_unit_vector)
 
@@ -332,14 +332,18 @@ def test_kmeans_update_plan_is_dim_independent(spark):
     lits = [(0, [1.0] + [0.0] * (dim - 1)), (1, [0.0, 1.0] + [0.0] * (dim - 2))]
     plan = (_kmeans_centroid_update(emb_u, lits)
             ._jdf.queryExecution().executedPlan().toString())
-    assert plan.count("avg(") <= 4, plan          # partial+final, not dim×
+    assert plan.count("sum(") <= 8, plan          # partial+final, not dim×
     assert "Generate" in plan                      # the posexplode
-    # r7 placement pin: the argmax (array_max) must be computed BELOW the
-    # Generate (the tree prints parent-first, so its offset is after
-    # Generate's). The one-select form planned it in the Project ABOVE,
-    # re-evaluating the k·dim argmax once per exploded element — dim× the
-    # work (a 7.8s assignment became a 100-minute update step at dim 768).
-    assert plan.index("array_max") > plan.index("Generate"), plan
+    # r7 placement pins: assignment+accumulation is ONE Arrow BLAS stage
+    # (MapInPandas, k rows per batch), computed BELOW the Generate (tree
+    # prints parent-first, so its offset is after Generate's) — the
+    # Python stage must run once per input batch, never per exploded
+    # element (the co-selected HOF-argmax form re-evaluated the
+    # assignment dim× — a 7.8s pass became a 100-minute step at dim 768);
+    # and no row-at-a-time Python anywhere
+    assert "MapInPandas" in plan, plan
+    assert plan.index("MapInPandas") > plan.index("Generate"), plan
+    assert "BatchEvalPython" not in plan, plan
     # end-to-end at high dim: 3 planted blobs recovered, full-length cvecs
     cents = kmeans_fit(base, k=3, max_iter=4).collect()
     assert len(cents) == 3

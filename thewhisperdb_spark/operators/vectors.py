@@ -411,8 +411,12 @@ def _nearest_cell(u: Column, cents: list[tuple[int, list[float]]]) -> Column:
     """Argmax-cosine cell id for unit-vector column ``u`` against LITERAL
     centroids: transform each (cell, unit-centroid) literal to a (sim, cell)
     struct, take array_max (lexicographic -> max sim, cell breaks ties, same
-    rule as ivf_assign's struct max). Pure codegen'd map — no join, no
-    shuffle, no broadcast variable.
+    rule as ivf_assign's struct max and the BLAS argmax in
+    ``_kmeans_centroid_update``). Pure codegen'd map — no join, no
+    shuffle, no broadcast variable, no Python — the JVM-only assignment
+    kernel for pipelines that must stay Arrow-free; the k-means fit itself
+    uses the BLAS pass (the interpreted HOF fold is ~3 orders slower at
+    real dims).
 
     Each centroid vector is ONE ``F.lit(list)`` Literal node, not a
     ``CreateArray`` of dim element literals: the per-element form plans a
@@ -445,15 +449,12 @@ def kmeans_fit(embeddings: DataFrame, k: int = 10, max_iter: int = 5,
 
     - **init**: the k rows minimizing ``xxhash64(id)`` — TakeOrderedAndProject
       (per-partition top-k + merge), deterministic, no RNG, no global sort;
-    - **assign**: centroids are k·dim floats and live on the driver between
-      iterations, so they inline as LITERAL expressions — assignment is a
-      codegen'd per-row argmax (``_nearest_cell``), not a join;
-    - **update**: ``posexplode`` + one ``avg`` keyed on (cell, pos) — ONE
-      partial-aggregating shuffle of k·dim running sums per iteration,
-      combined map-side, and the PLAN is dim-independent (a single
-      3-expression aggregate whatever the dim; the earlier per-component
-      unrolled form generated dim aggregate expressions — a 1024-column
-      codegen blob at real embedding dims);
+    - **assign + update**: one Arrow-batched BLAS pass per iteration
+      (``_kmeans_centroid_update``: ``M @ C.T`` argmax + one-hot partial
+      sums, k rows out per Arrow batch), then ONE partial-aggregating
+      shuffle of k·dim running sums — no join, no broadcast variable,
+      dim-independent plan (see the update's docstring for the two slower
+      forms this replaced);
     - the driver round-trip also cuts lineage, so the plan doesn't nest
       ``max_iter`` levels deep.
 
@@ -507,27 +508,60 @@ def kmeans_fit(embeddings: DataFrame, k: int = 10, max_iter: int = 5,
 
 
 def _kmeans_centroid_update(emb_u: DataFrame, lits) -> DataFrame:
-    """One Lloyd's update step as (cell, pos, c) component rows: assign
-    each unit vector to its nearest literal centroid, posexplode, avg per
-    (cell, pos). The aggregate is THREE expressions regardless of dim
-    (the per-component ``F.avg(_u[i]) for i in range(dim)`` form it
-    replaces planned dim aggregate expressions — a whole-stage-codegen
-    blob at dim 1024). Split out so tests can assert the plan shape.
+    """One Lloyd's update step as (cell, pos, c) component rows.
 
-    The assignment MUST be projected in its own select BELOW the
-    explode: a generator select places every non-generator expression in
-    the Project ABOVE the Generate, so the one-select form
-    ``select(nearest.alias("cell"), posexplode(_u))`` re-evaluates the
-    k·dim argmax once per EXPLODED ELEMENT — dim× the work (measured
-    768× at dim 768: a 7.8s assignment became a 100-minute update step).
-    With the pre-explode projection the argmax runs once per row and the
-    post-Generate Project sees only an attribute reference."""
-    assigned = emb_u.select(
-        _nearest_cell(F.col("_u"), lits).alias("cell"), F.col("_u"))
-    return (assigned
-            .select("cell", F.posexplode(F.col("_u")).alias("pos", "val"))
+    Assignment + accumulation run as ONE Arrow-batched BLAS pass
+    (``mapInPandas``, the repo's standard kernel for dense vector math):
+    per batch, ``sims = M @ C.T`` (n×k), a tie-aware argmax reproducing
+    the lexicographic (sim, cell)-struct-max rule (max sim, ties → larger
+    cell — the same rule as ``ivf_assign``/``_nearest_cell``), then a
+    one-hot partial ``onehot.T @ M`` — emitting at most k rows per Arrow
+    batch (cell, cnt, sums). The downstream explode + sum/sum mean runs
+    over k·n_batches partial rows (hundreds) instead of n·dim exploded
+    components (15M at 20k×768), and the shuffle carries k·dim running
+    sums either way. The plan stays constant-size at any dim.
+
+    History of the two prior forms, both plan-tested against
+    regression: (a) per-component ``F.avg(_u[i]) for i in range(dim)``
+    planned dim aggregate expressions — a 1024-column codegen blob at
+    real dims; (b) the HOF argmax co-selected with ``posexplode`` planned
+    the argmax in the Project ABOVE the Generate, re-evaluating it once
+    per EXPLODED ELEMENT — dim× the work (at dim 768 a 7.8s assignment
+    became a 100-minute update step), and even placed correctly the
+    interpreted HOF fold ran at ~32 Mflops — 3 orders under BLAS."""
+    import numpy as np
+    import pandas as pd
+
+    pairs = sorted((int(c), [float(x) for x in v]) for c, v in lits)
+    cells = np.array([c for c, _ in pairs], dtype=np.int64)
+    cmat = np.array([v for _, v in pairs], dtype=np.float64)   # k × dim
+    k = len(pairs)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["_u"].to_numpy()).astype(np.float64)
+            sims = m @ cmat.T                                  # n × k
+            # lexicographic (sim, cell) max: cells are sorted ascending,
+            # so among tied max sims pick the LARGEST cell via the
+            # reversed argmax (np.argmax alone returns the first/lowest)
+            best = (k - 1) - np.argmax(sims[:, ::-1], axis=1)
+            onehot = np.zeros((len(m), k))
+            onehot[np.arange(len(m)), best] = 1.0
+            sums = onehot.T @ m                                # k × dim
+            cnts = onehot.sum(axis=0).astype(np.int64)
+            mask = cnts > 0
+            yield pd.DataFrame({
+                "cell": cells[mask], "cnt": cnts[mask],
+                "sums": [row.tolist() for row in sums[mask]]})
+
+    parts = emb_u.mapInPandas(
+        partials, "cell long, cnt long, sums array<double>")
+    return (parts
+            .select("cell", "cnt", F.posexplode("sums").alias("pos", "val"))
             .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("c")))
+            .agg((F.sum("val") / F.sum("cnt")).alias("c")))
 
 
 def kmeans_assign(embeddings: DataFrame, k: int = 10, max_iter: int = 5,
