@@ -579,3 +579,40 @@ def test_ivf_index_single_writer_claim_and_delete_type_gate(spark, tmp_path):
     got = {r["neighbor_id"] for r in
            V.ivf_index_probe(spark, path, delta, k=3, n_probe=4).collect()}
     assert 300 not in got and len(got) > 0
+
+
+def test_ivf_blas_scoring_matches_exact_fold(spark, tmp_path):
+    """blas=True (Arrow per-cell gram + in-cell top-k) must return the same
+    (query, rank) -> neighbor table as the codegen'd per-pair fold on both
+    IVF paths — only the float summation ORDER differs (last-ulp), never
+    the neighbor set or tie resolution."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    q = emb.limit(25)
+
+    def table(df):
+        return {(r["query_id"], r["rank"]): r["neighbor_id"]
+                for r in df.collect()}
+
+    exact = table(V.ivf_knn_join(q, emb, k=5, n_cells=8, n_probe=3))
+    fast = table(V.ivf_knn_join(q, emb, k=5, n_cells=8, n_probe=3,
+                                blas=True))
+    assert fast == exact and len(exact) > 0
+
+    path = str(tmp_path / "ivf_blas")
+    V.ivf_index_build(emb, path, n_cells=8)
+    exact_p = table(V.ivf_index_probe(spark, path, q, k=5, n_probe=3))
+    fast_p = table(V.ivf_index_probe(spark, path, q, k=5, n_probe=3,
+                                     blas=True))
+    assert fast_p == exact_p and len(exact_p) > 0
+    # the blas path must stream the corpus through ONE Arrow stage (the
+    # broadcast-probe mapInPandas) — no corpus shuffle before it, and no
+    # row-at-a-time Python anywhere
+    plan = (V.ivf_index_probe(spark, path, q, k=5, n_probe=3, blas=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # the only Exchange below the final window is the |Q|*k local-top-k
+    # rows; the vector scan feeds MapInPandas directly
+    scan_to_map = plan[plan.index("MapInPandas"):]
+    assert "Exchange" not in scan_to_map, plan
