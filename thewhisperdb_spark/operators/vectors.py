@@ -502,7 +502,14 @@ def kmeans_fit(embeddings: DataFrame, k: int = 10, max_iter: int = 5,
         acc: dict[int, list[float]] = {}
         for r in rows:
             acc.setdefault(int(r["cell"]), [0.0] * dim)[r["pos"]] = r["c"]
-        cents = sorted(acc.items())
+        prev, cents = cents, sorted(acc.items())
+        if cents == prev:
+            # exact fixpoint: identical centroids make every remaining
+            # Lloyd step a bit-for-bit no-op — returning now changes
+            # NOTHING about the result, only skips dead iterations
+            # (common at small corpora, where assignments stabilize well
+            # before max_iter)
+            break
     return spark.createDataFrame(
         [(c, v) for c, v in cents], "cell long, cvec array<double>")
 
