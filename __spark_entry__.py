@@ -5905,6 +5905,41 @@ def event_transition_matrix(spark, sf_dir):
                 / F.sum("n").over(tot).cast("double"), 6).alias("p"))
 
 
+@q("corpus_drift_report",
+   # PSI drift between two corpus snapshots per lang: shares floored at
+   # the 1e-6 epsilon, psi = (p_new - p_old) * ln(p_new / p_old), rounded
+   # to 6 decimals (repo float-parity convention; ln agrees across
+   # engines at this precision)
+   "WITH o AS (SELECT lang AS key, COUNT(*) AS n_old FROM documents "
+   "           WHERE doc_id < 300 GROUP BY lang), "
+   "os AS (SELECT key, n_old, CAST(n_old AS DOUBLE) / "
+   "       (SELECT SUM(n_old) FROM o) AS share_old FROM o), "
+   "n AS (SELECT lang AS key, COUNT(*) AS n_new FROM documents "
+   "      GROUP BY lang), "
+   "ns AS (SELECT key, n_new, CAST(n_new AS DOUBLE) / "
+   "       (SELECT SUM(n_new) FROM n) AS share_new FROM n) "
+   "SELECT COALESCE(os.key, ns.key) AS key, "
+   "COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new, "
+   "round(greatest(COALESCE(share_old, 0.0), 0.000001), 6) AS share_old, "
+   "round(greatest(COALESCE(share_new, 0.0), 0.000001), 6) AS share_new, "
+   "round((greatest(COALESCE(share_new, 0.0), 0.000001) "
+   "     - greatest(COALESCE(share_old, 0.0), 0.000001)) "
+   "  * ln(greatest(COALESCE(share_new, 0.0), 0.000001) "
+   "      / greatest(COALESCE(share_old, 0.0), 0.000001)), 6) AS psi "
+   "FROM os FULL OUTER JOIN ns ON os.key = ns.key")
+def corpus_drift_report(spark, sf_dir):
+    # distribution-shift monitor between crawls (snapshot N-1 = doc_id <
+    # 300 here, snapshot N = the full corpus): per-lang counts, shares,
+    # and PSI contributions — the pre-promotion gate that catches a
+    # scraper losing a domain or a language collapsing. One groupBy per
+    # snapshot; the fact tables never join row-to-row.
+    from thewhisperdb_spark.operators import dq
+
+    d = _docs(spark, sf_dir)
+    return dq.snapshot_drift_report(
+        d.filter(F.col("doc_id") < 300), d, "lang")
+
+
 @q("data_quality_report",
    """SELECT 'orders.o_totalprice_positive' AS check,
   CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL

@@ -222,3 +222,39 @@ def test_incremental_agg_update_semantics(spark):
     got = sorted(map(tuple, incremental_agg_update(
         old, delta, ["k"], ["rev"], "n").collect()))
     assert got == [("a", 13, 3), ("c", 7, 1)]
+
+
+def test_snapshot_drift_report_psi_semantics(spark):
+    """PSI drift math pinned on a hand-computable case: stable categories
+    score ~0, a grown category scores positive, and categories present in
+    only one snapshot get the min_share floor (large-but-FINITE psi) —
+    never an infinity/NULL from ln(0)."""
+    import math
+
+    from thewhisperdb_spark.operators.dq import snapshot_drift_report
+
+    old = spark.createDataFrame(
+        [(i, "en") for i in range(60)] + [(i, "de") for i in range(60, 100)]
+        + [(i, "fr") for i in range(100, 110)],
+        "doc_id long, lang string")          # en .545, de .364, fr .091
+    new = spark.createDataFrame(
+        [(i, "en") for i in range(55)] + [(i, "de") for i in range(55, 100)]
+        + [(i, "ja") for i in range(100, 110)],
+        "doc_id long, lang string")          # en .5, de .409, ja .091 — fr gone
+    rows = {r["key"]: r for r in
+            snapshot_drift_report(old, new, "lang").collect()}
+    assert set(rows) == {"en", "de", "fr", "ja"}
+    # counts carried through, absent side = 0
+    assert (rows["fr"]["n_old"], rows["fr"]["n_new"]) == (10, 0)
+    assert (rows["ja"]["n_old"], rows["ja"]["n_new"]) == (0, 10)
+    # hand-check one stable-ish category: en (p 60/110 -> 55/110)
+    po, pn = 60 / 110, 55 / 110
+    assert abs(rows["en"]["psi"] - round((pn - po) * math.log(pn / po), 6)) \
+        <= 1e-6
+    # vanished/new categories: floored share, large finite psi of the
+    # right sign, and no NULLs anywhere
+    assert rows["fr"]["share_new"] == 1e-6 and rows["fr"]["psi"] > 1.0
+    assert rows["ja"]["share_old"] == 1e-6 and rows["ja"]["psi"] > 1.0
+    assert all(v is not None for r in rows.values() for v in r)
+    # total PSI flags the shift direction-insensitively
+    assert sum(r["psi"] for r in rows.values()) > 0.25

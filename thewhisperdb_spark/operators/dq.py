@@ -79,3 +79,49 @@ def dq_union(*reports: DataFrame) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r.select(*_REPORT_COLS))
     return out
+
+
+def snapshot_drift_report(old: DataFrame, new: DataFrame,
+                          key_col: str, min_share: float = 1e-6) -> DataFrame:
+    """Distribution drift between two corpus snapshots over a categorical
+    key (lang, source/domain, quality bucket) — the monitor a training-data
+    pipeline runs per crawl to catch a mix shift (a scraper losing a
+    domain, a language collapsing) BEFORE the snapshot is promoted.
+
+    Per key: counts, shares, and the Population Stability Index
+    contribution ``psi = (p_new − p_old) · ln(p_new / p_old)`` (the
+    standard drift score; total PSI = sum of the column — the usual rule
+    of thumb reads <0.1 stable, 0.1–0.25 drifting, >0.25 shifted). Keys
+    absent from one snapshot get ``min_share`` as the floor instead of an
+    infinite contribution (the industry epsilon convention), so
+    new/vanished categories surface as LARGE-but-finite psi.
+
+    Scale shape: one groupBy per snapshot (map-side combined), a
+    broadcast 1-row total joined into each (flagged-by-design as a
+    bounded nested-loop), and a full outer join on the (small,
+    category-cardinality) aggregates — the fact tables are scanned once
+    each and never joined row-to-row. Shares and psi round to 6 decimals
+    (the repo's float-parity convention). Returns
+    (key, n_old, n_new, share_old, share_new, psi)."""
+    def shares(df: DataFrame, n_alias: str, s_alias: str) -> DataFrame:
+        per = (df.groupBy(F.col(key_col).alias("key"))
+               .agg(F.count(F.lit(1)).alias(n_alias)))
+        tot = per.agg(F.sum(n_alias).alias("_tot"))
+        return (per.join(F.broadcast(tot))
+                .withColumn(s_alias,
+                            F.col(n_alias).cast("double") / F.col("_tot"))
+                .drop("_tot"))
+
+    o = shares(old, "n_old", "share_old")
+    n = shares(new, "n_new", "share_new")
+    po = F.greatest(F.coalesce(F.col("share_old"), F.lit(0.0)),
+                    F.lit(float(min_share)))
+    pn = F.greatest(F.coalesce(F.col("share_new"), F.lit(0.0)),
+                    F.lit(float(min_share)))
+    return (o.join(n, "key", "full_outer")
+            .select("key",
+                    F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                    F.coalesce("n_new", F.lit(0)).alias("n_new"),
+                    F.round(po, 6).alias("share_old"),
+                    F.round(pn, 6).alias("share_new"),
+                    F.round((pn - po) * F.log(pn / po), 6).alias("psi")))
