@@ -5940,6 +5940,46 @@ def corpus_drift_report(spark, sf_dir):
         d.filter(F.col("doc_id") < 300), d, "lang")
 
 
+@q("length_drift_report",
+   # numeric-drift twin of corpus_drift_report by COMPOSITION: fixed
+   # length buckets (deterministic edges — engine-invariant, unlike
+   # approx quantiles) + the same PSI report over the bucket key
+   "WITH b AS (SELECT doc_id, CASE WHEN n_chars < 150 THEN 'xs' "
+   "  WHEN n_chars < 250 THEN 's' WHEN n_chars < 350 THEN 'm' "
+   "  WHEN n_chars < 450 THEN 'l' ELSE 'xl' END AS bucket "
+   "  FROM documents), "
+   "o AS (SELECT bucket AS key, COUNT(*) AS n_old FROM b "
+   "      WHERE doc_id < 300 GROUP BY bucket), "
+   "os AS (SELECT key, n_old, CAST(n_old AS DOUBLE) / "
+   "       (SELECT SUM(n_old) FROM o) AS share_old FROM o), "
+   "n AS (SELECT bucket AS key, COUNT(*) AS n_new FROM b GROUP BY bucket), "
+   "ns AS (SELECT key, n_new, CAST(n_new AS DOUBLE) / "
+   "       (SELECT SUM(n_new) FROM n) AS share_new FROM n) "
+   "SELECT COALESCE(os.key, ns.key) AS key, "
+   "COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new, "
+   "round(greatest(COALESCE(share_old, 0.0), 0.000001), 6) AS share_old, "
+   "round(greatest(COALESCE(share_new, 0.0), 0.000001), 6) AS share_new, "
+   "round((greatest(COALESCE(share_new, 0.0), 0.000001) "
+   "     - greatest(COALESCE(share_old, 0.0), 0.000001)) "
+   "  * ln(greatest(COALESCE(share_new, 0.0), 0.000001) "
+   "      / greatest(COALESCE(share_old, 0.0), 0.000001)), 6) AS psi "
+   "FROM os FULL OUTER JOIN ns ON os.key = ns.key")
+def length_drift_report(spark, sf_dir):
+    # document-LENGTH distribution drift: deterministic fixed-edge buckets
+    # (approx-quantile edges would differ across engines and runs) fed to
+    # the same PSI kernel — shows the numeric-column drift recipe is a
+    # composition, not a new operator
+    from thewhisperdb_spark.operators import dq
+
+    bucket = (F.when(F.col("n_chars") < 150, "xs")
+              .when(F.col("n_chars") < 250, "s")
+              .when(F.col("n_chars") < 350, "m")
+              .when(F.col("n_chars") < 450, "l").otherwise("xl"))
+    d = _docs(spark, sf_dir).withColumn("bucket", bucket)
+    return dq.snapshot_drift_report(
+        d.filter(F.col("doc_id") < 300), d, "bucket")
+
+
 @q("data_quality_report",
    """SELECT 'orders.o_totalprice_positive' AS check,
   CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL

@@ -473,6 +473,9 @@ def test_kmv_sketch_accuracy_merge_and_exact_below_k(spark):
 PLAN_LINT_ALLOWLIST: dict[str, set[str]] = {
     # 1-row-aggregate broadcasts (totals / thresholds / norm constants)
     "bm25_search": {"condition-less nested-loop"},
+    # per-snapshot total joined into category-cardinality aggregates
+    "corpus_drift_report": {"condition-less nested-loop"},
+    "length_drift_report": {"condition-less nested-loop"},
     "cosine_similarity": {"condition-less nested-loop"},
     "data_quality_report": {"condition-less nested-loop"},
     "dataset_release_report": {"condition-less nested-loop"},
