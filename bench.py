@@ -126,6 +126,9 @@ HEADLINE = [
     "tpch_q2_minimum_cost_supplier",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",
+    # round-7 headliners (snapshot-drift monitors)
+    "corpus_drift_report",
+    "length_drift_report",
 ]
 
 
