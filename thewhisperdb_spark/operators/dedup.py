@@ -901,15 +901,20 @@ def lsh_index_append(spark, path: str, new_df: DataFrame,
     trade-off: the sentinel makes the tear detectable, not repairable).
 
     SINGLE-WRITER, ENFORCED: the sentinel is claimed with a writer token
-    (``indexmeta.claim_sentinel``) before any data write — a second
-    append racing this one either fails the in-progress gate up front or
-    loses the token readback and raises having written nothing, instead
-    of both anti-joining the same pre-append state and double-writing.
-    Probes share the exclusion: the index is gate-unreadable for the
-    duration of the two delta appends (delta-sized, not corpus-sized —
-    seconds for a daily batch), so schedule probes off the append window
-    or retry on the in-progress error; this is the documented
-    availability cost of tear-detectability."""
+    (``indexmeta.claim_sentinel``) BEFORE the anti-join reads the at-rest
+    signatures — not merely before the data writes. Claim-first is what
+    closes the retry-while-running double-write: a retry that fired while
+    the original append was mid-flight either hits the in-progress gate,
+    loses the token readback (having written nothing), or — claiming
+    after the original stamped — anti-joins a state that already CONTAINS
+    the original's rows and lands as the intended no-op. If the delta
+    computation itself fails under the claim, the sentinel is restamped
+    valid before re-raising (nothing was written). Probes share the
+    exclusion: the index is gate-unreadable for the shingle + anti-join +
+    two appends of the DELTA (delta-sized, not corpus-sized — seconds for
+    a daily batch); schedule probes off the append window or retry on the
+    in-progress error — the documented availability cost of
+    tear-detectability."""
     m = _lsh_index_meta(spark, path)
     n_hashes, bands = int(m["n_hashes"]), int(m["bands"])
     sig, _ = _lsh_sig_banded(new_df, n_hashes, bands, int(m["shingle_n"]),
@@ -919,20 +924,27 @@ def lsh_index_append(spark, path: str, new_df: DataFrame,
         raise ValueError(
             f"LSH index at {path} stores {m['id_type']} ids; appending a "
             f"batch with {in_type} ids would corrupt the index")
-    idx_ids = (spark.read.schema(f"id {m['id_type']}, sig array<long>")
-               .parquet(f"{path}/signatures").select("id"))
-    # de-dup vs the index BEFORE any write: the anti-join must see the
-    # pre-append state, and the survivors are checkpointed so banding and
-    # both writes observe one fixed computation
-    new_sig = (sig.join(idx_ids, "id", "left_anti")
-               .localCheckpoint(eager=True))
-    if new_sig.isEmpty():
-        return  # fully-replayed batch: nothing to write, meta untouched
-    banded = _lsh_band(new_sig, n_hashes, bands)
     write_meta = _lsh_meta_writer(
         spark, path, n_hashes, bands, int(m["shingle_n"]),
         bool(m["portable"]), str(m["hash_scheme"]), str(m["id_type"]))
     claim_sentinel(spark, f"{path}/meta", write_meta)
+    try:
+        # under the claim: the anti-join must observe every COMMITTED
+        # append (the file listing is resolved here, post-claim), and the
+        # survivors are checkpointed so banding and both writes observe
+        # one fixed computation
+        idx_ids = (spark.read.schema(f"id {m['id_type']}, sig array<long>")
+                   .parquet(f"{path}/signatures").select("id"))
+        new_sig = (sig.join(idx_ids, "id", "left_anti")
+                   .localCheckpoint(eager=True))
+        if new_sig.isEmpty():
+            # fully-replayed batch: nothing to write — release the claim
+            write_meta(LSH_INDEX_FORMAT_VERSION)
+            return
+        banded = _lsh_band(new_sig, n_hashes, bands)
+    except Exception:
+        write_meta(LSH_INDEX_FORMAT_VERSION)   # nothing written: release
+        raise
     new_sig.write.mode("append").parquet(f"{path}/signatures")
     banded.write.mode("append").partitionBy("band").parquet(f"{path}/buckets")
     write_meta(LSH_INDEX_FORMAT_VERSION)

@@ -1125,11 +1125,11 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
     bracketed by the meta sentinel so a crash mid-append leaves an index
     that loudly fails the gate rather than one with a partially-written
     delta. Single-writer per index, ENFORCED: the sentinel is claimed
-    with a writer token (``indexmeta.claim_sentinel``) before the data
-    write — a racing second appender either fails the in-progress gate
-    up front or loses the token readback and raises having written
-    nothing, instead of both anti-joining the same pre-append state and
-    double-writing. Probes share the exclusion (gate-unreadable for the
+    with a writer token (``indexmeta.claim_sentinel``) BEFORE the
+    anti-join reads the at-rest lists — a racing second appender either
+    fails the in-progress gate up front, loses the token readback having
+    written nothing, or claims after the original stamped and anti-joins
+    a state that already contains its rows (the intended no-op). Probes share the exclusion (gate-unreadable for the
     delta-sized append window) — schedule probes off the append cadence
     or retry on the in-progress error."""
     from pyspark.errors import AnalysisException
@@ -1177,18 +1177,34 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
                     f"IVF index at {path} stores {col} as {at_rest}; "
                     f"appending {incoming} would corrupt the index "
                     "(cast the batch first)")
-        fresh = (new_vectors.join(lists.select(F.col(id_col)),
-                                  id_col, "left_anti")
-                 .localCheckpoint(eager=True))
-    else:
-        fresh = new_vectors.localCheckpoint(eager=True)
-    if fresh.isEmpty():
-        return  # fully-replayed batch: nothing to write, meta untouched
-    assigned, _ = ivf_assign(fresh, n_cells, id_col, vec_col,
-                             centroids=cents)
-
     write_meta = _ivf_meta_writer(spark, path)
+    # claim BEFORE the anti-join (the LSH append's discipline): the
+    # at-rest file listing is resolved under the claim, so a retry that
+    # raced the original append either fails the gate/readback or
+    # anti-joins a state already containing the original's rows (lands as
+    # the intended no-op). The schema gates above stay PRE-claim — a
+    # user-error batch must not leave the index invalidated — which is
+    # safe because those same gates keep concurrent appends from ever
+    # changing the schema. A failure during the delta computation
+    # restamps the sentinel before re-raising (nothing was written).
     claim_sentinel(spark, f"{path}/meta", write_meta)
+    try:
+        try:
+            at_rest_ids = (spark.read.parquet(f"{path}/lists")
+                           .select(F.col(id_col)))
+            fresh = (new_vectors.join(at_rest_ids, id_col, "left_anti")
+                     .localCheckpoint(eager=True))
+        except AnalysisException:
+            # partless lists dir (total takedown): this append re-seeds it
+            fresh = new_vectors.localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            write_meta(INDEX_FORMAT_VERSION)  # replayed batch: release
+            return
+        assigned, _ = ivf_assign(fresh, n_cells, id_col, vec_col,
+                                 centroids=cents)
+    except Exception:
+        write_meta(INDEX_FORMAT_VERSION)      # nothing written: release
+        raise
     (assigned.write.mode("append").partitionBy("cell")
      .parquet(f"{path}/lists"))
     write_meta(INDEX_FORMAT_VERSION)
