@@ -778,7 +778,10 @@ def pq_train(corpus: DataFrame, m: int = 8, n_centroids: int = 16,
         sub = X[:, j * dsub:(j + 1) * dsub]
         cent = sub[rng.choice(len(sub), size=k, replace=False)].copy()
         for _ in range(10):                       # Lloyd iterations
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            # argmin ||x-c||^2 == argmin (||c||^2 - 2 x.c): the matmul
+            # form — the broadcast-subtract form allocates an n*k*dsub
+            # temp (120 MB per step at 10k x 16 x 96) and ran ~10x slower
+            d2 = (cent ** 2).sum(1)[None, :] - 2.0 * (sub @ cent.T)
             assign = d2.argmin(1)
             for c in range(k):
                 pts = sub[assign == c]
@@ -826,7 +829,8 @@ def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id",
             codes = np.empty((len(X), mm), dtype=np.int32)
             for j in range(mm):
                 sub = X[:, j * dsub:(j + 1) * dsub]
-                d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                # same matmul identity as pq_train's Lloyd step
+                d2 = (cb[j] ** 2).sum(1)[None, :] - 2.0 * (sub @ cb[j].T)
                 codes[:, j] = d2.argmin(1)
             yield pd.DataFrame({"id": pdf["id"].to_numpy(),
                                 "codes": list(codes.tolist())})
