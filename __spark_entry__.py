@@ -5389,6 +5389,161 @@ def lsh_index_incremental_dedup(spark, sf_dir):
     return out.select("index_id", "batch_id", "est_jaccard")
 
 
+@q("lsh_index_delete",
+   # takedown-then-probe, hash-exact: after deleting index ids < 200 the
+   # probe result IS the all-pairs oracle restricted to surviving index
+   # docs — deleted documents must stop surfacing as candidates entirely,
+   # and survivors must be untouched by the rewrite.
+   "WITH " + _minhash_ctes() + " "
+   "SELECT a AS index_id, b AS batch_id, est_jaccard FROM prs "
+   "WHERE a >= 200 AND a < 400 AND b >= 400")
+def lsh_index_delete(spark, sf_dir):
+    # The right-to-be-forgotten loop end-to-end (SURVEY §2.11; the
+    # maintenance op every crawl corpus eventually needs): build the
+    # persisted index over doc_id<400, TAKE DOWN doc_id<200
+    # (operators/dedup.py:lsh_index_delete — claim-first anti-join rewrite
+    # under the meta sentinel), then probe the arriving batch. Deleted ids
+    # returning zero hits AND survivors hash-matching the all-pairs oracle
+    # certifies both halves of the rewrite (drop + preserve).
+    import tempfile
+
+    from thewhisperdb_spark.operators import dedup as D
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="whisper_lsh_del_")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 400), path,
+                      n_hashes=32, bands=8, shingle_n=5)
+    D.lsh_index_delete(spark, path,
+                       docs.filter(F.col("doc_id") < 200).select("doc_id"))
+    out = D.lsh_index_probe(spark, path,
+                            docs.filter(F.col("doc_id") >= 400),
+                            threshold=0.8)
+    return out.select("index_id", "batch_id", "est_jaccard")
+
+
+@q("lsh_index_stats",
+   # the index-health read (compaction-cadence trigger), value-exact where
+   # the oracle can re-derive (bucket populations = signature band-slice
+   # equality classes — xxhash64 bucket ids are injective on slices modulo
+   # a 2^-64 collision) and contract-boolean where it cannot (physical
+   # file counts, approx-percentile internals).
+   "WITH " + _minhash_ctes() + """,
+idx AS (SELECT doc_id, sig FROM sig WHERE doc_id < 400),
+bnd AS (SELECT i.doc_id, b.b AS band, i.sig[b.b*4+1:b.b*4+4] AS sl
+        FROM idx i CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
+grp AS (SELECT band, sl, count(*) AS n FROM bnd GROUP BY band, sl)
+SELECT CAST((SELECT count(*) FROM idx) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_bucket_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_buckets,
+       CAST(max(n) AS BIGINT) AS max_bucket,
+       TRUE AS p99_le_max, TRUE AS has_sig_files,
+       CAST(32 AS BIGINT) AS n_hashes, CAST(8 AS BIGINT) AS bands,
+       CAST(5 AS BIGINT) AS shingle_n
+FROM grp""")
+def lsh_index_stats(spark, sf_dir):
+    # Health row of the persisted LSH index (operators/dedup.py:
+    # lsh_index_stats). The oracle recomputes the bucket populations from
+    # first principles: two docs share a bucket in band b iff their
+    # signature slices for b are equal, so grouping by the SLICE VALUE in
+    # DuckDB reproduces n_bucket_rows / n_distinct_buckets / max_bucket
+    # exactly — certifying that the at-rest banded index holds precisely
+    # the banding mathematics, not an implementation-defined layout.
+    import tempfile
+
+    from thewhisperdb_spark.operators import dedup as D
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="whisper_lsh_health_")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 400), path,
+                      n_hashes=32, bands=8, shingle_n=5)
+    s = D.lsh_index_stats(spark, path)
+    return s.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_bucket_rows").cast("long").alias("n_bucket_rows"),
+        F.col("n_distinct_buckets").cast("long")
+        .alias("n_distinct_buckets"),
+        F.col("max_bucket").cast("long").alias("max_bucket"),
+        (F.col("p99_bucket") <= F.col("max_bucket")).alias("p99_le_max"),
+        (F.col("n_sig_files") >= 1).alias("has_sig_files"),
+        F.col("n_hashes").cast("long").alias("n_hashes"),
+        F.col("bands").cast("long").alias("bands"),
+        F.col("shingle_n").cast("long").alias("shingle_n"))
+
+
+@q("ivf_index_delete",
+   # takedown contract for the IVF index: after deleting vec_id<50 from a
+   # vec_id<300 index, (a) the surviving list rows are EXACTLY the
+   # non-deleted corpus (count), (b) a full-probe (n_probe = n_cells, so
+   # no recall caveat) returns hits and NONE of them is a deleted id.
+   "SELECT CAST(count(*) AS BIGINT) AS n_remaining, "
+   "TRUE AS no_deleted_hits, TRUE AS probe_returns "
+   "FROM embeddings WHERE vec_id >= 50 AND vec_id < 300")
+def ivf_index_delete(spark, sf_dir):
+    # operators/vectors.py:ivf_index_delete end-to-end (SURVEY §2.11):
+    # claim-first anti-join rewrite preserving the cell partitioning, then
+    # a probe with n_probe == n_cells (exhaustive, so absence of deleted
+    # ids is a guarantee, not a recall accident).
+    import tempfile
+
+    from thewhisperdb_spark.operators import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="whisper_ivf_del_")
+    V.ivf_index_build(emb.filter(F.col("vec_id") < 300), path, n_cells=8)
+    V.ivf_index_delete(spark, path,
+                       emb.filter(F.col("vec_id") < 50).select("vec_id"))
+    probe = V.ivf_index_probe(
+        spark, path,
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 320)),
+        k=5, n_probe=8)
+    hits = probe.agg(
+        (F.coalesce(F.sum(F.when(F.col("neighbor_id") < 50, 1)
+                          .otherwise(0)), F.lit(0)) == 0)
+        .alias("no_deleted_hits"),
+        (F.count(F.lit(1)) > 0).alias("probe_returns"))
+    remaining = (spark.read.parquet(f"{path}/lists")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_remaining")))
+    return (remaining.join(hits)
+            .select("n_remaining", "no_deleted_hits", "probe_returns"))
+
+
+@q("ivf_index_stats",
+   # index-health contract: exact where derivable (n_cells is the build
+   # parameter, n_vectors the corpus count — lists must hold EVERY vector
+   # exactly once), invariant-boolean where the value depends on k-means
+   # geometry (cell sizes): max*cells >= n (pigeonhole), median <= max,
+   # skew >= 1, 0 <= empties < cells (>=1 cell non-empty on a non-empty
+   # corpus).
+   "SELECT CAST(8 AS BIGINT) AS n_cells, "
+   "CAST(count(*) AS BIGINT) AS n_vectors, TRUE AS max_ge_mean, "
+   "TRUE AS median_le_max, TRUE AS skew_ge_1, TRUE AS empty_in_range "
+   "FROM embeddings WHERE vec_id < 300")
+def ivf_index_stats(spark, sf_dir):
+    # operators/vectors.py:ivf_index_stats — the rebalance-cadence
+    # trigger (PLANS.md): skew = max/median cell size is what detects
+    # append drift. The contract pins the exact invariants any correct
+    # cell assignment satisfies; the geometry-dependent values ride the
+    # booleans (division-free: max*8 >= n, never max >= n/8).
+    import tempfile
+
+    from thewhisperdb_spark.operators import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="whisper_ivf_health_")
+    V.ivf_index_build(emb.filter(F.col("vec_id") < 300), path, n_cells=8)
+    s = V.ivf_index_stats(spark, path)
+    return s.select(
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        (F.col("max_cell") * 8 >= F.col("n_vectors")).alias("max_ge_mean"),
+        (F.col("median_cell") <= F.col("max_cell")).alias("median_le_max"),
+        (F.col("skew") >= 1.0).alias("skew_ge_1"),
+        ((F.col("n_empty_cells") >= 0)
+         & (F.col("n_empty_cells") < 8)).alias("empty_in_range"))
+
+
 @q("daily_crawl_ingest_survivors",
    # the END-TO-END daily-crawl loop, hash-checked: survivors of one
    # ingested batch = batch docs with no est>=θ match in the indexed

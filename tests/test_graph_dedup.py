@@ -806,10 +806,59 @@ def test_lsh_index_single_writer_claim(spark, tmp_path):
     def stomped(version, token=None):
         wm(version, "interloper" if token is not None else None)
     with pytest.raises(ValueError, match="another writer"):
-        claim_sentinel(spark, f"{path}/meta", stomped)
-    # the losing claim left meta invalidated -> every reader/writer gate
-    # now fails loudly until the surviving writer stamps it
-    with pytest.raises(ValueError, match="in-progress"):
-        D.lsh_index_probe(spark, path, delta)
+        claim_sentinel(spark, f"{path}/meta", stomped,
+                       D.LSH_INDEX_FORMAT_VERSION)
+    # the losing claim kept the version VALID (claims no longer blind the
+    # read gate) — probes keep serving the last stamped state even while
+    # the surviving writer holds the claim
+    assert D.lsh_index_probe(spark, path, delta, threshold=0.99).count() > 0
     wm(D.LSH_INDEX_FORMAT_VERSION)
     assert D.lsh_index_probe(spark, path, delta, threshold=0.99).count() > 0
+
+
+def test_lsh_index_probe_serves_during_claim_window(spark, tmp_path):
+    """Verdict r7 #3: the writer claim must NOT block readers — a probe
+    issued while an appender holds the claim (the anti-join/signature
+    phase, the long part of every append) serves the last stamped state.
+    Only the data-write window (format_version -1) blocks, and a claim
+    lost mid-compute aborts the writer with nothing written."""
+    import pytest
+
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.operators.indexmeta import (
+        ClaimLostError, claim_sentinel, release_claim, verify_claim)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    path = str(tmp_path / "claim_live_idx")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 30), path,
+                      n_hashes=16, bands=4, shingle_n=5)
+    wm = D._lsh_meta_writer(spark, path, 16, 4, 5, True, "md5-min-v2",
+                            "bigint")
+    batch = docs.filter(F.col("doc_id") < 10)
+    # writer A claims (as lsh_index_append does before its anti-join)
+    token = claim_sentinel(spark, f"{path}/meta", wm,
+                           D.LSH_INDEX_FORMAT_VERSION)
+    # mid-claim, BEFORE any data write: the probe works
+    hits = D.lsh_index_probe(spark, path, batch, threshold=0.99)
+    assert {(r["batch_id"], r["index_id"]) for r in hits.collect()} >= \
+        {(i, i) for i in range(10)}
+    # ... and so does a second claim-phase reader, the stats row
+    assert D.lsh_index_stats(spark, path).collect()[0]["n_docs"] == 30
+    # writer A re-verifies right before its first data write: still owner
+    verify_claim(spark, f"{path}/meta", token)
+    # an interloper claims while A computes -> A's re-verify aborts A
+    # with nothing written, and A must NOT restamp over the interloper
+    wm(D.LSH_INDEX_FORMAT_VERSION, "interloper")
+    with pytest.raises(ClaimLostError):
+        verify_claim(spark, f"{path}/meta", token)
+    release_claim(spark, f"{path}/meta", wm, token,
+                  D.LSH_INDEX_FORMAT_VERSION)  # no-op: not A's claim
+    assert spark.read.parquet(f"{path}/meta").collect()[0][
+        "writer_token"] == "interloper"
+    # the -1 bracket (data-write window) still blocks readers loudly
+    wm(-1, "interloper")
+    with pytest.raises(ValueError, match="in-progress"):
+        D.lsh_index_probe(spark, path, batch)
+    wm(D.LSH_INDEX_FORMAT_VERSION)

@@ -567,7 +567,10 @@ def test_ivf_index_single_writer_claim_and_delete_type_gate(spark, tmp_path):
     def stomped(version, token=None):
         wm(version, "interloper" if token is not None else None)
     with pytest.raises(ValueError, match="another writer"):
-        claim_sentinel(spark, f"{path}/meta", stomped)
+        claim_sentinel(spark, f"{path}/meta", stomped,
+                       V.INDEX_FORMAT_VERSION)
+    # the losing claim kept the version valid: probes serve mid-claim
+    assert V.ivf_index_probe(spark, path, delta, k=3, n_probe=4).count() > 0
     wm(V.INDEX_FORMAT_VERSION)
     # delete id-type gate: string ids vs long at-rest lists must refuse
     with pytest.raises(ValueError, match="silently match nothing"):
@@ -616,3 +619,58 @@ def test_ivf_blas_scoring_matches_exact_fold(spark, tmp_path):
     # rows; the vector scan feeds MapInPandas directly
     scan_to_map = plan[plan.index("MapInPandas"):]
     assert "Exchange" not in scan_to_map, plan
+
+
+def test_ivf_blas_tie_break_on_duplicate_vectors(spark, tmp_path):
+    """ADVICE r7 (medium): exact-duplicate vectors — the core dedup
+    workload — are ALL ties at the k boundary. The blas kernel's local
+    truncation must apply the full (sim desc, neighbor_id asc) rule
+    before dropping candidates, or the surviving neighbor set depends on
+    Arrow batch splits. 40 identical vectors, k=5: both paths must return
+    neighbors {0..4} (ids 0-4, the smallest non-self ids... for query 0
+    the self-match is excluded so {1..5})."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    emb = (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+           .repartition(8))  # force multiple Arrow batches
+    q = emb.filter(F.col("vec_id").isin([0, 7]))
+    path = str(tmp_path / "dup_ivf")
+    V.ivf_index_build(emb, path, n_cells=2)
+    for blas in (False, True):
+        got = V.ivf_index_probe(spark, path, q, k=5, n_probe=2, blas=blas)
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert by_q[0] == {1, 2, 3, 4, 5}, (blas, by_q)
+        assert by_q[7] == {0, 1, 2, 3, 4}, (blas, by_q)
+    # and the online join path agrees
+    got = V.ivf_knn_join(q, emb, k=5, n_cells=2, n_probe=2, blas=True)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert by_q[0] == {1, 2, 3, 4, 5} and by_q[7] == {0, 1, 2, 3, 4}
+    # brute force (same argpartition pattern, same fix) agrees too
+    got = V.brute_force_knn_join(q, emb, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert by_q[0] == {1, 2, 3, 4, 5} and by_q[7] == {0, 1, 2, 3, 4}
+
+
+def test_ivf_blas_neighbor_id_keeps_corpus_type(spark, tmp_path):
+    """ADVICE r7 (low): blas=True must return neighbor_id in the CORPUS id
+    type (the exact fold path's behavior), not coerced to the query id
+    type — probing a long-id index with int query ids must not change
+    the neighbor column's type between blas modes."""
+    rows = [(i, [float(i % 3 == 0), 1.0, float(i % 2)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "typed_ivf")
+    V.ivf_index_build(emb, path, n_cells=2)
+    q = spark.createDataFrame([(1001, [1.0, 0.0, 0.0])],
+                              "vec_id int, embedding array<float>")
+    slow = V.ivf_index_probe(spark, path, q, k=3, n_probe=2, blas=False)
+    fast = V.ivf_index_probe(spark, path, q, k=3, n_probe=2, blas=True)
+    assert slow.schema["neighbor_id"].dataType.simpleString() == "bigint"
+    assert fast.schema["neighbor_id"].dataType.simpleString() == "bigint"
+    t = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in slow.collect()}
+    f = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in fast.collect()}
+    assert t == f and len(t) == 3

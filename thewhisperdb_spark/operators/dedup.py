@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from thewhisperdb_spark.operators.indexmeta import claim_sentinel
+from thewhisperdb_spark.operators.indexmeta import (
+    claim_sentinel, release_claim, verify_claim)
 from thewhisperdb_spark.operators.text import char_ngrams, tags_of, tokens
 
 
@@ -902,19 +903,21 @@ def lsh_index_append(spark, path: str, new_df: DataFrame,
 
     SINGLE-WRITER, ENFORCED: the sentinel is claimed with a writer token
     (``indexmeta.claim_sentinel``) BEFORE the anti-join reads the at-rest
-    signatures — not merely before the data writes. Claim-first is what
-    closes the retry-while-running double-write: a retry that fired while
-    the original append was mid-flight either hits the in-progress gate,
-    loses the token readback (having written nothing), or — claiming
-    after the original stamped — anti-joins a state that already CONTAINS
-    the original's rows and lands as the intended no-op. If the delta
-    computation itself fails under the claim, the sentinel is restamped
-    valid before re-raising (nothing was written). Probes share the
-    exclusion: the index is gate-unreadable for the shingle + anti-join +
-    two appends of the DELTA (delta-sized, not corpus-sized — seconds for
-    a daily batch); schedule probes off the append window or retry on the
-    in-progress error — the documented availability cost of
-    tear-detectability."""
+    signatures — not merely before the data writes — and re-verified
+    (``verify_claim``) immediately before the first data write.
+    Claim-first is what closes the retry-while-running double-write: a
+    retry that fired while the original append was mid-flight either
+    loses the token readback (having written nothing), fails the
+    re-verify, or — claiming after the original stamped — anti-joins a
+    state that already CONTAINS the original's rows and lands as the
+    intended no-op. If the delta computation itself fails under the
+    claim, the claim is released (version restamped) before re-raising.
+    Probes are NOT blocked by the claim: it re-stamps the CURRENT version
+    (readers keep serving the last stamped state through the shingle +
+    anti-join phase, the long part); only the two delta appends
+    themselves sit inside the in-progress ``-1`` bracket — a crash there
+    still leaves the loud gate failure that makes a torn append
+    detectable."""
     m = _lsh_index_meta(spark, path)
     n_hashes, bands = int(m["n_hashes"]), int(m["bands"])
     sig, _ = _lsh_sig_banded(new_df, n_hashes, bands, int(m["shingle_n"]),
@@ -927,7 +930,9 @@ def lsh_index_append(spark, path: str, new_df: DataFrame,
     write_meta = _lsh_meta_writer(
         spark, path, n_hashes, bands, int(m["shingle_n"]),
         bool(m["portable"]), str(m["hash_scheme"]), str(m["id_type"]))
-    claim_sentinel(spark, f"{path}/meta", write_meta)
+    meta_dir = f"{path}/meta"
+    token = claim_sentinel(spark, meta_dir, write_meta,
+                           LSH_INDEX_FORMAT_VERSION)
     try:
         # under the claim: the anti-join must observe every COMMITTED
         # append (the file listing is resolved here, post-claim), and the
@@ -939,12 +944,18 @@ def lsh_index_append(spark, path: str, new_df: DataFrame,
                    .localCheckpoint(eager=True))
         if new_sig.isEmpty():
             # fully-replayed batch: nothing to write — release the claim
-            write_meta(LSH_INDEX_FORMAT_VERSION)
+            release_claim(spark, meta_dir, write_meta, token,
+                          LSH_INDEX_FORMAT_VERSION)
             return
-        banded = _lsh_band(new_sig, n_hashes, bands)
+        banded = _lsh_band(new_sig, n_hashes, bands).localCheckpoint(
+            eager=True)
     except Exception:
-        write_meta(LSH_INDEX_FORMAT_VERSION)   # nothing written: release
+        release_claim(spark, meta_dir, write_meta, token,
+                      LSH_INDEX_FORMAT_VERSION)  # nothing written
         raise
+    # in-progress bracket around ONLY the two state-mutating appends
+    verify_claim(spark, meta_dir, token)
+    write_meta(-1, token)
     new_sig.write.mode("append").parquet(f"{path}/signatures")
     banded.write.mode("append").partitionBy("band").parquet(f"{path}/buckets")
     write_meta(LSH_INDEX_FORMAT_VERSION)
@@ -1025,7 +1036,14 @@ def lsh_index_delete(spark, path: str, ids: DataFrame,
     leaves an index that loudly fails the gate instead of one
     half-scrubbed. Ids absent from the index are ignored (idempotent:
     re-running a takedown is a no-op). The id column must match the
-    index's stored type (same gate as append)."""
+    index's stored type (same gate as append).
+
+    The at-rest state is read and checkpointed UNDER the writer claim
+    (claim first, then read — the append discipline): reading before the
+    claim opens a lost-update window where an append that commits between
+    the checkpoint and the claim is silently erased by the overwrite.
+    The claim keeps the version valid (probes serve through the anti-join
+    phase); only the rewrite itself is bracketed by ``-1``."""
     m = _lsh_index_meta(spark, path)
     id_type = str(m["id_type"])
     del_ids = ids.select(F.col(id_col).alias("id")).distinct()
@@ -1034,19 +1052,28 @@ def lsh_index_delete(spark, path: str, ids: DataFrame,
         raise ValueError(
             f"LSH index at {path} stores {id_type} ids; deleting by "
             f"{in_type} ids would silently match nothing")
-    sig = (spark.read.schema(f"id {id_type}, sig array<long>")
-           .parquet(f"{path}/signatures")
-           .join(F.broadcast(del_ids), "id", "left_anti")
-           .localCheckpoint(eager=True))
-    buckets = (spark.read.schema(f"id {id_type}, bucket long, band int")
-               .parquet(f"{path}/buckets")
-               .join(F.broadcast(del_ids), "id", "left_anti")
-               .localCheckpoint(eager=True))
     write_meta = _lsh_meta_writer(
         spark, path, int(m["n_hashes"]), int(m["bands"]),
         int(m["shingle_n"]), bool(m["portable"]), str(m["hash_scheme"]),
         id_type)
-    claim_sentinel(spark, f"{path}/meta", write_meta)
+    meta_dir = f"{path}/meta"
+    token = claim_sentinel(spark, meta_dir, write_meta,
+                           LSH_INDEX_FORMAT_VERSION)
+    try:
+        sig = (spark.read.schema(f"id {id_type}, sig array<long>")
+               .parquet(f"{path}/signatures")
+               .join(F.broadcast(del_ids), "id", "left_anti")
+               .localCheckpoint(eager=True))
+        buckets = (spark.read.schema(f"id {id_type}, bucket long, band int")
+                   .parquet(f"{path}/buckets")
+                   .join(F.broadcast(del_ids), "id", "left_anti")
+                   .localCheckpoint(eager=True))
+    except Exception:
+        release_claim(spark, meta_dir, write_meta, token,
+                      LSH_INDEX_FORMAT_VERSION)  # nothing written
+        raise
+    verify_claim(spark, meta_dir, token)
+    write_meta(-1, token)
     sig.write.mode("overwrite").parquet(f"{path}/signatures")
     (buckets.repartition(int(m["bands"]), "band")
      .write.mode("overwrite").partitionBy("band")
@@ -1113,16 +1140,29 @@ def lsh_index_compact(spark, path: str,
 
     m = _lsh_index_meta(spark, path)
     id_type = str(m["id_type"])
-    sig = (spark.read.schema(f"id {id_type}, sig array<long>")
-           .parquet(f"{path}/signatures").localCheckpoint(eager=True))
-    buckets = (spark.read.schema(f"id {id_type}, bucket long, band int")
-               .parquet(f"{path}/buckets").localCheckpoint(eager=True))
-    n_sig = sig.count()
     write_meta = _lsh_meta_writer(
         spark, path, int(m["n_hashes"]), int(m["bands"]),
         int(m["shingle_n"]), bool(m["portable"]), str(m["hash_scheme"]),
         id_type)
-    claim_sentinel(spark, f"{path}/meta", write_meta)
+    # claim first, then read (the append/delete discipline): a compact
+    # that checkpoints before claiming silently erases any append that
+    # commits in between. The claim keeps the version valid; only the
+    # rewrite sits inside the -1 bracket.
+    meta_dir = f"{path}/meta"
+    token = claim_sentinel(spark, meta_dir, write_meta,
+                           LSH_INDEX_FORMAT_VERSION)
+    try:
+        sig = (spark.read.schema(f"id {id_type}, sig array<long>")
+               .parquet(f"{path}/signatures").localCheckpoint(eager=True))
+        buckets = (spark.read.schema(f"id {id_type}, bucket long, band int")
+                   .parquet(f"{path}/buckets").localCheckpoint(eager=True))
+        n_sig = sig.count()
+    except Exception:
+        release_claim(spark, meta_dir, write_meta, token,
+                      LSH_INDEX_FORMAT_VERSION)  # nothing written
+        raise
+    verify_claim(spark, meta_dir, token)
+    write_meta(-1, token)
     (sig.repartition(max(1, _math.ceil(n_sig / target_rows_per_file)))
      .write.mode("overwrite").parquet(f"{path}/signatures"))
     (buckets.repartition(int(m["bands"]), "band")

@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from thewhisperdb_spark.operators.indexmeta import claim_sentinel
+from thewhisperdb_spark.operators.indexmeta import (
+    claim_sentinel, release_claim, verify_claim)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -305,7 +306,15 @@ def brute_force_knn_join(queries: DataFrame, corpus: DataFrame, k: int,
             mask = ids_q[:, None] == c_ids[None, :]        # self-match exclusion
             sims[mask] = -np.inf
             top = min(kk, sims.shape[1])
-            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            # full (sim desc, neighbor_id asc) order per query BEFORE the
+            # local truncation — argpartition alone drops boundary ties
+            # arbitrarily per Arrow batch, so exact-duplicate corpora (the
+            # core dedup workload) would return a batch-split-dependent
+            # neighbor set that the global window can't repair. lexsort is
+            # O(n log n) vs the matmul's O(n·d): invisible at d >= 64.
+            order = np.lexsort(
+                (np.broadcast_to(c_ids, sims.shape), -sims), axis=1)
+            part = order[:, :top]
             rows_q = np.repeat(np.arange(len(ids_q)), top)
             rows_c = part.ravel()
             sel = sims[rows_q, rows_c]
@@ -606,6 +615,11 @@ def _ivf_blas_topk(probes: DataFrame, corp_u: DataFrame, k: int,
     from pyspark.sql import Window
 
     spark = probes.sparkSession
+    # neighbor_id carries the CORPUS/index id type, not the query's: the
+    # exact fold path returns the corpus's own id type, and a mixed-type
+    # probe (string queries over a long-id index) must not silently coerce
+    # — or fail at Arrow conversion — on the blas path only.
+    nt = corp_u.schema["neighbor_id"].dataType.simpleString()
     p_rows = probes.limit(max_query_rows + 1).collect()
     if len(p_rows) > max_query_rows:
         raise ValueError(
@@ -614,7 +628,7 @@ def _ivf_blas_topk(probes: DataFrame, corp_u: DataFrame, k: int,
             "join-based fold, which never collects) or raise the cap")
     if not p_rows:
         return spark.createDataFrame(
-            [], f"query_id {qt}, neighbor_id {qt}, similarity double, "
+            [], f"query_id {qt}, neighbor_id {nt}, similarity double, "
                 "rank int")
     # broadcast index: cell -> dim -> (query ids, unit-query matrix)
     by_cell: dict = {}
@@ -657,7 +671,15 @@ def _ivf_blas_topk(probes: DataFrame, corp_u: DataFrame, k: int,
                     sims = qmat @ cmat.T
                     sims[qids[:, None] == cid[None, :]] = -np.inf
                     top = min(kk, sims.shape[1])
-                    part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+                    # local truncation under the FULL (sim desc,
+                    # neighbor_id asc) tie rule — argpartition alone drops
+                    # boundary ties arbitrarily per Arrow batch (exact
+                    # duplicates, the core dedup workload, would get a
+                    # batch-split-dependent neighbor set the global window
+                    # can't repair)
+                    order = np.lexsort(
+                        (np.broadcast_to(cid, sims.shape), -sims), axis=1)
+                    part = order[:, :top]
                     rq = np.repeat(np.arange(len(qids)), top)
                     rc = part.ravel()
                     sel = sims[rq, rc]
@@ -672,7 +694,7 @@ def _ivf_blas_topk(probes: DataFrame, corp_u: DataFrame, k: int,
                  .select("neighbor_id", "cu2", "cell")
                  .mapInPandas(
                      score,
-                     f"query_id {qt}, neighbor_id {qt}, similarity double"))
+                     f"query_id {qt}, neighbor_id {nt}, similarity double"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("similarity").desc(), F.col("neighbor_id").asc())
     return (local_top.withColumn("rank", F.row_number().over(w))
@@ -1130,12 +1152,16 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
     that loudly fails the gate rather than one with a partially-written
     delta. Single-writer per index, ENFORCED: the sentinel is claimed
     with a writer token (``indexmeta.claim_sentinel``) BEFORE the
-    anti-join reads the at-rest lists — a racing second appender either
-    fails the in-progress gate up front, loses the token readback having
-    written nothing, or claims after the original stamped and anti-joins
-    a state that already contains its rows (the intended no-op). Probes share the exclusion (gate-unreadable for the
-    delta-sized append window) — schedule probes off the append cadence
-    or retry on the in-progress error."""
+    anti-join reads the at-rest lists, and re-verified
+    (``verify_claim``) immediately before the data write — a racing
+    second appender either loses the token readback having written
+    nothing, fails the re-verify, or claims after the original stamped
+    and anti-joins a state that already contains its rows (the intended
+    no-op). Readers are NOT blocked by the claim: the claim re-stamps the
+    CURRENT version (probes keep serving the last stamped state through
+    the whole anti-join/assignment phase); only the data write itself is
+    bracketed by the in-progress ``-1`` — a window sized by one delta's
+    parquet append, not by the delta computation."""
     from pyspark.errors import AnalysisException
 
     _check_index_version(spark, path)
@@ -1184,14 +1210,14 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
     write_meta = _ivf_meta_writer(spark, path)
     # claim BEFORE the anti-join (the LSH append's discipline): the
     # at-rest file listing is resolved under the claim, so a retry that
-    # raced the original append either fails the gate/readback or
+    # raced the original append either loses the claim/re-verify or
     # anti-joins a state already containing the original's rows (lands as
-    # the intended no-op). The schema gates above stay PRE-claim — a
-    # user-error batch must not leave the index invalidated — which is
-    # safe because those same gates keep concurrent appends from ever
-    # changing the schema. A failure during the delta computation
-    # restamps the sentinel before re-raising (nothing was written).
-    claim_sentinel(spark, f"{path}/meta", write_meta)
+    # the intended no-op). The claim keeps the version VALID — probes keep
+    # serving through this whole phase. A failure during the delta
+    # computation releases the claim before re-raising (nothing written).
+    meta_dir = f"{path}/meta"
+    token = claim_sentinel(spark, meta_dir, write_meta,
+                           INDEX_FORMAT_VERSION)
     try:
         try:
             at_rest_ids = (spark.read.parquet(f"{path}/lists")
@@ -1202,13 +1228,19 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
             # partless lists dir (total takedown): this append re-seeds it
             fresh = new_vectors.localCheckpoint(eager=True)
         if fresh.isEmpty():
-            write_meta(INDEX_FORMAT_VERSION)  # replayed batch: release
+            release_claim(spark, meta_dir, write_meta, token,
+                          INDEX_FORMAT_VERSION)  # replayed batch: no-op
             return
         assigned, _ = ivf_assign(fresh, n_cells, id_col, vec_col,
                                  centroids=cents)
+        assigned = assigned.localCheckpoint(eager=True)
     except Exception:
-        write_meta(INDEX_FORMAT_VERSION)      # nothing written: release
+        release_claim(spark, meta_dir, write_meta, token,
+                      INDEX_FORMAT_VERSION)      # nothing written
         raise
+    # in-progress bracket around ONLY the state-mutating write
+    verify_claim(spark, meta_dir, token)
+    write_meta(-1, token)
     (assigned.write.mode("append").partitionBy("cell")
      .parquet(f"{path}/lists"))
     write_meta(INDEX_FORMAT_VERSION)
@@ -1222,30 +1254,49 @@ def ivf_index_delete(spark, path: str, ids: DataFrame,
     ``ivf_index_rebalance`` re-fits them over the survivors); the lists
     are anti-joined against the (broadcast) delete set and rewritten
     under the meta sentinel, preserving the cell partitioning. Idempotent
-    for absent ids. No-op on a cold (empty) index."""
+    for absent ids. No-op on a cold (empty) index.
+
+    The at-rest lists are read and checkpointed UNDER the writer claim
+    (claim first, then read — the append discipline): reading before the
+    claim opens a lost-update window where an append that commits between
+    the checkpoint and the claim is silently erased by the overwrite.
+    The claim keeps the version valid (probes serve through the anti-join
+    phase); only the rewrite itself is bracketed by ``-1``."""
     from pyspark.errors import AnalysisException
 
     _check_index_version(spark, path)
     write_meta = _ivf_meta_writer(spark, path)
     del_ids = ids.select(F.col(id_col).alias(id_col)).distinct()
+    meta_dir = f"{path}/meta"
+    token = claim_sentinel(spark, meta_dir, write_meta,
+                           INDEX_FORMAT_VERSION)
     try:
-        lists = spark.read.parquet(f"{path}/lists")
-    except AnalysisException:
-        return  # cold start: nothing to delete
-    # id-type gate (the LSH delete discipline): a delete set whose id type
-    # differs from the at-rest lists silently matches NOTHING in the
-    # anti-join — the takedown would "succeed" while removing zero rows
-    at_rest = lists.schema[id_col].dataType.simpleString()
-    incoming = del_ids.schema[id_col].dataType.simpleString()
-    if at_rest != incoming:
-        raise ValueError(
-            f"IVF index at {path} stores {id_col} as {at_rest}; a delete "
-            f"set with {incoming} ids would silently match nothing "
-            "(cast the ids first)")
-    lists = (lists.join(F.broadcast(del_ids), id_col, "left_anti")
-             .localCheckpoint(eager=True))
-    n_cells = spark.read.parquet(f"{path}/centroids").count()
-    claim_sentinel(spark, f"{path}/meta", write_meta)
+        try:
+            lists = spark.read.parquet(f"{path}/lists")
+        except AnalysisException:
+            # cold start: nothing to delete
+            release_claim(spark, meta_dir, write_meta, token,
+                          INDEX_FORMAT_VERSION)
+            return
+        # id-type gate (the LSH delete discipline): a delete set whose id
+        # type differs from the at-rest lists silently matches NOTHING in
+        # the anti-join — the takedown would "succeed" removing zero rows
+        at_rest = lists.schema[id_col].dataType.simpleString()
+        incoming = del_ids.schema[id_col].dataType.simpleString()
+        if at_rest != incoming:
+            raise ValueError(
+                f"IVF index at {path} stores {id_col} as {at_rest}; a "
+                f"delete set with {incoming} ids would silently match "
+                "nothing (cast the ids first)")
+        lists = (lists.join(F.broadcast(del_ids), id_col, "left_anti")
+                 .localCheckpoint(eager=True))
+        n_cells = spark.read.parquet(f"{path}/centroids").count()
+    except Exception:
+        release_claim(spark, meta_dir, write_meta, token,
+                      INDEX_FORMAT_VERSION)      # nothing written
+        raise
+    verify_claim(spark, meta_dir, token)
+    write_meta(-1, token)
     (lists.repartition(max(int(n_cells), 1), "cell")
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{path}/lists"))
