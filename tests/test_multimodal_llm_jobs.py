@@ -132,8 +132,9 @@ def test_image_pipeline_real_bytes_no_injection(spark):
     """binaryFile -> metadata -> decode -> features -> resize end-to-end on
     COMMITTED real image bytes with the default stdlib codec — no injected
     fakes (VERDICT r4 item 5). Fixtures:
-    tests/fixtures/tiny.{ppm,bmp,pgm,png}."""
+    tests/fixtures/tiny.{ppm,bmp,pgm,png,jpg}."""
     import os
+    import sys
 
     from thewhisperdb_spark.sources.multimodal import (
         decode_ppm_bmp,
@@ -175,11 +176,25 @@ def test_image_pipeline_real_bytes_no_injection(spark):
     assert png_raster == [[(60 * r + 15 * c + 128) / 765.0
                            for c in range(6)] for r in range(4)]
 
+    # JPEG (r8 gate closed): committed 24x20 grayscale baseline fixture
+    # (tools/make_jpeg_fixture.py — Annex K tables, restart interval 2);
+    # lossy, so the check is dimensions + closeness to the source pattern
+    assert rows["tiny.jpg"]["mime"] == "image/jpeg"
+    assert (feats["tiny.jpg"]["height"], feats["tiny.jpg"]["width"]) == (20, 24)
+    jpg_raster = decode_ppm_bmp(
+        open(os.path.join(root, "tiny.jpg"), "rb").read())
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_jpeg_fixture import make_pattern
+    src = make_pattern()
+    err = sum(abs(jpg_raster[r][c] * 255.0 - src[r][c])
+              for r in range(20) for c in range(24)) / (20 * 24)
+    assert err < 10.0  # quality-50 quantization loss, not decoder error
+
     # resize through the same default codec
     rs = {r["path"].rsplit("/", 1)[-1]: r
           for r in resize_images(media, 2, 2).collect()}
     assert all(r["height"] == 2 and r["width"] == 2 for r in rs.values())
-    assert len(rs) == 4
+    assert len(rs) == 5
 
 
 def test_audio_pipeline_real_bytes_no_injection(spark):
@@ -646,7 +661,10 @@ def test_png_decoder_filters_color_types_and_gates():
     with pytest.raises(NotImplementedError, match="8-bit"):
         # raster irrelevant: the gate fires at the IHDR depth check
         decode_ppm_bmp(_make_png(2, 1, 16, 0, [], []))
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # JPEG magic now routes to the baseline decoder (r8): structurally
+    # corrupt bytes are a ValueError (corrupt-data taxonomy), no longer a
+    # missing-codec NotImplementedError
+    with pytest.raises(ValueError):
         decode_ppm_bmp(b"\xff\xd8\xff\xe0jpeg-bytes")
     # truncation raises via length/zlib checks even though CRCs are not
     # verified: cut mid-IDAT-data (sig 8 + IHDR 25 + IDAT header 8 + 5 of
@@ -654,3 +672,66 @@ def test_png_decoder_filters_color_types_and_gates():
     good = _make_png(4, 2, 8, 0, [bytes([1, 2, 3, 4])] * 2, [0, 2])
     with pytest.raises(ValueError, match="truncated"):
         decode_ppm_bmp(good[:46])
+
+
+def test_jpeg_decoder_baseline_roundtrip_and_gates():
+    """The stdlib+numpy baseline JPEG decoder (r8, VERDICT r7 #5): decodes
+    the committed encoder-made fixture close to its source pattern
+    (restart-interval path included — the fixture uses DRI=2), and the
+    unsupported variants fail with the quarantine taxonomy:
+    NotImplementedError = missing codec (progressive), ValueError =
+    corrupt bytes (truncated entropy stream)."""
+    import os
+
+    import pytest
+
+    from thewhisperdb_spark.sources.multimodal import _decode_jpeg
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    data = open(os.path.join(root, "tiny.jpg"), "rb").read()
+    img = _decode_jpeg(data)
+    assert (len(img), len(img[0])) == (20, 24)
+    assert all(0.0 <= v <= 1.0 for row in img for v in row)
+    # gradient must survive: later columns brighter within a checker cell
+    assert img[0][3] < img[0][20]
+    # progressive gate: same bytes with SOF0 marker patched to SOF2
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        _decode_jpeg(prog)
+    # truncated entropy stream = corrupt-data taxonomy
+    with pytest.raises(ValueError):
+        _decode_jpeg(data[:len(data) // 2])
+    # 12-bit gate: patch SOF precision byte (first byte of SOF0 payload)
+    at = data.index(b"\xff\xc0") + 4
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        _decode_jpeg(data[:at] + b"\x0c" + data[at + 1:])
+
+
+def test_jpeg_decoder_real_world_420_vs_imageio(spark):
+    """Value-level cross-check against an INDEPENDENT decoder: Java
+    ImageIO (Spark's `image` data source) on the Spark distribution's
+    real camera JPEG — baseline SOF0, 3 components, 4:2:0 (Y 2x2), the
+    dominant wild format. Our Y-plane output must match ImageIO's
+    RGB->BT.601 luma up to chroma rounding/clamping. Skipped when the
+    Spark sample data is absent."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from thewhisperdb_spark.sources.multimodal import _decode_jpeg
+
+    path = ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+            "multi-channel/chr30.4.184.jpg")
+    if not os.path.exists(path):
+        pytest.skip("Spark sample images not present")
+    row = spark.read.format("image").load(path).collect()[0]["image"]
+    h, w, nc = row["height"], row["width"], row["nChannels"]
+    bgr = (np.frombuffer(bytes(row["data"]), dtype=np.uint8)
+           .reshape(h, w, nc).astype(np.float64))
+    luma = (0.114 * bgr[:, :, 0] + 0.587 * bgr[:, :, 1]
+            + 0.299 * bgr[:, :, 2]) / 255.0
+    mine = np.array(_decode_jpeg(open(path, "rb").read()))
+    assert mine.shape == (h, w) == (215, 300)
+    d = np.abs(luma - mine)
+    assert d.mean() < 0.005 and np.percentile(d, 99) < 0.02

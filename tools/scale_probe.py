@@ -1,0 +1,226 @@
+"""Measured 10x scale point for the heaviest kernels (VERDICT r7 item 1).
+
+Every 100x-scale claim in SURVEY/BASELINE previously rested on plan shape
+and asymptotics alone; this probe adds the second MEASURED data point.
+Protocol (BASELINE.md noise rules): everything in ONE session, per probe
+one warm-up then median of 3 timed full executions, 1x immediately
+followed by 10x so the pair is same-JVM comparable; the scaling exponent
+is log10(t10/t1) — 1.0 = perfectly linear in data, < 1 = latency/overhead
+bound at this size, > 1 = super-linear (needs a named cause or a fix).
+
+The 10x corpora are self-consistent transforms of sf0.1 (both scale
+points run the SAME transform, so per-row work is identical by
+construction):
+
+- documents: each copy c interleaves a copy-specific marker token every 4
+  words — every word-5-gram (and 8-gram) contains a marker, so shingle
+  sets NEVER collide across copies (cross-copy Jaccard = 0) while
+  within-copy near-dup structure is preserved. Dedup workload therefore
+  scales linearly in copies, not quadratically via fabricated dup cliques.
+- lineitem: l_orderkey offset per copy (baskets/quantile samples scale
+  linearly; partkeys shared so co-occurrence pair counts scale in rows).
+- embeddings: freshly generated cluster-structured vectors (seeded
+  xxhash64 centers + noise, unit-norm) at n and 10n with cluster COUNT
+  scaled with n (constant cluster size — the honest operating point: a
+  10x corpus gets 10x IVF cells / k-means clusters, not 10x-fat cells).
+- graph kernels: the REAL sf0.1 similarity edge set, materialized once,
+  then 10 id-offset copies — 10x vertices, 10x edges, identical per-copy
+  topology (so iteration counts match and only the data term scales).
+
+Usage:  python tools/scale_probe.py [--copies 10] [--out SCALE_PROBE.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = "/tmp/whisper_scale"
+COS_EDGE_THRESHOLD = 0.35  # __spark_entry__.py's similarity-graph edge rule
+
+
+def _union_all(frames):
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def build_documents(spark, out_dir: str, copies: int) -> None:
+    base = spark.read.parquet(f"{SRC}/documents.parquet")
+    outs = []
+    for c in range(copies):
+        salt = F.lit(f"zq{c}x")
+        tk = F.split(F.col("text"), " ")
+        n4 = F.ceil(F.size(tk) / F.lit(4)).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), F.greatest(n4 - F.lit(1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.concat(F.slice(tk, i * F.lit(4) + F.lit(1), 4),
+                              F.array(salt))))
+        txt = F.array_join(chunks, " ")
+        outs.append(base.select(
+            (F.col("doc_id") + F.lit(c * 1_000_000)).alias("doc_id"),
+            F.col("lang"), F.col("source"),
+            F.length(txt).cast(dict(base.dtypes)["n_chars"])
+            .alias("n_chars"),
+            txt.alias("text")))
+    (_union_all(outs).repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet"))
+
+
+def build_lineitem(spark, out_dir: str, copies: int) -> None:
+    base = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    cols = [c for c in base.columns if c != "l_orderkey"]
+    outs = [base.select(
+        (F.col("l_orderkey") + F.lit(c * 100_000_000)).alias("l_orderkey"),
+        *cols) for c in range(copies)]
+    (_union_all(outs).repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet"))
+
+
+def build_embeddings(spark, out_dir: str, copies: int,
+                     n_base: int = 2000, dim: int = 64,
+                     clusters_per_base: int = 40) -> None:
+    n = n_base * copies
+    k = clusters_per_base * copies      # constant cluster SIZE across scales
+    ids = spark.range(n).repartition(32)
+    cl = F.pmod(F.xxhash64(F.col("id"), F.lit(777)), F.lit(k))
+
+    def comp(j):
+        center = (F.pmod(F.xxhash64(cl, j, F.lit(1)), F.lit(2001))
+                  - F.lit(1000)).cast("double") / 1000.0
+        noise = (F.pmod(F.xxhash64(F.col("id"), j, F.lit(2)), F.lit(2001))
+                 - F.lit(1000)).cast("double") / 1000.0
+        return center + F.lit(0.25) * noise
+
+    raw = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    emb = F.transform(raw, lambda x: (x / norm).cast("float"))
+    (ids.select(F.col("id").alias("vec_id"), emb.alias("embedding"),
+                cl.cast("int").alias("label"))
+     .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
+
+
+def build_graph(spark, out_dir: str, copies: int) -> None:
+    """Materialize the REAL sf0.1 similarity graph once, then id-offset
+    copies — the kernels' input scales in data while topology (and thus
+    iteration counts) stays per-copy identical."""
+    from thewhisperdb_spark.operators import vectors as V
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    pairs = V.similar_pairs(emb, COS_EDGE_THRESHOLD) \
+        .select("a", "b").localCheckpoint(eager=True)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    e_out = [pairs.select((F.col("a") + F.lit(c * 1_000_000)).alias("a"),
+                          (F.col("b") + F.lit(c * 1_000_000)).alias("b"))
+             for c in range(copies)]
+    n_out = [nodes.select((F.col("id") + F.lit(c * 1_000_000)).alias("id"))
+             for c in range(copies)]
+    (_union_all(e_out).repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/edges.parquet"))
+    (_union_all(n_out).repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/nodes.parquet"))
+
+
+def build_dir(spark, copies: int) -> str:
+    out_dir = f"{ROOT}/x{copies}"
+    build_documents(spark, out_dir, copies)
+    build_lineitem(spark, out_dir, copies)
+    build_embeddings(spark, out_dir, copies)
+    build_graph(spark, out_dir, copies)
+    return out_dir
+
+
+def _median_time(mk, runs: int = 3) -> float:
+    mk().count()                         # warm-up
+    ts = []
+    for _ in range(runs):
+        t0 = time.time()
+        mk().count()
+        ts.append(time.time() - t0)
+    return round(statistics.median(ts), 3)
+
+
+def probes(spark, d: str, copies: int) -> dict:
+    """name -> zero-arg DataFrame factory over scale dir ``d``."""
+    import __spark_entry__ as entrymod
+
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.operators import graph as G
+
+    qs = entrymod.queries()
+    reg = ["minhash_lsh_dedup", "winnowing_fingerprints",
+           "decontaminate_train_test", "price_quantiles_kmv_sample",
+           "part_cooccurrence_top", "ivf_knn"]
+    out = {k: (lambda k=k: qs[k](spark, d)) for k in reg}
+
+    def edges():
+        return spark.read.parquet(f"{d}/edges.parquet").select(
+            F.col("a").alias("src"), F.col("b").alias("dst"))
+
+    def nodes():
+        return spark.read.parquet(f"{d}/nodes.parquet")
+
+    out["cc_kernel"] = lambda: G.connected_components(nodes(), edges())
+    out["pagerank_kernel"] = lambda: G.pagerank(nodes(), edges(), n_iter=10)
+    out["bfs_kernel"] = lambda: G.bfs_levels(edges(), source=0, max_iter=15)
+    out["lpa_kernel"] = lambda: G.label_propagation(nodes(), edges())
+    out["core_kernel"] = lambda: G.core_numbers(edges())
+    # operating-point scaling: cluster COUNT grows with the corpus
+    # (constant cluster size), the 100 TB posture — Σ|c|²·d stays linear
+    out["semantic_pairs_kernel"] = lambda: D.semantic_dedup_pairs(
+        spark.read.parquet(f"{d}/embeddings.parquet")
+        .select("vec_id", "embedding"),
+        threshold=0.45, k=8 * copies, max_iter=3)
+    return out
+
+
+def main():
+    copies = 10
+    out_path = "SCALE_PROBE.json"
+    args = sys.argv[1:]
+    if "--copies" in args:
+        copies = int(args[args.index("--copies") + 1])
+    if "--out" in args:
+        out_path = args[args.index("--out") + 1]
+
+    from thewhisperdb_spark.session import get_spark
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import math
+    print("building scale dirs ...", file=sys.stderr)
+    d1 = build_dir(spark, 1)
+    d10 = build_dir(spark, copies)
+    results = {}
+    p1, p10 = probes(spark, d1, 1), probes(spark, d10, copies)
+    for name in p1:
+        spark.sparkContext._jvm.System.gc()
+        t1 = _median_time(p1[name])
+        t10 = _median_time(p10[name])
+        exp = round(math.log(max(t10, 1e-3) / max(t1, 1e-3))
+                    / math.log(copies), 2)
+        results[name] = {"t_1x": t1, f"t_{copies}x": t10,
+                         "ratio": round(t10 / max(t1, 1e-3), 2),
+                         "exponent": exp}
+        print(f"# {name}: {t1}s -> {t10}s  ratio {t10/max(t1,1e-3):.1f} "
+              f"exp {exp}", file=sys.stderr)
+    payload = {"metric": "scale_probe", "copies": copies, "sf_base": 0.1,
+               "results": results}
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, out_path), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({"metric": "scale_probe", "copies": copies,
+                      "n_probes": len(results)}))
+
+
+if __name__ == "__main__":
+    main()
