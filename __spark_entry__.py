@@ -5389,6 +5389,48 @@ def lsh_index_incremental_dedup(spark, sf_dir):
     return out.select("index_id", "batch_id", "est_jaccard")
 
 
+@q("containment_dedup_pairs",
+   # asymmetric containment C = |A∩B| / min(|A|,|B|) over distinct word
+   # 5-gram shingles — exact (no sketch), so the oracle IS the definition,
+   # including the max_df=200 candidate cap + full-set exact re-score the
+   # Spark plan uses (mirrored so both engines share the documented
+   # boilerplate blind spot). Integer inter/sizes hash exactly; the single
+   # IEEE division is bit-identical across engines.
+   """WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(tk) - 4, 1) + 1),
+    i -> array_to_string(tk[i:i+4], ' ')))) AS s FROM toks),
+sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+hot AS MATERIALIZED (SELECT s FROM sh GROUP BY s HAVING count(*) > 200),
+rare AS MATERIALIZED (
+  SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM rare x JOIN rare y ON x.s = y.s AND x.doc_id < y.doc_id),
+co AS MATERIALIZED (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b)
+SELECT co.a, co.b, co.inter, sa.n AS size_a, sb.n AS size_b,
+       ROUND(CAST(co.inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+FROM co JOIN sz sa ON sa.doc_id = co.a JOIN sz sb ON sb.doc_id = co.b
+WHERE CAST(co.inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8""")
+def containment_dedup_pairs(spark, sf_dir):
+    # Broder's containment half (operators/dedup.py:containment_pairs):
+    # the sub-document/quote detector symmetric Jaccard misses — a short
+    # doc quoted whole inside a long one is J ~ |A|/|B| but containment
+    # 1.0. Exact integer intersection + sizes; max_df=200 exercises the
+    # Σ df² skew cap with the exact full-set re-score.
+    from thewhisperdb_spark.operators import dedup as D
+
+    return D.containment_pairs(_docs(spark, sf_dir), threshold=0.8,
+                               shingle_n=5, max_df=200)
+
+
 @q("lsh_index_delete",
    # takedown-then-probe, hash-exact: after deleting index ids < 200 the
    # probe result IS the all-pairs oracle restricted to surviving index

@@ -129,6 +129,12 @@ HEADLINE = [
     # round-7 headliners (snapshot-drift monitors)
     "corpus_drift_report",
     "length_drift_report",
+    # round-8 headliner (asymmetric containment dedup). The four r8
+    # index-maintenance keys (lsh/ivf delete/stats) are NOT benched: each
+    # run rebuilds a persisted index from scratch (~10-30s of setup that
+    # would swamp the measured operator), and their hot paths (probe,
+    # banded join) are already covered by lsh/minhash/ivf headliners.
+    "containment_dedup_pairs",
 ]
 
 

@@ -771,6 +771,33 @@ def test_near_dup_groups_string_id_fails_loudly(spark):
         D.near_dup_groups(df, pairs)
 
 
+def test_containment_pairs_catches_subdocument(spark):
+    """Asymmetric containment: a short doc quoted WHOLE inside a long one
+    must score 1.0 even though its Jaccard vs the long doc is far below
+    any near-dup threshold — the case symmetric dedup misses. Also pins
+    the max_df candidate-cap + exact-rescore path and the integer
+    intersection/size columns."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long_ = ("intro words here now truly " + short
+             + " plus a very long unrelated tail " * 5)
+    other = "totally different content with no shared phrases at all okay"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id long, text string")
+    got = {(r["a"], r["b"]): r for r in
+           D.containment_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+    r = got[(1, 2)]
+    # short doc has 4 distinct 5-gram shingles, all inside the long doc
+    assert r["size_a"] == 4 and r["inter"] == 4
+    assert r["containment"] == 1.0
+    # Jaccard for the same pair is small: containment signal, not overlap
+    assert r["inter"] / (r["size_a"] + r["size_b"] - r["inter"]) < 0.25
+    # max_df cap path returns the same exact rows when no shingle is hot
+    capped = {(r["a"], r["b"]): r["containment"] for r in
+              D.containment_pairs(df, threshold=0.9, max_df=100).collect()}
+    assert capped == {(1, 2): 1.0}
+
+
 def test_lsh_index_single_writer_claim(spark, tmp_path):
     """The single-writer contract is ENFORCED, not prose: (a) an append
     against an index whose sentinel is already claimed by another writer

@@ -100,6 +100,76 @@ def shingle_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.9,
     return out
 
 
+def containment_pairs(df: DataFrame, threshold: float = 0.8,
+                      shingle_n: int = 5, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_df: int | None = None) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment C(A,B) = |A∩B| / min(|A|,|B|)
+    over distinct word ``shingle_n``-gram sets — the sub-document detector
+    symmetric Jaccard is blind to. A short document quoted whole inside a
+    long one scores J = |A|/|B| ≈ 0 but containment 1.0; this is the
+    quote/boilerplate/snippet case every training-data dedup eventually
+    hits (C4 and RefinedWeb both special-case it). Broder's original
+    resemblance/containment pair (SEQUENCES'97) — resemblance is
+    minhash_lsh_pairs; this is the containment half, exact.
+
+    Same scale shape as shingle_jaccard_pairs: one shingle explode, the
+    Σ df² inverted-index co-occurrence join (with the same ``max_df``
+    candidate cap + exact re-score for boilerplate-heavy corpora), sizes
+    re-attached by two dimension-joins. Integer intersection and sizes are
+    returned alongside the score, so downstream thresholds can stay in
+    exact integer space. Returns (a, b, inter, size_a, size_b,
+    containment) with containment >= threshold, where sizes are the FULL
+    (uncapped) distinct-shingle counts."""
+    from thewhisperdb_spark.operators.text import word_ngrams
+
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(word_ngrams(F.col(text_col), shingle_n))
+                   .alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is None:
+        co = (
+            sh.alias("x").join(sh.alias("y"),
+                               (F.col("x.sh") == F.col("y.sh"))
+                               & (F.col("x.id") < F.col("y.id")))
+            .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > int(max_df)).select("sh"))
+        rare = sh.join(hot, "sh", "left_anti")
+        cand = (
+            rare.alias("x").join(rare.alias("y"),
+                                 (F.col("x.sh") == F.col("y.sh"))
+                                 & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .distinct()
+        )
+        co = (
+            cand.join(sh.alias("x"), cand["a"] == F.col("x.id"))
+            .join(sh.alias("y"),
+                  (cand["b"] == F.col("y.id"))
+                  & (F.col("x.sh") == F.col("y.sh")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    return (
+        co.join(sizes.select(F.col("id").alias("a"),
+                             F.col("n_sh").alias("size_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"),
+                           F.col("n_sh").alias("size_b")), "b")
+        .withColumn("containment",
+                    F.col("inter").cast("double")
+                    / F.least("size_a", "size_b"))
+        # single IEEE division of two small ints: bit-identical across
+        # engines, so the float threshold is oracle-safe (unlike SUMS)
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "inter", "size_a", "size_b",
+                F.round("containment", 6).alias("containment"))
+    )
+
+
 _MERSENNE31 = (1 << 31) - 1
 
 # Version of the hash scheme behind every persisted sketch this module can
