@@ -130,12 +130,29 @@ def build_graph(spark, out_dir: str, copies: int) -> None:
      .write.mode("overwrite").parquet(f"{out_dir}/nodes.parquet"))
 
 
-def build_dir(spark, copies: int) -> str:
+# which input each probe consumes — lets --only builds skip unused tables
+PROBE_INPUTS = {
+    "minhash_lsh_dedup": "documents", "winnowing_fingerprints": "documents",
+    "decontaminate_train_test": "documents",
+    "price_quantiles_kmv_sample": "lineitem",
+    "part_cooccurrence_top": "lineitem", "ivf_knn": "embeddings",
+    "cc_kernel": "graph", "pagerank_kernel": "graph", "bfs_kernel": "graph",
+    "lpa_kernel": "graph", "core_kernel": "graph",
+    "semantic_pairs_kernel": "embeddings",
+}
+
+
+def build_dir(spark, copies: int, needs: set | None = None) -> str:
     out_dir = f"{ROOT}/x{copies}"
-    build_documents(spark, out_dir, copies)
-    build_lineitem(spark, out_dir, copies)
-    build_embeddings(spark, out_dir, copies)
-    build_graph(spark, out_dir, copies)
+    needs = needs or {"documents", "lineitem", "embeddings", "graph"}
+    if "documents" in needs:
+        build_documents(spark, out_dir, copies)
+    if "lineitem" in needs:
+        build_lineitem(spark, out_dir, copies)
+    if "embeddings" in needs:
+        build_embeddings(spark, out_dir, copies)
+    if "graph" in needs:
+        build_graph(spark, out_dir, copies)
     return out_dir
 
 
@@ -186,22 +203,29 @@ def probes(spark, d: str, copies: int) -> dict:
 def main():
     copies = 10
     out_path = "SCALE_PROBE.json"
+    only = None
     args = sys.argv[1:]
     if "--copies" in args:
         copies = int(args[args.index("--copies") + 1])
     if "--out" in args:
         out_path = args[args.index("--out") + 1]
+    if "--only" in args:
+        only = set(args[args.index("--only") + 1].split(","))
 
     from thewhisperdb_spark.session import get_spark
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     import math
+    needs = ({PROBE_INPUTS[n] for n in only} if only else None)
     print("building scale dirs ...", file=sys.stderr)
-    d1 = build_dir(spark, 1)
-    d10 = build_dir(spark, copies)
+    d1 = build_dir(spark, 1, needs)
+    d10 = build_dir(spark, copies, needs)
     results = {}
     p1, p10 = probes(spark, d1, 1), probes(spark, d10, copies)
+    if only:
+        p1 = {k: v for k, v in p1.items() if k in only}
+        p10 = {k: v for k, v in p10.items() if k in only}
     for name in p1:
         spark.sparkContext._jvm.System.gc()
         t1 = _median_time(p1[name])
