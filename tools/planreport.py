@@ -22,11 +22,12 @@ arguments (no config-file indirection), and what to move at 100 TB:
 |---|---|---|---|
 | MinHash LSH dedup (`operators/dedup.py:minhash_lsh_pairs`) | `n_hashes`, `bands` (rows/band = n_hashes/bands sets the S-curve), `threshold` | 64 hashes, 16 bands | more bands -> more recall + bigger candidate join; keep rows/band >= 4 so buckets stay selective; candidate join is banded equi-join, AQE handles skewed buckets |
 | N-gram Jaccard dedup (`dedup.py:shingle_jaccard_pairs`) | `n` (shingle width), `threshold`, `max_df` hot-shingle cap | 3-gram, 0.9, max_df off | SET `max_df` first (100-1000): it bounds the co-occurrence join fan-out (a shingle in d docs mints d^2 pairs) at a provably-zero recall cost for pairs under the threshold |
+| Containment dedup (`dedup.py:containment_pairs`) | `shingle_n`, `threshold` (C = inter/min-size), `max_df` | word-5-gram, 0.8, max_df off | same Σ df² kernel + cap as Jaccard; catches sub-document/quote containment symmetric overlap misses; integer inter/sizes ride the output so thresholds stay exact |
 | SimHash dedup (`dedup.py:simhash_band_pairs`) | `bits`, `bands` (pigeonhole-lossless for hamming <= bands-1) | 32 bits, 4 bands | band join scales linearly in bands; raise bits for selectivity before raising bands (bands drive candidate volume) |
 | Span scrub (`dedup.py:repeated_span_scrub`) | `k` (span tokens), `min_count` | 8, 2 | duplicated-shingle join is AQE-size-gated (no forced broadcast); raise min_count on boilerplate-heavy corpora to shrink the dup side |
 | Incremental LSH index (`dedup.py:lsh_index_build/append/probe/compact`) | `n_hashes`, `bands`, `shingle_n` (frozen in meta at build), probe `threshold`, compaction cadence | 32 hashes, 8 bands, 5-gram | corpus signatures computed once at rest; probes hash only the delta; parameter drift fails the meta gate; compact after N appends to bound probe-time file count; probe prunes the signature verify-scan with a broadcast semi on the (batch-bounded) candidate ids; append anti-joins vs persisted signatures (replay-safe) under the same meta sentinel as build/compact; `lsh_index_stats` measures the file-count/hot-bucket triggers; `lsh_index_delete` = sentinel-bracketed takedown rewrite |
 | Semantic dedup (`dedup.py:semantic_dedup_pairs/semantic_dedup`) | `k` (clusters), `block_rows` (oversized clusters hash-split into exact block-pair tasks — the mega-cluster guard), `threshold` (θ≈1 for the SemDeDup premise), `max_iter` | k=16, θ=0.95, 4096 rows/block | BLAS gram per (cluster, block-pair) via applyInPandas; no single task ever exceeds block_rows² sims, exactness preserved (pytest-pinned vs unblocked); recall loss only for pairs straddling clusters (total at θ≈1) |
-| Daily-crawl ingest loop (`streaming/jobs.py:stream_dedup_ingest`) | probe `threshold`; banding frozen by the index meta; micro-batch size via source trigger; `quality_col` survivor policy | θ=0.8, min-id keep | the only stateful structure is the index; each day shingles only its delta; survivors sink is batch-partitioned dynamic-overwrite (replayed batch rewrites exactly itself; `compact_ingest_survivors` folds aged batches into the archive partition, keeping the replay window batch-addressed); single-writer per index |
+| Daily-crawl ingest loop (`streaming/jobs.py:stream_dedup_ingest`) | probe `threshold`; banding frozen by the index meta; micro-batch size via source trigger; `quality_col` survivor policy | θ=0.8, min-id keep | the only stateful structure is the index; each day shingles only its delta; survivors sink is batch-partitioned dynamic-overwrite (replayed batch rewrites exactly itself; `compact_ingest_survivors` folds aged batches into the archive partition, keeping the replay window batch-addressed); single-writer per index, ENFORCED via the meta writer-token claim + pre-write re-verify (indexmeta): a racing second writer aborts having written nothing; probes are NOT blocked by a claim (r8: claims re-stamp the current version, readers serve the last stamped state through the delta computation; only the data-write bracket is gate-unreadable) |
 | Decontamination (`dedup.py:contamination_overlap_scores`) | shingle `n`, test-side broadcast | 8-gram | test split is the small side — broadcast survives as long as test fits executors; else plain equi-join, still one shuffle |
 | IVF k-NN (`operators/vectors.py:ivf_assign/ivf_index_*`) | `n_cells`, `n_probe`, rebalance cadence (append drifts centroids; `ivf_index_rebalance` = warm-started Lloyd refinement + sentinel-bracketed list rewrite; `ivf_index_stats` measures the max/median cell skew trigger) | 16 cells, 4 probes | n_cells ~ sqrt(corpus); probe cost = n_probe/n_cells of the lists; persisted index prunes partitions at planning time (static IN on `cell`); rebalance after N appends or when skew degrades; `ivf_index_delete` = sentinel-bracketed takedown rewrite |
 | PQ ADC (`vectors.py:pq_train/pq_knn_join`) | `m` subspaces, `n_centroids` per subspace, `sample_size` for training, exact re-rank depth | m=8, 16 codes, 10k sample | codebooks broadcast (m*n_centroids*dim/m floats — tiny); re-rank depth trades recall for exact-scan cost on the shortlist |
