@@ -737,3 +737,83 @@ def test_lsh_index_probe_equals_online_pairs_any_split(
             want[(b, a)] = round(r["est_jaccard"], 9)
     assert got == want
     shutil.rmtree(str(root), ignore_errors=True)
+
+
+@SETTINGS
+@given(
+    h=st.integers(min_value=1, max_value=18),
+    w=st.integers(min_value=1, max_value=18),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    dri=st.sampled_from([0, 1, 3]),
+)
+@example(h=1, w=1, seed=0, dri=0)        # single pixel, single partial MCU
+@example(h=8, w=8, seed=1, dri=1)        # exact one MCU + restart every MCU
+@example(h=17, w=9, seed=2, dri=3)       # crop on both axes + odd restart
+def test_jpeg_encode_decode_roundtrip_bounded_error(h, w, seed, dri):
+    """Property: ANY small grayscale image survives the baseline JPEG
+    encoder (tools/make_jpeg_fixture.py, Annex K tables) -> decoder
+    (sources/multimodal._decode_jpeg) loop with quantization-bounded
+    error — partial MCUs at both edges, every restart cadence, smooth
+    and white-noise content. Pure CPU (no Spark session). A decoder bug
+    (mis-ordered zigzag, wrong predictor reset, off-by-one crop) shows
+    up as gross error or a raise, not a few quantization counts."""
+    import os
+    import sys as _sys
+
+    import numpy as np
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                     "tools"))
+    from make_jpeg_fixture import encode_gray_baseline
+
+    from thewhisperdb_spark.sources.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(seed)
+    # half smooth gradient, half noise: noise stresses AC coding, the
+    # gradient stresses DC prediction across restart boundaries
+    base = np.add.outer(np.linspace(0, 200, h), np.linspace(0, 40, w))
+    img = np.clip(base + rng.randint(-40, 41, size=(h, w)), 0, 255) \
+        .astype(np.float64)
+    data = encode_gray_baseline(img, dri=dri)
+    dec = np.array(_decode_jpeg(data)) * 255.0
+    assert dec.shape == (h, w)
+    # Q50 Annex-K quantization on white noise: generous but diagnostic —
+    # a structural bug produces errors of order 100+, quantization ~10-30
+    err = np.abs(dec - img)
+    assert err.mean() < 40.0, (h, w, seed, dri, err.mean())
+
+
+@SETTINGS
+@given(st.lists(
+    st.lists(st.integers(min_value=0, max_value=12),
+             min_size=0, max_size=30),
+    min_size=2, max_size=8))
+@example([[0, 1, 2, 3, 4, 5], [9, 9, 0, 1, 2, 3, 4, 5, 9]])  # full quote
+def test_containment_pairs_match_python_reference(spark, docs):
+    """Property: containment_pairs == the brute-force set definition
+    C = |A∩B| / min(|A|,|B|) over distinct word-5-gram shingles, for any
+    small corpus (threshold 0.5 to exercise non-trivial cuts). The Python
+    reference reimplements the shingling rule independently (docs shorter
+    than 5 words yield one whole-doc shingle)."""
+    from thewhisperdb_spark.operators import dedup as D
+
+    texts = [" ".join(f"w{t}" for t in toks) for toks in docs]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+
+    def shingles(toks):
+        toks = [f"w{t}" for t in toks]
+        n = max(len(toks) - 4, 1)
+        return {" ".join(toks[i:i + 5]) for i in range(n)}
+
+    sets = {i: shingles(t) for i, t in enumerate(docs)}
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            c = inter / min(len(sets[a]), len(sets[b]))
+            if c >= 0.5:
+                want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    got = {(r["a"], r["b"]): (r["inter"], r["size_a"], r["size_b"])
+           for r in D.containment_pairs(df, threshold=0.5).collect()}
+    assert got == want
