@@ -707,6 +707,47 @@ def test_jpeg_decoder_baseline_roundtrip_and_gates():
         _decode_jpeg(data[:at] + b"\x0c" + data[at + 1:])
 
 
+def test_jpeg_decoder_fuzz_never_leaks_foreign_exceptions():
+    """Quarantine-taxonomy fuzz: corrupt JPEGs must surface as ValueError
+    (corrupt bytes) or NotImplementedError (unsupported variant) — never
+    KeyError/IndexError/ZeroDivisionError, whose class names would
+    mis-taxonomize the quarantine status and lose the forensics. 400
+    deterministic mutations of the committed fixture (byte flips,
+    truncations) plus FFD8-prefixed random garbage."""
+    import os
+    import random
+
+    import numpy as np
+
+    from thewhisperdb_spark.sources.multimodal import _decode_jpeg
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    data = bytearray(open(os.path.join(root, "tiny.jpg"), "rb").read())
+    rng = random.Random(20260815)
+    for trial in range(400):
+        buf = bytearray(data)
+        kind = trial % 4
+        if kind == 0:                              # single byte flip
+            i = rng.randrange(2, len(buf))
+            buf[i] ^= 1 << rng.randrange(8)
+        elif kind == 1:                            # truncate anywhere
+            buf = buf[:rng.randrange(2, len(buf))]
+        elif kind == 2:                            # 8-byte burst corruption
+            i = rng.randrange(2, len(buf) - 8)
+            for k in range(8):
+                buf[i + k] = rng.randrange(256)
+        else:                                      # SOI + random garbage
+            buf = bytearray(b"\xff\xd8") + bytearray(
+                rng.randrange(256) for _ in range(rng.randrange(4, 200)))
+        try:
+            out = _decode_jpeg(bytes(buf))
+            # when a mutation survives decode, the contract shape holds
+            assert np.asarray(out).ndim == 2
+        except (ValueError, NotImplementedError):
+            pass  # the two taxonomy classes — correct
+        # anything else (KeyError/IndexError/...) propagates = test fails
+
+
 def test_jpeg_decoder_real_world_420_vs_imageio(spark):
     """Value-level cross-check against an INDEPENDENT decoder: Java
     ImageIO (Spark's `image` data source) on the Spark distribution's

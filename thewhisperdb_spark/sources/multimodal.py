@@ -447,6 +447,8 @@ def _decode_jpeg(content: bytes) -> list[list[float]]:
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 15
                 j += 1
+                if len(seg) < j + (64 if pq == 0 else 128):
+                    raise ValueError("truncated JPEG DQT segment")
                 if pq == 0:
                     vals, j = list(seg[j:j + 64]), j + 64
                 else:
@@ -465,6 +467,8 @@ def _decode_jpeg(content: bytes) -> list[list[float]]:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF segment")
             comps = [(seg[6 + 3 * c], seg[7 + 3 * c] >> 4,
                       seg[7 + 3 * c] & 15, seg[8 + 3 * c])
                      for c in range(nc)]
@@ -479,6 +483,8 @@ def _decode_jpeg(content: bytes) -> list[list[float]]:
                 tc, th = seg[j] >> 4, seg[j] & 15
                 bits = seg[j + 1:j + 17]
                 n = sum(bits)
+                if len(bits) < 16 or len(seg) < j + 17 + n:
+                    raise ValueError("truncated JPEG DHT segment")
                 tab = _jpeg_huff_table(bits, seg[j + 17:j + 17 + n])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 j += 17 + n
@@ -487,14 +493,34 @@ def _decode_jpeg(content: bytes) -> list[list[float]]:
         elif m == 0xDA:                            # SOS
             ns = seg[0]
             ids = {cid: k for k, (cid, _, _, _) in enumerate(comps)}
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS header")
             for s in range(ns):
                 cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                if cid not in ids:
+                    raise ValueError(
+                        f"JPEG scan references undeclared component {cid}")
                 scan.append((ids[cid], tt >> 4, tt & 15))
             data_at = i + 2 + ln
             break
         i += 2 + ln
     if not comps or data_at < 0 or w <= 0 or h <= 0:
         raise ValueError("JPEG missing SOF/SOS headers")
+    # referenced-table validation: corrupt headers must fail HERE with the
+    # corrupt-bytes taxonomy, not as a KeyError deep in the MCU loop (the
+    # quarantine status string carries the exception class as the
+    # missing-codec vs corrupt-data signal)
+    for ci, dc_id, ac_id in scan:
+        if dc_id not in dc_tabs or ac_id not in ac_tabs:
+            raise ValueError(
+                f"JPEG scan references undefined huffman table "
+                f"(dc={dc_id}, ac={ac_id})")
+    for _, ch, cv, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"JPEG component references undefined "
+                             f"quantization table {tq}")
+        if ch <= 0 or cv <= 0 or ch > 4 or cv > 4:
+            raise ValueError(f"JPEG bad sampling factors {ch}x{cv}")
 
     # entropy segment: unstuff FF00, record restart boundaries (byte
     # offsets in the UNSTUFFED stream), stop at any other marker
@@ -522,6 +548,14 @@ def _decode_jpeg(content: bytes) -> list[list[float]]:
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # plausibility guard BEFORE the luma-plane allocation: every MCU costs
+    # >= 2 entropy bits (DC code + EOB per block), so corrupted SOF
+    # dimensions (e.g. a burst flip declaring 65535x65535) fail here as
+    # corrupt bytes instead of attempting a multi-GB allocation
+    if mcux * mcuy > 4 * len(raw) + 1024:
+        raise ValueError(
+            f"JPEG entropy stream ({len(raw)} bytes) too short for the "
+            f"declared {w}x{h} dimensions — corrupt header")
     # IDCT basis: M[x, u] = c(u)/2 * cos((2x+1)u*pi/16)
     u = np.arange(8)
     x = np.arange(8)
