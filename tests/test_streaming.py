@@ -456,6 +456,18 @@ def test_embedding_dedup_ingest_batch_and_replay(spark, tmp_path):
     assert published() == surv
     assert spark.read.parquet(f"{idx}/lists").count() == n_lists
 
+    # blas=True (the real-dims production probe, 2.8x at dim 768): same
+    # survivors on a fresh index — with r8's lexsort tie-break the kernel
+    # is batch-split-deterministic, and away from threshold-boundary
+    # pairs it is decision-identical to the fold
+    idx2 = str(tmp_path / "ivf_ing_blas")
+    out2 = str(tmp_path / "out_ing_blas")
+    V.ivf_index_build(emb.filter(F.col("vec_id") < 300), idx2, n_cells=4)
+    SJ.embedding_dedup_ingest_batch(b0, 0, idx2, out2, threshold=0.999,
+                                    n_probe=4, blas=True)
+    assert {r["vec_id"]
+            for r in spark.read.parquet(out2).collect()} == surv
+
 
 def test_stream_embedding_dedup_ingest_runs(spark, tmp_path):
     from thewhisperdb_spark.operators import vectors as V

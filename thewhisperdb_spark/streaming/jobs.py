@@ -471,7 +471,8 @@ def embedding_dedup_ingest_batch(df: DataFrame, batch_id: int,
                                  threshold: float = 0.99, n_probe: int = 4,
                                  id_col: str = "vec_id",
                                  vec_col: str = "embedding",
-                                 quality_col: str | None = None) -> None:
+                                 quality_col: str | None = None,
+                                 blas: bool = False) -> None:
     """The EMBEDDING twin of ``dedup_ingest_batch`` — the daily loop for
     vector corpora (embedding-level semantic dedup against an
     ever-growing persisted IVF index): probe the index for cosine >= θ
@@ -491,7 +492,15 @@ def embedding_dedup_ingest_batch(df: DataFrame, batch_id: int,
     ``quality_col``: same policy as the text loop — within-batch dup
     groups keep their HIGHEST-``quality_col`` member (id tiebreak) via
     ``pick_survivors`` instead of the min-id canonical keep (keep the
-    best-scored variant of a near-identical embedding cluster)."""
+    best-scored variant of a near-identical embedding cluster).
+
+    ``blas``: run the probe through the broadcast-probe Arrow BLAS
+    kernel — the production setting at real embedding dims (2.8x at
+    dim 768, BASELINE.md), same neighbors and tie rule since r8's
+    lexsort fix. Default stays the sequential fold because the driver
+    oracle re-derives its sims bit-for-bit; the only divergence is
+    last-ulp float summation order, which can flip a pair sitting
+    EXACTLY on the threshold."""
     from thewhisperdb_spark.operators.dedup import (
         near_dup_groups, pick_survivors)
     from thewhisperdb_spark.operators.vectors import (
@@ -502,7 +511,7 @@ def embedding_dedup_ingest_batch(df: DataFrame, batch_id: int,
     spark = df.sparkSession
     df = df.localCheckpoint(eager=True)
     hits = (ivf_index_probe(spark, index_path, df, k=1, n_probe=n_probe,
-                            q_id=id_col, vec_col=vec_col)
+                            q_id=id_col, vec_col=vec_col, blas=blas)
             .filter(F.col("similarity") >= threshold)
             .select(F.col("query_id").alias(id_col)).distinct())
     fresh = df.join(hits, id_col, "left_anti").localCheckpoint(eager=True)
@@ -531,15 +540,18 @@ def stream_embedding_dedup_ingest(stream: DataFrame, index_path: str,
                                   threshold: float = 0.99, n_probe: int = 4,
                                   id_col: str = "vec_id",
                                   vec_col: str = "embedding",
-                                  quality_col: str | None = None):
+                                  quality_col: str | None = None,
+                                  blas: bool = False):
     """``embedding_dedup_ingest_batch`` per micro-batch under a streaming
     checkpoint — the vector-corpus daily-crawl loop as one streaming job.
-    Returns the started StreamingQuery (availableNow drains and stops)."""
+    Returns the started StreamingQuery (availableNow drains and stops).
+    ``blas=True`` = the Arrow-BLAS probe kernel (the real-dims production
+    setting; see the batch function's trade-off note)."""
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         embedding_dedup_ingest_batch(
             batch_df, batch_id, index_path, survivors_dir,
             threshold=threshold, n_probe=n_probe, id_col=id_col,
-            vec_col=vec_col, quality_col=quality_col)
+            vec_col=vec_col, quality_col=quality_col, blas=blas)
 
     return (stream.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
