@@ -888,4 +888,14 @@ def test_lsh_index_probe_serves_during_claim_window(spark, tmp_path):
     wm(-1, "interloper")
     with pytest.raises(ValueError, match="in-progress"):
         D.lsh_index_probe(spark, path, batch)
+    # ... and a NEW CLAIM must refuse to stamp a valid version over it
+    # (resurrecting another writer's in-progress sentinel would unblind
+    # readers onto a possibly-torn state — code-review r8 finding): the
+    # claim raises BEFORE writing, leaving the -1 exactly as it was
+    with pytest.raises(ValueError, match="data-write bracket"):
+        claim_sentinel(spark, f"{path}/meta", wm,
+                       D.LSH_INDEX_FORMAT_VERSION)
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert row["format_version"] == -1
+    assert row["writer_token"] == "interloper"
     wm(D.LSH_INDEX_FORMAT_VERSION)

@@ -40,6 +40,45 @@ def drop_exact_duplicates(df: DataFrame, id_col: str = "doc_id",
     return df.join(keep, [text_col, id_col])
 
 
+def _shingle_cooccurrence(sh: DataFrame,
+                          max_df: int | None) -> DataFrame:
+    """(a, b, inter) pair-intersection counts from an exploded (id, sh)
+    shingle table — the Σ df(shingle)² inverted-index kernel shared by
+    Jaccard and containment scoring. With ``max_df``, shingles whose
+    document frequency exceeds it are excluded from CANDIDATE GENERATION
+    only; each surviving candidate pair is then re-scored with its exact
+    intersection over the FULL shingle sets, so reported counts are never
+    approximated (the cap's exactness guarantee lives in ONE place —
+    see shingle_jaccard_pairs for the recall analysis)."""
+    if max_df is None:
+        return (
+            sh.alias("x").join(sh.alias("y"),
+                               (F.col("x.sh") == F.col("y.sh"))
+                               & (F.col("x.id") < F.col("y.id")))
+            .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > int(max_df)).select("sh"))
+    rare = sh.join(hot, "sh", "left_anti")
+    cand = (
+        rare.alias("x").join(rare.alias("y"),
+                             (F.col("x.sh") == F.col("y.sh"))
+                             & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    # exact re-score over the full shingle sets, restricted to the
+    # (bounded) candidate pairs — Σ over candidates of |A| join rows
+    return (
+        cand.join(sh.alias("x"), cand["a"] == F.col("x.id"))
+        .join(sh.alias("y"),
+              (cand["b"] == F.col("y.id")) & (F.col("x.sh") == F.col("y.sh")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 def shingle_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.9,
                           id_col: str = "doc_id", text_col: str = "text",
                           max_df: int | None = None) -> DataFrame:
@@ -63,32 +102,7 @@ def shingle_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.9,
     sh = df.select(F.col(id_col).alias("id"),
                    F.explode(char_ngrams(F.col(text_col), n)).alias("sh"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_df is None:
-        co = (
-            sh.alias("x").join(sh.alias("y"),
-                               (F.col("x.sh") == F.col("y.sh")) & (F.col("x.id") < F.col("y.id")))
-            .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-    else:
-        hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-               .filter(F.col("df") > int(max_df)).select("sh"))
-        rare = sh.join(hot, "sh", "left_anti")
-        cand = (
-            rare.alias("x").join(rare.alias("y"),
-                                 (F.col("x.sh") == F.col("y.sh")) & (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-            .distinct()
-        )
-        # exact re-score over the full shingle sets, restricted to the
-        # (bounded) candidate pairs — Σ over candidates of |A| join rows
-        co = (
-            cand.join(sh.alias("x"), cand["a"] == F.col("x.id"))
-            .join(sh.alias("y"),
-                  (cand["b"] == F.col("y.id")) & (F.col("x.sh") == F.col("y.sh")))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
+    co = _shingle_cooccurrence(sh, max_df)
     out = (
         co.join(sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("na")), "a")
         .join(sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("nb")), "b")
@@ -127,33 +141,7 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
                    F.explode(word_ngrams(F.col(text_col), shingle_n))
                    .alias("sh"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_df is None:
-        co = (
-            sh.alias("x").join(sh.alias("y"),
-                               (F.col("x.sh") == F.col("y.sh"))
-                               & (F.col("x.id") < F.col("y.id")))
-            .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-    else:
-        hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-               .filter(F.col("df") > int(max_df)).select("sh"))
-        rare = sh.join(hot, "sh", "left_anti")
-        cand = (
-            rare.alias("x").join(rare.alias("y"),
-                                 (F.col("x.sh") == F.col("y.sh"))
-                                 & (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-            .distinct()
-        )
-        co = (
-            cand.join(sh.alias("x"), cand["a"] == F.col("x.id"))
-            .join(sh.alias("y"),
-                  (cand["b"] == F.col("y.id"))
-                  & (F.col("x.sh") == F.col("y.sh")))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
+    co = _shingle_cooccurrence(sh, max_df)
     return (
         co.join(sizes.select(F.col("id").alias("a"),
                              F.col("n_sh").alias("size_a")), "a")

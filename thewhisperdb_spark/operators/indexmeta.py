@@ -56,16 +56,24 @@ class ClaimLostError(ValueError):
     writer has written NOTHING and must not re-stamp the sentinel."""
 
 
-def _read_token(spark, meta_dir: str):
+def _read_meta(spark, meta_dir: str):
+    """(format_version, writer_token) of the current sentinel."""
     try:
         rows = spark.read.parquet(meta_dir).collect()
-        return rows[0].asDict().get("writer_token") if rows else None
+        if not rows:
+            return None, None
+        d = rows[0].asDict()
+        return d.get("format_version"), d.get("writer_token")
     except Exception as e:  # torn meta from physically interleaved writes
         raise ValueError(
             f"index meta at {meta_dir} is unreadable under a writer claim "
             "— a concurrent writer interleaved with this one; re-stamp via "
             "a rebuild and serialize writers (single-writer contract)"
         ) from e
+
+
+def _read_token(spark, meta_dir: str):
+    return _read_meta(spark, meta_dir)[1]
 
 
 def claim_sentinel(spark, meta_dir: str,
@@ -78,7 +86,26 @@ def claim_sentinel(spark, meta_dir: str,
     both fields. Returns the token (pass it to ``verify_claim`` /
     ``release_claim``); raises ``ValueError`` if another writer's token
     (or a torn meta) is observed — in which case THIS writer has written
-    nothing yet and the index data is untouched."""
+    nothing yet and the index data is untouched.
+
+    The claim NEVER overwrites an in-progress ``-1`` sentinel: another
+    writer is inside (or crashed inside) its data-write bracket, and
+    re-stamping a valid version over it would unblind readers onto a torn
+    state — the exact silent corruption the bracket exists to make loud.
+    A FOREIGN token under a VALID version is claimed over, deliberately:
+    it is either a writer still in its (side-effect-free) delta phase —
+    which will lose its own ``verify_claim`` having written nothing — or
+    the leftover of a writer that crashed mid-compute, which must not
+    deadlock the index forever. The pre-write read shrinks but cannot
+    close the read/write race window on a non-atomic store; that residual
+    is the documented operator-error regime."""
+    pre_ver, _ = _read_meta(spark, meta_dir)
+    if pre_ver == -1:
+        raise ValueError(
+            f"index at {meta_dir} is inside another writer's data-write "
+            "bracket (format_version -1): claiming over it would unblind "
+            "readers onto a possibly-torn state; wait for the writer or "
+            "rebuild if it crashed")
     token = uuid.uuid4().hex
     write_meta(version, token)
     seen = _read_token(spark, meta_dir)
@@ -111,10 +138,14 @@ def verify_claim(spark, meta_dir: str, token: str) -> None:
 def release_claim(spark, meta_dir: str, write_meta: Callable[..., None],
                   token: str, version: int) -> None:
     """Release a claim after a failed delta computation: re-stamp the
-    valid ``version`` (clearing the token) ONLY if the token is still this
-    writer's — a newer claimant's sentinel is never stomped. Swallows
-    readback errors (a torn meta already fails the gate loudly; releasing
-    is best-effort cleanup on an error path)."""
+    valid ``version`` (clearing the token) only if the token read back is
+    still this writer's. BEST-EFFORT: the read-then-write pair is not
+    atomic, so a claimant landing inside that window can still be
+    stomped — it then fails its own ``verify_claim`` loudly having
+    written nothing (abort, not corruption), the same residual-race
+    regime as the claim write/readback itself. Swallows readback errors
+    (a torn meta already fails the gate loudly; releasing is best-effort
+    cleanup on an error path)."""
     try:
         seen = _read_token(spark, meta_dir)
     except ValueError:

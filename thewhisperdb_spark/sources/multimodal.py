@@ -433,6 +433,9 @@ def _decode_jpeg(content: bytes) -> list[list[float]]:
         if content[i] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at byte {i}")
         m = content[i + 1]
+        if m == 0xFF:                              # T.81 B.1.1.2 fill byte
+            i += 1
+            continue
         if m == 0xD9:
             break
         if m == 0x01 or 0xD0 <= m <= 0xD7:
@@ -460,6 +463,8 @@ def _decode_jpeg(content: bytes) -> list[list[float]]:
                     t[z] = vals[k]
                 qt[tq] = t.reshape(8, 8)
         elif m in (0xC0, 0xC1):                    # SOF0 / SOF1 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             if seg[0] != 8:
                 raise NotImplementedError(
                     f"{seg[0]}-bit JPEG: inject a codec (built-in handles "
@@ -491,10 +496,21 @@ def _decode_jpeg(content: bytes) -> list[list[float]]:
         elif m == 0xDD:                            # DRI
             dri = int.from_bytes(seg[:2], "big")
         elif m == 0xDA:                            # SOS
+            if len(seg) < 1:
+                raise ValueError("truncated JPEG SOS header")
             ns = seg[0]
             ids = {cid: k for k, (cid, _, _, _) in enumerate(comps)}
             if len(seg) < 1 + 2 * ns:
                 raise ValueError("truncated JPEG SOS header")
+            # one fully-interleaved scan is the baseline shape this
+            # decoder implements; spec-legal non-interleaved multi-scan
+            # files use per-component raster order — route them to the
+            # missing-codec gate instead of decoding a scrambled raster
+            if ns != len(comps):
+                raise NotImplementedError(
+                    f"non-interleaved JPEG scan ({ns} of {len(comps)} "
+                    "components): inject a codec (built-in handles one "
+                    "fully-interleaved baseline scan)")
             for s in range(ns):
                 cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]
                 if cid not in ids:
@@ -537,6 +553,8 @@ def _decode_jpeg(content: bytes) -> list[list[float]]:
         if nxt == 0x00:
             raw.append(0xFF)
             j += 2
+        elif nxt == 0xFF:                          # fill byte before marker
+            j += 1
         elif 0xD0 <= nxt <= 0xD7:
             restarts.add(len(raw))
             j += 2
@@ -548,14 +566,23 @@ def _decode_jpeg(content: bytes) -> list[list[float]]:
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # plausibility guard BEFORE the luma-plane allocation: every MCU costs
-    # >= 2 entropy bits (DC code + EOB per block), so corrupted SOF
+    # plausibility guards BEFORE the luma-plane allocation: every MCU
+    # costs >= 2 entropy bits (DC code + EOB per block), so corrupted SOF
     # dimensions (e.g. a burst flip declaring 65535x65535) fail here as
-    # corrupt bytes instead of attempting a multi-GB allocation
+    # corrupt bytes instead of attempting a multi-GB allocation — and the
+    # ratio alone is not enough on LARGE files (a 20 MB stream "affords"
+    # 80M MCUs), so an absolute output-plane cap backs it up. 64 MP
+    # covers essentially all crawled web images; beyond it, route to the
+    # injected-codec gate (a streaming decoder), not a row-sized
+    # allocation inside an Arrow batch.
     if mcux * mcuy > 4 * len(raw) + 1024:
         raise ValueError(
             f"JPEG entropy stream ({len(raw)} bytes) too short for the "
             f"declared {w}x{h} dimensions — corrupt header")
+    if w * h > 64_000_000:
+        raise NotImplementedError(
+            f"{w}x{h} JPEG exceeds the built-in decoder's 64 MP plane "
+            "cap: inject a streaming codec for very large images")
     # IDCT basis: M[x, u] = c(u)/2 * cos((2x+1)u*pi/16)
     u = np.arange(8)
     x = np.arange(8)

@@ -207,6 +207,9 @@ def main():
     args = sys.argv[1:]
     if "--copies" in args:
         copies = int(args[args.index("--copies") + 1])
+    if copies < 2:
+        raise SystemExit("--copies must be >= 2 (the exponent divides by "
+                         "log(copies)); use the unit tests for smoke runs")
     if "--out" in args:
         out_path = args[args.index("--out") + 1]
     if "--only" in args:
