@@ -706,6 +706,46 @@ def test_jpeg_decoder_baseline_roundtrip_and_gates():
     with pytest.raises(NotImplementedError, match="12-bit"):
         _decode_jpeg(data[:at] + b"\x0c" + data[at + 1:])
 
+    # T.81 A.2.2 (code-review r8): a ONE-component scan is non-interleaved
+    # — MCU = one 8x8 block in raster order REGARDLESS of declared
+    # sampling factors. Patching this grayscale fixture's sampling byte
+    # 0x11 -> 0x22 yields a spec-valid file whose correct decode is
+    # IDENTICAL (1x1-interleaved MCU order == raster order); honoring the
+    # factors as interleave geometry would block-scramble it.
+    samp_at = data.index(b"\xff\xc0") + 11  # ln(2)+prec(1)+h(2)+w(2)+nc(1)+id(1)
+    assert data[samp_at] == 0x11
+    patched = data[:samp_at] + b"\x22" + data[samp_at + 1:]
+    assert _decode_jpeg(patched) == img
+    # spec-legal 0xFF fill bytes before markers decode identically too
+    assert _decode_jpeg(data[:2] + b"\xff\xff" + data[2:]) == img
+
+    # 4-component (Adobe CMYK/YCCK) routes to the missing-codec gate —
+    # the first channel is NOT luma; returning it silently would poison
+    # features. Synthesize: fixture's DQT+DHT segments + 4-comp SOF/SOS.
+    def seg_of(marker):
+        a = data.index(marker)
+        ln = int.from_bytes(data[a + 2:a + 4], "big")
+        return data[a:a + 2 + ln]
+
+    dqt = seg_of(b"\xff\xdb")
+    dhts = b""
+    a = 0
+    while True:
+        a = data.find(b"\xff\xc4", a)
+        if a < 0:
+            break
+        ln = int.from_bytes(data[a + 2:a + 4], "big")
+        dhts += data[a:a + 2 + ln]
+        a += 2 + ln
+    sof4 = (b"\xff\xc0" + (2 + 6 + 12).to_bytes(2, "big") + b"\x08"
+            + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + b"\x04"
+            + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00\x04\x11\x00")
+    sos4 = (b"\xff\xda" + (2 + 1 + 8 + 3).to_bytes(2, "big") + b"\x04"
+            + b"\x01\x00\x02\x00\x03\x00\x04\x00" + b"\x00\x3f\x00")
+    cmyk = b"\xff\xd8" + dqt + dhts + sof4 + sos4 + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="CMYK"):
+        _decode_jpeg(cmyk)
+
 
 def test_jpeg_decoder_fuzz_never_leaks_foreign_exceptions():
     """Quarantine-taxonomy fuzz: corrupt JPEGs must surface as ValueError

@@ -621,6 +621,51 @@ def test_ivf_blas_scoring_matches_exact_fold(spark, tmp_path):
     assert "Exchange" not in scan_to_map, plan
 
 
+def test_ivf_probe_schema_stable_cold_vs_warm(spark, tmp_path):
+    """Code-review r8: the probe's neighbor_id type must not flip between
+    the EMPTY and populated states of the same index when query and
+    corpus id types differ — build records the corpus id type in meta, so
+    the cold-start empty frame carries it."""
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    path = str(tmp_path / "cold_ivf")
+    V.ivf_index_build(emb.limit(0), path, n_cells=2)   # empty build
+    q = spark.createDataFrame([(7, [1.0, 0.0])],
+                              "vec_id int, embedding array<float>")
+    cold = V.ivf_index_probe(spark, path, q, k=3, n_probe=2)
+    assert cold.count() == 0
+    assert cold.schema["neighbor_id"].dataType.simpleString() == "bigint"
+    V.ivf_index_build(emb, path, n_cells=2)            # now populated
+    warm = V.ivf_index_probe(spark, path, q, k=3, n_probe=2)
+    assert warm.schema["neighbor_id"].dataType.simpleString() == "bigint"
+    assert warm.count() == 3
+
+
+def test_ivf_rebalance_claims_before_reading(spark, tmp_path):
+    """Code-review r8: rebalance must CLAIM before its corpus
+    read/checkpoint (the longest delta window of any mutation) — pinned
+    structurally: a foreign in-progress -1 sentinel refuses the rebalance
+    up front, and after a successful rebalance the sentinel is stamped
+    valid with no leftover token."""
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 100)
+    path = str(tmp_path / "reb_ivf")
+    V.ivf_index_build(emb, path, n_cells=4)
+    wm = V._ivf_meta_writer(spark, path)
+    wm(-1, "other-writer")
+    with pytest.raises(ValueError, match="in-progress"):
+        V.ivf_index_rebalance(spark, path, max_iter=1)
+    wm(V.INDEX_FORMAT_VERSION)
+    V.ivf_index_rebalance(spark, path, max_iter=1)
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert row["format_version"] == V.INDEX_FORMAT_VERSION
+    assert row["writer_token"] is None
+    assert spark.read.parquet(f"{path}/lists").count() == 100
+
+
 def test_ivf_blas_tie_break_on_duplicate_vectors(spark, tmp_path):
     """ADVICE r7 (medium): exact-duplicate vectors — the core dedup
     workload — are ALL ties at the k boundary. The blas kernel's local

@@ -990,12 +990,13 @@ def ann_lsh_pairs(embeddings: DataFrame, threshold: float, dim: int,
 INDEX_FORMAT_VERSION = 2
 
 
-def _check_index_version(spark, path: str) -> None:
+def _check_index_version(spark, path: str) -> dict:
     """Raise loudly when probing/appending an index whose on-disk format
     version doesn't match this module (or that predates versioning).
     Only a MISSING meta is translated into the rebuild message — transient
     IO/permission/corruption errors propagate with their real cause, so a
-    healthy index never gets misdiagnosed as pre-versioning."""
+    healthy index never gets misdiagnosed as pre-versioning. Returns the
+    meta row as a dict (``id_type`` may be absent on pre-r8 metas)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -1017,17 +1018,31 @@ def _check_index_version(spark, path: str) -> None:
             f"IVF index at {path} is format v{ver}, this build writes "
             f"v{INDEX_FORMAT_VERSION}; sketches across versions do not "
             "compare equal — rebuild with ivf_index_build")
+    return meta[0].asDict() if meta else {}
 
 
-def _ivf_meta_writer(spark, path: str):
-    """One meta writer shared by build/append/delete so the sentinel
-    protocol is spelled identically at every site; ``token`` carries the
-    writer claim for ``indexmeta.claim_sentinel`` (single-writer
-    enforcement), cleared by the final stamp."""
+def _ivf_meta_writer(spark, path: str, id_type: str | None = None):
+    """One meta writer shared by build/append/delete/rebalance so the
+    sentinel protocol is spelled identically at every site; ``token``
+    carries the writer claim for ``indexmeta.claim_sentinel``
+    (single-writer enforcement), cleared by the final stamp. ``id_type``
+    (recorded by build since r8) lets the probe's cold-start empty frames
+    carry the CORPUS id type — without it an empty index would type
+    neighbor_id from the query side, flipping the probe's output schema
+    between cold and warm states. None preserves whatever the at-rest
+    meta already records (or omits, on pre-r8 metas)."""
+    if id_type is None:
+        try:
+            rows = spark.read.parquet(f"{path}/meta").collect()
+            id_type = rows[0].asDict().get("id_type") if rows else None
+        except Exception:
+            id_type = None
+
     def write_meta(version: int, token: str | None = None) -> None:
         (spark.createDataFrame(
-            [(version, "md5-min-v2", token)],
-            "format_version int, hash_scheme string, writer_token string")
+            [(version, "md5-min-v2", id_type, token)],
+            "format_version int, hash_scheme string, id_type string, "
+            "writer_token string")
          .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
     return write_meta
 
@@ -1046,7 +1061,9 @@ def ivf_index_build(corpus: DataFrame, path: str, n_cells: int = 16,
     assigned, cents = ivf_assign(corpus, n_cells, id_col, vec_col,
                                  centroids=centroids)
     spark = corpus.sparkSession
-    write_meta = _ivf_meta_writer(spark, path)
+    write_meta = _ivf_meta_writer(
+        spark, path,
+        id_type=corpus.schema[id_col].dataType.simpleString())
     # meta is the build-completion sentinel: invalidate it FIRST (version
     # -1), write the data, then stamp the real version LAST — a build that
     # dies anywhere in between leaves an index that loudly FAILS the
@@ -1080,16 +1097,20 @@ def ivf_index_probe(spark, path: str, queries: DataFrame, k: int,
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
-    _check_index_version(spark, path)
+    meta = _check_index_version(spark, path)
+    qt = queries.schema[q_id].dataType.simpleString()
+    # cold-start empty frames carry the CORPUS id type from meta (r8):
+    # the probe's output schema must not flip between the empty and
+    # populated states of the same index. Pre-r8 metas lack the column —
+    # fall back to the query type, the old behavior.
+    nt = meta.get("id_type") or qt
     try:
         cents = spark.read.parquet(f"{path}/centroids")
     except AnalysisException:
         # cold start (index built over an empty corpus): no centroids, so
-        # every query's neighbor set is vacuously empty — return a typed
-        # empty frame (query id type taken from the queries side)
-        qt = queries.schema[q_id].dataType.simpleString()
+        # every query's neighbor set is vacuously empty
         return spark.createDataFrame(
-            [], f"query_id {qt}, neighbor_id {qt}, similarity double, "
+            [], f"query_id {qt}, neighbor_id {nt}, similarity double, "
                 "rank int")
     cent_u = with_unit_vector(cents, "cvec", "cu").select("cell", "cu")
     q_u = with_unit_vector(
@@ -1113,9 +1134,8 @@ def ivf_index_probe(spark, path: str, queries: DataFrame, k: int,
         # lists are hive-partitioned, so an empty build leaves NO parts to
         # infer from even though the (unpartitioned) centroids file reads —
         # same cold-start case as above
-        qt = queries.schema[q_id].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"query_id {qt}, neighbor_id {qt}, similarity double, "
+            [], f"query_id {qt}, neighbor_id {nt}, similarity double, "
                 "rank int")
     corp_u = with_unit_vector(
         lists.select(F.col("vec_id").alias("neighbor_id"),
@@ -1360,18 +1380,42 @@ def ivf_index_rebalance(spark, path: str, max_iter: int = 3,
     protocol, so a rebalance that dies mid-rewrite leaves an index that
     loudly fails the version gate. The corpus is localCheckpointed first
     (the rewrite cannot stream from the files it overwrites). Ids and
-    row count are preserved exactly; only cell membership moves."""
+    row count are preserved exactly; only cell membership moves.
+
+    CLAIM-FIRST like every other mutation (code-review r8): the corpus
+    read/checkpoint and the multi-iteration Lloyd refinement — the
+    LONGEST delta window of any index mutation — run under the writer
+    claim, so an append committing mid-rebalance either loses its own
+    claim or makes this rebalance lose its re-verify; a rebalance that
+    read before claiming would silently erase that append in its
+    overwrite. Probes keep serving throughout (the claim keeps the
+    version valid; only ivf_index_build's rewrite brackets with -1)."""
     from pyspark.errors import AnalysisException
 
     _check_index_version(spark, path)
+    write_meta = _ivf_meta_writer(spark, path)
+    meta_dir = f"{path}/meta"
+    token = claim_sentinel(spark, meta_dir, write_meta,
+                           INDEX_FORMAT_VERSION)
     try:
-        cents = spark.read.parquet(f"{path}/centroids")
-        init = [(int(r["cell"]), list(r["cvec"])) for r in cents.collect()]
-        corpus = (spark.read.parquet(f"{path}/lists")
-                  .select(id_col, vec_col).localCheckpoint(eager=True))
-    except AnalysisException:
-        return  # cold start: nothing to rebalance, index left untouched
-    refreshed = kmeans_fit(corpus, k=len(init), max_iter=max_iter,
-                           id_col=id_col, vec_col=vec_col, init=init)
+        try:
+            cents = spark.read.parquet(f"{path}/centroids")
+            init = [(int(r["cell"]), list(r["cvec"]))
+                    for r in cents.collect()]
+            corpus = (spark.read.parquet(f"{path}/lists")
+                      .select(id_col, vec_col).localCheckpoint(eager=True))
+        except AnalysisException:
+            # cold start: nothing to rebalance, index left untouched
+            release_claim(spark, meta_dir, write_meta, token,
+                          INDEX_FORMAT_VERSION)
+            return
+        refreshed = kmeans_fit(corpus, k=len(init), max_iter=max_iter,
+                               id_col=id_col, vec_col=vec_col, init=init)
+        refreshed = refreshed.localCheckpoint(eager=True)
+    except Exception:
+        release_claim(spark, meta_dir, write_meta, token,
+                      INDEX_FORMAT_VERSION)      # nothing written
+        raise
+    verify_claim(spark, meta_dir, token)
     ivf_index_build(corpus, path, n_cells=len(init), id_col=id_col,
                     vec_col=vec_col, centroids=refreshed)

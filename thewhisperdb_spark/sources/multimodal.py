@@ -537,6 +537,20 @@ def _decode_jpeg(content: bytes) -> list[list[float]]:
                              f"quantization table {tq}")
         if ch <= 0 or cv <= 0 or ch > 4 or cv > 4:
             raise ValueError(f"JPEG bad sampling factors {ch}x{cv}")
+    if len(comps) > 3:
+        # Adobe CMYK/YCCK: baseline-legal but the first channel is NOT
+        # luma (and is typically stored inverted) — silently returning it
+        # as grayscale would poison features/dedup; missing-codec gate
+        raise NotImplementedError(
+            f"{len(comps)}-component (CMYK/YCCK) JPEG: inject a codec "
+            "(built-in handles 1- and 3-component baseline)")
+    if len(comps) == 1:
+        # T.81 A.2.2: a one-component scan is NON-interleaved — the MCU is
+        # a single 8x8 data unit in raster order, regardless of the
+        # component's declared sampling factors (jpegtran -grayscale
+        # keeps the source's 2x2 Y factors; honoring them as interleave
+        # geometry block-scrambles the raster)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
 
     # entropy segment: unstuff FF00, record restart boundaries (byte
     # offsets in the UNSTUFFED stream), stop at any other marker
