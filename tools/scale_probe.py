@@ -134,6 +134,7 @@ def build_graph(spark, out_dir: str, copies: int) -> None:
 PROBE_INPUTS = {
     "minhash_lsh_dedup": "documents", "winnowing_fingerprints": "documents",
     "decontaminate_train_test": "documents",
+    "containment_dedup_pairs": "documents",
     "price_quantiles_kmv_sample": "lineitem",
     "part_cooccurrence_top": "lineitem", "ivf_knn": "embeddings",
     "cc_kernel": "graph", "pagerank_kernel": "graph", "bfs_kernel": "graph",
@@ -175,8 +176,8 @@ def probes(spark, d: str, copies: int) -> dict:
 
     qs = entrymod.queries()
     reg = ["minhash_lsh_dedup", "winnowing_fingerprints",
-           "decontaminate_train_test", "price_quantiles_kmv_sample",
-           "part_cooccurrence_top", "ivf_knn"]
+           "decontaminate_train_test", "containment_dedup_pairs",
+           "price_quantiles_kmv_sample", "part_cooccurrence_top", "ivf_knn"]
     out = {k: (lambda k=k: qs[k](spark, d)) for k in reg}
 
     def edges():
