@@ -884,6 +884,16 @@ def test_lsh_index_probe_serves_during_claim_window(spark, tmp_path):
                   D.LSH_INDEX_FORMAT_VERSION)  # no-op: not A's claim
     assert spark.read.parquet(f"{path}/meta").collect()[0][
         "writer_token"] == "interloper"
+    # a writer that CRASHED mid-compute leaves (valid version, its token):
+    # the next mutation must claim over it — refusing would deadlock the
+    # index forever on a dead writer's leftovers — and complete normally
+    wm(D.LSH_INDEX_FORMAT_VERSION, "crashed-writer-leftover")
+    D.lsh_index_append(spark, path, docs.filter(
+        (F.col("doc_id") >= 30) & (F.col("doc_id") < 33)))
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert row["format_version"] == D.LSH_INDEX_FORMAT_VERSION
+    assert row["writer_token"] is None          # released by the stamp
+    assert D.lsh_index_stats(spark, path).collect()[0]["n_docs"] == 33
     # the -1 bracket (data-write window) still blocks readers loudly
     wm(-1, "interloper")
     with pytest.raises(ValueError, match="in-progress"):
