@@ -799,56 +799,12 @@ def test_containment_pairs_catches_subdocument(spark):
 
 
 def test_lsh_index_single_writer_claim(spark, tmp_path):
-    """The single-writer contract is ENFORCED, not prose: (a) an append
-    against an index whose sentinel is already claimed by another writer
-    fails the in-progress gate up front; (b) a writer that loses the
-    token readback (its claim was overwritten by an interleaving writer)
-    raises having written nothing."""
-    import pytest
-
-    from thewhisperdb_spark.catalog import load_table
-    from thewhisperdb_spark.operators import dedup as D
-    from thewhisperdb_spark.operators.indexmeta import claim_sentinel
-
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
-        .select("doc_id", "text")
-    path = str(tmp_path / "claim_idx")
-    D.lsh_index_build(docs.filter(F.col("doc_id") < 30), path,
-                      n_hashes=16, bands=4, shingle_n=5)
-    wm = D._lsh_meta_writer(spark, path, 16, 4, 5, True, "md5-min-v2",
-                            "bigint")
-    delta = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 35))
-    # (a) another writer holds the claim -> a second append refuses loudly
-    wm(-1, "other-writer-token")
-    with pytest.raises(ValueError, match="in-progress"):
-        D.lsh_index_append(spark, path, delta)
-    # release the claim: the same append now goes through
-    wm(D.LSH_INDEX_FORMAT_VERSION)
-    D.lsh_index_append(spark, path, delta)
-    hits = {(r["batch_id"], r["index_id"]) for r in
-            D.lsh_index_probe(spark, path, delta, threshold=0.99).collect()}
-    assert {(i, i) for i in range(30, 35)} <= hits
-    # (b) direct claim race: persisted token is always foreign (simulating
-    # an interleaved overwrite of the one-file meta) -> the loser raises
-    def stomped(version, token=None):
-        wm(version, "interloper" if token is not None else None)
-    with pytest.raises(ValueError, match="another writer"):
-        claim_sentinel(spark, f"{path}/meta", stomped,
-                       D.LSH_INDEX_FORMAT_VERSION)
-    # the losing claim kept the version VALID (claims no longer blind the
-    # read gate) — probes keep serving the last stamped state even while
-    # the surviving writer holds the claim
-    assert D.lsh_index_probe(spark, path, delta, threshold=0.99).count() > 0
-    wm(D.LSH_INDEX_FORMAT_VERSION)
-    assert D.lsh_index_probe(spark, path, delta, threshold=0.99).count() > 0
-
-
-def test_lsh_index_probe_serves_during_claim_window(spark, tmp_path):
-    """Verdict r7 #3: the writer claim must NOT block readers — a probe
-    issued while an appender holds the claim (the anti-join/signature
-    phase, the long part of every append) serves the last stamped state.
-    Only the data-write window (format_version -1) blocks, and a claim
-    lost mid-compute aborts the writer with nothing written."""
+    """The single-writer contract is ENFORCED, not prose (protocol v3):
+    (a) an append against an index whose sentinel reads -1 (another
+    writer's data-write bracket) fails the gate up front; (b) a claim
+    race is decided newest-wins — the older claimant loses its verify
+    having written nothing; (c) claims NEVER write the sentinel, so the
+    meta row is byte-identical across the whole claim lifecycle."""
     import pytest
 
     from thewhisperdb_spark.catalog import load_table
@@ -858,54 +814,150 @@ def test_lsh_index_probe_serves_during_claim_window(spark, tmp_path):
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
         .select("doc_id", "text")
+    path = str(tmp_path / "claim_idx")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 30), path,
+                      n_hashes=16, bands=4, shingle_n=5)
+    wm = D._lsh_meta_writer(spark, path, 16, 4, 5, True, "md5-min-v2",
+                            "bigint")
+    delta = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 35))
+    # (a) another writer is inside its -1 bracket -> append refuses loudly
+    wm(-1)
+    with pytest.raises(ValueError, match="in-progress"):
+        D.lsh_index_append(spark, path, delta)
+    # bracket closed: the same append now goes through
+    wm(D.LSH_INDEX_FORMAT_VERSION)
+    D.lsh_index_append(spark, path, delta)
+    hits = {(r["batch_id"], r["index_id"]) for r in
+            D.lsh_index_probe(spark, path, delta, threshold=0.99).collect()}
+    assert {(i, i) for i in range(30, 35)} <= hits
+    # (b)+(c) claim race, newest wins; sentinel untouched throughout
+    meta_before = spark.read.parquet(f"{path}/meta").collect()
+    a = claim_sentinel(spark, f"{path}/meta")
+    b = claim_sentinel(spark, f"{path}/meta")   # newer claim wins
+    assert spark.read.parquet(f"{path}/meta").collect() == meta_before
+    with pytest.raises(ClaimLostError):
+        verify_claim(spark, f"{path}/meta", a)  # older claimant loses
+    verify_claim(spark, f"{path}/meta", b)      # winner still owns it
+    # probes served through the whole race (the version stayed valid)
+    assert D.lsh_index_probe(spark, path, delta, threshold=0.99).count() > 0
+    release_claim(spark, f"{path}/meta", b)
+    assert spark.read.parquet(f"{path}/meta").collect() == meta_before
+    assert D.lsh_index_probe(spark, path, delta, threshold=0.99).count() > 0
+
+
+def test_lsh_index_probe_serves_during_claim_window(spark, tmp_path):
+    """Verdict r7 #3: the writer claim must NOT block readers — a probe
+    issued while an appender holds the claim (the anti-join/signature
+    phase, the long part of every append) serves the last stamped state.
+    Only the data-write window (format_version -1) blocks, and a claim
+    lost mid-compute aborts the writer with nothing written. Protocol
+    v3 additions pinned here: a crashed writer's leftover claim FILE
+    cannot deadlock the index (newest wins, the next mutation sweeps
+    it), and a claim over a -1 sentinel refuses without touching it."""
+    import pytest
+
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.operators.indexmeta import (
+        ClaimLostError, _list_claims, claim_sentinel, release_claim,
+        verify_claim)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
     path = str(tmp_path / "claim_live_idx")
     D.lsh_index_build(docs.filter(F.col("doc_id") < 30), path,
                       n_hashes=16, bands=4, shingle_n=5)
     wm = D._lsh_meta_writer(spark, path, 16, 4, 5, True, "md5-min-v2",
                             "bigint")
     batch = docs.filter(F.col("doc_id") < 10)
+    meta_dir = f"{path}/meta"
     # writer A claims (as lsh_index_append does before its anti-join)
-    token = claim_sentinel(spark, f"{path}/meta", wm,
-                           D.LSH_INDEX_FORMAT_VERSION)
+    token = claim_sentinel(spark, meta_dir)
     # mid-claim, BEFORE any data write: the probe works
     hits = D.lsh_index_probe(spark, path, batch, threshold=0.99)
     assert {(r["batch_id"], r["index_id"]) for r in hits.collect()} >= \
         {(i, i) for i in range(10)}
     # ... and so does a second claim-phase reader, the stats row
     assert D.lsh_index_stats(spark, path).collect()[0]["n_docs"] == 30
-    # writer A re-verifies right before its first data write: still owner
-    verify_claim(spark, f"{path}/meta", token)
+    # writer A re-verifies right before its -1 stamp: still owner
+    verify_claim(spark, meta_dir, token)
     # an interloper claims while A computes -> A's re-verify aborts A
-    # with nothing written, and A must NOT restamp over the interloper
-    wm(D.LSH_INDEX_FORMAT_VERSION, "interloper")
+    # with nothing written; the interloper keeps the claim
+    interloper = claim_sentinel(spark, meta_dir)
     with pytest.raises(ClaimLostError):
-        verify_claim(spark, f"{path}/meta", token)
-    release_claim(spark, f"{path}/meta", wm, token,
-                  D.LSH_INDEX_FORMAT_VERSION)  # no-op: not A's claim
-    assert spark.read.parquet(f"{path}/meta").collect()[0][
-        "writer_token"] == "interloper"
-    # a writer that CRASHED mid-compute leaves (valid version, its token):
-    # the next mutation must claim over it — refusing would deadlock the
-    # index forever on a dead writer's leftovers — and complete normally
-    wm(D.LSH_INDEX_FORMAT_VERSION, "crashed-writer-leftover")
+        verify_claim(spark, meta_dir, token)
+    # A's losing verify dropped A's claim file; the interloper's remains
+    assert _list_claims(spark, meta_dir) == [interloper]
+    release_claim(spark, meta_dir, interloper)
+    # a writer that CRASHED mid-compute leaves only its claim FILE: the
+    # next mutation claims over it (newest wins — refusing would deadlock
+    # the index forever on a dead writer's leftovers), completes normally,
+    # and its final sweep removes the leftover
+    claim_sentinel(spark, meta_dir)             # abandoned: never released
     D.lsh_index_append(spark, path, docs.filter(
         (F.col("doc_id") >= 30) & (F.col("doc_id") < 33)))
-    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    row = spark.read.parquet(meta_dir).collect()[0]
     assert row["format_version"] == D.LSH_INDEX_FORMAT_VERSION
-    assert row["writer_token"] is None          # released by the stamp
+    assert _list_claims(spark, meta_dir) == []  # swept by the append
     assert D.lsh_index_stats(spark, path).collect()[0]["n_docs"] == 33
     # the -1 bracket (data-write window) still blocks readers loudly
-    wm(-1, "interloper")
+    wm(-1)
     with pytest.raises(ValueError, match="in-progress"):
         D.lsh_index_probe(spark, path, batch)
-    # ... and a NEW CLAIM must refuse to stamp a valid version over it
-    # (resurrecting another writer's in-progress sentinel would unblind
-    # readers onto a possibly-torn state — code-review r8 finding): the
-    # claim raises BEFORE writing, leaving the -1 exactly as it was
+    # ... and a NEW CLAIM must refuse while the bracket is open (a
+    # mutation layered on top could commit a delta computed over a torn
+    # state); v3 guarantees the refusal cannot itself touch the sentinel
     with pytest.raises(ValueError, match="data-write bracket"):
-        claim_sentinel(spark, f"{path}/meta", wm,
-                       D.LSH_INDEX_FORMAT_VERSION)
-    row = spark.read.parquet(f"{path}/meta").collect()[0]
+        claim_sentinel(spark, meta_dir)
+    row = spark.read.parquet(meta_dir).collect()[0]
     assert row["format_version"] == -1
-    assert row["writer_token"] == "interloper"
+    assert _list_claims(spark, meta_dir) == []  # no claim file leaked
     wm(D.LSH_INDEX_FORMAT_VERSION)
+
+
+def test_claim_cannot_unblind_readers_onto_torn_state(spark, tmp_path):
+    """ADVICE r8 (medium), the exact scenario: writer B's claim lands
+    just before writer A stamps -1 and starts its data writes. Under v2
+    (token stored IN the meta) B's claim write could overwrite the -1
+    with a valid version, unblinding readers onto A's torn mid-append
+    state. Under v3 the orders contradict: A's post-stamp confirm sees
+    B's (earlier) claim file and aborts leaving the loud -1; B's verify
+    then sees the -1 and aborts too — both lose LOUDLY, neither writes
+    data, and at no point does a reader see a valid version over a torn
+    state."""
+    import pytest
+
+    from thewhisperdb_spark.catalog import load_table
+    from thewhisperdb_spark.operators import dedup as D
+    from thewhisperdb_spark.operators.indexmeta import (
+        ClaimLostError, _list_claims, claim_sentinel, confirm_claim,
+        verify_claim)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    path = str(tmp_path / "race_idx")
+    D.lsh_index_build(docs.filter(F.col("doc_id") < 20), path,
+                      n_hashes=16, bands=4, shingle_n=5)
+    wm = D._lsh_meta_writer(spark, path, 16, 4, 5, True, "md5-min-v2",
+                            "bigint")
+    meta_dir = f"{path}/meta"
+    a = claim_sentinel(spark, meta_dir)
+    verify_claim(spark, meta_dir, a)            # A passes its verify
+    b = claim_sentinel(spark, meta_dir)         # B claims in the window
+    # B's claim did NOT touch the sentinel (the v2 failure mode): the
+    # version is still valid and readers still serve
+    assert spark.read.parquet(meta_dir).collect()[0][
+        "format_version"] == D.LSH_INDEX_FORMAT_VERSION
+    wm(-1)                                      # A stamps in-progress
+    with pytest.raises(ClaimLostError, match="left in-progress"):
+        confirm_claim(spark, meta_dir, a)       # A aborts, leaves the -1
+    assert spark.read.parquet(meta_dir).collect()[0]["format_version"] == -1
+    with pytest.raises(ClaimLostError, match="data-write bracket"):
+        verify_claim(spark, meta_dir, b)        # B aborts on the -1 too
+    # both losers dropped their claim files; the -1 is the loud end state
+    assert _list_claims(spark, meta_dir) == []
+    assert spark.read.parquet(meta_dir).collect()[0]["format_version"] == -1
+    wm(D.LSH_INDEX_FORMAT_VERSION)              # operator re-stamp
+    assert D.lsh_index_probe(
+        spark, path, docs.filter(F.col("doc_id") < 5),
+        threshold=0.99).count() > 0

@@ -546,7 +546,8 @@ def test_ivf_index_single_writer_claim_and_delete_type_gate(spark, tmp_path):
     instead of silently anti-join-matching nothing."""
     import pytest
 
-    from thewhisperdb_spark.operators.indexmeta import claim_sentinel
+    from thewhisperdb_spark.operators.indexmeta import (
+        ClaimLostError, claim_sentinel, release_claim, verify_claim)
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
         .select("vec_id", "embedding")
@@ -554,7 +555,7 @@ def test_ivf_index_single_writer_claim_and_delete_type_gate(spark, tmp_path):
     V.ivf_index_build(emb.filter(F.col("vec_id") < 300), path, n_cells=4)
     wm = V._ivf_meta_writer(spark, path)
     delta = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 320))
-    wm(-1, "other-writer-token")
+    wm(-1)
     with pytest.raises(ValueError, match="in-progress"):
         V.ivf_index_append(spark, path, delta)
     with pytest.raises(ValueError, match="in-progress"):
@@ -562,16 +563,16 @@ def test_ivf_index_single_writer_claim_and_delete_type_gate(spark, tmp_path):
             spark, path,
             spark.createDataFrame([(1,)], "vec_id long"))
     wm(V.INDEX_FORMAT_VERSION)
-    V.ivf_index_append(spark, path, delta)        # claim released: works
-    # losing the token readback raises without touching data
-    def stomped(version, token=None):
-        wm(version, "interloper" if token is not None else None)
-    with pytest.raises(ValueError, match="another writer"):
-        claim_sentinel(spark, f"{path}/meta", stomped,
-                       V.INDEX_FORMAT_VERSION)
+    V.ivf_index_append(spark, path, delta)        # bracket closed: works
+    # claim race (v3, newest wins): the older claimant loses its verify
+    # without touching data, and the sentinel stays valid throughout
+    a = claim_sentinel(spark, f"{path}/meta")
+    b = claim_sentinel(spark, f"{path}/meta")
+    with pytest.raises(ClaimLostError, match="another writer"):
+        verify_claim(spark, f"{path}/meta", a)
     # the losing claim kept the version valid: probes serve mid-claim
     assert V.ivf_index_probe(spark, path, delta, k=3, n_probe=4).count() > 0
-    wm(V.INDEX_FORMAT_VERSION)
+    release_claim(spark, f"{path}/meta", b)
     # delete id-type gate: string ids vs long at-rest lists must refuse
     with pytest.raises(ValueError, match="silently match nothing"):
         V.ivf_index_delete(
@@ -647,22 +648,24 @@ def test_ivf_rebalance_claims_before_reading(spark, tmp_path):
     read/checkpoint (the longest delta window of any mutation) — pinned
     structurally: a foreign in-progress -1 sentinel refuses the rebalance
     up front, and after a successful rebalance the sentinel is stamped
-    valid with no leftover token."""
+    valid with no leftover claim file."""
     import pytest
+
+    from thewhisperdb_spark.operators.indexmeta import _list_claims
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
         .select("vec_id", "embedding").filter(F.col("vec_id") < 100)
     path = str(tmp_path / "reb_ivf")
     V.ivf_index_build(emb, path, n_cells=4)
     wm = V._ivf_meta_writer(spark, path)
-    wm(-1, "other-writer")
+    wm(-1)
     with pytest.raises(ValueError, match="in-progress"):
         V.ivf_index_rebalance(spark, path, max_iter=1)
     wm(V.INDEX_FORMAT_VERSION)
     V.ivf_index_rebalance(spark, path, max_iter=1)
     row = spark.read.parquet(f"{path}/meta").collect()[0]
     assert row["format_version"] == V.INDEX_FORMAT_VERSION
-    assert row["writer_token"] is None
+    assert _list_claims(spark, f"{path}/meta") == []
     assert spark.read.parquet(f"{path}/lists").count() == 100
 
 

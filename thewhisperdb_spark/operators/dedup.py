@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from thewhisperdb_spark.operators.indexmeta import (
-    claim_sentinel, release_claim, verify_claim)
+    claim_sentinel, confirm_claim, release_claim, verify_claim)
 from thewhisperdb_spark.operators.text import char_ngrams, tags_of, tokens
 
 
@@ -905,16 +905,15 @@ def _lsh_meta_writer(spark, path: str, n_hashes: int, bands: int,
                      id_type: str):
     """One meta writer shared by build/append/compact so the sentinel
     protocol (invalidate with -1 first, stamp the real version last) is
-    spelled identically at every site. ``token`` carries the writer claim
-    for ``indexmeta.claim_sentinel`` (single-writer enforcement); the
-    final stamp clears it."""
-    def write_meta(version: int, token: str | None = None) -> None:
+    spelled identically at every site. Writer claims live in separate
+    uniquely-named files (``indexmeta`` v3) — the sentinel never carries
+    a token, so a claim can never clobber an in-progress ``-1``."""
+    def write_meta(version: int) -> None:
         (spark.createDataFrame(
             [(version, n_hashes, bands, shingle_n, portable, hash_scheme,
-              id_type, token)],
+              id_type)],
             "format_version int, n_hashes int, bands int, shingle_n int, "
-            "portable boolean, hash_scheme string, id_type string, "
-            "writer_token string")
+            "portable boolean, hash_scheme string, id_type string")
          .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
     return write_meta
 
@@ -959,23 +958,24 @@ def lsh_index_append(spark, path: str, new_df: DataFrame,
     A torn append requires lsh_index_build to recover (documented
     trade-off: the sentinel makes the tear detectable, not repairable).
 
-    SINGLE-WRITER, ENFORCED: the sentinel is claimed with a writer token
-    (``indexmeta.claim_sentinel``) BEFORE the anti-join reads the at-rest
-    signatures — not merely before the data writes — and re-verified
-    (``verify_claim``) immediately before the first data write.
-    Claim-first is what closes the retry-while-running double-write: a
-    retry that fired while the original append was mid-flight either
-    loses the token readback (having written nothing), fails the
-    re-verify, or — claiming after the original stamped — anti-joins a
-    state that already CONTAINS the original's rows and lands as the
-    intended no-op. If the delta computation itself fails under the
-    claim, the claim is released (version restamped) before re-raising.
-    Probes are NOT blocked by the claim: it re-stamps the CURRENT version
-    (readers keep serving the last stamped state through the shingle +
-    anti-join phase, the long part); only the two delta appends
-    themselves sit inside the in-progress ``-1`` bracket — a crash there
-    still leaves the loud gate failure that makes a torn append
-    detectable."""
+    SINGLE-WRITER, ENFORCED: a uniquely-named claim file is PUT
+    (``indexmeta.claim_sentinel``, protocol v3) BEFORE the anti-join reads
+    the at-rest signatures — not merely before the data writes — then the
+    claim is re-verified (``verify_claim``) before the ``-1`` stamp and
+    re-confirmed (``confirm_claim``) after it, immediately before the
+    first data write. Claim-first is what closes the retry-while-running
+    double-write: a retry that fired while the original append was
+    mid-flight either loses the newest-claim check (having written
+    nothing), fails the re-verify/confirm, or — claiming after the
+    original stamped — anti-joins a state that already CONTAINS the
+    original's rows and lands as the intended no-op. If the delta
+    computation itself fails under the claim, the claim file is deleted
+    before re-raising (the sentinel was never touched). Probes are NOT
+    blocked by the claim: it never writes the sentinel (readers keep
+    serving the last stamped state through the shingle + anti-join phase,
+    the long part); only the two delta appends themselves sit inside the
+    in-progress ``-1`` bracket — a crash there still leaves the loud gate
+    failure that makes a torn append detectable."""
     m = _lsh_index_meta(spark, path)
     n_hashes, bands = int(m["n_hashes"]), int(m["bands"])
     sig, _ = _lsh_sig_banded(new_df, n_hashes, bands, int(m["shingle_n"]),
@@ -989,8 +989,7 @@ def lsh_index_append(spark, path: str, new_df: DataFrame,
         spark, path, n_hashes, bands, int(m["shingle_n"]),
         bool(m["portable"]), str(m["hash_scheme"]), str(m["id_type"]))
     meta_dir = f"{path}/meta"
-    token = claim_sentinel(spark, meta_dir, write_meta,
-                           LSH_INDEX_FORMAT_VERSION)
+    token = claim_sentinel(spark, meta_dir)
     try:
         # under the claim: the anti-join must observe every COMMITTED
         # append (the file listing is resolved here, post-claim), and the
@@ -1002,21 +1001,22 @@ def lsh_index_append(spark, path: str, new_df: DataFrame,
                    .localCheckpoint(eager=True))
         if new_sig.isEmpty():
             # fully-replayed batch: nothing to write — release the claim
-            release_claim(spark, meta_dir, write_meta, token,
-                          LSH_INDEX_FORMAT_VERSION)
+            release_claim(spark, meta_dir, token)
             return
         banded = _lsh_band(new_sig, n_hashes, bands).localCheckpoint(
             eager=True)
     except Exception:
-        release_claim(spark, meta_dir, write_meta, token,
-                      LSH_INDEX_FORMAT_VERSION)  # nothing written
+        release_claim(spark, meta_dir, token)    # nothing written
         raise
-    # in-progress bracket around ONLY the two state-mutating appends
+    # in-progress bracket around ONLY the two state-mutating appends;
+    # confirm AFTER the -1 stamp closes the verify->stamp claim window
     verify_claim(spark, meta_dir, token)
-    write_meta(-1, token)
+    write_meta(-1)
+    confirm_claim(spark, meta_dir, token)
     new_sig.write.mode("append").parquet(f"{path}/signatures")
     banded.write.mode("append").partitionBy("band").parquet(f"{path}/buckets")
     write_meta(LSH_INDEX_FORMAT_VERSION)
+    release_claim(spark, meta_dir, token, sweep=True)
 
 
 def lsh_index_probe(spark, path: str, batch: DataFrame,
@@ -1115,8 +1115,7 @@ def lsh_index_delete(spark, path: str, ids: DataFrame,
         int(m["shingle_n"]), bool(m["portable"]), str(m["hash_scheme"]),
         id_type)
     meta_dir = f"{path}/meta"
-    token = claim_sentinel(spark, meta_dir, write_meta,
-                           LSH_INDEX_FORMAT_VERSION)
+    token = claim_sentinel(spark, meta_dir)
     try:
         sig = (spark.read.schema(f"id {id_type}, sig array<long>")
                .parquet(f"{path}/signatures")
@@ -1127,16 +1126,17 @@ def lsh_index_delete(spark, path: str, ids: DataFrame,
                    .join(F.broadcast(del_ids), "id", "left_anti")
                    .localCheckpoint(eager=True))
     except Exception:
-        release_claim(spark, meta_dir, write_meta, token,
-                      LSH_INDEX_FORMAT_VERSION)  # nothing written
+        release_claim(spark, meta_dir, token)    # nothing written
         raise
     verify_claim(spark, meta_dir, token)
-    write_meta(-1, token)
+    write_meta(-1)
+    confirm_claim(spark, meta_dir, token)
     sig.write.mode("overwrite").parquet(f"{path}/signatures")
     (buckets.repartition(int(m["bands"]), "band")
      .write.mode("overwrite").partitionBy("band")
      .parquet(f"{path}/buckets"))
     write_meta(LSH_INDEX_FORMAT_VERSION)
+    release_claim(spark, meta_dir, token, sweep=True)
 
 
 def lsh_index_stats(spark, path: str) -> DataFrame:
@@ -1207,8 +1207,7 @@ def lsh_index_compact(spark, path: str,
     # commits in between. The claim keeps the version valid; only the
     # rewrite sits inside the -1 bracket.
     meta_dir = f"{path}/meta"
-    token = claim_sentinel(spark, meta_dir, write_meta,
-                           LSH_INDEX_FORMAT_VERSION)
+    token = claim_sentinel(spark, meta_dir)
     try:
         sig = (spark.read.schema(f"id {id_type}, sig array<long>")
                .parquet(f"{path}/signatures").localCheckpoint(eager=True))
@@ -1216,14 +1215,15 @@ def lsh_index_compact(spark, path: str,
                    .parquet(f"{path}/buckets").localCheckpoint(eager=True))
         n_sig = sig.count()
     except Exception:
-        release_claim(spark, meta_dir, write_meta, token,
-                      LSH_INDEX_FORMAT_VERSION)  # nothing written
+        release_claim(spark, meta_dir, token)    # nothing written
         raise
     verify_claim(spark, meta_dir, token)
-    write_meta(-1, token)
+    write_meta(-1)
+    confirm_claim(spark, meta_dir, token)
     (sig.repartition(max(1, _math.ceil(n_sig / target_rows_per_file)))
      .write.mode("overwrite").parquet(f"{path}/signatures"))
     (buckets.repartition(int(m["bands"]), "band")
      .write.mode("overwrite").partitionBy("band")
      .parquet(f"{path}/buckets"))
     write_meta(LSH_INDEX_FORMAT_VERSION)
+    release_claim(spark, meta_dir, token, sweep=True)

@@ -1,70 +1,95 @@
-"""Single-writer claim protocol for persisted-index meta sentinels.
+"""Single-writer claim protocol for persisted-index meta sentinels (v3).
 
 Both persisted indexes (LSH, ``operators/dedup.py``; IVF,
 ``operators/vectors.py``) bracket every mutation with a meta sentinel so a
 crash mid-mutation leaves an index that loudly fails the read gate
 (``format_version -1``) instead of one that silently serves a torn state.
 The claim protocol layered on top enforces the single-writer contract
-WITHOUT blocking readers for the whole mutation:
+WITHOUT blocking readers for the whole mutation.
 
-1. ``claim_sentinel``: the writer re-stamps meta with the CURRENT valid
-   version plus a unique ``writer_token`` and verifies the readback. The
-   version stays valid, so probes keep serving the last stamped state
-   while the writer computes its delta (anti-joins, signatures, cell
-   assignment) — the long phase of every append.
+v3 (code-review r8 medium): claims are SEPARATE, UNIQUELY-NAMED files
+under ``<index>/claims/`` — ``claim-<time_ns>-<uuid>`` — written once and
+never overwritten. A claim therefore CANNOT clobber the meta sentinel:
+the v2 failure mode where a claim's re-stamp of the one-file meta lands
+on top of another writer's in-progress ``-1`` (unblinding readers onto a
+torn mid-append state) is structurally impossible, because claims and the
+sentinel live in different objects and claim writes are create-new-only.
+The winner among live claims is the NEWEST (max filename; the zero-padded
+``time_ns`` prefix makes lexicographic order the claim order, with the
+uuid as tie-break) — newest-wins is what keeps a crashed writer's
+leftover claim file from deadlocking the index forever: the next claimant
+is newer by construction and simply wins.
+
+Mutation lifecycle (all call sites spell it identically):
+
+1. ``claim_sentinel``: gate on the sentinel (refuse ``-1`` — another
+   writer is inside, or crashed inside, its data-write bracket), then PUT
+   the claim file. Meta is untouched; probes keep serving the last
+   stamped state while the writer computes its delta (anti-joins,
+   signatures, cell assignment) — the long phase of every append.
 2. The writer computes the delta UNDER the claim (at-rest reads resolve
-   post-claim, so every committed prior mutation is observed).
-3. ``verify_claim``: immediately before the first data write, the writer
-   re-reads meta and confirms the token is still its own. A second writer
-   that claimed in the meantime (or finished a whole mutation — its final
-   stamp clears the token) is detected here; the loser raises having
-   written NOTHING.
-4. The writer stamps ``-1`` (in-progress), performs the state-mutating
-   writes, and stamps the real version last. Only THIS window — the data
-   writes themselves — blocks readers; a crash inside it leaves the loud
-   ``-1``, a crash before it leaves a valid, servable index.
+   post-claim, so every committed prior mutation is observed). A failure
+   here calls ``release_claim`` (delete own claim file — meta was never
+   touched) and re-raises having written nothing.
+3. ``verify_claim``: immediately before the first state write, re-read
+   the sentinel (a ``-1`` means another writer got inside its bracket —
+   abort) and re-list the claims (a newer claim, or our file swept by a
+   finished newer writer, means we lost — abort). Losers have written
+   NOTHING.
+4. The writer stamps ``-1`` (in-progress) and calls ``confirm_claim`` —
+   the post-invalidate recheck that closes the verify→stamp window: if a
+   newer claim appeared between our verify and our ``-1`` stamp, WE abort
+   and the newer writer proceeds. The loser leaves the ``-1`` in place
+   (restoring a valid version could land inside the winner's own write
+   bracket and unblind readers — never restore after invalidating).
+5. Data writes, then the real-version stamp, then ``release_claim`` with
+   ``sweep=True`` (drop our claim file and any stale older ones).
 
-Failure discipline: if the delta computation raises while the writer
-still holds the claim, ``release_claim`` re-stamps the valid version
-(clearing the token) ONLY if the token is still this writer's — never
-stomping a newer claimant.
+Race analysis (writers A, B; claim files a, b with a < b i.e. A first):
+- A claims, B claims, A verifies → sees b newer → A aborts with nothing
+  written; B proceeds alone.
+- A is inside the ``-1`` bracket when B arrives: B's ``claim_sentinel``
+  gate sees ``-1`` and refuses up front.
+- B claims while A computes, then B completes its whole mutation (its
+  sweep removes a): A's verify finds its own claim file gone → aborts.
+- B claims in the window between A's verify and A's ``-1`` stamp: A's
+  ``confirm_claim`` (which runs AFTER the stamp) lists claims and sees b
+  — A aborts leaving the loud ``-1``; B's verify then sees the ``-1``
+  and aborts too. Both lose loudly, no data was written by either, the
+  operator re-stamps/rebuilds. For BOTH to proceed, A's confirm-list
+  would have to predate B's claim PUT while B's verify meta-read
+  predates A's ``-1`` stamp — but B's PUT precedes B's verify and A's
+  stamp precedes A's list, so on a read-after-write-consistent store
+  (S3/GCS/HDFS/local all are) the orders contradict: at most one writer
+  ever reaches the data writes.
 
-Race analysis (writers A, B):
-- A claims, B claims (overwrites token), A verifies-or-re-verifies ->
-  sees B's token -> raises before touching data; B proceeds alone.
-- A claims and is inside the -1 data-write window when B arrives: B's
-  up-front version gate sees ``-1`` and raises.
-- B claims after A's final stamp: B's claim reads a state that already
-  contains A's rows — the retry lands as the intended no-op.
-
-The residual race is the claim-write/verify-read window (two writers
-whose overwrites of the one-file meta parquet physically interleave can
-corrupt it) — on an object store without atomic rename that window cannot
-be closed from here, but a corrupted meta also fails the gate loudly,
-which is the contract: concurrent writers are an OPERATOR ERROR this
-protocol detects and refuses, not a supported topology.
+Residual: the guarantees are only as strong as the store's PUT/list
+consistency, and a concurrent-writer collision can leave a loud ``-1``
+over untouched data (operator re-runs the mutation after a rebuild).
+Concurrent writers remain an OPERATOR ERROR this protocol detects and
+refuses — the v3 change is that detection can no longer itself corrupt
+the sentinel.
 """
 
 from __future__ import annotations
 
+import time
 import uuid
-from typing import Callable
 
 
 class ClaimLostError(ValueError):
     """Another writer claimed the index after this writer's claim; this
-    writer has written NOTHING and must not re-stamp the sentinel."""
+    writer has written NOTHING and must not touch the sentinel."""
 
 
-def _read_meta(spark, meta_dir: str):
-    """(format_version, writer_token) of the current sentinel."""
+def _read_version(spark, meta_dir: str):
+    """format_version of the current sentinel (None for an empty meta)."""
     try:
         rows = spark.read.parquet(meta_dir).collect()
         if not rows:
-            return None, None
-        d = rows[0].asDict()
-        return d.get("format_version"), d.get("writer_token")
-    except Exception as e:  # torn meta from physically interleaved writes
+            return None
+        return rows[0].asDict().get("format_version")
+    except Exception as e:  # torn meta from physically interleaved stamps
         raise ValueError(
             f"index meta at {meta_dir} is unreadable under a writer claim "
             "— a concurrent writer interleaved with this one; re-stamp via "
@@ -72,44 +97,65 @@ def _read_meta(spark, meta_dir: str):
         ) from e
 
 
-def _read_token(spark, meta_dir: str):
-    return _read_meta(spark, meta_dir)[1]
+def claims_dir_for(meta_dir: str) -> str:
+    """``<index>/claims`` as a sibling of ``<index>/meta`` — works on any
+    Hadoop-FS URI (local, hdfs://, s3a://)."""
+    base = meta_dir.rstrip("/")
+    return base.rsplit("/", 1)[0] + "/claims"
 
 
-def claim_sentinel(spark, meta_dir: str,
-                   write_meta: Callable[..., None],
-                   version: int) -> str:
-    """Claim ``meta_dir`` for this writer: re-stamp it with the CURRENT
-    valid ``version`` plus a unique token and verify the readback. Readers
-    gating on ``format_version`` are unaffected — the index keeps serving
-    its last stamped state. ``write_meta(version, token)`` must persist
-    both fields. Returns the token (pass it to ``verify_claim`` /
-    ``release_claim``); raises ``ValueError`` if another writer's token
-    (or a torn meta) is observed — in which case THIS writer has written
-    nothing yet and the index data is untouched.
+def _fs_path(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
 
-    The claim NEVER overwrites an in-progress ``-1`` sentinel: another
-    writer is inside (or crashed inside) its data-write bracket, and
-    re-stamping a valid version over it would unblind readers onto a torn
-    state — the exact silent corruption the bracket exists to make loud.
-    A FOREIGN token under a VALID version is claimed over, deliberately:
-    it is either a writer still in its (side-effect-free) delta phase —
-    which will lose its own ``verify_claim`` having written nothing — or
-    the leftover of a writer that crashed mid-compute, which must not
-    deadlock the index forever. The pre-write read shrinks but cannot
-    close the read/write race window on a non-atomic store; that residual
-    is the documented operator-error regime."""
-    pre_ver, _ = _read_meta(spark, meta_dir)
-    if pre_ver == -1:
+
+def _list_claims(spark, meta_dir: str) -> list[str]:
+    fs, p = _fs_path(spark, claims_dir_for(meta_dir))
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(p)
+        if st.isFile() and st.getPath().getName().startswith("claim-"))
+
+
+def _delete_claim(spark, meta_dir: str, token: str) -> None:
+    try:
+        fs, p = _fs_path(spark, f"{claims_dir_for(meta_dir)}/{token}")
+        fs.delete(p, False)
+    except Exception:
+        pass  # best-effort: a leftover file loses to any newer claim
+
+
+def claim_sentinel(spark, meta_dir: str) -> str:
+    """Claim the index for this writer: PUT a uniquely-named claim file
+    under ``<index>/claims/``. The sentinel is NOT written — readers
+    gating on ``format_version`` keep serving the last stamped state.
+    Returns the token (the claim's filename; pass it to ``verify_claim``
+    / ``confirm_claim`` / ``release_claim``).
+
+    Refuses (``ValueError``) when the sentinel reads ``-1``: another
+    writer is inside (or crashed inside) its data-write bracket, and a
+    mutation layered on top could commit a delta computed over partial
+    data. Fails fast (``ClaimLostError``) if a strictly newer claim is
+    already visible — this writer would lose its verify anyway, so it
+    loses here, before the expensive delta compute, having written
+    nothing but its own (now deleted) claim file."""
+    if _read_version(spark, meta_dir) == -1:
         raise ValueError(
             f"index at {meta_dir} is inside another writer's data-write "
-            "bracket (format_version -1): claiming over it would unblind "
-            "readers onto a possibly-torn state; wait for the writer or "
-            "rebuild if it crashed")
-    token = uuid.uuid4().hex
-    write_meta(version, token)
-    seen = _read_token(spark, meta_dir)
-    if seen != token:
+            "bracket (format_version -1): claiming over it would risk "
+            "committing a delta computed over a torn state; wait for the "
+            "writer or rebuild if it crashed")
+    token = f"claim-{time.time_ns():020d}-{uuid.uuid4().hex}"
+    fs, p = _fs_path(spark, f"{claims_dir_for(meta_dir)}/{token}")
+    out = fs.create(p, False)  # create-new: never overwrites anything
+    try:
+        out.write(bytearray(token.encode("ascii")))
+    finally:
+        out.close()
+    if max(_list_claims(spark, meta_dir), default=token) != token:
+        _delete_claim(spark, meta_dir, token)
         raise ClaimLostError(
             f"index at {meta_dir} was claimed by another writer "
             "(single-writer contract): this mutation wrote nothing; retry "
@@ -119,15 +165,24 @@ def claim_sentinel(spark, meta_dir: str,
 
 
 def verify_claim(spark, meta_dir: str, token: str) -> None:
-    """Re-verify ownership immediately before the first state-mutating
-    write: the delta-computation window ran with the version gate OPEN
-    (readers served), so a second writer could have claimed — or even
-    completed a whole mutation (its final stamp clears the token) — in
-    the meantime. Raises ``ClaimLostError`` if the token is no longer
-    this writer's; nothing has been written and the sentinel must be
-    left alone (it belongs to the new claimant)."""
-    seen = _read_token(spark, meta_dir)
-    if seen != token:
+    """Re-verify ownership immediately before invalidating the sentinel:
+    the delta-computation window ran with the version gate OPEN (readers
+    served), so a second writer could have claimed — or even completed a
+    whole mutation (its sweep removes older claim files) — in the
+    meantime, and a writer that slipped inside its ``-1`` bracket must
+    not be overwritten. Raises ``ClaimLostError`` (after dropping this
+    writer's claim file) if the sentinel reads ``-1`` or the token is no
+    longer the newest live claim; nothing has been written."""
+    if _read_version(spark, meta_dir) == -1:
+        _delete_claim(spark, meta_dir, token)
+        raise ClaimLostError(
+            f"index at {meta_dir} entered another writer's data-write "
+            "bracket (format_version -1) while this mutation computed its "
+            "delta: this mutation wrote nothing; retry after the other "
+            "writer finishes")
+    live = _list_claims(spark, meta_dir)
+    if token not in live or max(live) != token:
+        _delete_claim(spark, meta_dir, token)
         raise ClaimLostError(
             f"index at {meta_dir} was claimed by another writer while "
             "this mutation computed its delta (single-writer contract): "
@@ -135,20 +190,37 @@ def verify_claim(spark, meta_dir: str, token: str) -> None:
             "finishes")
 
 
-def release_claim(spark, meta_dir: str, write_meta: Callable[..., None],
-                  token: str, version: int) -> None:
-    """Release a claim after a failed delta computation: re-stamp the
-    valid ``version`` (clearing the token) only if the token read back is
-    still this writer's. BEST-EFFORT: the read-then-write pair is not
-    atomic, so a claimant landing inside that window can still be
-    stomped — it then fails its own ``verify_claim`` loudly having
-    written nothing (abort, not corruption), the same residual-race
-    regime as the claim write/readback itself. Swallows readback errors
-    (a torn meta already fails the gate loudly; releasing is best-effort
-    cleanup on an error path)."""
-    try:
-        seen = _read_token(spark, meta_dir)
-    except ValueError:
-        return
-    if seen == token:
-        write_meta(version)
+def confirm_claim(spark, meta_dir: str, token: str) -> None:
+    """The post-invalidate recheck — call immediately AFTER stamping
+    ``-1`` and before the first data write. Closes the verify→stamp
+    window: a claimant that arrived between this writer's verify and its
+    ``-1`` stamp is newer and wins; THIS writer aborts having written no
+    data, deliberately leaving the ``-1`` in place (restoring a valid
+    version could land inside the winner's own bracket and unblind
+    readers onto its mid-write state — never un-invalidate a sentinel
+    another writer may own)."""
+    live = _list_claims(spark, meta_dir)
+    if token not in live or max(live) != token:
+        _delete_claim(spark, meta_dir, token)
+        raise ClaimLostError(
+            f"index at {meta_dir} was claimed by another writer between "
+            "this mutation's verify and its in-progress stamp: no data "
+            "was written; the sentinel is left in-progress (-1) — if the "
+            "competing writer also aborted, re-stamp via a rebuild")
+
+
+def release_claim(spark, meta_dir: str, token: str,
+                  sweep: bool = False) -> None:
+    """Drop this writer's claim file — on the failure path (meta was
+    never touched, so deleting the file is the whole release) and, with
+    ``sweep=True``, on the success path after the final version stamp,
+    where older leftover claim files (crashed writers this one outlived)
+    are dropped too: every one of them is strictly older and has already
+    lost to this claim. Best-effort throughout — a leftover file cannot
+    block anything under newest-wins."""
+    if sweep:
+        for name in _list_claims(spark, meta_dir):
+            if name <= token:
+                _delete_claim(spark, meta_dir, name)
+    else:
+        _delete_claim(spark, meta_dir, token)

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from thewhisperdb_spark.operators.indexmeta import (
-    claim_sentinel, release_claim, verify_claim)
+    claim_sentinel, confirm_claim, release_claim, verify_claim)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1023,9 +1023,10 @@ def _check_index_version(spark, path: str) -> dict:
 
 def _ivf_meta_writer(spark, path: str, id_type: str | None = None):
     """One meta writer shared by build/append/delete/rebalance so the
-    sentinel protocol is spelled identically at every site; ``token``
-    carries the writer claim for ``indexmeta.claim_sentinel``
-    (single-writer enforcement), cleared by the final stamp. ``id_type``
+    sentinel protocol is spelled identically at every site; writer claims
+    live in separate uniquely-named files (``indexmeta`` v3) — the
+    sentinel never carries a token, so a claim can never clobber an
+    in-progress ``-1``. ``id_type``
     (recorded by build since r8) lets the probe's cold-start empty frames
     carry the CORPUS id type — without it an empty index would type
     neighbor_id from the query side, flipping the probe's output schema
@@ -1038,11 +1039,10 @@ def _ivf_meta_writer(spark, path: str, id_type: str | None = None):
         except Exception:
             id_type = None
 
-    def write_meta(version: int, token: str | None = None) -> None:
+    def write_meta(version: int) -> None:
         (spark.createDataFrame(
-            [(version, "md5-min-v2", id_type, token)],
-            "format_version int, hash_scheme string, id_type string, "
-            "writer_token string")
+            [(version, "md5-min-v2", id_type)],
+            "format_version int, hash_scheme string, id_type string")
          .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
     return write_meta
 
@@ -1170,16 +1170,17 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
     writing, so a replayed batch job is a no-op, and the write is
     bracketed by the meta sentinel so a crash mid-append leaves an index
     that loudly fails the gate rather than one with a partially-written
-    delta. Single-writer per index, ENFORCED: the sentinel is claimed
-    with a writer token (``indexmeta.claim_sentinel``) BEFORE the
-    anti-join reads the at-rest lists, and re-verified
-    (``verify_claim``) immediately before the data write — a racing
-    second appender either loses the token readback having written
-    nothing, fails the re-verify, or claims after the original stamped
-    and anti-joins a state that already contains its rows (the intended
-    no-op). Readers are NOT blocked by the claim: the claim re-stamps the
-    CURRENT version (probes keep serving the last stamped state through
-    the whole anti-join/assignment phase); only the data write itself is
+    delta. Single-writer per index, ENFORCED: a uniquely-named claim
+    file is PUT (``indexmeta.claim_sentinel``, protocol v3) BEFORE the
+    anti-join reads the at-rest lists, re-verified (``verify_claim``)
+    before the ``-1`` stamp and re-confirmed (``confirm_claim``) after
+    it — a racing second appender either loses the newest-claim check
+    having written nothing, fails the re-verify/confirm, or claims after
+    the original stamped and anti-joins a state that already contains
+    its rows (the intended no-op). Readers are NOT blocked by the claim:
+    it never writes the sentinel (probes keep serving the last stamped
+    state through the whole anti-join/assignment phase); only the data
+    write itself is
     bracketed by the in-progress ``-1`` — a window sized by one delta's
     parquet append, not by the delta computation."""
     from pyspark.errors import AnalysisException
@@ -1236,8 +1237,7 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
     # serving through this whole phase. A failure during the delta
     # computation releases the claim before re-raising (nothing written).
     meta_dir = f"{path}/meta"
-    token = claim_sentinel(spark, meta_dir, write_meta,
-                           INDEX_FORMAT_VERSION)
+    token = claim_sentinel(spark, meta_dir)
     try:
         try:
             at_rest_ids = (spark.read.parquet(f"{path}/lists")
@@ -1248,22 +1248,23 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
             # partless lists dir (total takedown): this append re-seeds it
             fresh = new_vectors.localCheckpoint(eager=True)
         if fresh.isEmpty():
-            release_claim(spark, meta_dir, write_meta, token,
-                          INDEX_FORMAT_VERSION)  # replayed batch: no-op
+            release_claim(spark, meta_dir, token)  # replayed batch: no-op
             return
         assigned, _ = ivf_assign(fresh, n_cells, id_col, vec_col,
                                  centroids=cents)
         assigned = assigned.localCheckpoint(eager=True)
     except Exception:
-        release_claim(spark, meta_dir, write_meta, token,
-                      INDEX_FORMAT_VERSION)      # nothing written
+        release_claim(spark, meta_dir, token)      # nothing written
         raise
-    # in-progress bracket around ONLY the state-mutating write
+    # in-progress bracket around ONLY the state-mutating write; confirm
+    # AFTER the -1 stamp closes the verify->stamp claim window
     verify_claim(spark, meta_dir, token)
-    write_meta(-1, token)
+    write_meta(-1)
+    confirm_claim(spark, meta_dir, token)
     (assigned.write.mode("append").partitionBy("cell")
      .parquet(f"{path}/lists"))
     write_meta(INDEX_FORMAT_VERSION)
+    release_claim(spark, meta_dir, token, sweep=True)
 
 
 def ivf_index_delete(spark, path: str, ids: DataFrame,
@@ -1288,15 +1289,13 @@ def ivf_index_delete(spark, path: str, ids: DataFrame,
     write_meta = _ivf_meta_writer(spark, path)
     del_ids = ids.select(F.col(id_col).alias(id_col)).distinct()
     meta_dir = f"{path}/meta"
-    token = claim_sentinel(spark, meta_dir, write_meta,
-                           INDEX_FORMAT_VERSION)
+    token = claim_sentinel(spark, meta_dir)
     try:
         try:
             lists = spark.read.parquet(f"{path}/lists")
         except AnalysisException:
             # cold start: nothing to delete
-            release_claim(spark, meta_dir, write_meta, token,
-                          INDEX_FORMAT_VERSION)
+            release_claim(spark, meta_dir, token)
             return
         # id-type gate (the LSH delete discipline): a delete set whose id
         # type differs from the at-rest lists silently matches NOTHING in
@@ -1312,15 +1311,16 @@ def ivf_index_delete(spark, path: str, ids: DataFrame,
                  .localCheckpoint(eager=True))
         n_cells = spark.read.parquet(f"{path}/centroids").count()
     except Exception:
-        release_claim(spark, meta_dir, write_meta, token,
-                      INDEX_FORMAT_VERSION)      # nothing written
+        release_claim(spark, meta_dir, token)      # nothing written
         raise
     verify_claim(spark, meta_dir, token)
-    write_meta(-1, token)
+    write_meta(-1)
+    confirm_claim(spark, meta_dir, token)
     (lists.repartition(max(int(n_cells), 1), "cell")
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{path}/lists"))
     write_meta(INDEX_FORMAT_VERSION)
+    release_claim(spark, meta_dir, token, sweep=True)
 
 
 def ivf_index_stats(spark, path: str) -> DataFrame:
@@ -1395,8 +1395,7 @@ def ivf_index_rebalance(spark, path: str, max_iter: int = 3,
     _check_index_version(spark, path)
     write_meta = _ivf_meta_writer(spark, path)
     meta_dir = f"{path}/meta"
-    token = claim_sentinel(spark, meta_dir, write_meta,
-                           INDEX_FORMAT_VERSION)
+    token = claim_sentinel(spark, meta_dir)
     try:
         try:
             cents = spark.read.parquet(f"{path}/centroids")
@@ -1406,16 +1405,20 @@ def ivf_index_rebalance(spark, path: str, max_iter: int = 3,
                       .select(id_col, vec_col).localCheckpoint(eager=True))
         except AnalysisException:
             # cold start: nothing to rebalance, index left untouched
-            release_claim(spark, meta_dir, write_meta, token,
-                          INDEX_FORMAT_VERSION)
+            release_claim(spark, meta_dir, token)
             return
         refreshed = kmeans_fit(corpus, k=len(init), max_iter=max_iter,
                                id_col=id_col, vec_col=vec_col, init=init)
         refreshed = refreshed.localCheckpoint(eager=True)
     except Exception:
-        release_claim(spark, meta_dir, write_meta, token,
-                      INDEX_FORMAT_VERSION)      # nothing written
+        release_claim(spark, meta_dir, token)      # nothing written
         raise
+    # stamp -1 HERE (ivf_index_build re-stamps it, harmlessly) so the
+    # confirm runs after the invalidate — same verify->stamp->confirm
+    # discipline as every other mutation
     verify_claim(spark, meta_dir, token)
+    write_meta(-1)
+    confirm_claim(spark, meta_dir, token)
     ivf_index_build(corpus, path, n_cells=len(init), id_col=id_col,
                     vec_col=vec_col, centroids=refreshed)
+    release_claim(spark, meta_dir, token, sweep=True)
