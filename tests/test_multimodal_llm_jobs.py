@@ -788,6 +788,60 @@ def test_jpeg_decoder_fuzz_never_leaks_foreign_exceptions():
         # anything else (KeyError/IndexError/...) propagates = test fails
 
 
+def test_jpeg_decoder_cpu_cap_routes_large_images_to_codec_gate():
+    """Code-review r9: the plane cap is CPU-sized (4 MP), not just
+    allocation-sized — the pure-Python per-bit entropy decode would
+    monopolize an Arrow task for minutes on a large-but-valid image, so
+    those must quarantine as missing-codec (NotImplementedError), not
+    decode. Built by patching the fixture's SOF to 2048x2048 and padding
+    the entropy stream past the bits-per-MCU plausibility floor, so THIS
+    gate (not the corrupt-header one) is what fires."""
+    import os
+
+    import pytest
+
+    from thewhisperdb_spark.sources.multimodal import _decode_jpeg
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    data = open(os.path.join(root, "tiny.jpg"), "rb").read()
+    sof = data.index(b"\xff\xc0")
+    big = (data[:sof + 5] + (2048).to_bytes(2, "big")
+           + (2048).to_bytes(2, "big") + data[sof + 9:])
+    # pad entropy data (0x00 bytes are marker-safe) so 2048x2048 with 1x1
+    # sampling (256*256 = 65536 MCUs) passes the >=2-bits-per-MCU check
+    assert big.endswith(b"\xff\xd9")
+    big = big[:-2] + b"\x00" * 17000 + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="4 MP plane"):
+        _decode_jpeg(big)
+
+
+def test_jpeg_decoder_zrl_past_block_end_is_corrupt_bytes():
+    """Code-review r9: a corrupt stream emitting ZRL (run=15, size=0)
+    near the block end must surface as the corrupt-bytes ValueError, not
+    silently advance k past 63 and hand garbage coefficients to the
+    quarantine-free path. Hand-built 8x8 grayscale JPEG with one-entry
+    huffman tables (DC: '0'->size 0; AC: '0'->ZRL) so an all-zero entropy
+    byte decodes DC then ZRL,ZRL,ZRL,ZRL -> k = 1+16*4 = 65 > 63."""
+    import pytest
+
+    from thewhisperdb_spark.sources.multimodal import _decode_jpeg
+
+    def seg(marker, payload):
+        return marker + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dqt = seg(b"\xff\xdb", b"\x00" + b"\x01" * 64)
+    sof = seg(b"\xff\xc0", b"\x08" + (8).to_bytes(2, "big")
+              + (8).to_bytes(2, "big") + b"\x01" + b"\x01\x11\x00")
+    counts_one = bytes([1] + [0] * 15)
+    dht_dc = seg(b"\xff\xc4", b"\x00" + counts_one + b"\x00")
+    dht_ac = seg(b"\xff\xc4", b"\x10" + counts_one + b"\xf0")  # '0' = ZRL
+    sos = seg(b"\xff\xda", b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    jpg = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+           + b"\x00" + b"\xff\xd9")
+    with pytest.raises(ValueError, match="AC run past block end"):
+        _decode_jpeg(jpg)
+
+
 def test_jpeg_decoder_real_world_420_vs_imageio(spark):
     """Value-level cross-check against an INDEPENDENT decoder: Java
     ImageIO (Spark's `image` data source) on the Spark distribution's

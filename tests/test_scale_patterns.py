@@ -621,6 +621,28 @@ def test_plan_doctor_flags_and_clears(spark):
     assert any("cartesian" in w for w in plan_lints(mixed))
 
 
+def test_plan_doctor_walker_failure_stays_conservative(spark, monkeypatch):
+    """Code-review r9: suppression of the nested-loop warning requires a
+    POSITIVE all-bounded proof from the logical walker. If the walker
+    misses (returns zero visited condition-less joins — node-name drift
+    across Spark versions) or raises (py4j quirks) while the physical
+    regex matched, the warning must fire — walker failure must never
+    read as 'bounded'."""
+    from thewhisperdb_spark.plans import doctor
+
+    a = spark.range(10).select(F.col("id").alias("x"))
+    tot = spark.range(10).agg(F.sum("id").alias("t"))
+    bounded = a.crossJoin(tot)           # normally auto-passed (1-row)
+    assert doctor.plan_lints(bounded) == []
+    monkeypatch.setattr(doctor, "_count_unbounded_conditionless_joins",
+                        lambda df: (0, 0))       # walker saw nothing
+    assert any("cartesian" in w for w in doctor.plan_lints(bounded))
+    monkeypatch.setattr(
+        doctor, "_count_unbounded_conditionless_joins",
+        lambda df: (_ for _ in ()).throw(RuntimeError("py4j drift")))
+    assert any("cartesian" in w for w in doctor.plan_lints(bounded))
+
+
 def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
     """Dynamic partition overwrite: re-writing one day replaces that
     day's content and leaves other days' files byte-untouched; a

@@ -29,19 +29,25 @@ _RULES: list[tuple[str, str]] = [
 ]
 
 
-def _count_unbounded_conditionless_joins(df: DataFrame) -> int:
-    """Walk the OPTIMIZED LOGICAL plan and count condition-less
-    Cross/Inner joins where NEITHER side is provably bounded. Catalyst's
-    own ``maxRows`` is the proof engine: a global aggregate (no grouping
-    keys) reports ``Some(1)``, a literal LocalRelation reports its fixed
-    row count, limits/projections/joins propagate — so "the build side is
-    a 1-row total/threshold/norm-constant broadcast" is checked
-    mechanically instead of via a hand-maintained allowlist (VERDICT r7
-    item 7). A side the optimizer cannot bound (a filter on a fact table,
-    however selective in practice) counts as unbounded — that is the
-    conservative direction."""
+def _count_unbounded_conditionless_joins(df: DataFrame):
+    """Walk the OPTIMIZED LOGICAL plan and return ``(n_unbounded,
+    n_seen)`` over condition-less Cross/Inner joins: how many have
+    NEITHER side provably bounded, and how many were visited at all.
+    Catalyst's own ``maxRows`` is the proof engine: a global aggregate
+    (no grouping keys) reports ``Some(1)``, a literal LocalRelation
+    reports its fixed row count, limits/projections/joins propagate — so
+    "the build side is a 1-row total/threshold/norm-constant broadcast"
+    is checked mechanically instead of via a hand-maintained allowlist
+    (VERDICT r7 item 7). A side the optimizer cannot bound (a filter on
+    a fact table, however selective in practice) counts as unbounded —
+    that is the conservative direction. ``n_seen`` exists so the CALLER
+    can stay conservative too (code-review r9): when the physical plan
+    shows a nested-loop join but this walker visits zero condition-less
+    Join nodes (node-name drift across Spark versions, py4j quirks),
+    suppression would be a silent false-negative — only a positive
+    all-bounded proof (n_unbounded == 0 AND n_seen > 0) may suppress."""
     root = df._jdf.queryExecution().optimizedPlan()
-    n = 0
+    n_unbounded, n_seen = 0, 0
     stack = [root]
     while stack:
         node = stack.pop()
@@ -57,14 +63,15 @@ def _count_unbounded_conditionless_joins(df: DataFrame) -> int:
             continue
         if node.joinType().toString() not in ("Cross", "Inner"):
             continue
+        n_seen += 1
         bounded = False
         for side in (node.left(), node.right()):
             mr = side.maxRows()
             if not mr.isEmpty() and int(mr.get()) <= 1:
                 bounded = True
         if not bounded:
-            n += 1
-    return n
+            n_unbounded += 1
+    return n_unbounded, n_seen
 
 
 def plan_lints(df: DataFrame) -> list[str]:
@@ -76,11 +83,19 @@ def plan_lints(df: DataFrame) -> list[str]:
     # merely fit under the broadcast threshold today — same |L|x|R| blowup
     # when the build side grows. Intended 1-row-aggregate crossJoins
     # (totals, thresholds, norm constants) are AUTO-PASSED by proving the
-    # bound on the logical plan (Catalyst maxRows == 1); only joins the
-    # optimizer cannot bound are reported.
+    # bound on the logical plan (Catalyst maxRows == 1); only a POSITIVE
+    # proof suppresses (code-review r9): if the logical walker finds no
+    # condition-less Join to prove (node-name drift, py4j failure) while
+    # the physical regex matched, the warning fires anyway — walker
+    # failure must not read as "bounded".
     if re.search(r"BroadcastNestedLoopJoin\s+Build(?:Left|Right),"
                  r"\s+(?:Cross|Inner)[ \t]*(?:\n|$)", plan):
-        if _count_unbounded_conditionless_joins(df) > 0:
+        try:
+            n_unbounded, n_seen = _count_unbounded_conditionless_joins(df)
+            proven_bounded = n_unbounded == 0 and n_seen > 0
+        except Exception:
+            proven_bounded = False
+        if not proven_bounded:
             out.append(
                 "condition-less nested-loop (cartesian) join: |L|x|R| when "
                 "the build side grows — fine only if the build side is "

@@ -585,18 +585,22 @@ def _decode_jpeg(content: bytes) -> list[list[float]]:
     # dimensions (e.g. a burst flip declaring 65535x65535) fail here as
     # corrupt bytes instead of attempting a multi-GB allocation — and the
     # ratio alone is not enough on LARGE files (a 20 MB stream "affords"
-    # 80M MCUs), so an absolute output-plane cap backs it up. 64 MP
-    # covers essentially all crawled web images; beyond it, route to the
-    # injected-codec gate (a streaming decoder), not a row-sized
-    # allocation inside an Arrow batch.
+    # 80M MCUs), so an absolute output-plane cap backs it up. The cap is
+    # CPU-sized, not memory-sized (code-review r9): this decoder huffman-
+    # decodes per bit in pure Python, so a near-cap image costs minutes
+    # inside one Arrow task — 4 MP (~2500x1600, covering typical crawled
+    # web images) bounds the worst case to seconds-scale; larger-but-
+    # valid images quarantine through the injected-codec gate (a native
+    # streaming decoder) instead of monopolizing an executor.
     if mcux * mcuy > 4 * len(raw) + 1024:
         raise ValueError(
             f"JPEG entropy stream ({len(raw)} bytes) too short for the "
             f"declared {w}x{h} dimensions — corrupt header")
-    if w * h > 64_000_000:
+    if w * h > 4_000_000:
         raise NotImplementedError(
-            f"{w}x{h} JPEG exceeds the built-in decoder's 64 MP plane "
-            "cap: inject a streaming codec for very large images")
+            f"{w}x{h} JPEG exceeds the built-in decoder's 4 MP plane "
+            "cap (pure-Python entropy decode is CPU-bound): inject a "
+            "native codec for large images")
     # IDCT basis: M[x, u] = c(u)/2 * cos((2x+1)u*pi/16)
     u = np.arange(8)
     x = np.arange(8)
@@ -633,6 +637,13 @@ def _decode_jpeg(content: bytes) -> list[list[float]]:
                             if s == 0:
                                 if r == 15:
                                     k += 16
+                                    # ZRL must leave room for a following
+                                    # coefficient (T.81 F.1.2.2.1) — a
+                                    # corrupt ZRL near the block end is
+                                    # quarantined, not silently wrapped
+                                    if k > 63:
+                                        raise ValueError(
+                                            "JPEG AC run past block end")
                                     continue
                                 break                  # EOB
                             k += r
