@@ -129,12 +129,22 @@ HEADLINE = [
     # round-7 headliners (snapshot-drift monitors)
     "corpus_drift_report",
     "length_drift_report",
-    # round-8 headliner (asymmetric containment dedup). The four r8
-    # index-maintenance keys (lsh/ivf delete/stats) are NOT benched: each
-    # run rebuilds a persisted index from scratch (~10-30s of setup that
-    # would swamp the measured operator), and their hot paths (probe,
-    # banded join) are already covered by lsh/minhash/ivf headliners.
+    # round-8 headliner (asymmetric containment dedup)
     "containment_dedup_pairs",
+]
+
+# Index-maintenance keys (VERDICT r8 #7): NOT in the headline total —
+# each run rebuilds a persisted index from scratch (~10-30s of setup that
+# would swamp the per-operator comparison and double the headline sum) —
+# but measured each round in a separate section so BASELINE.md rows exist
+# and regressions in the most mutation-heavy keys are diffable. Median of
+# 3 (not 5): every run is >9s, where the ±30% small-query noise floor
+# does not apply, and the extra 2 runs would cost ~2 min of wall-clock.
+MAINTENANCE = [
+    "lsh_index_delete",
+    "lsh_index_stats",
+    "ivf_index_delete",
+    "ivf_index_stats",
 ]
 
 
@@ -162,6 +172,18 @@ def main():
         timings[key] = round(statistics.median(runs), 3)
         print(f"# {key}: {timings[key]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    maintenance: dict[str, float] = {}
+    for key in MAINTENANCE:
+        fn = qs[key]
+        spark.sparkContext._jvm.System.gc()
+        fn(spark, sf_dir).count()  # warm-up
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        maintenance[key] = round(statistics.median(runs), 3)
+        print(f"# {key}: {maintenance[key]}s (maintenance)", file=sys.stderr)
     # Full per-query map goes to a file: with 90 headline keys the one-line
     # JSON outgrew the driver's ~2KB stdout tail capture in r4 and the round
     # recorded "parsed: null". The LAST stdout line is now a compact summary
@@ -171,6 +193,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "maintenance": maintenance,
         "sf": float(sf),
     }
     here = os.path.dirname(os.path.abspath(__file__))

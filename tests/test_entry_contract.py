@@ -71,6 +71,11 @@ def test_bench_headline_contract():
     missing = [k for k in bench.HEADLINE if k not in qs]
     assert missing == []
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    # the maintenance section (index rebuild keys, r9) is registered,
+    # duplicate-free, and disjoint from the headline total
+    assert [k for k in bench.MAINTENANCE if k not in qs] == []
+    assert len(bench.MAINTENANCE) == len(set(bench.MAINTENANCE))
+    assert not set(bench.MAINTENANCE) & set(bench.HEADLINE)
     # reconstruct the summary line shape with worst-case float widths
     slowest = {k: 999.999 for k in bench.HEADLINE[:10]}
     line = json.dumps({
@@ -78,3 +83,47 @@ def test_bench_headline_contract():
         "unit": "sec", "sf": 0.1, "n_queries": len(bench.HEADLINE),
         "queries": slowest})
     assert len(line) < 1500
+
+
+def test_stamp_freshness_rotation_converges():
+    """VERDICT r8 #3: nothing previously ENFORCED that the stalest-first
+    rotation actually converges — this does. With ~252 keys and a
+    ~50-key driver window, steady state re-stamps every key within
+    ceil(N/50)+1 rounds, so relative to the newest committed CORRECTNESS
+    file no key's latest green stamp may be older than 5 rounds (a key
+    at age 5 is exactly the one the CURRENT round's window is about to
+    re-stamp; age 6+ means the rotation broke or the registry outgrew
+    the window). Never-stamped keys are allowed only while they'd land
+    in the next driver window (the rotation fronts them)."""
+    green = E._driver_green_rounds()
+    assert green, "no committed CORRECTNESS rows parsed"
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(E.__file__))
+    latest_round = max(
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    stale = {k: latest_round - rnd for k, rnd in green.items()
+             if k in E._REGISTRY and latest_round - rnd > 5}
+    assert not stale, (
+        f"rotation broke: {len(stale)} keys with latest green stamp "
+        f"older than 5 rounds vs r{latest_round}: "
+        f"{sorted(stale.items(), key=lambda kv: -kv[1])[:10]}")
+    # the window the driver checks next must BE the stalest cohort:
+    # every never-stamped key plus the oldest stamps come first
+    ordered = list(E.queries())
+    window = set(ordered[:50])
+    unstamped = [k for k in ordered if k not in green]
+    assert len(unstamped) <= 50, (
+        f"{len(unstamped)} never-stamped keys exceed one driver window — "
+        "stop adding keys until the rotation catches up")
+    assert set(unstamped) <= window
+    if len(unstamped) < 50:
+        oldest_in = max(green[k] for k in window if k in green)
+        oldest_out = min((green[k] for k in ordered[50:] if k in green),
+                        default=oldest_in)
+        assert oldest_in <= oldest_out, (
+            "window is not stalest-first: a fresher stamp sits inside the "
+            "window while a staler one waits outside")
