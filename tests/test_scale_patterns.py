@@ -509,6 +509,7 @@ PLAN_LINT_ALLOWLIST: dict[str, set[str]] = {
 }
 
 
+@pytest.mark.slow  # 252-key sweep (~minutes): CI-only, not the dev loop
 def test_every_registry_plan_lints_clean(spark):
     """Plan-shape gate over ALL queries() keys (VERDICT r6 item 5 — the
     headline-only gate left 150 keys unlinted): every physical plan must

@@ -8,6 +8,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.slow  # bulk stress: excluded from the fast dev loop
+
 N = 100_000          # documents
 DUP_STRIDE = 100     # ids ending in 00/01 share identical text -> N/100 pairs
 
