@@ -679,8 +679,10 @@ def test_jpeg_decoder_baseline_roundtrip_and_gates():
     the committed encoder-made fixture close to its source pattern
     (restart-interval path included — the fixture uses DRI=2), and the
     unsupported variants fail with the quarantine taxonomy:
-    NotImplementedError = missing codec (progressive), ValueError =
-    corrupt bytes (truncated entropy stream)."""
+    NotImplementedError = missing codec (arithmetic), ValueError =
+    corrupt bytes (truncated entropy stream, or a baseline scan header
+    re-marked SOF2 — a sequential Ss=0..63 scan is not a legal
+    progressive scan)."""
     import os
 
     import pytest
@@ -694,10 +696,15 @@ def test_jpeg_decoder_baseline_roundtrip_and_gates():
     assert all(0.0 <= v <= 1.0 for row in img for v in row)
     # gradient must survive: later columns brighter within a checker cell
     assert img[0][3] < img[0][20]
-    # progressive gate: same bytes with SOF0 marker patched to SOF2
+    # SOF0 re-marked SOF2 routes to the progressive decoder, whose scan
+    # validation rejects the sequential scan header as corrupt bytes
     prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="DC scan with Se"):
         _decode_jpeg(prog)
+    # arithmetic coding stays behind the missing-codec gate
+    arith = data.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        _decode_jpeg(arith)
     # truncated entropy stream = corrupt-data taxonomy
     with pytest.raises(ValueError):
         _decode_jpeg(data[:len(data) // 2])
@@ -753,7 +760,9 @@ def test_jpeg_decoder_fuzz_never_leaks_foreign_exceptions():
     KeyError/IndexError/ZeroDivisionError, whose class names would
     mis-taxonomize the quarantine status and lose the forensics. 400
     deterministic mutations of the committed fixture (byte flips,
-    truncations) plus FFD8-prefixed random garbage."""
+    truncations) plus FFD8-prefixed random garbage. r9: alternate trials
+    mutate the PROGRESSIVE fixture instead — the multi-scan decoder's
+    EOB-run/refinement state machine holds the same taxonomy."""
     import os
     import random
 
@@ -762,9 +771,12 @@ def test_jpeg_decoder_fuzz_never_leaks_foreign_exceptions():
     from thewhisperdb_spark.sources.multimodal import _decode_jpeg
 
     root = os.path.join(os.path.dirname(__file__), "fixtures")
-    data = bytearray(open(os.path.join(root, "tiny.jpg"), "rb").read())
+    base_seq = bytearray(open(os.path.join(root, "tiny.jpg"), "rb").read())
+    base_prog = bytearray(
+        open(os.path.join(root, "tiny_prog.jpg"), "rb").read())
     rng = random.Random(20260815)
     for trial in range(400):
+        data = base_prog if trial % 2 else base_seq
         buf = bytearray(data)
         kind = trial % 4
         if kind == 0:                              # single byte flip
@@ -786,6 +798,57 @@ def test_jpeg_decoder_fuzz_never_leaks_foreign_exceptions():
         except (ValueError, NotImplementedError):
             pass  # the two taxonomy classes — correct
         # anything else (KeyError/IndexError/...) propagates = test fails
+
+
+def test_jpeg_progressive_decoder_matches_source_pattern():
+    """The SOF2 progressive decoder (VERDICT r8 #4): tiny_prog.jpg is the
+    SAME 20x24 test card as tiny.jpg but encoded PROGRESSIVE by Java
+    ImageIO (an independent real encoder, 6-scan script: DC first + two
+    spectral AC bands + two successive-approximation refinements + DC
+    refinement; see tools/make_progressive_fixture.py, which also
+    value-checks the committed bytes against ImageIO's own decode).
+    Decoding it must recover the source pattern as faithfully as the
+    baseline fixture does; the color fixture exercises the interleaved
+    multi-component DC scan path (10-scan script)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from thewhisperdb_spark.sources.multimodal import _decode_jpeg
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    data = open(os.path.join(root, "tiny_prog.jpg"), "rb").read()
+    assert b"\xff\xc2" in data                   # really SOF2
+    img = np.array(_decode_jpeg(data))
+    assert img.shape == (20, 24)
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+    # source pattern: 32 + 128*checker(4x4) + 4x + 2y, in [0,255]
+    y, x = np.mgrid[0:20, 0:24]
+    pattern = np.clip(32 + 128 * ((x // 4 + y // 4) % 2) + x * 4 + y * 2,
+                      0, 255) / 255.0
+    d = np.abs(img - pattern)
+    # ImageIO's q=0.7 table is lossier than tiny.jpg's Annex-K Q50 —
+    # the decode itself matches ImageIO within 0.001 (generator-gated)
+    assert d.mean() < 0.03 and d.max() < 0.12, (d.mean(), d.max())
+    # and it matches the BASELINE decode of the same card
+    base = np.array(_decode_jpeg(
+        open(os.path.join(root, "tiny.jpg"), "rb").read()))
+    assert np.abs(img - base).mean() < 0.03
+    # interleaved multi-component progressive (color, 3 comps)
+    color = open(os.path.join(root, "tiny_prog_color.jpg"), "rb").read()
+    cimg = np.array(_decode_jpeg(color))
+    assert cimg.shape == (40, 32)
+    # luma of the generator's RGB card rises with y (G channel: 16+5y)
+    assert cimg[35, :8].mean() > cimg[2, :8].mean()
+    # truncating a progressive stream = corrupt-bytes taxonomy
+    with pytest.raises(ValueError):
+        _decode_jpeg(data[:len(data) // 2])
+    # a stream that never transmits the luma DC scan fails loudly: keep
+    # headers up to the first SOS, then jump straight to EOI
+    first_sos = data.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="missing SOF/SOS|DC scan"):
+        _decode_jpeg(data[:first_sos] + b"\xff\xd9")
 
 
 def test_jpeg_decoder_cpu_cap_routes_large_images_to_codec_gate():
