@@ -66,6 +66,7 @@ def test_get_update_delete_errors(engine):
     assert e.value.status == 404
 
 
+@pytest.mark.slow  # crash/replay marathon: CI-tier
 def test_similar_and_cluster_job(engine):
     # no embedding yet -> 400 (src/main.cpp:539-546 error path)
     with pytest.raises(api.ApiError) as e:

@@ -269,6 +269,7 @@ def test_merge_nodes_upsert(spark):
     assert rows[99]["title"] == "inserted"       # unmatched inserted
 
 
+@pytest.mark.slow  # index-lifecycle marathon: CI-tier
 def test_diff_versions_summary(spark, tmp_path):
     from thewhisperdb_spark.crud import GraphEngine, diff_versions
 

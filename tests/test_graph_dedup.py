@@ -1,3 +1,4 @@
+import pytest
 from pyspark.sql import functions as F
 
 from thewhisperdb_spark.operators import dedup as D
@@ -192,6 +193,7 @@ def test_triangle_orientations_agree_on_skewed_graph(spark):
     assert n_deg == n_id == 4
 
 
+@pytest.mark.slow  # index-lifecycle marathon: CI-tier
 def test_pagerank_star_graph(spark):
     from thewhisperdb_spark.operators.graph import pagerank
 
@@ -483,6 +485,7 @@ def test_lsh_index_append_and_gate(spark, tmp_path):
         D.lsh_index_probe(spark, path, delta)
 
 
+@pytest.mark.slow  # index-lifecycle marathon: CI-tier
 def test_lsh_index_compact_preserves_probe_results(spark, tmp_path):
     """Compaction after several appends must not change probe output, must
     shrink the signature file count, and must leave the version stamp
@@ -516,6 +519,7 @@ def test_lsh_index_compact_preserves_probe_results(spark, tmp_path):
     assert files_after < files_before
 
 
+@pytest.mark.slow  # index-lifecycle marathon: CI-tier
 def test_lsh_index_double_append_is_noop(spark, tmp_path):
     """Retrying a batch append (the normal failure mode for a daily-crawl
     index job) must leave the index bit-identical: probe output unchanged,
@@ -670,6 +674,7 @@ def test_semantic_dedup_pairs_recall_vs_exact_kernel(spark):
     assert want <= got2
 
 
+@pytest.mark.slow  # index-lifecycle marathon: CI-tier
 def test_lsh_index_stats_reflects_appends_and_compaction(spark, tmp_path):
     """Stats expose the compaction trigger: the signature file count grows
     with appends and shrinks after compact, while the logical content

@@ -10,6 +10,11 @@ from __future__ import annotations
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+import pytest
+
+# reference cross-validation suites (union-find/peeling/naive-kernel
+# twins, hypothesis fuzz): CI-tier — the fast dev loop runs -m "not slow"
+pytestmark = pytest.mark.slow
 
 # derandomize: the properties are exact invariants (any draw that fails is
 # a real bug), and the driver's verification run must never flake on an

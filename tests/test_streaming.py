@@ -252,6 +252,7 @@ def test_streaming_jobs_survive_empty_input(spark, tmp_path_factory):
         SJ.kmv_distinct_stream(stream3), "empty_kmv", "update").count() == 0
 
 
+@pytest.mark.slow  # index-lifecycle marathon: CI-tier
 def test_stream_append_to_lsh_matches_batch_append(spark, tmp_path):
     """Documents arriving over N micro-batches must produce a
     bit-identical LSH index to one batch append of the same rows:
@@ -304,6 +305,7 @@ SYN_B = ("completely different prose about medieval agriculture crop "
          "adoption of the heavy wheeled plough across northern europe")
 
 
+@pytest.mark.slow  # index-lifecycle marathon: CI-tier
 def test_dedup_ingest_batch_full_loop_and_replay(spark, tmp_path):
     """The complete daily-crawl loop per micro-batch: cross-corpus dups
     dropped via the index probe, within-batch dups collapsed to the min-id
@@ -356,6 +358,7 @@ def test_dedup_ingest_batch_full_loop_and_replay(spark, tmp_path):
     assert {d for d, b in published() if b == 0} == surv0  # batch 0 intact
 
 
+@pytest.mark.slow  # index-lifecycle marathon: CI-tier
 def test_stream_dedup_ingest_runs_end_to_end(spark, tmp_path):
     """The streaming wrapper drains a real readStream through the loop:
     survivors published, index grown by exactly the survivor count."""
@@ -414,6 +417,7 @@ def test_dedup_ingest_batch_quality_preferring_survivors(spark, tmp_path):
     assert 2002 in indexed and 2001 not in indexed
 
 
+@pytest.mark.slow  # crash/replay marathon: CI-tier
 def test_embedding_dedup_ingest_batch_and_replay(spark, tmp_path):
     """The embedding twin of the daily loop: cross-corpus cosine dups
     dropped via the persisted IVF probe (exhaustive n_probe here),
@@ -469,6 +473,7 @@ def test_embedding_dedup_ingest_batch_and_replay(spark, tmp_path):
             for r in spark.read.parquet(out2).collect()} == surv
 
 
+@pytest.mark.slow  # index-lifecycle marathon: CI-tier
 def test_stream_embedding_dedup_ingest_runs(spark, tmp_path):
     from thewhisperdb_spark.operators import vectors as V
     from thewhisperdb_spark.streaming import jobs as SJ
@@ -492,6 +497,7 @@ def test_stream_embedding_dedup_ingest_runs(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/lists").count() == 300 + len(surv)
 
 
+@pytest.mark.slow  # crash/replay marathon: CI-tier
 def test_compact_ingest_survivors_folds_old_batches(spark, tmp_path):
     """Compaction folds all but the newest keep_last_n batch partitions
     into the archive (ingest_batch=-1) with the row SET conserved, keeps
@@ -536,6 +542,7 @@ def test_compact_ingest_survivors_folds_old_batches(spark, tmp_path):
     assert {b for _, b in final} == {-1}
 
 
+@pytest.mark.slow  # crash/replay marathon: CI-tier
 def test_compaction_crash_window_converges(spark, tmp_path):
     """The self-healing claim in compact_ingest_survivors, as a test: a
     crash BETWEEN the archive write and the folded-dir deletes leaves
@@ -596,6 +603,7 @@ def test_compaction_crash_window_converges(spark, tmp_path):
         assert torn_rows == clean_rows
 
 
+@pytest.mark.slow  # crash/replay marathon: CI-tier
 def test_stream_dedup_ingest_checkpoint_restart(spark, tmp_path,
                                                 monkeypatch):
     """VERDICT r8 #2: the replay-idempotence claims, exercised through a

@@ -1,3 +1,4 @@
+import pytest
 import math
 
 from pyspark.sql import functions as F
@@ -350,6 +351,7 @@ def test_kmeans_update_plan_is_dim_independent(spark):
     assert all(len(r["cvec"]) == dim for r in cents)
 
 
+@pytest.mark.slow  # index-lifecycle marathon: CI-tier
 def test_ivf_index_rebalance_fixes_append_drift(spark, tmp_path):
     """Appends assigned to stale centroids pile a shifted corpus into hot
     cells; rebalance (warm-started Lloyd refinement + sentinel-bracketed
