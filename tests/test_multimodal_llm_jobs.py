@@ -194,7 +194,7 @@ def test_image_pipeline_real_bytes_no_injection(spark):
     rs = {r["path"].rsplit("/", 1)[-1]: r
           for r in resize_images(media, 2, 2).collect()}
     assert all(r["height"] == 2 and r["width"] == 2 for r in rs.values())
-    assert len(rs) == 5
+    assert len(rs) == 6  # ppm, pgm, bmp, png, jpg, gif — all default-codec
 
 
 def test_audio_pipeline_real_bytes_no_injection(spark):
@@ -933,3 +933,295 @@ def test_jpeg_decoder_real_world_420_vs_imageio(spark):
     assert mine.shape == (h, w) == (215, 300)
     d = np.abs(luma - mine)
     assert d.mean() < 0.005 and np.percentile(d, 99) < 0.02
+
+
+def test_gif_decoder_matches_imageio_fixtures():
+    """GIF87a/89a decoder: tiny.gif is the SAME 20x24 test card as
+    tiny.jpg encoded by Java ImageIO's GIF writer (independent real
+    encoder; tools/make_gif_fixture.py refuses to write fixtures whose
+    _decode_gif raster differs from ImageIO's own decode). GIF is
+    LOSSLESS, so the committed bytes must reproduce the source pattern
+    EXACTLY — and tiny_inter.gif (ImageIO progressive mode = the 4-pass
+    row interlace, odd 33x29 dims) must reproduce its indexed-color card
+    exactly through the de-interleave."""
+    import os
+
+    import numpy as np
+
+    from thewhisperdb_spark.sources.multimodal import _decode_gif
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    data = open(os.path.join(root, "tiny.gif"), "rb").read()
+    img = np.array(_decode_gif(data))
+    y, x = np.mgrid[0:20, 0:24]
+    pattern = np.clip(32 + 128 * ((x // 4 + y // 4) % 2) + x * 4 + y * 2,
+                      0, 255) / 255.0
+    assert img.shape == (20, 24)
+    assert np.abs(img - pattern).max() < 1e-12
+
+    inter = open(os.path.join(root, "tiny_inter.gif"), "rb").read()
+    # really interlaced: image-descriptor packed byte, bit 6
+    packed = inter[10]
+    j = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+    while inter[j] == 0x21:
+        j += 2
+        while inter[j] != 0:
+            j += 1 + inter[j]
+        j += 1
+    assert inter[j] == 0x2C and inter[j + 9] & 0x40, "fixture not interlaced"
+    cimg = np.array(_decode_gif(inter))
+    yy, xx = np.mgrid[0:29, 0:33]
+    card = ((xx % 6) * 51 + (yy % 6) * 51
+            + ((xx // 4 + yy // 4) % 6) * 51) / (3 * 255.0)
+    assert cimg.shape == (29, 33)
+    assert np.abs(cimg - card).max() < 1e-12
+
+
+def test_gif_decoder_local_palette_offset_frame_and_background():
+    """Hand-built minimal GIF (clear-code-per-pixel LZW, so the byte
+    stream is spec-trivial): a 2x2 frame with a LOCAL color table at
+    offset (1,1) inside a 4x3 logical screen whose global table paints
+    the background — composition, LCT precedence, and the GCE skip are
+    all visible in the output raster."""
+    import numpy as np
+
+    from thewhisperdb_spark.sources.multimodal import _decode_gif
+
+    def lzw_trivial(pixels, min_code):
+        # CLEAR before every root code: decoder never grows the dict, so
+        # the width stays min_code+1 throughout; END terminates
+        clear, end, width = 1 << min_code, (1 << min_code) + 1, min_code + 1
+        bits, buf, nbits = [], 0, 0
+        out = bytearray()
+        for code in [clear] + [c for p in pixels for c in (p, clear)][:-1] \
+                + [end]:
+            buf |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(buf & 0xFF)
+                buf >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(buf & 0xFF)
+        return bytes(out)
+
+    gct = bytes([30, 60, 90] + [0, 0, 0] * 3)          # bg = entry 0
+    lct = bytes([255, 255, 255, 0, 0, 0] + [0, 0, 0] * 2)  # white, black
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])        # skipped extension
+    data = lzw_trivial([0, 1, 1, 0], min_code=2)
+    gif = (b"GIF89a"
+           + (4).to_bytes(2, "little") + (3).to_bytes(2, "little")
+           + bytes([0x80 | 0x01, 0, 0])                 # GCT, 4 entries
+           + gct + gce
+           + b"\x2C" + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + bytes([0x80 | 0x01])                       # LCT, 4 entries
+           + lct + bytes([2])
+           + bytes([len(data)]) + data + b"\x00" + b"\x3B")
+    img = np.array(_decode_gif(gif))
+    bg = (30 + 60 + 90) / (3 * 255.0)
+    exp = np.full((3, 4), bg)
+    exp[1, 1], exp[1, 2] = 1.0, 0.0
+    exp[2, 1], exp[2, 2] = 0.0, 1.0
+    assert np.abs(img - exp).max() < 1e-12
+
+
+def test_gif_decoder_corrupt_bytes_taxonomy():
+    """Byte-level fuzz over the committed fixtures: every mutation either
+    decodes to a well-formed raster or raises the two taxonomy classes
+    (ValueError = corrupt bytes, NotImplementedError = missing codec /
+    over-cap) — never KeyError/IndexError/MemoryError. Plus the explicit
+    gates: truncation, no-image stream, over-cap dimensions, index beyond
+    the palette."""
+    import os
+    import random
+
+    import numpy as np
+    import pytest
+
+    from thewhisperdb_spark.sources.multimodal import _decode_gif
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    for name in ("tiny.gif", "tiny_inter.gif"):
+        base = open(os.path.join(root, name), "rb").read()
+        rng = random.Random(hash(name) & 0xFFFF)
+        for case in range(150):
+            buf = bytearray(base)
+            mode = case % 3
+            if mode == 0:                       # truncate
+                del buf[rng.randrange(7, len(buf)):]
+            elif mode == 1:                     # point mutations
+                for _ in range(rng.randrange(1, 6)):
+                    buf[rng.randrange(6, len(buf))] = rng.randrange(256)
+            else:                               # garbage after signature
+                buf = bytearray(b"GIF89a") + bytearray(
+                    rng.randrange(256) for _ in range(rng.randrange(2, 80)))
+            try:
+                out = _decode_gif(bytes(buf))
+                assert np.asarray(out).ndim == 2
+            except (ValueError, NotImplementedError):
+                pass
+    # explicit gates
+    with pytest.raises(ValueError, match="signature"):
+        _decode_gif(b"GIF90a" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="no image data"):
+        _decode_gif(b"GIF89a" + (1).to_bytes(2, "little") * 2
+                    + b"\x00\x00\x00" + b"\x3B")
+    with pytest.raises(NotImplementedError, match="4 MP plane cap"):
+        _decode_gif(b"GIF89a" + (4000).to_bytes(2, "little")
+                    + (4000).to_bytes(2, "little") + b"\x00\x00\x00\x3B")
+
+
+def test_gif_feature_pipeline_end_to_end(spark, tmp_path):
+    """binaryFile -> with_media_metadata -> extract_image_features over a
+    real committed GIF: .gif maps to the image modality and the default
+    decoder produces exact features (GIF is lossless)."""
+    import os
+    import shutil
+
+    from thewhisperdb_spark.sources.multimodal import (
+        extract_image_features,
+        read_binary_files,
+        with_media_metadata,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    shutil.copy(os.path.join(root, "tiny.gif"), tmp_path / "tiny.gif")
+    media = with_media_metadata(
+        read_binary_files(spark, str(tmp_path), glob="*.gif"))
+    row = media.collect()[0]
+    assert row["modality"] == "image" and row["mime"] == "image/gif"
+    feats = extract_image_features(media, on_error="quarantine").collect()
+    assert len(feats) == 1 and feats[0]["status"] == "ok"
+    assert (feats[0]["height"], feats[0]["width"]) == (20, 24)
+    import numpy as np
+    y, x = np.mgrid[0:20, 0:24]
+    pattern = np.clip(32 + 128 * ((x // 4 + y // 4) % 2) + x * 4 + y * 2,
+                      0, 255) / 255.0
+    assert abs(feats[0]["mean_intensity"] - pattern.mean()) < 1e-12
+
+
+def _gif_lzw_trivial(pixels, min_code):
+    """CLEAR before every root code: the decoder never grows the dict, so
+    the code width stays min_code+1 throughout; END terminates."""
+    clear, end, width = 1 << min_code, (1 << min_code) + 1, min_code + 1
+    buf = nbits = 0
+    out = bytearray()
+    for code in [clear] + [c for p in pixels for c in (p, clear)][:-1] \
+            + [end]:
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _gif_image_block(left, top, iw, ih, pixels, min_code=2):
+    data = _gif_lzw_trivial(pixels, min_code)
+    return (b"\x2C" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+            + iw.to_bytes(2, "little") + ih.to_bytes(2, "little")
+            + b"\x00" + bytes([min_code, len(data)]) + data + b"\x00")
+
+
+def _gce(disposal, delay_cs, transparent=None):
+    packed = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+    return bytes([0x21, 0xF9, 4, packed, delay_cs & 0xFF, delay_cs >> 8,
+                  transparent if transparent is not None else 0, 0])
+
+
+def test_gif_animation_disposal_and_transparency():
+    """The GIF89a animation model, pinned frame by frame on a hand-built
+    3-frame stream: GCE transparency leaves the prior canvas visible,
+    disposal 2 restores the frame rect to background before the next
+    frame, disposal 3 restores the whole pre-frame canvas, and delays
+    surface per frame. Palette grays: c0=0, c1=85, c2=170, c3=255 (so
+    every composite is exact)."""
+    import numpy as np
+
+    from thewhisperdb_spark.sources.multimodal import (
+        _decode_gif,
+        decode_gif_frames,
+    )
+
+    gct = bytes(v for k in range(4) for v in (85 * k,) * 3)
+    c = [k * 85 / 255.0 for k in range(4)]
+    # frame 1: full 4x3 screen, rows = [0 1 2 3 / 3 2 1 0 / 1 1 2 2]
+    f1 = _gif_image_block(0, 0, 4, 3, [0, 1, 2, 3, 3, 2, 1, 0, 1, 1, 2, 2])
+    # frame 2: 2x2 at (1,1), disposal 2, transparent=3, delay 5
+    #   pixels [1, 3t / 3t, 0] -> only (1,1)=c1 and (2,2)=c0 painted
+    f2 = _gce(2, 5, transparent=3) + _gif_image_block(1, 1, 2, 2,
+                                                      [1, 3, 3, 0])
+    # frame 3: 1x1 at (0,0) painting c2, disposal 3, delay 7
+    f3 = _gce(3, 7) + _gif_image_block(0, 0, 1, 1, [2])
+    gif = (b"GIF89a" + (4).to_bytes(2, "little") + (3).to_bytes(2, "little")
+           + bytes([0x80 | 0x01, 3, 0])          # GCT 4 entries, bg index 3
+           + gct + f1 + f2 + f3 + b"\x3B")
+
+    frames = decode_gif_frames(gif)
+    assert [(i, d) for i, d, _ in frames] == [(0, 0), (1, 5), (2, 7)]
+    exp1 = np.array([[c[0], c[1], c[2], c[3]],
+                     [c[3], c[2], c[1], c[0]],
+                     [c[1], c[1], c[2], c[2]]])
+    assert np.abs(np.array(frames[0][2]) - exp1).max() < 1e-12
+    exp2 = exp1.copy()
+    exp2[1, 1] = c[1]          # non-transparent pixels painted...
+    exp2[2, 2] = c[0]
+    # ...(1,2) and (2,1) are transparent -> frame-1 canvas shows through
+    assert np.abs(np.array(frames[1][2]) - exp2).max() < 1e-12
+    # disposal 2 restored frame 2's rect to background (bg = index 3)
+    exp3 = exp1.copy()
+    exp3[1:3, 1:3] = c[3]
+    exp3[0, 0] = c[2]          # frame 3's own pixel
+    assert np.abs(np.array(frames[2][2]) - exp3).max() < 1e-12
+    # the still-image view is frame 1; max_frames truncates
+    assert np.abs(np.array(_decode_gif(gif)) - exp1).max() < 1e-12
+    assert len(decode_gif_frames(gif, max_frames=2)) == 2
+
+    # disposal 3: a 4th frame after f3 must composite on the PRE-f3
+    # canvas (f3's pixel at (0,0) wiped, its rect-2 restore kept)
+    f4 = _gif_image_block(3, 0, 1, 1, [1])
+    gif4 = gif[:-1] + f4 + b"\x3B"
+    last = np.array(decode_gif_frames(gif4)[3][2])
+    exp4 = exp3.copy()
+    exp4[0, 0] = exp1[0, 0]    # disposal-3 restore
+    exp4[0, 3] = c[1]          # frame 4's own pixel
+    assert np.abs(last - exp4).max() < 1e-12
+
+
+def test_gif_animation_sampler_end_to_end(spark, tmp_path):
+    """sample_animation_frames: executor-side row explosion over real
+    bytes — the committed (still) GIF yields exactly one composited
+    frame row, a non-GIF image quarantines as missing-codec, and the
+    pixels column round-trips through Arrow as array<array<double>>."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from thewhisperdb_spark.sources.multimodal import (
+        read_binary_files,
+        sample_animation_frames,
+        with_media_metadata,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    shutil.copy(os.path.join(root, "tiny.gif"), tmp_path / "tiny.gif")
+    shutil.copy(os.path.join(root, "tiny.png"), tmp_path / "tiny.png")
+    media = with_media_metadata(read_binary_files(spark, str(tmp_path)))
+    rows = {(r["path"].rsplit("/", 1)[-1], r["frame_idx"]): r
+            for r in sample_animation_frames(
+                media, on_error="quarantine").collect()}
+    assert set(rows) == {("tiny.gif", 0), ("tiny.png", None)}
+    gif_row = rows[("tiny.gif", 0)]
+    assert gif_row["status"] == "ok" and gif_row["delay_cs"] == 0
+    assert (gif_row["height"], gif_row["width"]) == (20, 24)
+    y, x = np.mgrid[0:20, 0:24]
+    pattern = np.clip(32 + 128 * ((x // 4 + y // 4) % 2) + x * 4 + y * 2,
+                      0, 255) / 255.0
+    assert np.abs(np.array(gif_row["pixels"]) - pattern).max() < 1e-12
+    assert rows[("tiny.png", None)]["status"].startswith(
+        "NotImplementedError")

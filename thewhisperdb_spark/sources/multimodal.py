@@ -56,7 +56,8 @@ _EXT_MODALITY = {
     ".jpeg": ("image", "image/jpeg"),
     ".ppm": ("image", "image/x-portable-pixmap"),
     ".pgm": ("image", "image/x-portable-graymap"),
-    ".bmp": ("image", "image/bmp"), ".wav": ("audio", "audio/wav"),
+    ".bmp": ("image", "image/bmp"), ".gif": ("image", "image/gif"),
+    ".wav": ("audio", "audio/wav"),
     ".mp3": ("audio", "audio/mpeg"), ".mp4": ("video", "video/mp4"),
 }
 
@@ -1027,12 +1028,251 @@ def _decode_jpeg_progressive(content: bytes) -> list[list[float]]:
 _JPEG_SIG = b"\xff\xd8"
 
 
+def _gif_lzw(data: bytes, min_code: int, npix: int) -> list[int]:
+    """GIF-flavored LZW decompress (GIF89a spec Appendix F): LSB-first
+    variable-width codes (min_code+1 .. 12 bits), CLEAR resets the table,
+    deferred-clear encoders keep emitting 12-bit codes once the table is
+    full. Dictionary kept as prefix-link/suffix arrays (no sequence
+    copies), so decode stays O(output) even on pathological chains."""
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"GIF LZW minimum code size {min_code} out of range")
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    prefix = [-1] * 4096
+    suffix = [0] * 4096
+    first = [0] * 4096          # first byte of each code's expansion
+    for c in range(clear):
+        suffix[c] = first[c] = c
+    next_code, width = end + 1, min_code + 1
+    out: list[int] = []
+    stack: list[int] = []
+    prev = -1
+    bitbuf = bitlen = pos = 0
+    n = len(data)
+    while len(out) < npix:
+        while bitlen < width:
+            if pos >= n:
+                raise ValueError("GIF LZW stream truncated mid-code")
+            bitbuf |= data[pos] << bitlen
+            bitlen += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitlen -= width
+        if code == clear:
+            next_code, width, prev = end + 1, min_code + 1, -1
+            continue
+        if code == end:
+            break
+        if prev < 0:
+            if code >= clear:
+                raise ValueError("GIF LZW first code after clear not a root")
+            out.append(code)
+            prev = code
+            continue
+        if code < next_code:
+            cur = code
+        elif code == next_code and next_code < 4096:
+            # the KwKwK case: expansion = expansion(prev) + first(prev)
+            stack.append(first[prev])
+            cur = prev
+        else:
+            raise ValueError("GIF LZW code beyond dictionary")
+        while cur >= clear + 2:
+            stack.append(suffix[cur])
+            cur = prefix[cur]
+        stack.append(suffix[cur])
+        out.extend(reversed(stack))
+        fb = first[cur]
+        stack.clear()
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = fb
+            first[next_code] = first[prev]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    if len(out) < npix:
+        raise ValueError(
+            f"GIF pixel data ends early ({len(out)} of {npix} pixels)")
+    return out[:npix]
+
+
+def _gif_frames(content: bytes,
+                max_frames: int) -> Iterator[tuple[int, list[list[float]]]]:
+    """GIF87a/GIF89a frame iterator: yields ``(delay_cs, canvas)`` per
+    frame, COMPOSITED per the GIF89a animation model — Graphic Control
+    Extension transparency (transparent-index pixels leave the canvas
+    untouched) and disposal methods 0/1 (leave), 2 (restore the frame
+    rect to background) and 3 (restore the pre-frame canvas). Handles
+    LZW (variable-width codes, CLEAR/END, the KwKwK case, deferred
+    clear), global and local color tables, and the 4-pass row interlace.
+    Rasters are the repo's row-major [0, 1] grayscale convention
+    (palette RGB averaged). Same CPU-sized 4 MP plane cap as the JPEG
+    decoder — pure-Python LZW must not monopolize an Arrow task; the
+    per-call work is additionally bounded by ``max_frames``."""
+    if len(content) < 13 or content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("truncated or invalid GIF signature")
+    w = content[6] | content[7] << 8
+    h = content[8] | content[9] << 8
+    packed, bg_index = content[10], content[11]
+    if w == 0 or h == 0:
+        raise ValueError("GIF logical screen has zero dimension")
+    if w * h > 4_000_000:
+        raise NotImplementedError(
+            f"{w}x{h} GIF exceeds the built-in decoder's 4 MP plane cap "
+            "(pure-Python LZW is CPU-bound): inject a native codec for "
+            "large images")
+    i = 13
+    gct: list[float] | None = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        raw = content[i:i + 3 * size]
+        if len(raw) < 3 * size:
+            raise ValueError("truncated GIF global color table")
+        gct = [(raw[3 * k] + raw[3 * k + 1] + raw[3 * k + 2]) / (3 * 255.0)
+               for k in range(size)]
+        i += 3 * size
+    bg = gct[bg_index] if gct and bg_index < len(gct) else 0.0
+    canvas = [[bg] * w for _ in range(h)]
+    n_frames = 0
+    delay_cs, disposal, transparent = 0, 0, -1   # pending GCE state
+    while True:
+        if i >= len(content):
+            raise ValueError("GIF stream ends without trailer")
+        block = content[i]
+        i += 1
+        if block == 0x3B:                        # trailer
+            if n_frames == 0:
+                raise ValueError("GIF contains no image data")
+            return
+        if block == 0x21:                        # extension: label + subblocks
+            if i >= len(content):
+                raise ValueError("truncated GIF extension")
+            label = content[i]
+            i += 1
+            sub_first = None
+            while True:
+                if i >= len(content):
+                    raise ValueError("truncated GIF extension")
+                ln = content[i]
+                if sub_first is None:
+                    sub_first = content[i + 1:i + 1 + ln]
+                i += 1 + ln
+                if ln == 0:
+                    break
+            if label == 0xF9:                    # Graphic Control Extension
+                if len(sub_first) < 4:
+                    raise ValueError("truncated GIF graphic control block")
+                gpacked = sub_first[0]
+                disposal = (gpacked >> 2) & 0x07
+                delay_cs = sub_first[1] | sub_first[2] << 8
+                transparent = sub_first[3] if gpacked & 0x01 else -1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if i + 9 > len(content):
+            raise ValueError("truncated GIF image descriptor")
+        left = content[i] | content[i + 1] << 8
+        top = content[i + 2] | content[i + 3] << 8
+        iw = content[i + 4] | content[i + 5] << 8
+        ih = content[i + 6] | content[i + 7] << 8
+        ipacked = content[i + 8]
+        i += 9
+        if iw == 0 or ih == 0:
+            raise ValueError("GIF frame has zero dimension")
+        if left + iw > w or top + ih > h:
+            raise ValueError("GIF frame exceeds the logical screen")
+        table = gct
+        if ipacked & 0x80:
+            size = 2 << (ipacked & 0x07)
+            raw = content[i:i + 3 * size]
+            if len(raw) < 3 * size:
+                raise ValueError("truncated GIF local color table")
+            table = [(raw[3 * k] + raw[3 * k + 1] + raw[3 * k + 2])
+                     / (3 * 255.0) for k in range(size)]
+            i += 3 * size
+        if table is None:
+            raise ValueError(
+                "GIF frame has neither local nor global color table")
+        if i >= len(content):
+            raise ValueError("truncated GIF image data")
+        min_code = content[i]
+        i += 1
+        chunks = []
+        while True:
+            if i >= len(content):
+                raise ValueError("GIF image data ends without block "
+                                 "terminator")
+            ln = content[i]
+            i += 1
+            if ln == 0:
+                break
+            chunk = content[i:i + ln]
+            if len(chunk) < ln:
+                raise ValueError("truncated GIF data sub-block")
+            chunks.append(chunk)
+            i += ln
+        indices = _gif_lzw(b"".join(chunks), min_code, iw * ih)
+        tsize = len(table)
+        if any(ix >= tsize and ix != transparent for ix in indices):
+            raise ValueError("GIF pixel index beyond the color table")
+        if ipacked & 0x40:                       # 4-pass interlace
+            order = ([r for r in range(0, ih, 8)]
+                     + [r for r in range(4, ih, 8)]
+                     + [r for r in range(2, ih, 4)]
+                     + [r for r in range(1, ih, 2)])
+        else:
+            order = list(range(ih))
+        saved = [row[:] for row in canvas] if disposal == 3 else None
+        for src, dst in enumerate(order):
+            row = canvas[top + dst]
+            base = src * iw
+            for c in range(iw):
+                ix = indices[base + c]
+                if ix != transparent:
+                    row[left + c] = table[ix]
+        yield delay_cs, [row[:] for row in canvas]
+        n_frames += 1
+        if n_frames >= max_frames:
+            return
+        if disposal == 2:                        # restore rect to background
+            for r in range(top, top + ih):
+                canvas[r][left:left + iw] = [bg] * iw
+        elif disposal == 3:                      # restore pre-frame canvas
+            canvas = saved
+        delay_cs, disposal, transparent = 0, 0, -1
+
+
+def decode_gif_frames(content: bytes,
+                      max_frames: int = 16) -> list[tuple[int, int,
+                                                          list[list[float]]]]:
+    """Animated-GIF frame extraction: ``[(frame_idx, delay_cs, raster)]``
+    for the first ``max_frames`` frames, each COMPOSITED on the logical
+    screen per the GIF89a disposal/transparency model (see
+    :func:`_gif_frames`). The real-codec counterpart of the byte-slice
+    :func:`sample_frames` plumbing."""
+    return [(idx, delay, raster)
+            for idx, (delay, raster)
+            in enumerate(_gif_frames(bytes(content), max_frames))]
+
+
+def _decode_gif(content: bytes) -> list[list[float]]:
+    """Stdlib GIF decoder: the FIRST frame of :func:`_gif_frames`,
+    composited at its (left, top) offset on a background-filled logical
+    screen — the still-image view of any GIF, animated or not."""
+    for _, canvas in _gif_frames(content, max_frames=1):
+        return canvas
+    raise ValueError("GIF contains no image data")     # pragma: no cover
+
+
 def decode_ppm_bmp(content: bytes) -> list[list[float]]:
     """Default image decode hook: stdlib-only decoders for the formats that
     need no codec library — netpbm (P2/P3 ASCII, P5/P6 binary, 8/16-bit
     maxval), uncompressed 24/32-bit BI_RGB BMP, non-interlaced 8-bit
-    PNG (stdlib zlib + the five scanline filters), and huffman JPEG —
-    baseline SOF0/SOF1 and progressive SOF2, with numpy IDCT — so the
+    PNG (stdlib zlib + the five scanline filters), huffman JPEG —
+    baseline SOF0/SOF1 and progressive SOF2, with numpy IDCT — and
+    GIF87a/89a (LZW, interlace, local/global palettes) — so the
     binaryFile -> decode -> features/resize pipeline runs end-to-end on real
     bytes, like the reference's attachment path
     (``src/server/FileStorage.cpp:13-71`` -> ``TextExtractor.cpp``).
@@ -1050,11 +1290,13 @@ def decode_ppm_bmp(content: bytes) -> list[list[float]]:
         return _decode_png(content)
     if magic == _JPEG_SIG:
         return _decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(content)
     raise NotImplementedError(
         f"no built-in codec for this image format (magic {magic!r}): the "
         "default decoder handles netpbm (PPM/PGM), uncompressed BMP, "
-        "non-interlaced 8-bit PNG, and baseline JPEG — inject a decoder "
-        "(e.g. PIL-based) for the rest")
+        "non-interlaced 8-bit PNG, baseline+progressive JPEG, and GIF — "
+        "inject a decoder (e.g. PIL-based) for the rest")
 
 
 def deterministic_fake_decoder(content: bytes, h: int = 8, w: int = 8):
@@ -1247,6 +1489,78 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1 << 16,
 
     vid = media.filter(F.col("modality") == "video").select("path", "content")
     return vid.mapInPandas(run, FRAME_SCHEMA)
+
+
+ANIMATION_FRAME_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("delay_cs", IntegerType()),      # GCE delay, centiseconds
+    StructField("height", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("pixels", ArrayType(ArrayType(DoubleType()))),
+])
+
+
+def sample_animation_frames(media: DataFrame, max_frames: int = 16,
+                            on_error: str = "raise") -> DataFrame:
+    """REAL frame sampling for the one animation format with a built-in
+    codec: one row per composited frame of each animated (or still) GIF —
+    frame index, GCE delay, and the [0, 1] grayscale raster, composited
+    per the GIF89a disposal/transparency model (:func:`decode_gif_frames`).
+    Non-GIF image rows pass through the quarantine taxonomy
+    (NotImplementedError = missing codec) exactly like
+    :func:`extract_image_features`; ``on_error="quarantine"`` turns
+    per-row failures into NULL-frame rows with a ``status`` column.
+    Arrow-batched ``mapInPandas`` — the row explosion (one input row ->
+    ``<= max_frames`` output rows) happens executor-side, never on the
+    driver."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', "
+                         f"got {on_error!r}")
+    quarantine = on_error == "quarantine"
+    schema = (StructType(ANIMATION_FRAME_SCHEMA.fields
+                         + [StructField("status", StringType())])
+              if quarantine else ANIMATION_FRAME_SCHEMA)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"path": [], "frame_idx": [], "delay_cs": [],
+                    "height": [], "width": [], "pixels": []}
+            if quarantine:
+                rows["status"] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                try:
+                    if data[:6] not in (b"GIF87a", b"GIF89a"):
+                        raise NotImplementedError(
+                            "no built-in animation codec for this format: "
+                            "the default sampler decodes GIF87a/89a — "
+                            "inject a codec (e.g. ffmpeg-based) for video")
+                    frames = decode_gif_frames(data, max_frames=max_frames)
+                except Exception as e:  # noqa: BLE001 — quarantined per row
+                    if not quarantine:
+                        raise
+                    rows["path"].append(path)
+                    rows["frame_idx"].append(None)
+                    rows["delay_cs"].append(None)
+                    rows["height"].append(None)
+                    rows["width"].append(None)
+                    rows["pixels"].append(None)
+                    rows["status"].append(_quarantine_status(e))
+                    continue
+                for idx, delay, raster in frames:
+                    rows["path"].append(path)
+                    rows["frame_idx"].append(idx)
+                    rows["delay_cs"].append(delay)
+                    rows["height"].append(len(raster))
+                    rows["width"].append(len(raster[0]) if raster else 0)
+                    rows["pixels"].append(raster)
+                    if quarantine:
+                        rows["status"].append("ok")
+            yield pd.DataFrame(rows)
+
+    img = media.filter(F.col("modality") == "image").select("path", "content")
+    return img.mapInPandas(run, schema)
 
 
 def media_from_storage(spark: SparkSession, root: str) -> DataFrame:
