@@ -194,7 +194,8 @@ def test_image_pipeline_real_bytes_no_injection(spark):
     rs = {r["path"].rsplit("/", 1)[-1]: r
           for r in resize_images(media, 2, 2).collect()}
     assert all(r["height"] == 2 and r["width"] == 2 for r in rs.values())
-    assert len(rs) == 6  # ppm, pgm, bmp, png, jpg, gif — all default-codec
+    # ppm, pgm, bmp, png, jpg, gif, tif — all default-codec decodable
+    assert len(rs) == 7
 
 
 def test_audio_pipeline_real_bytes_no_injection(spark):
@@ -1225,3 +1226,100 @@ def test_gif_animation_sampler_end_to_end(spark, tmp_path):
     assert np.abs(np.array(gif_row["pixels"]) - pattern).max() < 1e-12
     assert rows[("tiny.png", None)]["status"].startswith(
         "NotImplementedError")
+
+
+def test_tiff_decoder_matches_imageio_fixtures():
+    """Baseline TIFF decoder: tiny.tif is the SAME 20x24 test card as
+    tiny.jpg encoded UNCOMPRESSED by Java ImageIO's TIFF plugin
+    (independent real encoder; tools/make_tiff_fixture.py refuses to
+    write fixtures whose _decode_tiff raster differs from ImageIO's own
+    decode), and tiny_pb.tif is an RGB card under PackBits (32773).
+    TIFF is lossless -> both must reproduce their source patterns
+    EXACTLY."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from thewhisperdb_spark.sources.multimodal import (
+        _decode_tiff,
+        _packbits,
+        decode_ppm_bmp,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    data = open(os.path.join(root, "tiny.tif"), "rb").read()
+    img = np.array(decode_ppm_bmp(data))        # magic dispatch covers TIFF
+    y, x = np.mgrid[0:20, 0:24]
+    pattern = np.clip(32 + 128 * ((x // 4 + y // 4) % 2) + x * 4 + y * 2,
+                      0, 255) / 255.0
+    assert img.shape == (20, 24)
+    assert np.abs(img - pattern).max() < 1e-12
+
+    pb = open(os.path.join(root, "tiny_pb.tif"), "rb").read()
+    cimg = np.array(_decode_tiff(pb))
+    yy, xx = np.mgrid[0:21, 0:24]
+    card = (np.where(xx < 12, 40, 200) + (yy * 9) % 256
+            + np.where((yy // 3) % 2 == 0, 15, 230)) / (3 * 255.0)
+    assert cimg.shape == (21, 24)
+    assert np.abs(cimg - card).max() < 1e-9
+
+    # PackBits unit: literals, repeats, the -128 no-op, truncation
+    assert _packbits(bytes([2, 10, 11, 12, 0xFF, 7, 0x80, 0, 9]), 6) \
+        == bytes([10, 11, 12, 7, 7, 9])
+    with pytest.raises(ValueError, match="ends early"):
+        _packbits(bytes([2, 10, 11, 12]), 6)
+
+    # explicit gates: tiled layout and non-8-bit depths route to the
+    # injected-codec gate, never to silent misdecode
+    import struct
+
+    def ifd_patch_tag(buf, tag, new_tag):
+        bo = "<" if buf[:2] == b"II" else ">"
+        ifd = struct.unpack_from(bo + "I", buf, 4)[0]
+        n = struct.unpack_from(bo + "H", buf, ifd)[0]
+        out = bytearray(buf)
+        for k in range(n):
+            e = ifd + 2 + 12 * k
+            if struct.unpack_from(bo + "H", buf, e)[0] == tag:
+                struct.pack_into(bo + "H", out, e, new_tag)
+        return bytes(out)
+
+    tiled = ifd_patch_tag(data, 273, 322)       # StripOffsets -> TileOffsets
+    with pytest.raises(NotImplementedError, match="tiled TIFF"):
+        _decode_tiff(tiled)
+    with pytest.raises(ValueError, match="unknown byte order"):
+        _decode_tiff(b"XX*\x00" + data[4:])
+
+
+def test_tiff_decoder_corrupt_bytes_taxonomy():
+    """Byte-level fuzz over both committed TIFF fixtures: every mutation
+    decodes to a raster or raises the two taxonomy classes — never
+    struct.error/KeyError/IndexError/MemoryError."""
+    import os
+    import random
+
+    import numpy as np
+
+    from thewhisperdb_spark.sources.multimodal import _decode_tiff
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    for name in ("tiny.tif", "tiny_pb.tif"):
+        base = open(os.path.join(root, name), "rb").read()
+        rng = random.Random(len(name))
+        for case in range(150):
+            buf = bytearray(base)
+            mode = case % 3
+            if mode == 0:
+                del buf[rng.randrange(4, len(buf)):]
+            elif mode == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    buf[rng.randrange(2, len(buf))] = rng.randrange(256)
+            else:
+                buf = bytearray(base[:4]) + bytearray(
+                    rng.randrange(256) for _ in range(rng.randrange(4, 80)))
+            try:
+                out = _decode_tiff(bytes(buf))
+                assert np.asarray(out).ndim == 2
+            except (ValueError, NotImplementedError):
+                pass

@@ -57,6 +57,7 @@ _EXT_MODALITY = {
     ".ppm": ("image", "image/x-portable-pixmap"),
     ".pgm": ("image", "image/x-portable-graymap"),
     ".bmp": ("image", "image/bmp"), ".gif": ("image", "image/gif"),
+    ".tif": ("image", "image/tiff"), ".tiff": ("image", "image/tiff"),
     ".wav": ("audio", "audio/wav"),
     ".mp3": ("audio", "audio/mpeg"), ".mp4": ("video", "video/mp4"),
 }
@@ -211,6 +212,160 @@ def _decode_netpbm(content: bytes) -> list[list[float]]:
     else:
         gray = [p / maxval for p in px]
     return [gray[r * w:(r + 1) * w] for r in range(h)]
+
+
+def _packbits(data: bytes, expect: int) -> bytes:
+    """PackBits (TIFF §9 / Apple RLE) decompress to exactly ``expect``
+    bytes: n in 0..127 copies n+1 literals, n in -127..-1 repeats the
+    next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expect:
+        c = data[i] - 256 if data[i] >= 128 else data[i]
+        i += 1
+        if c == -128:
+            continue
+        if c >= 0:
+            if i + c + 1 > n:
+                raise ValueError("PackBits literal run past end of strip")
+            out += data[i:i + c + 1]
+            i += c + 1
+        else:
+            if i >= n:
+                raise ValueError("PackBits repeat run past end of strip")
+            out += bytes([data[i]]) * (1 - c)
+            i += 1
+    if len(out) < expect:
+        raise ValueError(
+            f"PackBits strip ends early ({len(out)} of {expect} bytes)")
+    return bytes(out[:expect])
+
+
+def _decode_tiff(content: bytes) -> list[list[float]]:
+    """Stdlib baseline-TIFF decoder (TIFF 6.0): II/MM byte orders, IFD0
+    tag walk, STRIP layout, uncompressed (1) and PackBits (32773)
+    compression, 8-bit gray (incl. WhiteIsZero), RGB/RGBA (alpha
+    ignored), and palette color (16-bit ColorMap) — the scanned-document
+    corpus staple. Tiles, 1/4/16-bit depths, planar layout, and
+    LZW/CCITT/JPEG-in-TIFF stay behind the injected-codec gate. Returns
+    the row-major [0, 1] grayscale raster (RGB averaged). Same 4 MP
+    CPU-sized plane cap as the other built-in decoders."""
+    import struct
+
+    if len(content) < 8:
+        raise ValueError("truncated TIFF header")
+    if content[:2] == b"II":
+        bo = "<"
+    elif content[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("TIFF header has unknown byte order")
+    if struct.unpack_from(bo + "H", content, 2)[0] != 42:
+        raise ValueError("TIFF magic is not 42")
+    ifd = struct.unpack_from(bo + "I", content, 4)[0]
+    if ifd + 2 > len(content):
+        raise ValueError("TIFF IFD0 offset out of bounds")
+    n_entries = struct.unpack_from(bo + "H", content, ifd)[0]
+    type_size = {1: 1, 3: 2, 4: 4}
+
+    def values(e: int) -> list[int]:
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", content, e)
+        if typ not in type_size:
+            raise NotImplementedError(
+                f"TIFF tag {tag} uses unsupported value type {typ}")
+        size = type_size[typ] * cnt
+        off = e + 8 if size <= 4 else struct.unpack_from(
+            bo + "I", content, e + 8)[0]
+        if off + size > len(content):
+            raise ValueError(f"TIFF tag {tag} value out of bounds")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return list(struct.unpack_from(bo + str(cnt) + fmt, content, off))
+
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(content):
+            raise ValueError("TIFF IFD0 entry out of bounds")
+        tag = struct.unpack_from(bo + "H", content, e)[0]
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 320,
+                   322, 323):
+            tags[tag] = values(e)
+
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError(
+            "tiled TIFF is not built in (strip layout only); inject a "
+            "codec for tiled images")
+    for need in (256, 257, 273, 279):
+        if need not in tags:
+            raise ValueError(f"TIFF missing required tag {need}")
+    w, h = tags[256][0], tags[257][0]
+    if w == 0 or h == 0:
+        raise ValueError("TIFF has zero dimension")
+    if w * h > 4_000_000:
+        raise NotImplementedError(
+            f"{w}x{h} TIFF exceeds the built-in decoder's 4 MP plane cap "
+            "(pure-Python strip assembly is CPU-bound): inject a native "
+            "codec for large images")
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * spp)
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    planar = tags.get(284, [1])[0]
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(
+            f"only 8-bit TIFF samples are built in (BitsPerSample={bits}); "
+            "inject a codec for other depths")
+    if planar != 1:
+        raise NotImplementedError(
+            "planar TIFF (PlanarConfiguration=2) is not built in")
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression} is not built in (none and "
+            "PackBits are); inject a codec for LZW/CCITT/JPEG strips")
+    if photometric not in (0, 1, 2, 3):
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} is not built in")
+    if photometric == 3 and spp != 1:
+        raise ValueError("palette TIFF must have one sample per pixel")
+    cmap = tags.get(320)
+    if photometric == 3 and (cmap is None or len(cmap) < 3 * 256):
+        # palette size is 3 * 2^bits = 768 for 8-bit
+        raise ValueError("palette TIFF missing or short ColorMap")
+    rows_per_strip = tags.get(278, [h])[0] or h
+    offsets, counts = tags[273], tags[279]
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF StripOffsets/StripByteCounts length mismatch")
+    row_bytes = w * spp
+    raster: list[list[float]] = []
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(content):
+            raise ValueError("TIFF strip out of bounds")
+        n_rows = min(rows_per_strip, h - s * rows_per_strip)
+        if n_rows <= 0:
+            raise ValueError("TIFF has more strips than image rows")
+        raw = content[off:off + cnt]
+        if compression == 32773:
+            raw = _packbits(raw, n_rows * row_bytes)
+        if len(raw) < n_rows * row_bytes:
+            raise ValueError("TIFF strip shorter than its declared rows")
+        for r in range(n_rows):
+            row = raw[r * row_bytes:(r + 1) * row_bytes]
+            if photometric == 2:                 # RGB/RGBA: average RGB
+                raster.append([(row[c * spp] + row[c * spp + 1]
+                                + row[c * spp + 2]) / (3 * 255.0)
+                               for c in range(w)])
+            elif photometric == 3:               # palette: 16-bit ColorMap
+                raster.append([(cmap[row[c]] + cmap[256 + row[c]]
+                                + cmap[512 + row[c]]) / (3 * 65535.0)
+                               for c in range(w)])
+            elif photometric == 0:               # WhiteIsZero
+                raster.append([1.0 - row[c * spp] / 255.0 for c in range(w)])
+            else:                                # BlackIsZero gray
+                raster.append([row[c * spp] / 255.0 for c in range(w)])
+    if len(raster) != h:
+        raise ValueError(
+            f"TIFF strips cover {len(raster)} rows, header declares {h}")
+    return raster
 
 
 def _decode_bmp(content: bytes) -> list[list[float]]:
@@ -1135,7 +1290,7 @@ def _gif_frames(content: bytes,
         i += 3 * size
     bg = gct[bg_index] if gct and bg_index < len(gct) else 0.0
     canvas = [[bg] * w for _ in range(h)]
-    n_frames = 0
+    n_frames = pixels_decoded = 0
     delay_cs, disposal, transparent = 0, 0, -1   # pending GCE state
     while True:
         if i >= len(content):
@@ -1183,6 +1338,15 @@ def _gif_frames(content: bytes,
             raise ValueError("GIF frame has zero dimension")
         if left + iw > w or top + ih > h:
             raise ValueError("GIF frame exceeds the logical screen")
+        pixels_decoded += iw * ih
+        if pixels_decoded > 16_000_000:
+            # cumulative CPU budget: the 4 MP plane cap bounds ONE frame,
+            # but an animation multiplies it — route oversize animations
+            # to the injected-codec gate like oversize stills
+            raise NotImplementedError(
+                "animated GIF exceeds the built-in decoder's 16 MP "
+                "cumulative frame budget (pure-Python LZW is CPU-bound): "
+                "inject a native codec for long/large animations")
         table = gct
         if ipacked & 0x80:
             size = 2 << (ipacked & 0x07)
@@ -1292,11 +1456,13 @@ def decode_ppm_bmp(content: bytes) -> list[list[float]]:
         return _decode_jpeg(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(content)
     raise NotImplementedError(
         f"no built-in codec for this image format (magic {magic!r}): the "
         "default decoder handles netpbm (PPM/PGM), uncompressed BMP, "
-        "non-interlaced 8-bit PNG, baseline+progressive JPEG, and GIF — "
-        "inject a decoder (e.g. PIL-based) for the rest")
+        "non-interlaced 8-bit PNG, baseline+progressive JPEG, GIF, and "
+        "baseline TIFF — inject a decoder (e.g. PIL-based) for the rest")
 
 
 def deterministic_fake_decoder(content: bytes, h: int = 8, w: int = 8):
