@@ -588,6 +588,62 @@ def ngram_jaccard_dedup(spark, sf_dir):
     return D.shingle_jaccard_pairs(d, n=3, threshold=0.9)
 
 
+@q("image_dhash_dedup_contract",
+   # contract oracle (semantic_dedup_contract pattern): dHash bit values
+   # aren't SQL-portable, but the dedup invariants are — the corpus is
+   # the first 200 documents rendered to deterministic rasters, every
+   # doc_id % 5 == 0 gets a pixel-identical copy at id+1e6, and the
+   # banded pairing (operators/imagededup.py) must surface EVERY seeded
+   # copy at hamming 0 with both pair ids drawn from the corpus. The
+   # Spark side COMPUTES the checks (false -> hash mismatch); the oracle
+   # pins the counts exactly and the booleans as constants.
+   "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+   "CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_seeded, TRUE AS all_seeded_matched, TRUE AS pair_ids_valid "
+   "FROM documents WHERE doc_id < 200")
+def image_dhash_dedup_contract(spark, sf_dir):
+    # perceptual image dedup driven end-to-end: text -> deterministic
+    # raster (the injectable-codec hook) -> 64-bit dHash -> pigeonhole
+    # band join; operators/imagededup.py
+    from thewhisperdb_spark.operators.imagededup import (
+        image_dhash, image_near_dup_pairs)
+    from thewhisperdb_spark.sources.multimodal import (
+        deterministic_fake_decoder)
+    d = (_docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+         .select("doc_id", F.encode("text", "utf-8").alias("content")))
+    orig = d.select(F.format_string("%09d", "doc_id").alias("path"),
+                    "content", F.lit("image").alias("modality"))
+    seeded = (d.filter(F.col("doc_id") % 5 == 0)
+              .select(F.format_string("%09d",
+                                      F.col("doc_id") + 1_000_000)
+                      .alias("path"),
+                      "content", F.lit("image").alias("modality")))
+    hashes = image_dhash(orig.unionByName(seeded),
+                         decoder=deterministic_fake_decoder)
+    pairs = image_near_dup_pairs(hashes, max_hamming=0) \
+        .localCheckpoint(eager=True)
+    expected = (d.filter(F.col("doc_id") % 5 == 0)
+                .select(F.format_string("%09d", "doc_id").alias("a"),
+                        F.format_string("%09d",
+                                        F.col("doc_id") + 1_000_000)
+                        .alias("b")))
+    missing = expected.join(pairs, ["a", "b"], "left_anti")
+    universe = (orig.select(F.col("path").alias("_p"))
+                .unionByName(seeded.select(F.col("path").alias("_p"))))
+    stray = (pairs.select(F.col("a").alias("_p"))
+             .unionByName(pairs.select(F.col("b").alias("_p")))
+             .join(universe, "_p", "left_anti"))
+    stats = d.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0))
+        .cast("long").alias("n_seeded"))
+    matched = missing.groupBy().agg(
+        (F.count(F.lit(1)) == 0).alias("all_seeded_matched"))
+    valid = stray.groupBy().agg(
+        (F.count(F.lit(1)) == 0).alias("pair_ids_valid"))
+    return stats.join(F.broadcast(matched)).join(F.broadcast(valid))
+
+
 # ---- north-star: text analysis --------------------------------------------
 
 @q("token_count",

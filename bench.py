@@ -131,6 +131,8 @@ HEADLINE = [
     "length_drift_report",
     # round-8 headliner (asymmetric containment dedup)
     "containment_dedup_pairs",
+    # round-9 headliner (perceptual dedup: dHash + pigeonhole band join)
+    "image_dhash_dedup_contract",
 ]
 
 # Index-maintenance keys (VERDICT r8 #7): NOT in the headline total —

@@ -1,0 +1,228 @@
+"""Perceptual image dedup: difference-hash (dHash) fingerprints over
+decoded rasters + Hamming-banded near-dup pairing.
+
+A 100 TB multimodal crawl is full of re-encoded copies of the same image
+(same pixels, different JPEG quality / format / minor crop), so byte-level
+exact dedup misses most of it. dHash is the standard cheap perceptual
+fingerprint: area-mean the raster to an (H, W+1) grid and take each
+horizontal gradient's sign — 64 bits at the default 8x8 that survive
+re-encoding, resizing, and small noise, while distinct images land far
+apart in Hamming distance.
+
+The pairing side reuses the engine's pigeonhole banding (same lossless
+argument as ``dedup.simhash_band_pairs``, ``operators/dedup.py``): a pair
+within ``max_hamming`` bit flips collides on at least
+``bands - max_hamming`` of the band slices, so the equi-join candidate set
+is lossless while ``max_hamming < bands`` — never an all-pairs product.
+The hash step is Arrow-batched ``mapInPandas`` over the binary column
+(CPU-bounded by the decoders' 4 MP cap); everything after it is JVM-side
+DataFrame ops on 64-bit longs.
+
+No reference counterpart (the reference dedups nothing, and its only
+binary handling is attachment storage, ``src/server/FileStorage.cpp``);
+north-star extension surface alongside the text/embedding dedup family.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ImageDecoder = Callable[[bytes], list]
+
+
+def dhash64(raster, hash_size: int = 8) -> int:
+    """Difference hash of a row-major [0, 1] grayscale raster: area-mean
+    downsample to (hash_size, hash_size+1), then bit (r, c) = 1 iff
+    cell[r][c+1] > cell[r][c], row-major MSB-first. 64 bits at the
+    default size. Deterministic float math (numpy f8), so the same
+    raster hashes identically on every executor."""
+    a = np.asarray(raster, dtype=np.float64)
+    if a.ndim != 2 or a.shape[0] < 1 or a.shape[1] < 2:
+        raise ValueError("dhash needs a 2-D raster at least 1x2")
+    gh, gw = hash_size, hash_size + 1
+    h, w = a.shape
+    # area-mean via prefix sums: cell (r,c) averages the half-open pixel
+    # block [r*h/gh, (r+1)*h/gh) x [c*w/gw, (c+1)*w/gw) with integer
+    # boundaries from rounding — exact, no interpolation kernel to match
+    ps = np.zeros((h + 1, w + 1))
+    ps[1:, 1:] = a.cumsum(0).cumsum(1)
+    bits = 0
+    cells = np.empty((gh, gw))
+    for r in range(gh):
+        # floor-division edges; a block is never empty (r0 < h for every
+        # r < gh, and r1 >= r0+1), so this also covers rasters SMALLER
+        # than the grid by repeating pixels
+        r0 = r * h // gh
+        r1 = min(max((r + 1) * h // gh, r0 + 1), h)
+        for c in range(gw):
+            c0 = c * w // gw
+            c1 = min(max((c + 1) * w // gw, c0 + 1), w)
+            area = (r1 - r0) * (c1 - c0)
+            cells[r, c] = (ps[r1, c1] - ps[r0, c1] - ps[r1, c0]
+                           + ps[r0, c0]) / area
+    for r in range(gh):
+        for c in range(gw - 1):
+            bits = (bits << 1) | int(cells[r, c + 1] > cells[r, c])
+    return bits
+
+
+IMAGE_HASH_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("dhash", LongType()),
+    StructField("status", StringType()),
+])
+
+
+def image_dhash(media: DataFrame,
+                decoder: ImageDecoder | None = None) -> DataFrame:
+    """One (path, dhash, status) row per image: decode via the injectable
+    codec hook (None = the stdlib :func:`multimodal.decode_ppm_bmp`
+    dispatch) and dHash the raster. Always quarantining — corpus-scale
+    fingerprinting must never abort on one corrupt file; failed rows
+    carry a NULL hash and the taxonomy in ``status``. The 64-bit hash is
+    stored as a SIGNED long (two's complement) so all downstream ops are
+    native JVM integer ops."""
+    from thewhisperdb_spark.sources.multimodal import decode_ppm_bmp
+
+    dec = decoder or decode_ppm_bmp
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"path": [], "dhash": [], "status": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    bits = dhash64(dec(bytes(content)))
+                    status = "ok"
+                except Exception as e:  # noqa: BLE001 — quarantined per row
+                    bits = None
+                    status = f"{type(e).__name__}: {str(e)[:160]}"
+                rows["path"].append(path)
+                rows["dhash"].append(bits - (1 << 64)
+                                     if bits is not None and bits >= 1 << 63
+                                     else bits)
+                rows["status"].append(status)
+            out = pd.DataFrame({"path": rows["path"],
+                                "status": rows["status"]})
+            # nullable Int64 from the raw ints: letting pd.DataFrame infer
+            # would coerce int+None batches to float64 and silently round
+            # hashes past 2^53
+            out["dhash"] = pd.array(rows["dhash"], dtype="Int64")
+            yield out[["path", "dhash", "status"]]
+
+    img = media.filter(F.col("modality") == "image").select("path", "content")
+    return img.mapInPandas(run, IMAGE_HASH_SCHEMA)
+
+
+def hamming_near_dup_pairs(hashes: DataFrame, max_hamming: int = 4,
+                           bands: int | None = None,
+                           id_col: str = "path",
+                           hash_col: str = "dhash",
+                           block_cols: list[str] | None = None) -> DataFrame:
+    """Near-duplicate pairs over ANY 64-bit perceptual hash column
+    (image dHash, audio spectrogram fingerprint, ...): (a, b, hamming)
+    with ``hamming <= max_hamming``. Candidates come from band
+    equi-joins (pigeonhole: d flips break at most d of the band slices,
+    so any pair within ``max_hamming`` collides on a full band while
+    ``max_hamming < bands`` — LOSSLESS), verified JVM-side with
+    ``bit_count(xor)``; never an all-pairs product.
+
+    ``bands`` defaults to ``max_hamming + 1`` — the multi-index-hamming
+    optimum (Norouzi et al., "Fast Search in Hamming Space with
+    Multi-Index Hashing", CVPR 2012): the FEWEST lossless bands give the
+    WIDEST slices (64/(d+1) bits), i.e. the strongest blocking. This is
+    the 100 TB lever: random-hash candidate volume is
+    Θ(bands * n^2 / 2^slice_bits), so 5 bands of ~13 bits beat 8 bands
+    of 8 bits by ~50x. Band widths are balanced when 64 % bands != 0.
+
+    ``block_cols``: optional extra equality keys ANDed into the band
+    join (image width/height bucket, source domain, duration bucket...)
+    — production blocking for corpora so large that even wide slices
+    collide; candidates then scale with the largest block, not the
+    corpus. Input rows with a NULL hash (quarantined decodes) are
+    excluded."""
+    bands = max_hamming + 1 if bands is None else bands
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole guarantee needs max_hamming < bands")
+    if not 1 <= bands <= 64:
+        raise ValueError("bands must be in 1..64")
+    lo = [b * 64 // bands for b in range(bands + 1)]     # balanced widths
+    keys = list(block_cols or [])
+    h = (hashes.filter(F.col(hash_col).isNotNull())
+         .select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
+                 *keys)
+         .localCheckpoint(eager=True))   # referenced by both join sides
+    def slice_expr(b):
+        width = lo[b + 1] - lo[b]
+        shifted = F.shiftrightunsigned("h", lo[b])
+        if width >= 64:                  # full-width band: mask literal
+            return shifted               # would overflow a Java long
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    banded = h.select(
+        "id", "h", *keys,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), slice_expr(b).alias("slice"))
+            for b in range(bands)])).alias("bb"),
+    ).select("id", "h", *keys, F.col("bb.band").alias("band"),
+             F.col("bb.slice").alias("slice"))
+    cond = (F.col("x.band") == F.col("y.band")) \
+        & (F.col("x.slice") == F.col("y.slice")) \
+        & (F.col("x.id") < F.col("y.id"))
+    for k in keys:
+        cond = cond & (F.col(f"x.{k}").eqNullSafe(F.col(f"y.{k}")))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), cond)
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                F.col("x.h").alias("ha"), F.col("y.h").alias("hb"))
+        .dropDuplicates(["a", "b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.select("a", "b", ham.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# the image-flavored name; same kernel, documented for the dHash column
+image_near_dup_pairs = hamming_near_dup_pairs
+
+
+def drop_near_duplicate_images(media: DataFrame,
+                               decoder: ImageDecoder | None = None,
+                               max_hamming: int = 4,
+                               bands: int = 8) -> DataFrame:
+    """End-to-end perceptual image dedup: dHash -> banded pairs ->
+    connected components -> keep one survivor per duplicate group
+    (transitive chains collapse, same rationale as
+    ``dedup.drop_near_duplicates``). Returns the surviving (path, dhash)
+    rows — quarantined (undecodable) rows always survive, since an
+    unreadable file was never shown to be a duplicate of anything.
+
+    The CC kernel needs integral ids, so a surrogate ``xxhash64(path)``
+    is minted per row (the ``sources/textio.py`` id regime: collisions
+    are 2^-64-scale and would only merge two groups, never drop data
+    silently — the survivor join maps back by the surrogate)."""
+    hashes = image_dhash(media, decoder=decoder).localCheckpoint(eager=True)
+    from thewhisperdb_spark.operators.dedup import near_dup_groups
+
+    with_sid = hashes.withColumn("_sid", F.xxhash64("path"))
+    pairs = hamming_near_dup_pairs(with_sid, max_hamming=max_hamming,
+                                   bands=bands, id_col="_sid",
+                                   hash_col="dhash")
+    verdict = near_dup_groups(with_sid.filter(F.col("dhash").isNotNull()),
+                              pairs.select("a", "b"), id_col="_sid")
+    keep = verdict.filter(F.col("keep")).select("_sid")
+    survivors = with_sid.join(keep, "_sid")
+    quarantined = with_sid.filter(F.col("dhash").isNull())
+    return (survivors.unionByName(quarantined)
+            .select("path", "dhash", "status"))
