@@ -237,3 +237,25 @@ def test_probe_jpeg_fill_bytes_before_marker():
     base = open(os.path.join(FIXTURES, "tiny.jpg"), "rb").read()
     m = probe_jpeg_exif(base[:2] + b"\xff\xff\xff" + base[2:])
     assert (m["width"], m["height"]) == (24, 20)
+
+
+def test_orient_raster_all_eight():
+    """EXIF orientations 1..8 on an asymmetric 2x3 raster, each pinned
+    to its hand-derived result, plus the involution/rotation identities
+    (2,3,4,5,7 self-inverse; 6 then 8 = identity)."""
+    from thewhisperdb_spark.sources.multimodal import orient_raster
+
+    r = [[1, 2, 3], [4, 5, 6]]
+    assert orient_raster(r, None) == r and orient_raster(r, 1) == r
+    assert orient_raster(r, 2) == [[3, 2, 1], [6, 5, 4]]
+    assert orient_raster(r, 3) == [[6, 5, 4], [3, 2, 1]]
+    assert orient_raster(r, 4) == [[4, 5, 6], [1, 2, 3]]
+    assert orient_raster(r, 5) == [[1, 4], [2, 5], [3, 6]]
+    assert orient_raster(r, 6) == [[4, 1], [5, 2], [6, 3]]
+    assert orient_raster(r, 7) == [[6, 3], [5, 2], [4, 1]]
+    assert orient_raster(r, 8) == [[3, 6], [2, 5], [1, 4]]
+    for o in (2, 3, 4, 5, 7):
+        assert orient_raster(orient_raster(r, o), o) == r
+    assert orient_raster(orient_raster(r, 6), 8) == r
+    with pytest.raises(ValueError, match="1..8"):
+        orient_raster(r, 9)

@@ -1323,3 +1323,55 @@ def test_tiff_decoder_corrupt_bytes_taxonomy():
                 assert np.asarray(out).ndim == 2
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_image_quality_features_exact(spark, tmp_path):
+    """Quality triage features pinned on constructed rasters: a flat
+    fill scores zero sharpness/contrast/entropy (the synthetic-fill
+    signature), a checkerboard scores maximal sharpness and exactly one
+    bit of entropy, and extreme_fraction counts clipped pixels; corrupt
+    bytes quarantine."""
+    import os
+    import shutil
+
+    from thewhisperdb_spark.sources.multimodal import (
+        image_quality_features,
+        read_binary_files,
+        with_media_metadata,
+    )
+
+    def decoder(content: bytes):
+        kind = bytes(content).decode()
+        if kind == "flat":
+            return [[0.5] * 8 for _ in range(8)]
+        if kind == "checker":
+            return [[float((r + c) % 2) for c in range(8)]
+                    for r in range(8)]
+        raise ValueError("corrupt test raster")
+
+    for name, body in (("flat.png", b"flat"), ("check.png", b"checker"),
+                       ("bad.png", b"nope")):
+        (tmp_path / name).write_bytes(body)
+    media = with_media_metadata(read_binary_files(spark, str(tmp_path)))
+    rows = {r["path"].rsplit("/", 1)[-1]: r
+            for r in image_quality_features(media, decoder).collect()}
+    flat = rows["flat.png"]
+    assert flat["status"] == "ok"
+    assert flat["sharpness"] == 0.0 and flat["contrast"] == 0.0
+    assert flat["entropy_bits"] == 0.0 and flat["extreme_fraction"] == 0.0
+    chk = rows["check.png"]
+    # interior Laplacian of a 0/1 checkerboard: |4*v - 4*(1-v)| = 4
+    assert abs(chk["sharpness"] - 4.0) < 1e-12
+    assert abs(chk["contrast"] - 1.0) < 1e-12
+    assert abs(chk["entropy_bits"] - 1.0) < 1e-12   # two equal buckets
+    assert chk["extreme_fraction"] == 1.0           # all pixels clipped
+    assert rows["bad.png"]["status"].startswith("ValueError")
+    assert rows["bad.png"]["sharpness"] is None
+    # real fixture through the default codec: sane, non-degenerate values
+    shutil.copy(os.path.join(os.path.dirname(__file__), "fixtures",
+                             "tiny.gif"), tmp_path / "tiny.gif")
+    media2 = with_media_metadata(
+        read_binary_files(spark, str(tmp_path), glob="tiny.gif"))
+    real = image_quality_features(media2).collect()[0]
+    assert real["status"] == "ok" and real["sharpness"] > 0.1
+    assert 0.4 < real["contrast"] <= 1.0 and real["entropy_bits"] > 2.0

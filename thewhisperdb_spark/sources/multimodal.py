@@ -1562,6 +1562,102 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
+IMAGE_QUALITY_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("height", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("sharpness", DoubleType()),      # mean |Laplacian|
+    StructField("contrast", DoubleType()),       # p95 - p5
+    StructField("entropy_bits", DoubleType()),   # 32-bin histogram entropy
+    StructField("extreme_fraction", DoubleType()),  # under/over-exposed
+    StructField("status", StringType()),
+])
+
+
+def image_quality_features(media: DataFrame,
+                           decoder: ImageDecoder | None = None) -> DataFrame:
+    """Image-quality triage features — the image analog of the text
+    quality scorers (operators/text.py): per decoded raster, mean
+    |4-neighbor Laplacian| (blur detector: sharp images score high,
+    defocused/upscaled ones near zero), p95-p5 contrast, 32-bin
+    intensity entropy (flat/synthetic fills score near zero), and the
+    under/over-exposed pixel fraction (<2% or >98% intensity). All
+    numpy f8 over the Arrow batch; always quarantining like
+    :func:`probe-side <extract_image_features>` feature extraction.
+    Downstream filtering is a plain DataFrame predicate over this
+    output, exactly like Gopher-rule text filtering."""
+    import numpy as np
+
+    dec = decoder or decode_ppm_bmp
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"path": [], "height": [], "width": [], "sharpness": [],
+                    "contrast": [], "entropy_bits": [],
+                    "extreme_fraction": [], "status": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    a = np.asarray(dec(bytes(content)), dtype=np.float64)
+                    if a.ndim != 2:
+                        raise ValueError("decoder returned a non-2D raster")
+                    h, w = a.shape
+                    if h >= 3 and w >= 3:
+                        lap = (4 * a[1:-1, 1:-1] - a[:-2, 1:-1]
+                               - a[2:, 1:-1] - a[1:-1, :-2] - a[1:-1, 2:])
+                        sharp = float(np.abs(lap).mean())
+                    else:
+                        sharp = 0.0
+                    p5, p95 = np.percentile(a, [5, 95])
+                    hist = np.histogram(a, bins=32, range=(0.0, 1.0))[0]
+                    p = hist[hist > 0] / a.size
+                    entropy = float(-(p * np.log2(p)).sum())
+                    extreme = float(((a < 0.02) | (a > 0.98)).mean())
+                    vals = (h, w, sharp, float(p95 - p5), entropy, extreme,
+                            "ok")
+                except Exception as e:  # noqa: BLE001 — quarantined per row
+                    vals = (None, None, None, None, None, None,
+                            _quarantine_status(e))
+                for k, v in zip(("height", "width", "sharpness", "contrast",
+                                 "entropy_bits", "extreme_fraction",
+                                 "status"), vals):
+                    rows[k].append(v)
+                rows["path"].append(path)
+            yield pd.DataFrame(rows)[[f.name
+                                      for f in IMAGE_QUALITY_SCHEMA.fields]]
+
+    img = media.filter(F.col("modality") == "image").select("path", "content")
+    return img.mapInPandas(run, IMAGE_QUALITY_SCHEMA)
+
+
+def orient_raster(raster: list[list[float]],
+                  orientation: int | None) -> list[list[float]]:
+    """Apply an EXIF orientation (tag 0x0112, values 1..8) to a row-major
+    raster so downstream features/hashes see the upright image: 1 =
+    as-is, 2 = mirror-H, 3 = rotate 180, 4 = mirror-V, 5 = transpose,
+    6 = rotate 90 CW, 7 = transverse, 8 = rotate 90 CCW. None (EXIF
+    absent, per ``mediaprobe.probe_jpeg_exif``) is treated as upright.
+    Pure list ops — usable inside any decoder hook or Arrow batch."""
+    if orientation in (None, 1):
+        return raster
+    if orientation not in range(2, 9):
+        raise ValueError(f"EXIF orientation must be 1..8, "
+                         f"got {orientation!r}")
+    if orientation == 2:
+        return [row[::-1] for row in raster]
+    if orientation == 3:
+        return [row[::-1] for row in raster[::-1]]
+    if orientation == 4:
+        return [row[:] for row in raster[::-1]]
+    t = [list(col) for col in zip(*raster)]      # transpose
+    if orientation == 5:
+        return t
+    if orientation == 6:                         # 90 CW = transpose + mirror-H
+        return [row[::-1] for row in t]
+    if orientation == 7:                         # transverse = 5 then 180
+        return [row[::-1] for row in t[::-1]]
+    return [row[:] for row in t[::-1]]           # 8: 90 CCW
+
+
 def resize_images(media: DataFrame, out_h: int, out_w: int,
                   decoder: ImageDecoder | None = None,
                   on_error: str = "raise") -> DataFrame:
