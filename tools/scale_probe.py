@@ -140,6 +140,7 @@ PROBE_INPUTS = {
     "cc_kernel": "graph", "pagerank_kernel": "graph", "bfs_kernel": "graph",
     "lpa_kernel": "graph", "core_kernel": "graph",
     "semantic_pairs_kernel": "embeddings",
+    "dhash_pairs_kernel": "documents",
 }
 
 
@@ -198,6 +199,28 @@ def probes(spark, d: str, copies: int) -> dict:
         spark.read.parquet(f"{d}/embeddings.parquet")
         .select("vec_id", "embedding"),
         threshold=0.45, k=8 * copies, max_iter=3)
+
+    def dhash_pairs():
+        # perceptual dedup (r9): deterministic raster render -> 64-bit
+        # dHash (Arrow mapInPandas, embarrassingly parallel) -> 5-band
+        # multi-index-hamming join. The marker-salted copies give
+        # near-random cross-copy hashes, so the candidate term scales as
+        # bands * n^2 / 2^~12.8 — the probe measures where the linear
+        # decode and the quadratic-with-tiny-constant join cross over.
+        from thewhisperdb_spark.operators.imagededup import (
+            hamming_near_dup_pairs, image_dhash)
+        from thewhisperdb_spark.sources.multimodal import (
+            deterministic_fake_decoder)
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        media = docs.select(
+            F.format_string("%09d", "doc_id").alias("path"),
+            F.encode("text", "utf-8").alias("content"),
+            F.lit("image").alias("modality"))
+        return hamming_near_dup_pairs(
+            image_dhash(media, decoder=deterministic_fake_decoder),
+            max_hamming=4)
+
+    out["dhash_pairs_kernel"] = dhash_pairs
     return out
 
 
