@@ -644,6 +644,83 @@ def image_dhash_dedup_contract(spark, sf_dir):
     return stats.join(F.broadcast(matched)).join(F.broadcast(valid))
 
 
+@q("dhash_index_incremental_dedup",
+   # contract oracle (lsh_index_incremental_dedup's persisted-index twin
+   # for the perceptual family): dHash bits aren't SQL-portable, but the
+   # invariants are — the historical corpus (doc_id < 400, rendered to
+   # deterministic rasters) is indexed ONCE (operators/hashindex.py:
+   # banded layout + meta sentinel + claim protocol); the arriving batch
+   # (doc_id in [400, 600)) hashes only itself and probes the at-rest
+   # band layout. Every doc_id % 5 == 0 batch doc is rendered from its
+   # (doc_id - 400) historical twin's text, so the probe MUST return
+   # that pair at hamming 0; all hit ids must come from the two ranges.
+   "SELECT CAST(sum(CASE WHEN doc_id < 400 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_index, "
+   "CAST(sum(CASE WHEN doc_id >= 400 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_batch, "
+   "CAST(sum(CASE WHEN doc_id >= 400 AND doc_id % 5 = 0 THEN 1 ELSE 0 "
+   "END) AS BIGINT) AS n_seeded, "
+   "TRUE AS seeded_hits_exact, TRUE AS hit_ids_valid "
+   "FROM documents WHERE doc_id < 600")
+def dhash_index_incremental_dedup(spark, sf_dir):
+    import tempfile
+
+    from thewhisperdb_spark.operators.hashindex import (
+        dhash_index_build, dhash_index_probe)
+    from thewhisperdb_spark.operators.imagededup import image_dhash
+    from thewhisperdb_spark.sources.multimodal import (
+        deterministic_fake_decoder)
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 600) \
+        .select("doc_id", "text")
+
+    def render(d):
+        return d.select(F.format_string("%09d", "doc_id").alias("path"),
+                        F.encode("text", "utf-8").alias("content"),
+                        F.lit("image").alias("modality"))
+
+    hist = docs.filter(F.col("doc_id") < 400)
+    seeded_src = (docs.filter((F.col("doc_id") >= 400)
+                              & (F.col("doc_id") % 5 == 0))
+                  .select((F.col("doc_id") - 400).alias("src_id"),
+                          F.col("doc_id").alias("bid")))
+    seeded = (seeded_src.join(
+        hist.select(F.col("doc_id").alias("src_id"), "text"), "src_id")
+        .select(F.col("bid").alias("doc_id"), "text"))
+    fresh = docs.filter((F.col("doc_id") >= 400)
+                        & (F.col("doc_id") % 5 != 0))
+    batch = seeded.unionByName(fresh)
+    path = tempfile.mkdtemp(prefix="whisper_dhash_idx_")
+    dhash_index_build(
+        image_dhash(render(hist), decoder=deterministic_fake_decoder),
+        path, max_hamming=4)
+    hits = dhash_index_probe(
+        spark, path,
+        image_dhash(render(batch), decoder=deterministic_fake_decoder)
+    ).localCheckpoint(eager=True)
+    expected = seeded_src.select(
+        F.format_string("%09d", "src_id").alias("index_id"),
+        F.format_string("%09d", "bid").alias("batch_id"))
+    missing = expected.join(
+        hits.filter(F.col("hamming") == 0), ["index_id", "batch_id"],
+        "left_anti")
+    stray = hits.filter(
+        (F.col("index_id") >= F.format_string("%09d", F.lit(400)))
+        | (F.col("batch_id") < F.format_string("%09d", F.lit(400))))
+    stats = docs.groupBy().agg(
+        F.sum(F.when(F.col("doc_id") < 400, 1).otherwise(0)).cast("long")
+        .alias("n_index"),
+        F.sum(F.when(F.col("doc_id") >= 400, 1).otherwise(0)).cast("long")
+        .alias("n_batch"),
+        F.sum(F.when((F.col("doc_id") >= 400) & (F.col("doc_id") % 5 == 0),
+                     1).otherwise(0)).cast("long").alias("n_seeded"))
+    exact = missing.groupBy().agg(
+        (F.count(F.lit(1)) == 0).alias("seeded_hits_exact"))
+    valid = stray.groupBy().agg(
+        (F.count(F.lit(1)) == 0).alias("hit_ids_valid"))
+    return stats.join(F.broadcast(exact)).join(F.broadcast(valid))
+
+
 # ---- north-star: text analysis --------------------------------------------
 
 @q("token_count",

@@ -147,6 +147,8 @@ MAINTENANCE = [
     "lsh_index_stats",
     "ivf_index_delete",
     "ivf_index_stats",
+    # r9: perceptual-hash index (build + banded probe per call)
+    "dhash_index_incremental_dedup",
 ]
 
 

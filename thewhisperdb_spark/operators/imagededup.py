@@ -124,6 +124,33 @@ def image_dhash(media: DataFrame,
     return img.mapInPandas(run, IMAGE_HASH_SCHEMA)
 
 
+def band_hashes(h: DataFrame, bands: int,
+                keep_cols: list[str] | None = None) -> DataFrame:
+    """Explode (id, h) rows into multi-index-hamming band rows
+    (id, band, slice [, keep_cols...]): band b is the ``h`` bit range
+    [b*64//bands, (b+1)*64//bands) — balanced widths when 64 % bands
+    != 0. A full-width single band skips the mask (a 64-bit mask literal
+    would overflow a Java long). Shared by the in-memory pair join and
+    the persisted hash index."""
+    lo = [b * 64 // bands for b in range(bands + 1)]
+
+    def slice_expr(b):
+        width = lo[b + 1] - lo[b]
+        shifted = F.shiftrightunsigned("h", lo[b])
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    keep = keep_cols or []
+    return h.select(
+        "id", *keep,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), slice_expr(b).alias("slice"))
+            for b in range(bands)])).alias("bb"),
+    ).select("id", *keep, F.col("bb.band").alias("band"),
+             F.col("bb.slice").alias("slice"))
+
+
 def hamming_near_dup_pairs(hashes: DataFrame, max_hamming: int = 4,
                            bands: int | None = None,
                            id_col: str = "path",
@@ -156,26 +183,12 @@ def hamming_near_dup_pairs(hashes: DataFrame, max_hamming: int = 4,
         raise ValueError("pigeonhole guarantee needs max_hamming < bands")
     if not 1 <= bands <= 64:
         raise ValueError("bands must be in 1..64")
-    lo = [b * 64 // bands for b in range(bands + 1)]     # balanced widths
     keys = list(block_cols or [])
     h = (hashes.filter(F.col(hash_col).isNotNull())
          .select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
                  *keys)
          .localCheckpoint(eager=True))   # referenced by both join sides
-    def slice_expr(b):
-        width = lo[b + 1] - lo[b]
-        shifted = F.shiftrightunsigned("h", lo[b])
-        if width >= 64:                  # full-width band: mask literal
-            return shifted               # would overflow a Java long
-        return shifted.bitwiseAND(F.lit((1 << width) - 1))
-
-    banded = h.select(
-        "id", "h", *keys,
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), slice_expr(b).alias("slice"))
-            for b in range(bands)])).alias("bb"),
-    ).select("id", "h", *keys, F.col("bb.band").alias("band"),
-             F.col("bb.slice").alias("slice"))
+    banded = band_hashes(h, bands, keep_cols=["h"] + keys)
     cond = (F.col("x.band") == F.col("y.band")) \
         & (F.col("x.slice") == F.col("y.slice")) \
         & (F.col("x.id") < F.col("y.id"))
