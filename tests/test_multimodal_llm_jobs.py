@@ -1375,3 +1375,80 @@ def test_image_quality_features_exact(spark, tmp_path):
     real = image_quality_features(media2).collect()[0]
     assert real["status"] == "ok" and real["sharpness"] > 0.1
     assert 0.4 < real["contrast"] <= 1.0 and real["entropy_bits"] > 2.0
+
+
+def test_pdf_builtin_extraction_end_to_end(spark, tmp_path):
+    """Built-in baseline PDF text extraction (the reference's core S8
+    path, previously hard-gated on a pdftotext binary): the committed
+    FlateDecode fixture — Tj, kerned TJ arrays, paren/octal/continuation
+    escapes, hex strings, the ' operator, Td line breaks — extracts
+    EXACTLY (generator-gated, tools/make_pdf_fixture.py), through both
+    the helper and the binaryFile -> extract_text pipeline."""
+    import os
+    import shutil
+
+    from thewhisperdb_spark.sources.multimodal import (
+        _pdf_text_builtin,
+        _pdf_to_text,
+        extract_text,
+        read_binary_files,
+        with_media_metadata,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    data = open(os.path.join(root, "tiny.pdf"), "rb").read()
+    expected = ("Hello, multimodal world!\n"
+                "Kerned array text.\n"
+                "Escapes: (parens), back\\slash, octal ABC, continued.\n"
+                "Hex string\n"
+                "Next line via quote.\n")
+    assert _pdf_text_builtin(data) == expected
+    text, status = _pdf_to_text(data)        # no pdftotext here -> builtin
+    assert (text, status) == (expected, "ok")
+    shutil.copy(os.path.join(root, "tiny.pdf"), tmp_path / "tiny.pdf")
+    media = with_media_metadata(read_binary_files(spark, str(tmp_path)))
+    row = extract_text(media).collect()[0]
+    assert row["status"] == "ok" and row["extracted"] == expected
+
+    # gates/taxonomy: encrypted -> tool_missing (builtin has no crypto),
+    # structurally fake -> error, unterminated string -> error
+    enc = data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    assert _pdf_to_text(enc) == ("", "tool_missing")
+    assert _pdf_to_text(b"%PDF-1.4 not really a pdf") == ("", "error")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unterminated"):
+        _pdf_text_builtin(
+            b"%PDF-1.4\n1 0 obj\n<< /Length 99 >>\nstream\n"
+            + b"BT (oops Tj ET" + b"\nendstream\nendobj\ntrailer")
+    # a streams-without-text PDF is EMPTY (auditable), not an error
+    img_only = data.replace(b"/Filter /FlateDecode", b"/Filter /DCTDecode")
+    assert _pdf_to_text(img_only) == ("", "empty")
+
+
+def test_pdf_builtin_corrupt_bytes_never_raise():
+    """_pdf_to_text is the quarantine boundary for PDFs: any mutation of
+    the committed fixture comes back as a (text, status) verdict — the
+    builtin parser's errors are caught and mapped to the status
+    taxonomy, never raised into the extraction job."""
+    import os
+    import random
+
+    from thewhisperdb_spark.sources.multimodal import _pdf_to_text
+
+    base = open(os.path.join(os.path.dirname(__file__), "fixtures",
+                             "tiny.pdf"), "rb").read()
+    rng = random.Random(5)
+    for case in range(150):
+        buf = bytearray(base)
+        mode = case % 3
+        if mode == 0:
+            del buf[rng.randrange(1, len(buf)):]
+        elif mode == 1:
+            for _ in range(rng.randrange(1, 8)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+        else:
+            buf = bytearray(b"%PDF-1.4\n") + bytearray(
+                rng.randrange(256) for _ in range(rng.randrange(4, 120)))
+        text, status = _pdf_to_text(bytes(buf))
+        assert isinstance(text, str)
+        assert status in ("ok", "empty", "error", "tool_missing")

@@ -92,6 +92,196 @@ def with_media_metadata(binary_df: DataFrame) -> DataFrame:
 _TEXT_CAP = 8000  # chars (src/embedding/TextExtractor.cpp:10)
 
 
+def _pdf_lit_string(cs: bytes, i: int) -> tuple[str, int]:
+    """Decode a PDF literal string starting at the ``(`` at ``cs[i]``
+    (ISO 32000-1 §7.3.4.2): balanced parens, backslash escapes incl.
+    up-to-3-digit octal and line continuations. Returns (text, next_i)."""
+    out = bytearray()
+    depth, i, n = 1, i + 1, len(cs)
+    esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+           0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+    while i < n and depth:
+        c = cs[i]
+        if c == 0x5C and i + 1 < n:              # backslash
+            nxt = cs[i + 1]
+            if nxt in esc:
+                out.append(esc[nxt])
+                i += 2
+            elif 0x30 <= nxt <= 0x37:            # octal, 1-3 digits
+                j = i + 1
+                val = 0
+                while j < n and j <= i + 3 and 0x30 <= cs[j] <= 0x37:
+                    val = val * 8 + (cs[j] - 0x30)
+                    j += 1
+                out.append(val & 0xFF)
+                i = j
+            elif nxt in (10, 13):                # line continuation
+                i += 2
+                if nxt == 13 and i < n and cs[i] == 10:
+                    i += 1
+            else:                                # \x -> x
+                out.append(nxt)
+                i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if not depth:
+                i += 1
+                break
+        if depth:
+            out.append(c)
+        i += 1
+    if depth:
+        raise ValueError("unterminated PDF literal string")
+    return out.decode("latin-1"), i
+
+
+def _pdf_hex_string(cs: bytes, i: int) -> tuple[str, int]:
+    """Decode a PDF hex string ``<...>`` at ``cs[i]`` (§7.3.4.3): odd
+    final digit implies a trailing 0."""
+    end = cs.find(b">", i)
+    if end < 0:
+        raise ValueError("unterminated PDF hex string")
+    digits = bytes(c for c in cs[i + 1:end]
+                   if c not in b" \t\r\n\f\x00")
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii")).decode("latin-1"), \
+            end + 1
+    except ValueError as e:
+        raise ValueError("invalid PDF hex string") from e
+
+
+def _pdf_stream_text(cs: bytes) -> str:
+    """Text-showing operators of one decoded content stream: Tj / TJ /
+    ' / " append their strings, Td / TD / T* / ' / " and ET break lines.
+    Single-byte standard encodings only (latin-1 view) — CID/Type0
+    2-byte text is the documented gate."""
+    out: list[str] = []
+    pending: list[str] = []
+    i, n = 0, len(cs)
+    while i < n:
+        c = cs[i]
+        if c == 0x28:                            # ( literal string
+            s, i = _pdf_lit_string(cs, i)
+            pending.append(s)
+        elif c == 0x3C:
+            if i + 1 < n and cs[i + 1] == 0x3C:  # << dict (BDC props)
+                i += 2
+            else:
+                s, i = _pdf_hex_string(cs, i)
+                pending.append(s)
+        elif c == 0x3E:                          # stray > (dict close)
+            i += 1
+        elif c in b"[]":
+            i += 1
+        elif c == 0x2F:                          # /Name
+            i += 1
+            while i < n and cs[i] not in b" \t\r\n\f\x00()<>[]/%":
+                i += 1
+        elif c == 0x25:                          # % comment
+            while i < n and cs[i] not in (10, 13):
+                i += 1
+        elif c in b" \t\r\n\f\x00":
+            i += 1
+        else:
+            j = i
+            while j < n and cs[j] not in b" \t\r\n\f\x00()<>[]/%":
+                j += 1
+            tok = cs[i:j]
+            if tok == b"Tj":
+                out.extend(pending)
+                pending = []
+            elif tok == b"TJ":
+                out.append("".join(pending))     # kerning numbers ignored
+                pending = []
+            elif tok in (b"'", b'"'):            # next-line show
+                out.append("\n")
+                out.extend(pending)
+                pending = []
+            elif tok in (b"Td", b"TD", b"T*"):
+                if out and not out[-1].endswith("\n"):
+                    out.append("\n")
+                pending = []
+            elif tok == b"ET":
+                if out and not out[-1].endswith("\n"):
+                    out.append("\n")
+                pending = []
+            # every other operator (Tf/Tm/cm/graphics...) is a no-op here
+            i = max(j, i + 1)
+    return "".join(out)
+
+
+def _pdf_text_builtin(content: bytes) -> str:
+    """Stdlib baseline PDF text extraction — the fallback when the
+    reference's pdftotext binary (``TextExtractor.cpp:41-46``) is not
+    installed: walk ``<< ... >> stream ... endstream`` objects, inflate
+    FlateDecode (zlib) or take unfiltered bytes, and run the
+    text-operator parser over streams that contain text blocks.
+    Encrypted PDFs and non-Flate filters (DCT/LZW/...) are skipped per
+    stream; a PDF whose text lives only there extracts as "" (status
+    'empty' upstream, auditable). Raises ValueError when the bytes are
+    not a PDF at all."""
+    import zlib
+
+    if not content.startswith(b"%PDF-"):
+        raise ValueError("not a PDF stream (missing %PDF- header)")
+    if b"endobj" not in content and b"trailer" not in content:
+        raise ValueError("no PDF objects found (truncated or fake PDF)")
+    if b"/Encrypt" in content:
+        raise NotImplementedError(
+            "encrypted PDF: the built-in extractor has no RC4/AES; "
+            "install pdftotext or inject a decryptor")
+    texts: list[str] = []
+    i = 0
+    while True:
+        s = content.find(b"stream", i)
+        if s < 0:
+            break
+        # the stream keyword must terminate a dictionary: walk back over
+        # whitespace to '>>', then match its '<<' by reverse nesting
+        k = s - 1
+        while k >= 0 and content[k] in b" \t\r\n":
+            k -= 1
+        if k < 1 or content[k - 1:k + 1] != b">>":
+            i = s + 6
+            continue
+        depth, j = 1, k - 1
+        while j > 0 and depth:
+            if content[j - 1:j + 1] == b"<<":
+                depth -= 1
+                j -= 2
+            elif content[j - 1:j + 1] == b">>":
+                depth += 1
+                j -= 2
+            else:
+                j -= 1
+        sdict = content[j:k + 1]
+        data_start = content.find(b"\n", s)
+        if data_start < 0:
+            break
+        data_start += 1
+        end = content.find(b"endstream", data_start)
+        if end < 0:
+            raise ValueError("PDF stream without endstream")
+        raw = content[data_start:end].rstrip(b"\r\n")
+        i = end + 9
+        if b"/FlateDecode" in sdict:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue                         # corrupt/partial: skip
+        elif b"/Filter" in sdict:
+            continue                             # non-Flate (images etc.)
+        if b"BT" not in raw:
+            continue                             # not a text content stream
+        texts.append(_pdf_stream_text(raw))
+    return "".join(texts)
+
+
 def _pdf_to_text(content: bytes) -> tuple[str, str]:
     """pdftotext subprocess pipe, mirroring ``TextExtractor.cpp:41-46``.
     Returns ``(text, status)`` — the reference falls back to "" on every
@@ -104,7 +294,17 @@ def _pdf_to_text(content: bytes) -> tuple[str, str]:
         proc = subprocess.run(["pdftotext", "-", "-"], input=content,
                               capture_output=True, timeout=30)
     except FileNotFoundError:
-        return "", "tool_missing"
+        # r9: built-in baseline extractor (FlateDecode + text operators)
+        # so the reference's core extraction path works with no tool
+        # installed; 'tool_missing' now only means BOTH are unavailable
+        # for these bytes (encrypted / non-Flate-only PDFs)
+        try:
+            text = _pdf_text_builtin(content)
+        except NotImplementedError:
+            return "", "tool_missing"
+        except Exception:
+            return "", "error"
+        return text, ("ok" if text else "empty")
     except subprocess.TimeoutExpired:
         return "", "timeout"
     if proc.returncode != 0:
