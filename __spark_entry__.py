@@ -721,6 +721,51 @@ def dhash_index_incremental_dedup(spark, sf_dir):
     return stats.join(F.broadcast(exact)).join(F.broadcast(valid))
 
 
+@q("html_extract_roundtrip",
+   # contract oracle: the HTML parser isn't SQL-expressible, but the
+   # round-trip invariant is — each document's text is wrapped JVM-side
+   # in a full HTML page (title carrying the id, a script payload that
+   # must NOT leak, an entity-bearing trailer div), extracted by the
+   # Arrow parser (operators/htmltext.py), and must come back as the
+   # whitespace-normalized original + the decoded trailer. The Spark
+   # side COMPUTES the checks; the oracle pins the count and booleans.
+   "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS all_roundtrip, "
+   "TRUE AS titles_ok, TRUE AS no_script_leak, TRUE AS densities_valid "
+   "FROM documents WHERE doc_id < 300")
+def html_extract_roundtrip(spark, sf_dir):
+    from thewhisperdb_spark.operators.htmltext import html_extract
+
+    docs = (_docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+            .select("doc_id", "text"))
+    html = docs.select(
+        "doc_id", "text",
+        F.concat(
+            F.lit("<html><head><title>Doc "), F.col("doc_id"),
+            F.lit("</title><script>var p='SECRET';</script></head>"
+                  "<body><p>"),
+            F.col("text"),
+            F.lit("</p><div>x &amp; y</div></body></html>")).alias("html"))
+    out = (html_extract(html)
+           .withColumnRenamed("text", "etext")
+           .join(html.select(F.col("doc_id").cast("string").alias("doc_id"),
+                             "text"), "doc_id"))
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    expected = F.when(norm == "", F.lit("x & y")) \
+        .otherwise(F.concat(norm, F.lit("\nx & y")))
+    return out.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.bool_and(F.col("etext") == expected), F.lit(True))
+        .alias("all_roundtrip"),
+        F.coalesce(F.bool_and(
+            F.col("title") == F.concat(F.lit("Doc "), F.col("doc_id"))),
+            F.lit(True)).alias("titles_ok"),
+        F.coalesce(F.bool_and(~F.col("etext").contains("SECRET")),
+                   F.lit(True)).alias("no_script_leak"),
+        F.coalesce(F.bool_and((F.col("link_density") >= 0)
+                              & (F.col("link_density") <= 1)),
+                   F.lit(True)).alias("densities_valid"))
+
+
 # ---- north-star: text analysis --------------------------------------------
 
 @q("token_count",

@@ -131,8 +131,9 @@ HEADLINE = [
     "length_drift_report",
     # round-8 headliner (asymmetric containment dedup)
     "containment_dedup_pairs",
-    # round-9 headliner (perceptual dedup: dHash + pigeonhole band join)
+    # round-9 headliners (perceptual dedup; HTML->text extraction)
     "image_dhash_dedup_contract",
+    "html_extract_roundtrip",
 ]
 
 # Index-maintenance keys (VERDICT r8 #7): NOT in the headline total —

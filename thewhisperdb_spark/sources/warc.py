@@ -1,0 +1,195 @@
+"""WARC (Web ARChive, ISO 28500) source: the container format web crawls
+actually arrive in (Common Crawl et al.) — one file holds many records
+(request/response/metadata/warcinfo), each a block of WARC headers plus a
+Content-Length-delimited payload; response records nest an HTTP message
+whose body is the document. Crawl WARCs are usually gzipped with ONE GZIP
+MEMBER PER RECORD so readers can split without decompressing the world —
+the stdlib-zlib member walk here honors that framing.
+
+``read_warc`` is binaryFile -> Arrow ``mapInPandas``: each executor task
+parses its own archives and explodes them into typed record rows (never a
+driver-side loop), feeding straight into the rest of the pipeline —
+``htmltext.html_extract`` for the bodies, quality filters, dedup. Parsing
+is bounds-checked with the standard taxonomy (ValueError = corrupt
+bytes); one corrupt archive quarantines as a single status row instead of
+aborting the scan.
+
+The reference has no archive ingestion (attachment bytes on disk only,
+``src/server/FileStorage.cpp``); north-star extension surface.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenate every gzip member (record-per-member crawl framing)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data[i:])
+        except zlib.error as e:                  # corrupt deflate stream
+            raise ValueError(f"corrupt gzip member in WARC: {e}") from e
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC")
+        consumed = (n - i) - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("gzip member consumed no bytes")
+        i += consumed
+    return bytes(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Header block (WARC or HTTP): 'Name: value' lines, latin-1 view,
+    names case-folded; continuation lines folded per RFC 822."""
+    headers: dict[str, str] = {}
+    last = None
+    for line in block.split(b"\r\n"):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last:
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise ValueError("malformed WARC/HTTP header line")
+        last = name.strip().decode("latin-1").lower()
+        headers[last] = value.strip().decode("latin-1")
+    return headers
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse one WARC file (plain or gzip-per-record) into record dicts:
+    ``{"record_idx", "warc_type", "target_uri", "warc_date",
+    "content_type", "http_status", "payload"}``. For HTTP response
+    records the nested HTTP headers are consumed — ``payload`` is the
+    BODY and ``content_type``/``http_status`` come from the HTTP message;
+    for every other record type the payload is the raw WARC block and
+    ``content_type`` is the WARC-level one."""
+    data = bytes(data)
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records = []
+    i, n, idx = 0, len(data), 0
+    while i < n:
+        while i < n and data[i:i + 2] == b"\r\n":   # inter-record blanks
+            i += 2
+        if i >= n:
+            break
+        if not data.startswith(b"WARC/", i):
+            raise ValueError(f"WARC record {idx}: missing version line")
+        ver_end = data.find(b"\r\n", i)
+        hdr_end = data.find(b"\r\n\r\n", i)
+        if ver_end < 0 or hdr_end < 0:
+            raise ValueError(f"WARC record {idx}: truncated header block")
+        headers = _parse_headers(data[ver_end + 2:hdr_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError(
+                f"WARC record {idx}: missing/invalid Content-Length") from e
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            raise ValueError(f"WARC record {idx}: payload overruns file")
+        block = data[body_start:body_start + length]
+        i = body_start + length
+        rec = {
+            "record_idx": idx,
+            "warc_type": headers.get("warc-type"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "http_status": None,
+            "payload": block,
+        }
+        ctype = (headers.get("content-type") or "").lower()
+        if rec["warc_type"] == "response" and \
+                ctype.startswith("application/http"):
+            split = block.find(b"\r\n\r\n")
+            if split < 0:
+                raise ValueError(
+                    f"WARC record {idx}: response without HTTP header end")
+            status_line, _, hdr_block = block[:split].partition(b"\r\n")
+            parts = status_line.split(None, 2)
+            if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+                raise ValueError(
+                    f"WARC record {idx}: malformed HTTP status line")
+            http = _parse_headers(hdr_block)
+            rec["http_status"] = int(parts[1])
+            rec["content_type"] = http.get("content-type")
+            rec["payload"] = block[split + 4:]
+        records.append(rec)
+        idx += 1
+    return records
+
+
+WARC_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("record_idx", IntegerType()),
+    StructField("warc_type", StringType()),
+    StructField("target_uri", StringType()),
+    StructField("warc_date", StringType()),
+    StructField("content_type", StringType()),
+    StructField("http_status", IntegerType()),
+    StructField("payload", BinaryType()),
+    StructField("status", StringType()),
+])
+
+_COLS = [f.name for f in WARC_SCHEMA.fields]
+
+
+def read_warc(spark: SparkSession, path: str,
+              glob: str | None = None) -> DataFrame:
+    """binaryFile scan -> one row per WARC record, parsed executor-side.
+    A corrupt archive yields a single quarantine row (NULL record fields,
+    taxonomy in ``status``) — a million-archive scan must not abort on
+    one bad file. Chain ``filter(warc_type = 'response' AND content_type
+    LIKE 'text/html%')`` -> ``htmltext.html_extract`` for the standard
+    crawl pipeline."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in _COLS}
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    recs = parse_warc(bytes(content))
+                except Exception as e:  # noqa: BLE001 — quarantined
+                    recs = None
+                    err = f"{type(e).__name__}: {str(e)[:160]}"
+                if recs is None:
+                    for c in _COLS:
+                        rows[c].append(fpath if c == "path"
+                                       else err if c == "status" else None)
+                    continue
+                for r in recs:
+                    rows["path"].append(fpath)
+                    rows["status"].append("ok")
+                    for c in _COLS:
+                        if c not in ("path", "status"):
+                            rows[c].append(r[c])
+            out = pd.DataFrame({c: rows[c] for c in _COLS})
+            out["record_idx"] = pd.array(rows["record_idx"], dtype="Int32")
+            out["http_status"] = pd.array(rows["http_status"],
+                                          dtype="Int32")
+            yield out
+
+    return files.mapInPandas(run, WARC_SCHEMA)
