@@ -1452,3 +1452,86 @@ def test_pdf_builtin_corrupt_bytes_never_raise():
         text, status = _pdf_to_text(bytes(buf))
         assert isinstance(text, str)
         assert status in ("ok", "empty", "error", "tool_missing")
+
+
+def _make_docx(paragraphs) -> bytes:
+    import io
+    import zipfile
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    t_open = '<w:r><w:t xml:space="preserve">'
+    body = "".join(
+        "<w:p>" + "".join(t_open + t + "</w:t></w:r>" for t in runs)
+        + "</w:p>" for runs in paragraphs)
+    doc = (f'<?xml version="1.0"?><w:document xmlns:w="{W}">'
+           f"<w:body>{body}</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _make_epub(chapters, spine_order) -> bytes:
+    """chapters: {name: html}; spine_order: names in reading order."""
+    import io
+    import zipfile
+
+    items = "".join(
+        f'<item id="c{i}" href="{n}" media-type="application/xhtml+xml"/>'
+        for i, n in enumerate(sorted(chapters)))
+    idref = {n: f"c{i}" for i, n in enumerate(sorted(chapters))}
+    refs = "".join(f'<itemref idref="{idref[n]}"/>' for n in spine_order)
+    opf = ('<?xml version="1.0"?>'
+           '<package xmlns="http://www.idpf.org/2007/opf">'
+           f"<manifest>{items}</manifest><spine>{refs}</spine></package>")
+    container = ('<?xml version="1.0"?><container xmlns="urn:oasis:names:'
+                 'tc:opendocument:xmlns:container"><rootfiles><rootfile '
+                 'full-path="OEBPS/content.opf"/></rootfiles></container>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("META-INF/container.xml", container)
+        zf.writestr("OEBPS/content.opf", opf)
+        for name, html in chapters.items():
+            zf.writestr(f"OEBPS/{name}", html)
+    return buf.getvalue()
+
+
+def test_docx_epub_extraction(spark, tmp_path):
+    """OOXML and EPUB text through the S8 dispatch: docx paragraphs
+    (with tab/break runs) join in document order, epub chapters follow
+    the SPINE order (deliberately non-alphabetical here), and corrupt
+    containers report 'error' — all through the real extract_text
+    pipeline."""
+    from thewhisperdb_spark.sources.multimodal import (
+        _docx_to_text,
+        _epub_to_text,
+        extract_text,
+        read_binary_files,
+        with_media_metadata,
+    )
+
+    docx = _make_docx([["Title line"], ["Body ", "with two runs."]])
+    assert _docx_to_text(docx) == ("Title line\nBody with two runs.", "ok")
+    assert _docx_to_text(b"PK\x03\x04 corrupt")[1] == "error"
+
+    # spine order z-then-a: alphabetical fallback would invert it
+    epub = _make_epub(
+        {"a_ch.xhtml": "<html><body><p>Second by spine.</p></body></html>",
+         "z_ch.xhtml": "<html><body><p>First by spine.</p></body></html>"},
+        spine_order=["z_ch.xhtml", "a_ch.xhtml"])
+    text, status = _epub_to_text(epub)
+    assert status == "ok"
+    assert text == "First by spine.\nSecond by spine."
+    assert _epub_to_text(b"not a zip")[1] == "error"
+
+    (tmp_path / "doc.docx").write_bytes(docx)
+    (tmp_path / "book.epub").write_bytes(epub)
+    media = with_media_metadata(read_binary_files(spark, str(tmp_path)))
+    rows = {r["path"].rsplit("/", 1)[-1]: r
+            for r in extract_text(media).collect()}
+    assert rows["doc.docx"]["status"] == "ok"
+    assert rows["doc.docx"]["extracted"].startswith("Title line")
+    assert rows["book.epub"]["extracted"] == ("First by spine.\n"
+                                              "Second by spine.")

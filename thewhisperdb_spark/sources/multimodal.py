@@ -52,6 +52,9 @@ MEDIA_SCHEMA = StructType([
 _EXT_MODALITY = {
     ".txt": ("text", "text/plain"), ".md": ("text", "text/markdown"),
     ".text": ("text", "text/plain"), ".pdf": ("text", "application/pdf"),
+    ".docx": ("text", "application/vnd.openxmlformats-officedocument."
+                      "wordprocessingml.document"),
+    ".epub": ("text", "application/epub+zip"),
     ".png": ("image", "image/png"), ".jpg": ("image", "image/jpeg"),
     ".jpeg": ("image", "image/jpeg"),
     ".ppm": ("image", "image/x-portable-pixmap"),
@@ -313,6 +316,89 @@ def _pdf_to_text(content: bytes) -> tuple[str, str]:
     return text, ("ok" if text else "empty")
 
 
+_DOCX_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def _docx_to_text(content: bytes) -> tuple[str, str]:
+    """OOXML word-processing text (r9): unzip, parse
+    ``word/document.xml``, join each ``w:p`` paragraph's ``w:t`` runs in
+    document order (tabs and soft breaks become their characters).
+    Stdlib zipfile + ElementTree — the other office container staple
+    next to PDF. Corrupt zip/XML -> ``error``."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(content)) as zf:
+            root = ET.fromstring(zf.read("word/document.xml"))
+    except Exception:  # noqa: BLE001 — BadZipFile/KeyError/ParseError/...
+        return "", "error"
+    paras = []
+    for p in root.iter(f"{_DOCX_W}p"):
+        runs = []
+        for el in p.iter():
+            if el.tag == f"{_DOCX_W}t":
+                runs.append(el.text or "")
+            elif el.tag == f"{_DOCX_W}tab":
+                runs.append("\t")
+            elif el.tag == f"{_DOCX_W}br":
+                runs.append("\n")
+        paras.append("".join(runs))
+    text = "\n".join(pa for pa in paras if pa)
+    return text, ("ok" if text else "empty")
+
+
+def _epub_to_text(content: bytes) -> tuple[str, str]:
+    """EPUB text (r9): resolve the OPF via ``META-INF/container.xml``,
+    walk the SPINE (the author-declared reading order — alphabetical
+    entry order is wrong for real books), and strip each chapter's
+    XHTML through the repo's HTML extractor. Falls back to name-sorted
+    ``.x?html`` entries when the OPF is missing/corrupt (better a
+    mis-ordered extraction than none, and the status stays ``ok`` —
+    order policy, not data loss). Corrupt zip -> ``error``."""
+    import io
+    import posixpath
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from thewhisperdb_spark.operators.htmltext import html_to_text
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+        names = zf.namelist()
+    except Exception:  # noqa: BLE001
+        return "", "error"
+    chapters: list[str] = []
+    try:
+        container = ET.fromstring(zf.read("META-INF/container.xml"))
+        cns = "{urn:oasis:names:tc:opendocument:xmlns:container}"
+        opf_path = container.find(f".//{cns}rootfile").get("full-path")
+        opf = ET.fromstring(zf.read(opf_path))
+        ons = "{http://www.idpf.org/2007/opf}"
+        hrefs = {it.get("id"): it.get("href")
+                 for it in opf.iter(f"{ons}item")}
+        base = posixpath.dirname(opf_path)
+        for ref in opf.iter(f"{ons}itemref"):
+            href = hrefs.get(ref.get("idref"))
+            if href:
+                chapters.append(posixpath.normpath(
+                    posixpath.join(base, href)))
+    except Exception:  # noqa: BLE001 — no/odd OPF: fall back to names
+        chapters = sorted(n for n in names
+                          if n.lower().endswith((".xhtml", ".html",
+                                                 ".htm")))
+    parts = []
+    for name in chapters:
+        try:
+            html = zf.read(name).decode("utf-8", errors="replace")
+        except KeyError:
+            continue                             # dangling manifest href
+        parts.append(html_to_text(html)["text"])
+    text = "\n".join(pa for pa in parts if pa)
+    return text, ("ok" if text else "empty")
+
+
 def extract_text(media: DataFrame, cap: int = _TEXT_CAP) -> DataFrame:
     """S8 dispatch-on-extension extraction (``TextExtractor.cpp:26-81``):
     text/* decoded as UTF-8, application/pdf piped through pdftotext, others
@@ -342,6 +428,11 @@ def extract_text(media: DataFrame, cap: int = _TEXT_CAP) -> DataFrame:
                     status = "ok" if text else "empty"
                 elif mime == "application/pdf":
                     text, status = _pdf_to_text(bytes(content))
+                elif mime == ("application/vnd.openxmlformats-"
+                              "officedocument.wordprocessingml.document"):
+                    text, status = _docx_to_text(bytes(content))
+                elif mime == "application/epub+zip":
+                    text, status = _epub_to_text(bytes(content))
                 else:
                     text, status = "", "unsupported"
                 texts.append(text[:cap])
