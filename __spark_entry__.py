@@ -644,6 +644,44 @@ def image_dhash_dedup_contract(spark, sf_dir):
     return stats.join(F.broadcast(matched)).join(F.broadcast(valid))
 
 
+@q("url_domain_features",
+   # FULL-VALUE oracle (no contract booleans needed): URLs are built
+   # JVM-side from document fields, so DuckDB can mirror both the
+   # construction and the feature derivation with plain string ops —
+   # host, eTLD+1-style registrable domain (multi-part co.uk suffix
+   # exercised via doc_id % 3), tld, path depth, query flag
+   # (operators/urls.py).
+   "SELECT doc_id, "
+   "'https' AS scheme, "
+   "'sub' || CAST(doc_id % 5 AS VARCHAR) || '.' || source || '.' || "
+   "  CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' "
+   "  ELSE 'org' END AS host, "
+   "source || '.' || CASE doc_id % 3 WHEN 0 THEN 'com' "
+   "  WHEN 1 THEN 'co.uk' ELSE 'org' END AS registrable_domain, "
+   "CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'uk' ELSE 'org' END "
+   "  AS tld, "
+   "CAST(2 AS INTEGER) AS path_depth, "
+   "doc_id % 2 = 0 AS has_query "
+   "FROM documents WHERE doc_id < 500")
+def url_domain_features(spark, sf_dir):
+    from thewhisperdb_spark.operators.urls import url_features
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    suffix = (F.when(F.col("doc_id") % 3 == 0, "com")
+              .when(F.col("doc_id") % 3 == 1, "co.uk").otherwise("org"))
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://sub"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit("."), F.col("source"), F.lit("."), suffix,
+                 F.lit("/p/"), F.col("doc_id").cast("string"),
+                 F.when(F.col("doc_id") % 2 == 0,
+                        F.concat(F.lit("?q="), F.col("lang")))
+                 .otherwise(F.lit(""))).alias("url"))
+    return (url_features(urls)
+            .select("doc_id", "scheme", "host", "registrable_domain",
+                    "tld", "path_depth", "has_query"))
+
+
 @q("dhash_index_incremental_dedup",
    # contract oracle (lsh_index_incremental_dedup's persisted-index twin
    # for the perceptual family): dHash bits aren't SQL-portable, but the

@@ -131,9 +131,10 @@ HEADLINE = [
     "length_drift_report",
     # round-8 headliner (asymmetric containment dedup)
     "containment_dedup_pairs",
-    # round-9 headliners (perceptual dedup; HTML->text extraction)
+    # round-9 headliners (perceptual dedup; HTML->text; URL/domain)
     "image_dhash_dedup_contract",
     "html_extract_roundtrip",
+    "url_domain_features",
 ]
 
 # Index-maintenance keys (VERDICT r8 #7): NOT in the headline total —

@@ -1535,3 +1535,52 @@ def test_docx_epub_extraction(spark, tmp_path):
     assert rows["doc.docx"]["extracted"].startswith("Title line")
     assert rows["book.epub"]["extracted"] == ("First by spine.\n"
                                               "Second by spine.")
+
+
+def test_png_encoder_roundtrip_and_thumbnails(spark, tmp_path):
+    """The egress half of the codec story: encode_png_gray bytes decode
+    EXACTLY through the repo's own PNG decoder (values snap to k/255)
+    AND through Java ImageIO (independent real decoder); the thumbnail
+    pipeline decodes/resizes/re-encodes executor-side with quarantine,
+    and the written PNGs reopen as valid images."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from thewhisperdb_spark.sources.multimodal import (
+        _decode_png,
+        encode_png_gray,
+        read_binary_files,
+        render_thumbnails,
+        with_media_metadata,
+    )
+
+    raster = [[(r * 9 + c) % 256 / 255.0 for c in range(9)]
+              for r in range(7)]
+    png = encode_png_gray(raster)
+    assert np.abs(np.array(_decode_png(png)) - np.array(raster)).max() \
+        < 1e-12
+    # independent decoder: Java ImageIO raster samples must agree
+    jvm = spark._jvm
+    bi = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(png)))
+    jraster = bi.getRaster()
+    for r in range(7):
+        for c in range(9):
+            assert jraster.getSample(c, r, 0) == round(raster[r][c] * 255)
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    shutil.copy(os.path.join(root, "tiny.gif"), tmp_path / "tiny.gif")
+    (tmp_path / "bad.png").write_bytes(b"\x89PNG\r\n\x1a\njunk")
+    media = with_media_metadata(read_binary_files(spark, str(tmp_path)))
+    rows = {r["path"].rsplit("/", 1)[-1]: r
+            for r in render_thumbnails(media, 16, 16).collect()}
+    assert rows["bad.png"]["thumbnail_png"] is None
+    assert rows["bad.png"]["status"].startswith("ValueError")
+    ok = rows["tiny.gif"]
+    assert ok["status"] == "ok" and (ok["height"], ok["width"]) == (16, 16)
+    thumb = np.array(_decode_png(bytes(ok["thumbnail_png"])))
+    assert thumb.shape == (16, 16)
+    # the thumbnail preserves the card's gradient direction
+    assert thumb[:, 12:].mean() > thumb[:, :4].mean()

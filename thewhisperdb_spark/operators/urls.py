@@ -1,0 +1,107 @@
+"""URL / domain operators: the provenance dimension of a web-crawl
+pipeline — per-domain caps, blocklist filtering, and TLD/host analytics
+all key on fields derived here, entirely JVM-side (``parse_url`` +
+string expressions; no Python in the hot path).
+
+``registrable_domain`` is the eTLD+1-style grouping key (the unit
+blocklists and per-site caps actually mean): last-two-labels, widened to
+last-three under the common multi-part public suffixes (co.uk, com.au,
+...). The full Public Suffix List is a data file, not an algorithm — at
+production scale load it into ``multi_suffixes`` via the broadcast-join
+variant; the built-in set is the documented baseline.
+
+The reference has no URL handling; north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# common multi-part public suffixes: registrable domain = label-3.suffix
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au", "edu.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "co.in", "net.in", "org.in",
+    "co.nz", "org.nz", "net.nz", "co.za", "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "co.kr", "or.kr",
+)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host with any userinfo/port stripped."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^.*@", "")
+    return F.regexp_replace(host, r":\d+$", "")
+
+
+def _is_ip(host: Column) -> Column:
+    return host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1-style grouping key: last two host labels, last THREE when
+    the two-label tail is a known multi-part suffix; IPs and single-label
+    hosts pass through unchanged."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2),
+                        F.element_at(parts, -1))
+    last3 = F.concat_ws(".", F.element_at(parts, -3),
+                        F.element_at(parts, -2), F.element_at(parts, -1))
+    is_multi = last2.isin(*MULTI_SUFFIXES)
+    return (F.when(_is_ip(host) | (n <= 1), host)
+            .when(is_multi & (n >= 3), last3)
+            .when(n >= 2, last2)
+            .otherwise(host))
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append the provenance columns: ``scheme``, ``host``,
+    ``registrable_domain``, ``tld`` (NULL for IP hosts), ``path_depth``
+    (number of non-empty path segments), ``has_query``, ``is_ip``. Pure
+    expression pipeline — Catalyst folds it into the scan."""
+    url = F.col(url_col)
+    host = url_host(url)
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    return (df
+            .withColumn("scheme",
+                        F.lower(F.regexp_extract(url, r"^([A-Za-z][\w+.-]*):",
+                                                 1)))
+            .withColumn("host", host)
+            .withColumn("registrable_domain", registrable_domain(host))
+            .withColumn("tld", F.when(_is_ip(host), F.lit(None)).otherwise(
+                F.element_at(F.split(host, r"\."), -1)))
+            .withColumn("path_depth",
+                        F.size(F.filter(F.split(path, "/"),
+                                        lambda s: s != "")))
+            .withColumn("has_query",
+                        F.parse_url(url, F.lit("QUERY")).isNotNull())
+            .withColumn("is_ip", _is_ip(host)))
+
+
+def drop_blocklisted(df: DataFrame, blocklist: DataFrame,
+                     url_col: str = "url",
+                     block_col: str = "domain") -> DataFrame:
+    """Remove rows whose host IS a blocklisted domain OR sits anywhere
+    under one — real blocklists carry entries at every depth
+    (``evil.example.com`` must also block ``a.b.evil.example.com``), so
+    host-equality and registrable-domain equality are both wrong; the
+    correct relation is label-suffix membership. Each distinct host
+    explodes into its ~5 label suffixes (``a.b.c.com`` -> a.b.c.com,
+    b.c.com, c.com, com) for a broadcast equi-join against the
+    blocklist; the fact side is then anti-joined by host — never scanned
+    twice, never compared by LIKE."""
+    keyed = df.withColumn("_host", url_host(F.col(url_col)))
+    parts = F.split(F.col("_host"), r"\.")
+    sufs = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(
+            F.slice(parts, i, F.size(parts) - i + 1), "."))
+    exploded = (keyed.select("_host").distinct()
+                .select("_host", F.explode(sufs).alias("_suf")))
+    bl = blocklist.select(F.lower(F.col(block_col)).alias("_suf")).distinct()
+    bad_hosts = (exploded.join(F.broadcast(bl), "_suf")
+                 .select("_host").distinct())
+    return keyed.join(bad_hosts, "_host", "left_anti").drop("_host")

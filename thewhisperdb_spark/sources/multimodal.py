@@ -1853,6 +1853,78 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
+def encode_png_gray(raster) -> bytes:
+    """8-bit grayscale PNG encoder (zlib, filter 0) — the egress half of
+    the codec story: decoded/transformed rasters re-encode into a
+    standard container any external tool can open, and the repo's own
+    PNG decoder round-trips them exactly (values snap to the k/255
+    grid). Stdlib-only, like the decoders."""
+    import struct
+    import zlib
+
+    h = len(raster)
+    w = len(raster[0]) if h else 0
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode an empty raster")
+    raw = b"".join(
+        b"\x00" + bytes(min(255, max(0, round(float(v) * 255)))
+                        for v in row)
+        for row in raster)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+THUMBNAIL_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("height", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("thumbnail_png", BinaryType()),
+    StructField("status", StringType()),
+])
+
+
+def render_thumbnails(media: DataFrame, out_h: int = 64, out_w: int = 64,
+                      decoder: ImageDecoder | None = None) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> PNG re-encode per image row:
+    the visual-inspection export every curation loop wants (open the
+    thumbnails of a dedup cluster, eyeball the survivors). Always
+    quarantining; the binary column writes through any parquet/file
+    sink. Executor-side end to end."""
+    dec = decoder or decode_ppm_bmp
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"path": [], "height": [], "width": [],
+                    "thumbnail_png": [], "status": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    src = dec(bytes(content))
+                    sh, sw = len(src), len(src[0])
+                    thumb = [[src[min(sh - 1, r * sh // out_h)]
+                              [min(sw - 1, c * sw // out_w)]
+                              for c in range(out_w)]
+                             for r in range(out_h)]
+                    png = encode_png_gray(thumb)
+                    vals = (out_h, out_w, png, "ok")
+                except Exception as e:  # noqa: BLE001 — quarantined
+                    vals = (None, None, None, _quarantine_status(e))
+                rows["path"].append(path)
+                for k, v in zip(("height", "width", "thumbnail_png",
+                                 "status"), vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    img = media.filter(F.col("modality") == "image").select("path", "content")
+    return img.mapInPandas(run, THUMBNAIL_SCHEMA)
+
+
 IMAGE_QUALITY_SCHEMA = StructType([
     StructField("path", StringType()),
     StructField("height", IntegerType()),

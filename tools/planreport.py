@@ -43,6 +43,10 @@ arguments (no config-file indirection), and what to move at 100 TB:
 | Text quality (`operators/text.py` Gopher/entropy/BPE) | n-gram widths, BPE `vocab_size`/`min_pair` | — | all bound-array HOFs per row; BPE train collapses to vocab-first aggregate, apply is a broadcast trie |
 | Packing (`operators/packing.py:pack_sequences`) | `budget` (tokens per packed sequence), `shard_col` | caller-set | per-shard window math; shards are independent — partition on shard_col |
 | Shard export (`sources/textio.py:write_training_shards`) | `n_shards` (md5-assigned, layout-independent) | 8 | size shards to ~`spark.sql.files.maxPartitionBytes` (128 MiB) so downstream scans get 1 task/shard; manifest audits the export without a row compare |
+| Perceptual dedup (`operators/imagededup.py:hamming_near_dup_pairs`) | `max_hamming`, `bands` (default d+1 = the multi-index-hamming optimum: fewest lossless bands -> widest slices -> strongest blocking), `block_cols` | d=4, 5 bands | random-hash candidate volume is bands*n²/2^slice_bits — NEVER raise bands past d+1; at corpus scale add `block_cols` (dimension bucket / source domain) so candidates scale with the largest block |
+| Perceptual hash index (`operators/hashindex.py`) | banding frozen in meta at build; probe `max_hamming` <= index's (lossy probes refused) | d=4 | at-rest band rows hive-partitioned by band; probes band only the batch; appends claim-first anti-joined (replay = no-op) under the shared sentinel/claim-v3 contract |
+| HTML extraction (`operators/htmltext.py`) | block filter thresholds (`link_density`, `n_chars`) downstream of `html_extract_blocks` | caller-set | the readability cut is a Catalyst predicate over per-block stats — tune per corpus, nothing re-parses |
+| URL blocklists (`operators/urls.py:drop_blocklisted`) | blocklist table (broadcast), suffix table in `MULTI_SUFFIXES` | built-in baseline | suffix explosion is per DISTINCT host (~5 rows each); swap the full Public Suffix List in as data when precision matters |
 """
 
 
