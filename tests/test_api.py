@@ -150,3 +150,131 @@ def test_dispatch_crud_roundtrip(engine):
     assert code == 200 and env["status"] == "success"
     code, env = api.dispatch(engine, "GET", f"/api/nodes/{nid}")
     assert code == 404 and env["status"] == "error"
+
+
+# ---------------------------------------------------------------------------
+# the 8 routes added for full main.cpp parity (r10)
+# ---------------------------------------------------------------------------
+
+def test_node_files_routes(engine, tmp_path):
+    """GET/POST /api/nodes/:id/files golden matrix (CURL_TESTS.md:251-296):
+    list envelope {nodeId, files}, add envelope {nodeId, addedFiles} at 201,
+    multi-part add, 404 unknown node, 400 no files."""
+    root = str(tmp_path)
+    code, env = api.dispatch(engine, "GET", "/api/nodes/1/files")
+    assert code == 200 and env == {"status": "success", "nodeId": 1,
+                                   "files": []}
+    code, env = api.dispatch(engine, "POST", "/api/nodes/1/files",
+                             files=[("notes.txt", b"hello")],
+                             storage_root=root)
+    assert code == 201 and env["nodeId"] == 1 and len(env["addedFiles"]) == 1
+    assert env["addedFiles"][0].endswith(".txt")
+    # multi-file add (CURL_TESTS.md:284-291)
+    code, env = api.dispatch(engine, "POST", "/api/nodes/1/files",
+                             files=[("a.pdf", b"%PDF"), ("b.png", b"\x89PNG")],
+                             storage_root=root)
+    assert code == 201 and len(env["addedFiles"]) == 2
+    code, env = api.dispatch(engine, "GET", "/api/nodes/1/files")
+    assert env["files"][0].endswith(".txt") and len(env["files"]) == 3
+    # first file set storage_path (GraphDB.cpp:416-448)
+    assert api.get_node(engine, 1)["node"]["storage_path"].endswith(".txt")
+    # error rows
+    code, env = api.dispatch(engine, "GET", "/api/nodes/999/files")
+    assert code == 404 and "999" in env["message"]
+    code, env = api.dispatch(engine, "POST", "/api/nodes/999/files",
+                             files=[("x", b"y")])
+    assert code == 404
+    code, env = api.dispatch(engine, "POST", "/api/nodes/1/files", files=[])
+    assert (code, env) == (400, {"status": "error",
+                                 "message": "No files provided"})
+    # wrong method on the files path -> 405
+    code, env = api.dispatch(engine, "PUT", "/api/nodes/1/files")
+    assert code == 405
+
+
+def test_generate_embedding_route(engine):
+    """POST /api/nodes/:id/embedding (main.cpp:478-512): unconditional
+    re-embed of one node; 404 unknown node."""
+    code, env = api.dispatch(engine, "POST", "/api/nodes/2/embedding")
+    assert code == 200 and env == {"status": "success",
+                                   "message": "Embedding generated",
+                                   "nodeId": 2}
+    node = api.get_node(engine, 2)["node"]
+    assert len(node["embedding"]) == 64
+    first = list(node["embedding"])
+    # regenerating after a text change REPLACES (EmbeddingService.cpp:45-62)
+    api.update_node(engine, 2, {"title": "Entirely different"})
+    api.dispatch(engine, "POST", "/api/nodes/2/embedding")
+    assert api.get_node(engine, 2)["node"]["embedding"] != first
+    code, env = api.dispatch(engine, "POST", "/api/nodes/999/embedding")
+    assert code == 404
+    code, env = api.dispatch(engine, "GET", "/api/nodes/2/embedding")
+    assert code == 405
+
+
+def test_generate_tags_route(engine):
+    """POST /api/nodes/:id/tags (TagService.cpp:44-94): tags replace, new
+    tags enter the bank, node gets merge-linked to Jaccard>=0.3 partners."""
+    code, env = api.dispatch(engine, "POST", "/api/nodes/1/tags")
+    assert code == 200 and env["nodeId"] == 1
+    assert env["tags"], "content-bearing node must yield tags"
+    # every reported new tag is now in the bank
+    bank = api.tag_bank(engine)["tagBank"]
+    assert set(env["newTagsAdded"]) <= set(bank)
+    # node's tags were REPLACED with the generated set
+    assert api.get_node(engine, 1)["node"]["tags"] == env["tags"]
+    # second call: same deterministic tags, nothing new for the bank
+    code, env2 = api.dispatch(engine, "POST", "/api/nodes/1/tags")
+    assert env2["tags"] == env["tags"] and env2["newTagsAdded"] == []
+    # linked nodes are mirrored bidirectionally (TagService.cpp:107-133)
+    for other in env2["linkedNodes"]:
+        assert 1 in api.get_node(engine, other)["node"]["linked_nodes"]
+    code, env = api.dispatch(engine, "POST", "/api/nodes/999/tags")
+    assert code == 404
+
+
+def test_tag_bank_and_nodes_by_tag_routes(engine):
+    """GET /api/tags + GET /api/tags/:tag/nodes (main.cpp:619-659)."""
+    engine.add_tags_to_bank(["spark", "intro"])
+    code, env = api.dispatch(engine, "GET", "/api/tags")
+    assert code == 200 and env["count"] == len(env["tagBank"]) == 2
+    code, env = api.dispatch(engine, "GET", "/api/tags/spark/nodes")
+    assert code == 200 and env["tag"] == "spark" and env["count"] == 2
+    assert [n["id"] for n in env["nodes"]] == [1, 2]
+    # full node envelopes, embedding omitted when absent (F9)
+    assert all("title" in n and "embedding" not in n for n in env["nodes"])
+    code, env = api.dispatch(engine, "GET", "/api/tags/nosuch/nodes")
+    assert code == 200 and env["count"] == 0 and env["nodes"] == []
+    code, env = api.dispatch(engine, "DELETE", "/api/tags")
+    assert code == 405
+
+
+def test_link_all_and_clusters_routes(engine):
+    """POST /api/tags/link-all + GET /api/clusters (main.cpp:662-726):
+    batch relink creates each new undirected link once; clusters report
+    components size-desc renumbered with the >=2-shared-tags rule."""
+    code, env = api.dispatch(engine, "POST", "/api/tags/link-all")
+    assert code == 200 and env["threshold"] == 0.3
+    # nodes 1,2 share 'spark' (J=1/2 vs {spark,intro} -> 0.5 >= 0.3): 1 link
+    assert env["linksCreated"] == 1
+    # idempotent: re-running creates nothing new (already-linked skip)
+    code, env = api.dispatch(engine, "POST", "/api/tags/link-all")
+    assert env["linksCreated"] == 0
+    # threshold validation rows (main.cpp:668-680)
+    code, env = api.dispatch(engine, "POST", "/api/tags/link-all",
+                             query={"threshold": "1.5"})
+    assert (code, env["message"]) == (400, "Threshold must be between 0 and 1")
+    code, env = api.dispatch(engine, "POST", "/api/tags/link-all",
+                             query={"threshold": "abc"})
+    assert (code, env["message"]) == (400, "Invalid threshold parameter")
+
+    code, env = api.dispatch(engine, "GET", "/api/clusters")
+    assert code == 200 and env["count"] == 2
+    big, single = env["clusters"]
+    assert (big["id"], big["size"], big["nodes"]) == (1, 2, [1, 2])
+    # shared tags = tags on >=2 members: 'spark' only
+    assert big["sharedTags"] == ["spark"]
+    # singleton shows ALL its tags (TagService.cpp:225-231); node 3 has none
+    assert (single["id"], single["nodes"], single["sharedTags"]) == (2, [3], [])
+    code, env = api.dispatch(engine, "POST", "/api/clusters")
+    assert code == 405
