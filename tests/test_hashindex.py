@@ -126,3 +126,16 @@ def test_media_ingest_loop_batch_and_streaming(spark, tmp_path):
     idx2_ids = {r["id"] for r in
                 spark.read.parquet(f"{idx2}/hashes").collect()}
     assert idx2_ids == {"a", "b", "d"}
+
+
+def test_build_rejects_bands_over_64(spark, tmp_path):
+    """ADVICE r9: bands > 64 would persist zero-width band slices (every
+    row collides in those bands) — rejected at build, mirroring
+    hamming_near_dup_pairs."""
+    h = _mk_hashes(spark, [("a", 1), ("b", 2)])
+    with pytest.raises(ValueError, match=r"\[1, 64\]"):
+        dhash_index_build(h, str(tmp_path / "ix"), max_hamming=4, bands=65)
+    # the low bound is covered by the pigeonhole check (bands <= 0 implies
+    # max_hamming >= bands for any non-negative max_hamming)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_index_build(h, str(tmp_path / "ix"), max_hamming=0, bands=0)

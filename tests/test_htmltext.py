@@ -100,3 +100,22 @@ def test_html_blocks_boilerplate_cut(spark):
     assert {(r["doc_id"], r["block_idx"]) for r in kept} == {("d1", 1),
                                                              ("d1", 2)}
     assert out.filter(F.col("doc_id") == "d2").count() == 0
+
+
+def test_block_extractor_title_and_tag_reset():
+    """ADVICE r9: <title> is head metadata (never a content block); text
+    after a closed block is not attributed to that block's tag; links in
+    skipped subtrees don't count."""
+    from thewhisperdb_spark.operators.htmltext import html_blocks
+
+    html = ("<html><head><title>Head Title</title></head><body>"
+            "<p>para text</p>tail text"
+            "<script><a href='x'>ghost</a></script></body></html>")
+    blocks = html_blocks(html)
+    texts = {b["text"]: b["tag"] for b in blocks}
+    assert "Head Title" not in texts
+    assert texts["para text"] == "p"
+    # tail text after </p> carries no tag, not 'p'
+    assert texts["tail text"] is None
+    stats = html_to_text(html)
+    assert stats["n_links"] == 0 and stats["title"] == "Head Title"

@@ -1584,3 +1584,64 @@ def test_png_encoder_roundtrip_and_thumbnails(spark, tmp_path):
     assert thumb.shape == (16, 16)
     # the thumbnail preserves the card's gradient direction
     assert thumb[:, 12:].mean() > thumb[:, :4].mean()
+
+
+def test_pdf_length_keyed_stream_slicing():
+    """ADVICE r9: binary stream payloads may contain the literal bytes
+    b'endstream' — the direct /Length slices past them; indirect lengths
+    (/Length N 0 R) still fall back to the keyword scan."""
+    import zlib
+
+    from thewhisperdb_spark.sources.multimodal import _pdf_text_builtin
+
+    def pdf(body: bytes, length_entry: bytes, flate: bool = False) -> bytes:
+        filt = b" /Filter /FlateDecode" if flate else b""
+        return (b"%PDF-1.4\n1 0 obj\n<< " + length_entry + filt +
+                b" >>\nstream\n" + body +
+                b"\nendstream\nendobj\ntrailer\n")
+
+    # adversarial: an UNFILTERED content stream whose string literal
+    # contains the bytes 'endstream' — the old keyword scan truncated
+    # here (unterminated string); /Length slices the full payload
+    evil = b"BT (before endstream after) Tj ET"
+    doc = pdf(evil, b"/Length %d" % len(evil))
+    assert _pdf_text_builtin(doc) == "before endstream after\n"
+    # indirect length -> scan fallback still extracts clean payloads
+    payload = zlib.compress(b"BT (sliced by length) Tj ET")
+    doc = pdf(payload, b"/Length 7 0 R", flate=True)
+    assert _pdf_text_builtin(doc) == "sliced by length\n"
+    # wrong direct length (doesn't land on endstream) -> scan fallback
+    doc = pdf(payload, b"/Length 9999", flate=True)
+    assert _pdf_text_builtin(doc) == "sliced by length\n"
+
+
+def test_tiff_rgb_spp_validation():
+    """ADVICE r9: photometric=2 (RGB) with SamplesPerPixel < 3 is a
+    ValueError, not an IndexError from strip assembly."""
+    import os
+
+    import pytest as _pt
+
+    from thewhisperdb_spark.sources.multimodal import _decode_tiff
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    base = bytearray(open(os.path.join(root, "tiny.tif"), "rb").read())
+    # locate the IFD entries: tag 262 (photometric) and 277 (spp) are
+    # shorts in the file's byte order; patch photometric->2, spp->1
+    import struct
+    bo = "<" if bytes(base[:2]) == b"II" else ">"
+
+    def patch(tag: int, value: int) -> None:
+        off = struct.unpack_from(bo + "I", base, 4)[0]
+        n = struct.unpack_from(bo + "H", base, off)[0]
+        for k in range(n):
+            e = off + 2 + 12 * k
+            if struct.unpack_from(bo + "H", base, e)[0] == tag:
+                struct.pack_into(bo + "H", base, e + 8, value)
+                return
+        raise AssertionError(f"tag {tag} not in fixture IFD")
+
+    patch(262, 2)
+    patch(277, 1)
+    with _pt.raises(ValueError, match="SamplesPerPixel"):
+        _decode_tiff(bytes(base))

@@ -129,3 +129,31 @@ def test_parse_warc_corrupt_bytes_taxonomy():
                 assert isinstance(recs, list)
             except ValueError:
                 pass
+
+
+def test_chunked_body_dechunked():
+    """Transfer-Encoding: chunked bodies are reassembled (RFC 9112 §7.1);
+    a truncated chunk keeps the raw framing instead of quarantining."""
+    chunked = b"4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunked)
+    recs = parse_warc(_record("response", http, uri="https://e.com/c"))
+    assert recs[0]["payload"] == b"Wikipedia"
+    # truncated mid-chunk -> raw body preserved, archive still parses
+    bad = chunked[:-9]  # drop the 0-terminator
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + bad)
+    recs = parse_warc(_record("response", http, uri="https://e.com/d"))
+    assert recs[0]["payload"] == bad
+
+
+def test_archive_size_cap(monkeypatch):
+    """A gzip bomb / oversized archive raises (-> quarantine row) instead
+    of materializing multi-GB per task."""
+    import thewhisperdb_spark.sources.warc as w
+
+    monkeypatch.setattr(w, "MAX_ARCHIVE_BYTES", 256)
+    data = make_warc()
+    with pytest.raises(ValueError, match="cap"):
+        w.parse_warc(data)
+    with pytest.raises(ValueError, match="cap"):
+        w.parse_warc(gzip.compress(data))

@@ -76,6 +76,11 @@ def dhash_index_build(hashes: DataFrame, path: str, max_hamming: int = 4,
     bands = max_hamming + 1 if bands is None else bands
     if max_hamming >= bands:
         raise ValueError("pigeonhole guarantee needs max_hamming < bands")
+    if not 1 <= bands <= 64:
+        # mirrors hamming_near_dup_pairs: >64 bands would freeze zero-width
+        # band slices into the persisted meta — every row collides in those
+        # bands, a quadratic candidate blowup on every future probe (ADVICE r9)
+        raise ValueError("bands must be in [1, 64] for a 64-bit hash")
     spark = hashes.sparkSession
     h = (hashes.filter(F.col(hash_col).isNotNull())
          .select(F.col(id_col).alias("id"), F.col(hash_col).alias("h")))

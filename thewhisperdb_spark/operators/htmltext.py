@@ -61,9 +61,11 @@ class _TextExtractor(HTMLParser):
             self._in_title = True
         elif tag == "a":
             self._link_depth += 1
-            self.n_links += 1
+            if not self._skip_depth:   # links inside <script>/<template>
+                self.n_links += 1      # subtrees are not document links
         elif tag == "p":
-            self.n_paragraphs += 1
+            if not self._skip_depth:
+                self.n_paragraphs += 1
         if tag in _BLOCK:
             self.parts.append("\n")
 
@@ -139,7 +141,8 @@ class _BlockExtractor(HTMLParser):
         self._cur, self._link_chars, self._total_chars = [], 0, 0
 
     def handle_starttag(self, tag, attrs):
-        if tag in _SKIP:
+        # <title> is head metadata, not a content block (ADVICE r9)
+        if tag in _SKIP or tag == "title":
             self._skip_depth += 1
         elif tag == "a":
             self._link_depth += 1
@@ -148,12 +151,15 @@ class _BlockExtractor(HTMLParser):
             self._tag = tag
 
     def handle_endtag(self, tag):
-        if tag in _SKIP and self._skip_depth:
+        if (tag in _SKIP or tag == "title") and self._skip_depth:
             self._skip_depth -= 1
         elif tag == "a" and self._link_depth:
             self._link_depth -= 1
         if tag in _BLOCK:
             self._flush()
+            # text after a closed block belongs to no tag, not the
+            # previous block's (ADVICE r9)
+            self._tag = None
 
     def handle_data(self, data):
         if self._skip_depth:

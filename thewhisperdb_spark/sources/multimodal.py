@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import subprocess
 from collections.abc import Callable, Iterator
 
@@ -267,11 +268,22 @@ def _pdf_text_builtin(content: bytes) -> str:
         if data_start < 0:
             break
         data_start += 1
-        end = content.find(b"endstream", data_start)
+        # slice by the dict's direct /Length when present: binary stream
+        # payloads may legally contain b'endstream', which would truncate a
+        # keyword scan early and desync later object parsing (ADVICE r9).
+        # Indirect lengths (/Length 12 0 R) fall back to the scan.
+        end = -1
+        m = re.search(rb"/Length\s+(\d+)", sdict)
+        if m and not re.match(rb"\s+\d+\s+R\b", sdict[m.end():]):
+            cand = data_start + int(m.group(1))
+            if content[cand:cand + 32].lstrip(b"\r\n ").startswith(b"endstream"):
+                end = cand
+        if end < 0:
+            end = content.find(b"endstream", data_start)
         if end < 0:
             raise ValueError("PDF stream without endstream")
         raw = content[data_start:end].rstrip(b"\r\n")
-        i = end + 9
+        i = content.find(b"endstream", end) + 9
         if b"/FlateDecode" in sdict:
             try:
                 raw = zlib.decompress(raw)
@@ -618,6 +630,10 @@ def _decode_tiff(content: bytes) -> list[list[float]]:
             f"TIFF photometric {photometric} is not built in")
     if photometric == 3 and spp != 1:
         raise ValueError("palette TIFF must have one sample per pixel")
+    if photometric == 2 and spp < 3:
+        # corrupt header claiming RGB with <3 samples would IndexError in
+        # strip row indexing — keep it in the ValueError taxonomy (ADVICE r9)
+        raise ValueError("RGB TIFF needs SamplesPerPixel >= 3")
     cmap = tags.get(320)
     if photometric == 3 and (cmap is None or len(cmap) < 3 * 256):
         # palette size is 3 * 2^bits = 768 for 8-bit

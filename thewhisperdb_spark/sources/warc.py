@@ -35,7 +35,14 @@ from pyspark.sql.types import (
 )
 
 
-def _gunzip_members(data: bytes) -> bytes:
+# Decompressed-size guard: a standard ~1 GB Common Crawl WARC expands to
+# several GB, and parse_warc materializes the archive per task — without a
+# cap one pathological archive (or a gzip bomb) OOMs its executor. The cap
+# quarantines the archive (ValueError -> status row) instead (ADVICE r9).
+MAX_ARCHIVE_BYTES = 4 << 30
+
+
+def _gunzip_members(data: bytes, max_bytes: int = MAX_ARCHIVE_BYTES) -> bytes:
     """Concatenate every gzip member (record-per-member crawl framing)."""
     out = bytearray()
     i, n = 0, len(data)
@@ -47,11 +54,40 @@ def _gunzip_members(data: bytes) -> bytes:
             raise ValueError(f"corrupt gzip member in WARC: {e}") from e
         if not d.eof:
             raise ValueError("truncated gzip member in WARC")
+        if len(out) > max_bytes:
+            raise ValueError(
+                f"WARC decompresses past the {max_bytes}-byte cap")
         consumed = (n - i) - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("gzip member consumed no bytes")
         i += consumed
     return bytes(out)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Reassemble a Transfer-Encoding: chunked HTTP body (RFC 9112 §7.1):
+    hex-size line (chunk extensions ignored) -> chunk bytes -> CRLF, until
+    the 0-size terminator (trailers dropped). Crawl captures are routinely
+    truncated mid-chunk; framing errors raise and the CALLER keeps the raw
+    body (best-effort, never quarantines the whole archive)."""
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        eol = body.find(b"\r\n", i)
+        if eol < 0:
+            raise ValueError("chunked body: missing size line terminator")
+        size_tok = body[i:eol].split(b";", 1)[0].strip()
+        size = int(size_tok, 16)                 # ValueError on junk
+        if size == 0:
+            return bytes(out)                    # trailers ignored
+        start = eol + 2
+        if start + size > n:
+            raise ValueError("chunked body: chunk overruns payload")
+        out += body[start:start + size]
+        if body[start + size:start + size + 2] != b"\r\n":
+            raise ValueError("chunked body: missing chunk terminator")
+        i = start + size + 2
+    raise ValueError("chunked body: missing 0-size terminator")
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -80,8 +116,14 @@ def parse_warc(data: bytes) -> list[dict]:
     records the nested HTTP headers are consumed — ``payload`` is the
     BODY and ``content_type``/``http_status`` come from the HTTP message;
     for every other record type the payload is the raw WARC block and
-    ``content_type`` is the WARC-level one."""
+    ``content_type`` is the WARC-level one. Chunked-transfer response
+    bodies are dechunked (best-effort; a truncated chunk keeps the raw
+    body). Archives decompressing past ``max_bytes`` raise (quarantine
+    row upstream) rather than OOM the executor."""
     data = bytes(data)
+    if len(data) > MAX_ARCHIVE_BYTES:
+        raise ValueError(
+            f"WARC exceeds the {MAX_ARCHIVE_BYTES}-byte archive cap")
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
     records = []
@@ -132,7 +174,13 @@ def parse_warc(data: bytes) -> list[dict]:
             http = _parse_headers(hdr_block)
             rec["http_status"] = int(parts[1])
             rec["content_type"] = http.get("content-type")
-            rec["payload"] = block[split + 4:]
+            body = block[split + 4:]
+            if "chunked" in (http.get("transfer-encoding") or "").lower():
+                try:
+                    body = _dechunk(body)
+                except ValueError:
+                    pass          # truncated capture: keep the raw framing
+            rec["payload"] = body
         records.append(rec)
         idx += 1
     return records
