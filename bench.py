@@ -178,18 +178,37 @@ def main():
         timings[key] = round(statistics.median(runs), 3)
         print(f"# {key}: {timings[key]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    # Maintenance keys run in two timed phases (VERDICT r9 #2): the
+    # from-scratch index BUILD (many small writes — the variance the r9
+    # drift traced to) and the maintenance OP (delete/stats/probe — the
+    # read path a regression would actually hurt). `maintenance` keeps the
+    # historical total for BASELINE.md row continuity; `maintenance_split`
+    # carries the per-phase medians.
+    split_fns = entrymod.maintenance_split()
     maintenance: dict[str, float] = {}
+    maintenance_split: dict[str, dict[str, float]] = {}
     for key in MAINTENANCE:
-        fn = qs[key]
+        phases = split_fns[key]
         spark.sparkContext._jvm.System.gc()
-        fn(spark, sf_dir).count()  # warm-up
-        runs = []
+        b, o = phases(spark, sf_dir)
+        b()
+        o().count()  # warm-up (full lifecycle)
+        builds, ops = [], []
         for _ in range(3):
+            b, o = phases(spark, sf_dir)
             t0 = time.time()
-            fn(spark, sf_dir).count()
-            runs.append(time.time() - t0)
-        maintenance[key] = round(statistics.median(runs), 3)
-        print(f"# {key}: {maintenance[key]}s (maintenance)", file=sys.stderr)
+            b()
+            t1 = time.time()
+            o().count()
+            t2 = time.time()
+            builds.append(t1 - t0)
+            ops.append(t2 - t1)
+        bsec = round(statistics.median(builds), 3)
+        osec = round(statistics.median(ops), 3)
+        maintenance_split[key] = {"build_sec": bsec, "op_sec": osec}
+        maintenance[key] = round(bsec + osec, 3)
+        print(f"# {key}: build {bsec}s + op {osec}s (maintenance)",
+              file=sys.stderr)
     # Full per-query map goes to a file: with 90 headline keys the one-line
     # JSON outgrew the driver's ~2KB stdout tail capture in r4 and the round
     # recorded "parsed: null". The LAST stdout line is now a compact summary
@@ -200,6 +219,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "maintenance": maintenance,
+        "maintenance_split": maintenance_split,
         "sf": float(sf),
     }
     here = os.path.dirname(os.path.abspath(__file__))
