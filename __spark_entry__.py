@@ -682,6 +682,50 @@ def url_domain_features(spark, sf_dir):
                     "tld", "path_depth", "has_query"))
 
 
+@q("url_psl_registrable",
+   # FULL-VALUE oracle for the Public Suffix List grouping
+   # (operators/psl.py): hosts are built JVM-side from document fields
+   # to hit each PSL rule class — private hoster suffix (github.io),
+   # multi-part private suffix (blogspot.com.es), wildcard rule (*.bd),
+   # exception rule (!www.ck), and an unlisted TLD (implicit * default)
+   # — and DuckDB mirrors the EXPECTED registrable domain per class with
+   # plain string CASEs, independently of the broadcast-join matcher.
+   "SELECT doc_id, "
+   "CASE doc_id % 5 "
+   " WHEN 0 THEN 'u' || CAST(doc_id % 7 AS VARCHAR) || '.github.io' "
+   " WHEN 1 THEN 'www.blog' || CAST(doc_id % 7 AS VARCHAR) || "
+   "   '.blogspot.com.es' "
+   " WHEN 2 THEN 'a.x' || CAST(doc_id % 7 AS VARCHAR) || '.site.bd' "
+   " WHEN 3 THEN 'shop' || CAST(doc_id % 7 AS VARCHAR) || '.www.ck' "
+   " ELSE 'd' || CAST(doc_id % 7 AS VARCHAR) || '.example.zz' "
+   "END AS host, "
+   "CASE doc_id % 5 "
+   " WHEN 0 THEN 'u' || CAST(doc_id % 7 AS VARCHAR) || '.github.io' "
+   " WHEN 1 THEN 'blog' || CAST(doc_id % 7 AS VARCHAR) || "
+   "   '.blogspot.com.es' "
+   " WHEN 2 THEN 'x' || CAST(doc_id % 7 AS VARCHAR) || '.site.bd' "
+   " WHEN 3 THEN 'www.ck' "
+   " ELSE 'example.zz' "
+   "END AS registrable_domain "
+   "FROM documents WHERE doc_id < 500")
+def url_psl_registrable(spark, sf_dir):
+    from thewhisperdb_spark.operators.psl import (
+        load_psl, with_registrable_domain)
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 5
+    host = (F.when(m == 0, F.concat(F.lit("u"), k, F.lit(".github.io")))
+            .when(m == 1, F.concat(F.lit("www.blog"), k,
+                                   F.lit(".blogspot.com.es")))
+            .when(m == 2, F.concat(F.lit("a.x"), k, F.lit(".site.bd")))
+            .when(m == 3, F.concat(F.lit("shop"), k, F.lit(".www.ck")))
+            .otherwise(F.concat(F.lit("d"), k, F.lit(".example.zz"))))
+    hosts = d.select("doc_id", host.alias("host"))
+    return (with_registrable_domain(hosts, load_psl(spark))
+            .select("doc_id", "host", "registrable_domain"))
+
+
 @q("dhash_index_incremental_dedup",
    # contract oracle (lsh_index_incremental_dedup's persisted-index twin
    # for the perceptual family): dHash bits aren't SQL-portable, but the

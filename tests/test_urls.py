@@ -61,3 +61,66 @@ def test_drop_blocklisted_is_subdomain_safe(spark):
     plan = drop_blocklisted(df, bl)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_psl_registrable_domain_exact_algorithm(spark):
+    """PSL snapshot + canonical algorithm (operators/psl.py): private
+    hoster suffixes (github.io-class), wildcard rules (*.ck/*.bd),
+    exception rules (!www.ck, !city.kawasaki.jp), multi-part ccTLD
+    suffixes the 33-entry baseline misses (blogspot.com.es), unlisted
+    TLDs via the implicit * default, IPs/single-label pass-through."""
+    from thewhisperdb_spark.operators.psl import (
+        load_psl,
+        with_registrable_domain,
+    )
+
+    psl = load_psl(spark)
+    cases = [
+        # (host, expected registrable domain)
+        ("a.user.github.io", "user.github.io"),       # private suffix
+        ("github.io", "github.io"),                   # IS a public suffix
+        ("myblog.blogspot.com.es", "myblog.blogspot.com.es"),
+        ("deep.sub.example.co.uk", "example.co.uk"),  # classic eTLD+1
+        ("www.example.com", "example.com"),
+        ("b.site.x.bd", "site.x.bd"),                 # wildcard *.bd
+        ("www.ck", "www.ck"),                         # exception !www.ck
+        ("shop.www.ck", "www.ck"),                    # exception wins
+        ("other.x.ck", "other.x.ck"),                 # *.ck: x.ck is PS
+        ("city.kawasaki.jp", "city.kawasaki.jp"),     # !city.kawasaki.jp
+        ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+        ("x.mega.kawasaki.jp", "x.mega.kawasaki.jp"), # *.kawasaki.jp
+        ("foo.bar.unknowntld", "bar.unknowntld"),     # implicit * default
+        ("localhost", "localhost"),                   # single label
+        ("192.168.0.1", "192.168.0.1"),               # IP literal
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {r["host"]: r["registrable_domain"]
+           for r in with_registrable_domain(df, psl).collect()}
+    for host, want in cases:
+        assert got[host] == want, f"{host}: {got[host]} != {want}"
+    # ICANN-only mode drops the private hoster grouping
+    icann = load_psl(spark, include_private=False)
+    got = {r["host"]: r["registrable_domain"]
+           for r in with_registrable_domain(
+               df.filter(F.col("host") == "a.user.github.io"),
+               icann).collect()}
+    assert got["a.user.github.io"] == "github.io"
+
+
+def test_url_features_psl_variant(spark):
+    """url_features(psl=...) swaps in the PSL grouping; all other
+    columns match the baseline variant."""
+    from thewhisperdb_spark.operators.psl import load_psl
+
+    df = spark.createDataFrame(
+        [("https://u.github.io/p/q?x=1",), ("http://a.example.co.uk/",)],
+        "url string")
+    base = url_features(df).orderBy("url").collect()
+    got = url_features(df, psl=load_psl(spark)).orderBy("url").collect()
+    assert [r["registrable_domain"] for r in got] == \
+        ["example.co.uk", "u.github.io"]
+    for col in ("scheme", "host", "tld", "path_depth", "has_query",
+                "is_ip"):
+        assert [r[col] for r in got] == [r[col] for r in base]
+    # baseline would have collapsed github.io pages into ONE domain
+    assert [r["registrable_domain"] for r in base][1] == "github.io"

@@ -1,0 +1,173 @@
+"""Public Suffix List (PSL) grouping: the exact eTLD+1 algorithm of
+publicsuffix.org over a committed rules snapshot, as a broadcast-join
+DataFrame transform.
+
+``urls.registrable_domain`` is the zero-data baseline (last-2/last-3
+labels via a 33-suffix literal set) — good enough for smoke analytics,
+but at crawl scale it mis-groups every host under the ~9,000 real
+public suffixes it doesn't know (``github.io`` pages collapse into one
+"domain", ``blogspot.com.es`` blogs into another), skewing
+``per_source_cap`` quotas and blocklist grouping. This module is the
+data-backed path:
+
+- ``load_psl``: parse a PSL-format file (the committed curated snapshot
+  at ``data/public_suffix_snapshot.dat`` by default; the full upstream
+  ``public_suffix_list.dat`` parses unchanged) into a rules DataFrame —
+  exact rules, ``*.`` wildcard rules, ``!`` exception rules, ICANN vs
+  PRIVATE sections.
+- ``with_registrable_domain``: host -> eTLD+1 per the canonical
+  algorithm (most-labels match wins; an exception rule beats all and
+  its public suffix is the rule minus the leftmost label; unlisted
+  TLDs take the implicit ``*`` default = last label).
+
+Scale shape: rules are a ~10k-row broadcast; each DISTINCT host
+explodes into its label suffixes (~5 rows) for one broadcast equi-join,
+then the per-host verdict joins back on the host key — the fact table
+is scanned once, nothing quadratic, no LIKE scans (same pattern as
+``urls.drop_blocklisted``). IDN note: matching is exact on the host
+string as stored; punycode hosts match punycode rules (the upstream
+list carries unicode rule spellings, which simply never match ASCII
+hosts — normalize upstream if the corpus mixes forms).
+
+The reference has no URL handling; north-star extension surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thewhisperdb_spark.operators.urls import _is_ip
+
+DEFAULT_SNAPSHOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "public_suffix_snapshot.dat")
+
+_RULE_SCHEMA = ("rule string, labels int, is_wildcard boolean, "
+                "is_exception boolean, section string")
+
+
+def parse_psl_lines(lines, include_private: bool = True) -> list[tuple]:
+    """PSL file format (publicsuffix.org/list/): one rule per line up to
+    the first whitespace; ``//`` comments; ``*.`` wildcard labels; ``!``
+    exception prefix; PRIVATE DOMAINS bracketed by the BEGIN/END
+    markers. Returns ``(rule, labels, is_wildcard, is_exception,
+    section)`` where ``rule`` is the base suffix (wildcard/exception
+    markers stripped) and ``labels`` the MATCH length in labels
+    (wildcard counts its ``*``)."""
+    rules = []
+    section = "icann"
+    for raw in lines:
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("//"):
+            if "BEGIN PRIVATE DOMAINS" in line:
+                section = "private"
+            elif "END PRIVATE DOMAINS" in line:
+                section = "icann"
+            continue
+        if section == "private" and not include_private:
+            continue
+        rule = line.split()[0].lower().rstrip(".")
+        is_exc = rule.startswith("!")
+        if is_exc:
+            rule = rule[1:]
+        is_wild = rule.startswith("*.")
+        if is_wild:
+            rule = rule[2:]
+        if not rule:
+            continue
+        labels = rule.count(".") + 1 + (1 if is_wild else 0)
+        rules.append((rule, labels, is_wild, is_exc, section))
+    return rules
+
+
+def load_psl(spark: SparkSession, path: str | None = None,
+             include_private: bool = True) -> DataFrame:
+    """Rules DataFrame from a PSL-format file (default: the committed
+    curated snapshot). ``include_private=False`` drops the PRIVATE
+    DOMAINS section (github.io-class hoster suffixes) for analyses that
+    want ICANN-only grouping."""
+    with open(path or DEFAULT_SNAPSHOT, encoding="utf-8") as f:
+        rules = parse_psl_lines(f, include_private=include_private)
+    if not rules:
+        raise ValueError("PSL file contains no rules")
+    return spark.createDataFrame(rules, _RULE_SCHEMA)
+
+
+def with_registrable_domain(df: DataFrame, psl: DataFrame,
+                            host_col: str = "host",
+                            out_col: str = "registrable_domain"
+                            ) -> DataFrame:
+    """Append the PSL-exact eTLD+1 column.
+
+    Per-host verdict (canonical algorithm, publicsuffix.org):
+      1. every label-suffix of the host is matched against the rules —
+         exact rules on equality, wildcard rules on the suffix's PARENT
+         (``a.ck`` matches ``*.ck`` because ``ck`` is the wildcard base
+         and the match length includes the ``*`` label);
+      2. an exception match wins outright; its public suffix is the rule
+         minus the leftmost label (``!www.ck`` -> public suffix ``ck``);
+      3. otherwise the match with the most labels wins; no match means
+         the implicit ``*`` default (public suffix = the bare TLD);
+      4. registrable domain = public suffix + one label. A host that IS
+         a public suffix, an IP literal, or single-label passes through
+         unchanged (group key stays total — the spec's "no registrable
+         domain" would NULL-group such rows together).
+    """
+    host = F.lower(F.col(host_col))
+    keyed = df.withColumn("_psl_host", host)
+    hosts = (keyed.select("_psl_host").filter(
+        F.col("_psl_host").isNotNull() & ~_is_ip(F.col("_psl_host")))
+        .distinct())
+    parts = F.split(F.col("_psl_host"), r"\.")
+    n = F.size(parts)
+    sufs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.array_join(F.slice(parts, i, n - i + 1), ".").alias("suf"),
+            (n - i + 1).alias("L")))
+    ex = (hosts.select("_psl_host", n.alias("_n"),
+                       F.explode(sufs).alias("s"))
+          .select("_psl_host", "_n", F.col("s.suf").alias("_suf"),
+                  F.col("s.L").alias("_L")))
+    # parent of the suffix = wildcard join key (NULL for the bare TLD)
+    parent = F.when(F.col("_L") >= 2,
+                    F.expr("substring(_suf, instr(_suf, '.') + 1)"))
+    ex = ex.withColumn("_parent", parent)
+    r = psl.select("rule", "labels", "is_wildcard", "is_exception")
+    exact = (ex.join(F.broadcast(r.filter(~F.col("is_wildcard"))),
+                     ex["_suf"] == F.col("rule"))
+             .select("_psl_host", "_n",
+                     F.when(F.col("is_exception"), F.col("_L") - 1)
+                     .otherwise(F.col("_L")).alias("_ps"),
+                     F.col("is_exception").alias("_exc")))
+    wild = (ex.join(F.broadcast(r.filter(F.col("is_wildcard"))),
+                    (ex["_parent"] == F.col("rule"))
+                    & (ex["_L"] == F.col("labels")))
+            .select("_psl_host", "_n", F.col("_L").alias("_ps"),
+                    F.lit(False).alias("_exc")))
+    # the implicit `*` default rule: every unlisted TLD is a public
+    # suffix of one label — without this, a no-match host would skip
+    # step 3 entirely instead of grouping at last-2-labels
+    default = hosts.select("_psl_host", n.alias("_n"),
+                           F.lit(1).alias("_ps"), F.lit(False).alias("_exc"))
+    verdict = (exact.unionByName(wild).unionByName(default)
+               .groupBy("_psl_host", "_n")
+               .agg(F.coalesce(F.max(F.when(F.col("_exc"), F.col("_ps"))),
+                               F.max(F.when(~F.col("_exc"), F.col("_ps"))),
+                               F.lit(1)).alias("_ps_len")))
+    vparts = F.split(F.col("_psl_host"), r"\.")
+    reg = F.when(
+        F.col("_n") > F.col("_ps_len"),
+        F.array_join(F.slice(vparts, F.col("_n") - F.col("_ps_len"),
+                             F.col("_ps_len") + 1), ".")
+    ).otherwise(F.col("_psl_host"))
+    mapping = verdict.select("_psl_host", reg.alias("_psl_reg"))
+    out = (keyed.join(mapping, "_psl_host", "left")
+           .withColumn(out_col,
+                       F.coalesce(F.col("_psl_reg"), F.col("_psl_host")))
+           .drop("_psl_host", "_psl_reg"))
+    return out

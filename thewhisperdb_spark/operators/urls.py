@@ -57,20 +57,31 @@ def registrable_domain(host: Column) -> Column:
             .otherwise(host))
 
 
-def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+def url_features(df: DataFrame, url_col: str = "url",
+                 psl: DataFrame | None = None) -> DataFrame:
     """Append the provenance columns: ``scheme``, ``host``,
     ``registrable_domain``, ``tld`` (NULL for IP hosts), ``path_depth``
     (number of non-empty path segments), ``has_query``, ``is_ip``. Pure
-    expression pipeline — Catalyst folds it into the scan."""
+    expression pipeline — Catalyst folds it into the scan. Pass ``psl``
+    (``operators/psl.load_psl``) to compute ``registrable_domain`` with
+    the exact Public Suffix List algorithm (one broadcast join over
+    distinct hosts) instead of the zero-data last-2/3-label baseline."""
     url = F.col(url_col)
     host = url_host(url)
     path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    if psl is not None:
+        from thewhisperdb_spark.operators.psl import with_registrable_domain
+
+        df = with_registrable_domain(df.withColumn("host", host), psl)
+        host = F.col("host")
     return (df
             .withColumn("scheme",
                         F.lower(F.regexp_extract(url, r"^([A-Za-z][\w+.-]*):",
                                                  1)))
             .withColumn("host", host)
-            .withColumn("registrable_domain", registrable_domain(host))
+            .withColumn("registrable_domain",
+                        F.col("registrable_domain") if psl is not None
+                        else registrable_domain(host))
             .withColumn("tld", F.when(_is_ip(host), F.lit(None)).otherwise(
                 F.element_at(F.split(host, r"\."), -1)))
             .withColumn("path_depth",
