@@ -726,6 +726,109 @@ def url_psl_registrable(spark, sf_dir):
             .select("doc_id", "host", "registrable_domain"))
 
 
+@q("crawl_curation_pipeline",
+   # the r9 media/web pieces COMPOSED (VERDICT r9 #8): synthesized WARC
+   # archives (gzip-member framing) -> record explosion -> HTML text
+   # extraction -> URL/domain features -> label-suffix blocklist ->
+   # per-domain quota cap, oracle-checked on per-stage survivor counts.
+   # Every stage's count is independently derivable in DuckDB from the
+   # construction arithmetic: 12 archives (doc_id % 12) each add one
+   # warcinfo record; every doc is one text/html response; doc_id % 17
+   # == 0 pages carry an empty body (extracted text "" -> dropped);
+   # the blocklist entries are 'src3.com' (kills the source=src3 com
+   # class by label-suffix) and the exact host 'sub1.src5.org'; the cap
+   # keeps 6 per registrable domain (source x tld class).
+   "WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id < 600), "
+   "surv AS (SELECT doc_id, source, CASE doc_id % 3 WHEN 0 THEN 'com' "
+   "  WHEN 1 THEN 'co.uk' ELSE 'org' END AS cls "
+   "  FROM d WHERE doc_id % 17 <> 0), "
+   "kept AS (SELECT * FROM surv WHERE NOT ((source = 'src3' AND "
+   "  doc_id % 3 = 0) OR (source = 'src5' AND doc_id % 5 = 1 AND "
+   "  doc_id % 3 = 2))), "
+   "strata AS (SELECT source, cls, count(*) AS cnt FROM kept "
+   "  GROUP BY 1, 2) "
+   "SELECT CAST((SELECT count(*) FROM d) + (SELECT count(DISTINCT "
+   "  doc_id % 12) FROM d) AS BIGINT) AS n_records, "
+   "CAST((SELECT count(*) FROM d) AS BIGINT) AS n_responses, "
+   "CAST((SELECT count(*) FROM surv) AS BIGINT) AS n_extracted, "
+   "CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_after_blocklist, "
+   "CAST((SELECT count(*) FROM strata) AS BIGINT) AS n_domains, "
+   "CAST((SELECT sum(least(6, cnt)) FROM strata) AS BIGINT) "
+   "  AS n_after_cap")
+def crawl_curation_pipeline(spark, sf_dir):
+    import pandas as pd
+
+    from thewhisperdb_spark.operators.htmltext import html_extract
+    from thewhisperdb_spark.operators.sampling import per_stratum_cap
+    from thewhisperdb_spark.operators.urls import (
+        drop_blocklisted, url_features)
+    from thewhisperdb_spark.sources import warc as W
+
+    docs = (_docs(spark, sf_dir).filter(F.col("doc_id") < 600)
+            .select("doc_id", "text", "source"))
+    cls = (F.when(F.col("doc_id") % 3 == 0, "com")
+           .when(F.col("doc_id") % 3 == 1, "co.uk").otherwise("org"))
+    url = F.concat(F.lit("https://sub"),
+                   (F.col("doc_id") % 5).cast("string"),
+                   F.lit("."), F.col("source"), F.lit("."), cls,
+                   F.lit("/p/"), F.col("doc_id").cast("string"))
+    body = F.when(F.col("doc_id") % 17 == 0, F.lit("")) \
+        .otherwise(F.col("text"))
+    html = F.concat(F.lit("<html><head><title>Doc "), F.col("doc_id"),
+                    F.lit("</title></head><body><p>"), body,
+                    F.lit("</p></body></html>"))
+    pages = docs.select("doc_id", url.alias("url"), html.alias("html"),
+                        (F.col("doc_id") % 12).alias("archive"))
+
+    def pack(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        recs = [W.build_warc_record(
+            "warcinfo", b"crawler: synthetic\r\n",
+            content_type="application/warc-fields")]
+        for _, r in pdf.iterrows():
+            recs.append(W.build_warc_record(
+                "response",
+                W.build_http_response(r["html"].encode("utf-8")),
+                target_uri=r["url"]))
+        return pd.DataFrame(
+            {"path": [f"mem://arc{key[0]}"],
+             "content": [W.build_warc(recs, gzip_per_record=True)]})
+
+    archives = pages.groupBy("archive").applyInPandas(
+        pack, "path string, content binary")
+    # parse + extract ONCE (checkpoint), then every stage count is a
+    # cheap agg over the materialized frame — six counts, one pipeline
+    records = W.explode_warc(archives).localCheckpoint(eager=True)
+    responses = records.filter(
+        (F.col("status") == "ok") & (F.col("warc_type") == "response")
+        & F.col("content_type").startswith("text/html"))
+    ex = html_extract(
+        responses.withColumn("html",
+                             F.col("payload").cast("string")),
+        html_col="html", id_col="target_uri")
+    feats = url_features(
+        ex.filter(F.length("text") > 0).withColumnRenamed("doc_id", "url"),
+        url_col="url").localCheckpoint(eager=True)
+    blocklist = spark.createDataFrame(
+        [("src3.com",), ("sub1.src5.org",)], "domain string")
+    kept = drop_blocklisted(feats, blocklist, url_col="url") \
+        .localCheckpoint(eager=True)
+    capped = per_stratum_cap(
+        kept.withColumn("n_chars", F.length("text")),
+        strata_col="registrable_domain", cap=6, order_col="n_chars",
+        id_col="url")
+    c = F.count(F.lit(1)).cast("long")
+    out = (records.filter(F.col("status") == "ok").agg(
+        c.alias("n_records"))
+        .join(responses.agg(c.alias("n_responses")))
+        .join(feats.agg(c.alias("n_extracted")))
+        .join(kept.agg(c.alias("n_after_blocklist")))
+        .join(kept.agg(F.countDistinct("registrable_domain")
+                       .cast("long").alias("n_domains")))
+        .join(capped.agg(c.alias("n_after_cap"))))
+    return out
+
+
 @q("dhash_index_incremental_dedup",
    # contract oracle (lsh_index_incremental_dedup's persisted-index twin
    # for the perceptual family): dHash bits aren't SQL-portable, but the

@@ -157,3 +157,34 @@ def test_archive_size_cap(monkeypatch):
         w.parse_warc(data)
     with pytest.raises(ValueError, match="cap"):
         w.parse_warc(gzip.compress(data))
+
+
+def test_build_warc_roundtrip_and_explode(spark):
+    """Synthesis helpers round-trip through parse_warc (plain and
+    gzip-per-record) and through the DataFrame explode entry point."""
+    from thewhisperdb_spark.sources.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+        explode_warc,
+    )
+
+    recs = [
+        build_warc_record("warcinfo", b"crawler: t\r\n",
+                          content_type="application/warc-fields"),
+        build_warc_record("response",
+                          build_http_response(b"<p>hi</p>"),
+                          target_uri="https://e.com/a"),
+    ]
+    for gz in (False, True):
+        out = parse_warc(build_warc(recs, gzip_per_record=gz))
+        assert [r["warc_type"] for r in out] == ["warcinfo", "response"]
+        assert out[1]["payload"] == b"<p>hi</p>"
+        assert out[1]["http_status"] == 200
+    df = spark.createDataFrame(
+        [("mem://a", build_warc(recs, gzip_per_record=True))],
+        "path string, content binary")
+    rows = explode_warc(df).orderBy("record_idx").collect()
+    assert [r["warc_type"] for r in rows] == ["warcinfo", "response"]
+    assert rows[1]["target_uri"] == "https://e.com/a"
+    assert rows[0]["status"] == "ok"

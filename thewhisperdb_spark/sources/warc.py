@@ -186,6 +186,40 @@ def parse_warc(data: bytes) -> list[dict]:
     return records
 
 
+def build_http_response(body: bytes, content_type: str = "text/html",
+                        status: int = 200) -> bytes:
+    """HTTP/1.1 response bytes for embedding in a WARC response record
+    (synthesis counterpart of the parse path; test/pipeline fixture
+    builder, not a web server)."""
+    return (f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+
+
+def build_warc_record(warc_type: str, payload: bytes,
+                      target_uri: str | None = None,
+                      content_type: str = "application/http; "
+                                          "msgtype=response",
+                      warc_date: str = "2026-01-01T00:00:00Z") -> bytes:
+    """One WARC/1.0 record with correct Content-Length framing."""
+    hdr = (f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n"
+           f"WARC-Date: {warc_date}\r\n")
+    if target_uri:
+        hdr += f"WARC-Target-URI: {target_uri}\r\n"
+    hdr += (f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n")
+    return hdr.encode() + payload + b"\r\n\r\n"
+
+
+def build_warc(records: list[bytes], gzip_per_record: bool = False) -> bytes:
+    """Concatenate records into one archive, optionally with the
+    crawl-standard gzip-member-per-record framing."""
+    if gzip_per_record:
+        import gzip as _gzip
+
+        return b"".join(_gzip.compress(r) for r in records)
+    return b"".join(records)
+
+
 WARC_SCHEMA = StructType([
     StructField("path", StringType()),
     StructField("record_idx", IntegerType()),
@@ -212,7 +246,14 @@ def read_warc(spark: SparkSession, path: str,
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    files = reader.load(path).select("path", "content")
+    return explode_warc(reader.load(path).select("path", "content"))
+
+
+def explode_warc(files: DataFrame) -> DataFrame:
+    """(path, content) archives -> one row per WARC record (the
+    record-explosion stage of ``read_warc``, exposed for archives that
+    are already a DataFrame column — streaming payloads, synthesized
+    fixtures, object-store readers)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
