@@ -726,6 +726,125 @@ def url_psl_registrable(spark, sf_dir):
             .select("doc_id", "host", "registrable_domain"))
 
 
+@q("video_frame_dedup_contract",
+   # contract oracle (the VIDEO twin of image_dhash_dedup_contract,
+   # VERDICT r9 #6): per-doc MJPEG AVIs are synthesized executor-side
+   # (sources/jpegenc.py encoder + container writer), frame-hashed with
+   # the REAL RIFF-walk + JPEG decode path
+   # (imagededup.video_frame_dhash), and cross-deduped through the
+   # persisted banded hash index. Historical corpus = doc_id < 200
+   # (2 frames each), arriving batch = [200, 300); every batch doc with
+   # doc_id % 5 == 0 is rendered from its (doc_id - 200) twin's text, so
+   # BOTH its frames must hit the twin's frames at hamming 0; every hit
+   # must pair an index id (< 200) with a batch id (>= 200).
+   "SELECT CAST(2 * sum(CASE WHEN doc_id < 200 THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS n_index_frames, "
+   "CAST(2 * sum(CASE WHEN doc_id >= 200 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_batch_frames, "
+   "CAST(sum(CASE WHEN doc_id >= 200 AND doc_id % 5 = 0 THEN 1 ELSE 0 "
+   "END) AS BIGINT) AS n_seeded, "
+   "TRUE AS seeded_hits_exact, TRUE AS hit_ids_valid "
+   "FROM documents WHERE doc_id < 300")
+def video_frame_dedup_contract(spark, sf_dir):
+    build, op = _video_frame_dedup_phases(spark, sf_dir)
+    build()
+    return op()
+
+
+def _video_frame_dedup_phases(spark, sf_dir):
+    # build/op split per VERDICT r9 #2 (see _lsh_index_delete_phases):
+    # build = synthesize + frame-hash the historical AVIs and materialize
+    # the banded index; op = hash the arriving batch, probe, validate.
+    import tempfile
+
+    import pandas as pd
+
+    from thewhisperdb_spark.operators.hashindex import (
+        dhash_index_build, dhash_index_probe)
+    from thewhisperdb_spark.operators.imagededup import video_frame_dhash
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300) \
+        .select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 200)
+    seeded_src = (docs.filter((F.col("doc_id") >= 200)
+                              & (F.col("doc_id") % 5 == 0))
+                  .select((F.col("doc_id") - 200).alias("src_id"),
+                          F.col("doc_id").alias("bid")))
+    seeded = (seeded_src.join(
+        hist.select(F.col("doc_id").alias("src_id"), "text"), "src_id")
+        .select(F.col("bid").alias("doc_id"), "text"))
+    fresh = docs.filter((F.col("doc_id") >= 200)
+                        & (F.col("doc_id") % 5 != 0))
+    batch = seeded.unionByName(fresh)
+
+    def synth(batches):
+        # two JPEG frames per doc (text raster + salted twin) wrapped in
+        # a real AVI container — encode + decode both run executor-side
+        import numpy as np
+
+        from thewhisperdb_spark.sources.jpegenc import (
+            encode_gray_baseline, encode_mjpeg_avi)
+        from thewhisperdb_spark.sources.multimodal import (
+            deterministic_fake_decoder)
+
+        for pdf in batches:
+            paths, contents = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = [encode_gray_baseline(np.array(
+                    deterministic_fake_decoder(
+                        (str(text) + salt).encode("utf-8")),
+                    dtype=np.float64) * 255.0)
+                    for salt in ("", "#f1")]
+                paths.append(f"{did:09d}")
+                contents.append(encode_mjpeg_avi(frames, width=8, height=8))
+            yield pd.DataFrame({"path": paths, "content": contents,
+                                "modality": ["video"] * len(paths)})
+
+    syn_schema = "path string, content binary, modality string"
+
+    def hashes(d):
+        h = video_frame_dhash(d.mapInPandas(synth, syn_schema))
+        return h.select(
+            F.concat_ws("#", "path", "frame_idx").alias("path"), "dhash",
+            "status")
+
+    path = tempfile.mkdtemp(prefix="whisper_video_idx_")
+
+    def build():
+        dhash_index_build(hashes(hist), path, max_hamming=2)
+
+    def op():
+        hits = dhash_index_probe(spark, path, hashes(batch)) \
+            .localCheckpoint(eager=True)
+        expected = seeded_src.select("src_id", "bid").crossJoin(
+            spark.range(2).select(F.col("id").alias("fr"))).select(
+            F.concat_ws("#", F.format_string("%09d", "src_id"), "fr")
+            .alias("index_id"),
+            F.concat_ws("#", F.format_string("%09d", "bid"), "fr")
+            .alias("batch_id"))
+        missing = expected.join(
+            hits.filter(F.col("hamming") == 0), ["index_id", "batch_id"],
+            "left_anti")
+        idx_doc = F.split(F.col("index_id"), "#").getItem(0).cast("long")
+        bat_doc = F.split(F.col("batch_id"), "#").getItem(0).cast("long")
+        stray = hits.filter((idx_doc >= 200) | (bat_doc < 200))
+        stats = docs.groupBy().agg(
+            (2 * F.sum(F.when(F.col("doc_id") < 200, 1).otherwise(0)))
+            .cast("long").alias("n_index_frames"),
+            (2 * F.sum(F.when(F.col("doc_id") >= 200, 1).otherwise(0)))
+            .cast("long").alias("n_batch_frames"),
+            F.sum(F.when((F.col("doc_id") >= 200)
+                         & (F.col("doc_id") % 5 == 0),
+                         1).otherwise(0)).cast("long").alias("n_seeded"))
+        exact = missing.groupBy().agg(
+            (F.count(F.lit(1)) == 0).alias("seeded_hits_exact"))
+        valid = stray.groupBy().agg(
+            (F.count(F.lit(1)) == 0).alias("hit_ids_valid"))
+        return stats.join(F.broadcast(exact)).join(F.broadcast(valid))
+
+    return build, op
+
+
 @q("crawl_curation_pipeline",
    # the r9 media/web pieces COMPOSED (VERDICT r9 #8): synthesized WARC
    # archives (gzip-member framing) -> record explosion -> HTML text
@@ -7623,6 +7742,7 @@ def maintenance_split() -> dict[str, Callable]:
         "ivf_index_delete": _ivf_index_delete_phases,
         "ivf_index_stats": _ivf_index_stats_phases,
         "dhash_index_incremental_dedup": _dhash_index_incremental_phases,
+        "video_frame_dedup_contract": _video_frame_dedup_phases,
     }
 
 

@@ -151,6 +151,8 @@ MAINTENANCE = [
     "ivf_index_stats",
     # r9: perceptual-hash index (build + banded probe per call)
     "dhash_index_incremental_dedup",
+    # r10: MJPEG-in-AVI frame dedup through the persisted hash index
+    "video_frame_dedup_contract",
 ]
 
 

@@ -212,3 +212,58 @@ def test_hamming_pairs_single_band_exact_equality(spark):
     got = {(r["a"], r["b"]): r["hamming"]
            for r in hamming_near_dup_pairs(df, max_hamming=0).collect()}
     assert got == {("x1", "x2"): 0}
+
+
+def test_video_frame_dedup_cross_video(spark, tmp_path):
+    """video_frame_dhash -> banded hamming join: a re-encode sharing one
+    frame with the committed fixture surfaces exactly that frame pair;
+    a non-MJPEG file quarantines to a single null-hash row."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from thewhisperdb_spark.operators.imagededup import (
+        hamming_near_dup_pairs,
+        video_frame_dhash,
+    )
+    from thewhisperdb_spark.sources.multimodal import (
+        read_binary_files,
+        with_media_metadata,
+    )
+    from tools.make_avi_fixture import H, W, make_avi, make_pattern
+    from tools.make_jpeg_fixture import encode_gray_baseline
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    shutil.copy(os.path.join(root, "tiny.avi"), tmp_path / "a.avi")
+    # b.avi: frame 0 = a.avi's frame 0 (same encoder, same raster ->
+    # identical dHash); frame 1 = unrelated noise
+    base = make_pattern(H, W)
+    rng = np.random.RandomState(11)
+    noise = rng.randint(0, 256, size=(H, W)).astype(np.float64)
+    (tmp_path / "b.avi").write_bytes(make_avi(
+        [encode_gray_baseline(base), encode_gray_baseline(noise)]))
+    (tmp_path / "c.avi").write_bytes(b"RIFFzzzznope")
+
+    from pyspark.sql import functions as F
+
+    media = with_media_metadata(read_binary_files(spark, str(tmp_path)))
+    hashes = video_frame_dhash(media).cache()
+    ok = hashes.filter("status = 'ok'")
+    assert ok.count() == 5            # 3 + 2 frames
+    assert hashes.filter("status != 'ok'").count() == 1  # c.avi quarantined
+
+    keyed = ok.select(
+        F.concat_ws("#", F.col("path"), F.col("frame_idx")).alias("id"),
+        F.col("dhash").alias("h"))
+    pairs = hamming_near_dup_pairs(keyed, max_hamming=2, id_col="id",
+                                   hash_col="h").collect()
+    shared = [p for p in pairs
+              if {os.path.basename(p["a"].split("#")[0]),
+                  os.path.basename(p["b"].split("#")[0])} == {"a.avi",
+                                                              "b.avi"}]
+    assert any(p["a"].endswith("#0") and p["b"].endswith("#0")
+               for p in shared), "shared frame 0 must pair at hamming 0"
+    # the noise frame pairs with nothing
+    assert not any("b.avi#1" in (p["a"], p["b"]) for p in pairs
+                   if "noise" not in p)

@@ -1645,3 +1645,91 @@ def test_tiff_rgb_spp_validation():
     patch(277, 1)
     with _pt.raises(ValueError, match="SamplesPerPixel"):
         _decode_tiff(bytes(base))
+
+
+def test_avi_mjpeg_frames_end_to_end(spark, tmp_path):
+    """MJPEG-in-AVI (VERDICT r9 #6): the committed generator-gated
+    fixture decodes through the RIFF walk + built-in JPEG path — frame
+    count, stream timestamps from dwMicroSecPerFrame, rec-list recursion
+    (frame 2 lives inside 'rec '), JPEG-tolerance pixel match, and the
+    sample_video_frames pipeline with quarantine taxonomy."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from thewhisperdb_spark.sources.multimodal import (
+        decode_avi_frames,
+        read_binary_files,
+        sample_video_frames,
+        with_media_metadata,
+    )
+    from tools.make_avi_fixture import H, W, make_pattern
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    data = open(os.path.join(root, "tiny.avi"), "rb").read()
+    frames = decode_avi_frames(data)
+    assert [(i, ms) for i, ms, _ in frames] == [(0, 0), (1, 40), (2, 80)]
+    base = make_pattern(H, W)
+    expected = [base, np.roll(base, 5, axis=1), 255.0 - base]
+    for (_, _, raster), src in zip(frames, expected):
+        a = np.array(raster) * 255.0
+        assert a.shape == (H, W)
+        # JPEG q50 tolerance: tight on the mean, loose at ringing edges
+        assert np.abs(a - src).mean() < 10.0
+    # max_frames truncation
+    assert len(decode_avi_frames(data, max_frames=2)) == 2
+
+    shutil.copy(os.path.join(root, "tiny.avi"), tmp_path / "tiny.avi")
+    (tmp_path / "fake.avi").write_bytes(b"RIFF\x04\x00\x00\x00AVI ")
+    media = with_media_metadata(read_binary_files(spark, str(tmp_path)))
+    rows = {os.path.basename(r["path"]): r
+            for r in sample_video_frames(
+                media, on_error="quarantine").collect()}
+    # 3 ok frame rows for the real fixture + 1 quarantine row
+    ok = [r for r in sample_video_frames(media, on_error="quarantine")
+          .filter("status = 'ok'").collect()]
+    assert len(ok) == 3 and all(r["height"] == H for r in ok)
+    assert rows["fake.avi"]["status"].startswith("ValueError")
+
+
+def test_avi_taxonomy_and_fuzz():
+    """Non-AVI/truncated bytes -> ValueError; a non-MJPEG vids stream ->
+    NotImplementedError; random mutations never escape the taxonomy."""
+    import os
+    import random
+    import struct
+
+    import pytest as _pt
+
+    from thewhisperdb_spark.sources.multimodal import (
+        _avi_mjpeg_frames,
+        decode_avi_frames,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures")
+    base = open(os.path.join(root, "tiny.avi"), "rb").read()
+    with _pt.raises(ValueError, match="RIFF/AVI"):
+        decode_avi_frames(b"\x00" * 32)
+    # flip the frame payloads to a non-JPEG codec signature
+    h264ish = base.replace(b"\xff\xd8\xff", b"\x00\x00\x01")
+    with _pt.raises(NotImplementedError, match="MJPEG"):
+        _avi_mjpeg_frames(h264ish)
+    # truncated/bit-flipped archives: ValueError/NotImplementedError only
+    rng = random.Random(7)
+    for case in range(200):
+        buf = bytearray(base)
+        if case % 3 == 0:
+            del buf[rng.randrange(12, len(buf)):]
+        elif case % 3 == 1:
+            for _ in range(rng.randrange(1, 5)):
+                buf[rng.randrange(8, len(buf))] = rng.randrange(256)
+        else:
+            struct.pack_into(
+                "<I", buf, rng.randrange(4, len(buf) - 4) & ~3,
+                rng.randrange(1 << 31))
+        try:
+            out = decode_avi_frames(bytes(buf))
+            assert out and all(len(r) == 3 for r in out)
+        except (ValueError, NotImplementedError):
+            pass

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -122,6 +123,54 @@ def image_dhash(media: DataFrame,
 
     img = media.filter(F.col("modality") == "image").select("path", "content")
     return img.mapInPandas(run, IMAGE_HASH_SCHEMA)
+
+
+VIDEO_HASH_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("dhash", LongType()),
+    StructField("status", StringType()),
+])
+
+
+def video_frame_dhash(media: DataFrame, max_frames: int = 16) -> DataFrame:
+    """One (path, frame_idx, dhash, status) row per sampled video frame:
+    MJPEG-in-AVI decode (``multimodal.decode_avi_frames`` — the built-in
+    container+codec pair) -> per-frame dHash. Always quarantining: a
+    non-MJPEG video yields ONE null-hash row with the missing-codec
+    taxonomy. Feed ``(path || '#' || frame_idx, dhash)`` into
+    :func:`hamming_near_dup_pairs` or the persisted hash index for
+    cross-video near-dup detection (re-encodes, shifted cuts)."""
+    from thewhisperdb_spark.sources.multimodal import decode_avi_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"path": [], "frame_idx": [], "dhash": [], "status": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    frames = decode_avi_frames(bytes(content), max_frames)
+                except Exception as e:  # noqa: BLE001 — quarantined
+                    rows["path"].append(path)
+                    rows["frame_idx"].append(None)
+                    rows["dhash"].append(None)
+                    rows["status"].append(
+                        f"{type(e).__name__}: {str(e)[:160]}")
+                    continue
+                for idx, _, raster in frames:
+                    bits = dhash64(raster)
+                    rows["path"].append(path)
+                    rows["frame_idx"].append(idx)
+                    rows["dhash"].append(bits - (1 << 64)
+                                         if bits >= 1 << 63 else bits)
+                    rows["status"].append("ok")
+            out = pd.DataFrame({"path": rows["path"],
+                                "status": rows["status"]})
+            out["frame_idx"] = pd.array(rows["frame_idx"], dtype="Int32")
+            out["dhash"] = pd.array(rows["dhash"], dtype="Int64")
+            yield out[["path", "frame_idx", "dhash", "status"]]
+
+    vid = media.filter(F.col("modality") == "video").select("path", "content")
+    return vid.mapInPandas(run, VIDEO_HASH_SCHEMA)
 
 
 def band_hashes(h: DataFrame, bands: int,

@@ -20,154 +20,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from thewhisperdb_spark.sources.multimodal import _ZIGZAG  # noqa: E402
-
-# Annex K.1 luminance quantization table (quality 50), zigzag order applied
-# at write time
-QTAB = np.array([
-    [16, 11, 10, 16, 24, 40, 51, 61],
-    [12, 12, 14, 19, 26, 58, 60, 55],
-    [14, 13, 16, 24, 40, 57, 69, 56],
-    [14, 17, 22, 29, 51, 87, 80, 62],
-    [18, 22, 37, 56, 68, 109, 103, 77],
-    [24, 35, 55, 64, 81, 104, 113, 92],
-    [49, 64, 78, 87, 103, 121, 120, 101],
-    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.float64)
-
-# Annex K.3.1 luminance DC: BITS then HUFFVAL
-DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
-DC_VALS = list(range(12))
-# Annex K.3.2 luminance AC
-AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
-AC_VALS = [
-    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
-    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
-    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
-    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
-    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
-    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
-    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
-    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
-    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
-    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
-    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
-    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
-    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
-    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
-
-
-def _codes(bits, vals):
-    out, code, k = {}, 0, 0
-    for ln in range(1, 17):
-        for _ in range(bits[ln - 1]):
-            out[vals[k]] = (code, ln)
-            code += 1
-            k += 1
-        code <<= 1
-    return out
-
-
-class _BitWriter:
-    def __init__(self):
-        self.buf = bytearray()
-        self.acc, self.n = 0, 0
-
-    def put(self, code: int, length: int):
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.buf.append(self.acc)
-                if self.acc == 0xFF:
-                    self.buf.append(0x00)      # byte stuffing
-                self.acc, self.n = 0, 0
-
-    def align(self):                            # pad with 1s (spec F.1.2.3)
-        while self.n:
-            self.put(1, 1)
-
-
-def make_pattern(h: int = 20, w: int = 24) -> np.ndarray:
-    """Deterministic gradient x checkerboard test card in [0, 255]."""
-    y, x = np.mgrid[0:h, 0:w]
-    img = 32 + 8 * ((x // 4 + y // 4) % 2) * 16 + x * 4 + y * 2
-    return np.clip(img, 0, 255).astype(np.float64)
-
-
-def encode_gray_baseline(img: np.ndarray, dri: int = 2) -> bytes:
-    h, w = img.shape
-    dc_c, ac_c = _codes(DC_BITS, DC_VALS), _codes(AC_BITS, AC_VALS)
-    u = np.arange(8)
-    x = np.arange(8)
-    M = np.cos((2 * x[:, None] + 1) * u[None, :] * np.pi / 16) / 2.0
-    M[:, 0] *= 1 / np.sqrt(2)
-    by, bx = (h + 7) // 8, (w + 7) // 8
-    padded = np.pad(img, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
-
-    out = bytearray(b"\xff\xd8")                       # SOI
-    zz_q = bytes(int(QTAB.flat[z]) for z in _ZIGZAG)
-    out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + zz_q
-    out += (b"\xff\xc0" + (8 + 3).to_bytes(2, "big") + b"\x08"
-            + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-            + b"\x01" + b"\x01\x11\x00")               # 1 comp, 1x1, q0
-    for tc, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
-        seg = bytes([tc << 4]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + (2 + len(seg)).to_bytes(2, "big") + seg
-    if dri:
-        out += b"\xff\xdd\x00\x04" + dri.to_bytes(2, "big")
-    out += b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"  # SOS
-
-    wtr = _BitWriter()
-    pred, mcu, rst = 0, 0, 0
-    for r in range(by):
-        for c in range(bx):
-            if dri and mcu and mcu % dri == 0:
-                wtr.align()
-                out += wtr.buf
-                wtr = _BitWriter()
-                out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                pred = 0
-            blk = padded[r * 8:r * 8 + 8, c * 8:c * 8 + 8] - 128.0
-            coef = M.T @ blk @ M                       # forward DCT
-            q = np.round(coef / QTAB).astype(int)
-            zz = [int(q.flat[z]) for z in _ZIGZAG]
-            diff = zz[0] - pred
-            pred = zz[0]
-            s = int(diff).bit_length() if diff else 0
-            code, ln = dc_c[s]
-            wtr.put(code, ln)
-            if s:
-                v = diff if diff > 0 else diff + (1 << s) - 1
-                wtr.put(v & ((1 << s) - 1), s)
-            k, run = 1, 0
-            last = max((i for i in range(1, 64) if zz[i]), default=0)
-            while k <= last:
-                if zz[k] == 0:
-                    run += 1
-                    k += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_c[0xF0]
-                    wtr.put(code, ln)
-                    run -= 16
-                v = zz[k]
-                s = int(abs(v)).bit_length()
-                code, ln = ac_c[(run << 4) | s]
-                wtr.put(code, ln)
-                vv = v if v > 0 else v + (1 << s) - 1
-                wtr.put(vv & ((1 << s) - 1), s)
-                run = 0
-                k += 1
-            if last < 63:
-                code, ln = ac_c[0x00]                  # EOB
-                wtr.put(code, ln)
-            mcu += 1
-    wtr.align()
-    out += wtr.buf
-    out += b"\xff\xd9"                                 # EOI
-    return bytes(out)
-
+# encoder core lives in the package now (sources/jpegenc.py) so synthesis
+# can run executor-side; this tool stays the committed-fixture gate
+from thewhisperdb_spark.sources.jpegenc import (  # noqa: E402,F401
+    encode_gray_baseline,
+    make_pattern,
+)
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "tests/fixtures/tiny.jpg"
