@@ -135,6 +135,9 @@ HEADLINE = [
     "image_dhash_dedup_contract",
     "html_extract_roundtrip",
     "url_domain_features",
+    # round-10 headliners (PSL grouping; WARC->curation composite)
+    "url_psl_registrable",
+    "crawl_curation_pipeline",
 ]
 
 # Index-maintenance keys (VERDICT r8 #7): NOT in the headline total —
