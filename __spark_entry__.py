@@ -726,6 +726,50 @@ def url_psl_registrable(spark, sf_dir):
             .select("doc_id", "host", "registrable_domain"))
 
 
+@q("robots_allow_filter",
+   # FULL-VALUE oracle for the RFC 9309 admission verdict
+   # (operators/robots.py): 7 hosts carry JVM-built robots bodies
+   # (disallow /private, longer allow /private/ok, a /*.zip$ wildcard
+   # rule on even hosts), URLs are minted per doc across 4 path
+   # classes, and DuckDB mirrors the expected longest-match decision
+   # with plain CASE arithmetic — parser, rule explosion, and the
+   # struct-max decision all under a value-exact gate.
+   "SELECT doc_id, "
+   "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.crawl.com' || "
+   "CASE doc_id % 4 WHEN 0 THEN '/public/' || CAST(doc_id AS VARCHAR) "
+   " WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR) "
+   " WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR) "
+   " ELSE '/files/' || CAST(doc_id AS VARCHAR) || '.zip' END AS url, "
+   "CASE doc_id % 4 WHEN 0 THEN TRUE WHEN 1 THEN FALSE "
+   " WHEN 2 THEN TRUE ELSE (doc_id % 7) % 2 = 1 END AS robots_allowed "
+   "FROM documents WHERE doc_id < 500")
+def robots_allow_filter(spark, sf_dir):
+    from thewhisperdb_spark.operators.robots import (
+        extract_robots_rules, robots_allowed)
+
+    hosts = spark.range(7).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".crawl.com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n"
+                  "Allow: /private/ok\n"),
+            F.when(F.col("id") % 2 == 0, F.lit("Disallow: /*.zip$\n"))
+            .otherwise(F.lit(""))).alias("robots_txt"))
+    rules = extract_robots_rules(hosts)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    m = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    path = (F.when(m == 0, F.concat(F.lit("/public/"), did))
+            .when(m == 1, F.concat(F.lit("/private/"), did))
+            .when(m == 2, F.concat(F.lit("/private/ok/"), did))
+            .otherwise(F.concat(F.lit("/files/"), did, F.lit(".zip"))))
+    urls = d.select("doc_id", F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".crawl.com"), path).alias("url"))
+    return (robots_allowed(urls, rules)
+            .select("doc_id", "url", "robots_allowed"))
+
+
 @q("video_frame_dedup_contract",
    # contract oracle (the VIDEO twin of image_dhash_dedup_contract,
    # VERDICT r9 #6): per-doc MJPEG AVIs are synthesized executor-side

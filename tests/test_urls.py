@@ -124,3 +124,71 @@ def test_url_features_psl_variant(spark):
         assert [r[col] for r in got] == [r[col] for r in base]
     # baseline would have collapsed github.io pages into ONE domain
     assert [r["registrable_domain"] for r in base][1] == "github.io"
+
+
+def test_robots_parse_and_allow(spark):
+    """RFC 9309 semantics (operators/robots.py): group selection with
+    exact-agent override, longest-match decision, allow-wins ties, *
+    wildcards and $ anchors, empty Disallow as no-op, allow-all default
+    for unknown hosts, malformed lines ignored."""
+    from thewhisperdb_spark.operators.robots import (
+        drop_robots_disallowed,
+        extract_robots_rules,
+        parse_robots,
+        robots_allowed,
+    )
+
+    body = (
+        "# policy\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow: /*.zip$\n"
+        "Disallow:\n"            # empty: no-op
+        "garbage line without colon\n"
+        "\n"
+        "User-agent: fancybot\n"
+        "Disallow: /\n"
+    )
+    # generic agent: 3 rules (empty disallow dropped, fancybot group not ours)
+    rules = parse_robots(body, agent="mybot")
+    assert len(rules) == 3
+    # exact group overrides * entirely
+    assert parse_robots(body, agent="FancyBot") == [
+        ("/", False, 1, "^/")]
+
+    robots_df = spark.createDataFrame(
+        [("a.com", body), ("empty.com", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string")
+    rules_df = extract_robots_rules(robots_df, agent="mybot")
+    assert rules_df.filter("host = 'empty.com'").count() == 0
+
+    urls = spark.createDataFrame([(u,) for u in [
+        "https://a.com/public/page",        # no match -> allow
+        "https://a.com/private/secret",     # /private -> disallow
+        "https://a.com/private/ok/file",    # longer allow wins
+        "https://a.com/data/x.zip",         # *.zip$ -> disallow
+        "https://a.com/data/x.zip.html",    # $ anchor -> no match
+        "https://nothing.com/anything",     # unknown host -> allow
+    ]], "url string")
+    got = {r["url"]: r["robots_allowed"]
+           for r in robots_allowed(urls, rules_df).collect()}
+    assert got == {
+        "https://a.com/public/page": True,
+        "https://a.com/private/secret": False,
+        "https://a.com/private/ok/file": True,
+        "https://a.com/data/x.zip": False,
+        "https://a.com/data/x.zip.html": True,
+        "https://nothing.com/anything": True,
+    }
+    assert drop_robots_disallowed(urls, rules_df).count() == 4
+    # allow-wins tie: same-length allow and disallow patterns
+    tie = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /abc\nAllow: /ab*\n")],
+        "host string, robots_txt string")
+    turl = spark.createDataFrame([("https://t.com/abc",)], "url string")
+    trules = extract_robots_rules(tie)
+    # /abc (len 4) beats /ab* -> wait: specificity /abc=4 vs /ab*=4 (the
+    # * counts per RFC octet length) -> tie -> allow wins
+    got = robots_allowed(turl, trules).collect()[0]["robots_allowed"]
+    assert got is True

@@ -141,6 +141,8 @@ PROBE_INPUTS = {
     "lpa_kernel": "graph", "core_kernel": "graph",
     "semantic_pairs_kernel": "embeddings",
     "dhash_pairs_kernel": "documents",
+    "psl_match_kernel": "documents",
+    "crawl_curation_kernel": "documents",
 }
 
 
@@ -221,6 +223,73 @@ def probes(spark, d: str, copies: int) -> dict:
             max_hamming=4)
 
     out["dhash_pairs_kernel"] = dhash_pairs
+
+    def psl_match():
+        # PSL eTLD+1 grouping (r10): every doc mints a DISTINCT host
+        # (the distinct-host explosion is the work term — crawls repeat
+        # hosts, so this is the adversarial operating point) across the
+        # four rule classes (private / multi-part / wildcard / default).
+        from thewhisperdb_spark.operators.psl import (
+            load_psl, with_registrable_domain)
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        suf = F.element_at(
+            F.array(F.lit("github.io"), F.lit("example.co.uk"),
+                    F.lit("site.bd"), F.lit("example.zz")),
+            (F.col("doc_id") % 4 + 1).cast("int"))
+        hosts = docs.select(F.concat(
+            F.lit("h"), F.col("doc_id").cast("string"), F.lit("."),
+            suf).alias("host"))
+        return with_registrable_domain(hosts, load_psl(spark))
+
+    out["psl_match_kernel"] = psl_match
+
+    def crawl_curation():
+        # the r10 composite: WARC synth -> explode -> html_extract ->
+        # url features -> blocklist -> cap. Row-linear stages throughout;
+        # the probe pins that the applyInPandas archive packing and the
+        # window cap stay linear as archives and domains both grow 10x.
+        import pandas as pd
+
+        from thewhisperdb_spark.operators.htmltext import html_extract
+        from thewhisperdb_spark.operators.sampling import per_stratum_cap
+        from thewhisperdb_spark.operators.urls import url_features
+        from thewhisperdb_spark.sources import warc as W
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        html = F.concat(F.lit("<html><body><p>"), F.col("text"),
+                        F.lit("</p></body></html>"))
+        url = F.concat(F.lit("https://h"),
+                       (F.col("doc_id") % (200 * copies)).cast("string"),
+                       F.lit(".example.com/p/"),
+                       F.col("doc_id").cast("string"))
+        pages = docs.select("doc_id", url.alias("url"),
+                            html.alias("html"),
+                            (F.col("doc_id") % (12 * copies))
+                            .alias("archive"))
+
+        def pack(key, pdf):
+            pdf = pdf.sort_values("doc_id")
+            recs = [W.build_warc_record(
+                "response", W.build_http_response(r["html"].encode()),
+                target_uri=r["url"]) for _, r in pdf.iterrows()]
+            return pd.DataFrame({"path": [f"mem://a{key[0]}"],
+                                 "content": [W.build_warc(recs)]})
+
+        records = pages.groupBy("archive").applyInPandas(
+            pack, "path string, content binary")
+        ex = html_extract(
+            W.explode_warc(records)
+            .filter(F.col("status") == "ok")
+            .withColumn("html", F.col("payload").cast("string")),
+            html_col="html", id_col="target_uri")
+        feats = url_features(
+            ex.filter(F.length("text") > 0)
+            .withColumnRenamed("doc_id", "url"), url_col="url")
+        return per_stratum_cap(
+            feats.withColumn("n_chars", F.length("text")),
+            strata_col="registrable_domain", cap=6, order_col="n_chars",
+            id_col="url")
+
+    out["crawl_curation_kernel"] = crawl_curation
     return out
 
 
