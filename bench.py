@@ -135,9 +135,11 @@ HEADLINE = [
     "image_dhash_dedup_contract",
     "html_extract_roundtrip",
     "url_domain_features",
-    # round-10 headliners (PSL grouping; WARC->curation composite)
+    # round-10 headliners (PSL grouping; WARC->curation composite;
+    # robots.txt admission)
     "url_psl_registrable",
     "crawl_curation_pipeline",
+    "robots_allow_filter",
 ]
 
 # Index-maintenance keys (VERDICT r8 #7): NOT in the headline total —
