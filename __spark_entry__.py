@@ -726,6 +726,38 @@ def url_psl_registrable(spark, sf_dir):
             .select("doc_id", "host", "registrable_domain"))
 
 
+@q("charset_sniff_decode",
+   # FULL-VALUE oracle for the decode cascade (operators/encoding.py):
+   # payloads are built with the JVM's own encoders — plain UTF-8 (no
+   # declaration -> 'default'), UTF-16 (Java emits a BE BOM -> 'bom'),
+   # and UTF-8 with a transport charset parameter -> 'header' — so
+   # DuckDB can mirror the expected verdict columns exactly; the
+   # roundtrip boolean certifies the decoded text equals the source.
+   "SELECT doc_id, "
+   "CASE doc_id % 3 WHEN 1 THEN 'utf-16-be' ELSE 'utf-8' END "
+   "  AS encoding, "
+   "CASE doc_id % 3 WHEN 0 THEN 'default' WHEN 1 THEN 'bom' "
+   "  ELSE 'header' END AS encoding_source, "
+   "FALSE AS encoding_fallback, TRUE AS roundtrip_ok "
+   "FROM documents WHERE doc_id < 500")
+def charset_sniff_decode(spark, sf_dir):
+    from thewhisperdb_spark.operators.encoding import decode_payload_text
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500) \
+        .select("doc_id", F.col("text").alias("src"))
+    m = F.col("doc_id") % 3
+    payload = (F.when(m == 1, F.encode(F.col("src"), "UTF-16"))
+               .otherwise(F.encode(F.col("src"), "UTF-8")))
+    ct = F.when(m == 2, F.lit("text/html; charset=utf-8")) \
+        .otherwise(F.lit(None).cast("string"))
+    rows = d.select("doc_id", "src", payload.alias("payload"),
+                    ct.alias("content_type"))
+    out = decode_payload_text(rows)
+    return out.select(
+        "doc_id", "encoding", "encoding_source", "encoding_fallback",
+        (F.col("text") == F.col("src")).alias("roundtrip_ok"))
+
+
 @q("robots_allow_filter",
    # FULL-VALUE oracle for the RFC 9309 admission verdict
    # (operators/robots.py): 7 hosts carry JVM-built robots bodies

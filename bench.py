@@ -140,6 +140,7 @@ HEADLINE = [
     "url_psl_registrable",
     "crawl_curation_pipeline",
     "robots_allow_filter",
+    "charset_sniff_decode",
 ]
 
 # Index-maintenance keys (VERDICT r8 #7): NOT in the headline total —
