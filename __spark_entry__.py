@@ -892,8 +892,10 @@ def _video_frame_dedup_phases(spark, sf_dir):
     def op():
         hits = dhash_index_probe(spark, path, hashes(batch)) \
             .localCheckpoint(eager=True)
-        expected = seeded_src.select("src_id", "bid").crossJoin(
-            spark.range(2).select(F.col("id").alias("fr"))).select(
+        # per-frame expectation via explode (no cartesian, even a 2-row one)
+        expected = seeded_src.select(
+            "src_id", "bid",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("fr")).select(
             F.concat_ws("#", F.format_string("%09d", "src_id"), "fr")
             .alias("index_id"),
             F.concat_ws("#", F.format_string("%09d", "bid"), "fr")
