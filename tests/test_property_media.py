@@ -90,3 +90,125 @@ def test_pdf_literal_string_roundtrip(text):
     got, i = _pdf_lit_string(cs, 0)
     assert got == text
     assert cs[i:] == b" Tj"
+
+
+# ---------------------------------------------------------------------------
+# r10 parsers: WARC dechunk, AVI container, charset cascade, robots regex
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings as hyp_settings
+from hypothesis import strategies as st
+
+
+@given(chunks=st.lists(st.binary(min_size=0, max_size=64), min_size=0,
+                       max_size=8))
+@hyp_settings(max_examples=40, deadline=None)
+def test_dechunk_roundtrip(chunks):
+    """Any chunk sequence framed per RFC 9112 §7.1 dechunks back to the
+    concatenation (chunk extensions tolerated via split discipline)."""
+    from thewhisperdb_spark.sources.warc import _dechunk
+
+    framed = b"".join(b"%x\r\n" % len(c) + c + b"\r\n"
+                      for c in chunks if c) + b"0\r\n\r\n"
+    assert _dechunk(framed) == b"".join(c for c in chunks if c)
+
+
+@given(rasters=st.lists(
+    st.lists(st.lists(st.integers(0, 255), min_size=8, max_size=8),
+             min_size=8, max_size=8), min_size=1, max_size=4),
+    usec=st.integers(1, 10_000_000))
+@hyp_settings(max_examples=20, deadline=None)
+def test_avi_container_roundtrip(rasters, usec):
+    """encode_mjpeg_avi -> decode_avi_frames preserves frame count,
+    timestamps, and per-frame JPEG payload decode (tolerance via the
+    committed codec, exactness of framing via frame identity)."""
+    import numpy as np
+
+    from thewhisperdb_spark.sources.jpegenc import (
+        encode_gray_baseline,
+        encode_mjpeg_avi,
+    )
+    from thewhisperdb_spark.sources.multimodal import (
+        _decode_jpeg,
+        decode_avi_frames,
+    )
+
+    frames = [encode_gray_baseline(np.array(r, dtype=np.float64))
+              for r in rasters]
+    avi = encode_mjpeg_avi(frames, usec_per_frame=usec, width=8, height=8)
+    out = decode_avi_frames(avi, max_frames=16)
+    assert [i for i, _, _ in out] == list(range(len(frames)))
+    assert [ms for _, ms, _ in out] == [i * usec // 1000
+                                        for i in range(len(frames))]
+    for (_, _, raster), fr in zip(out, frames):
+        assert raster == _decode_jpeg(fr)   # framing is byte-lossless
+
+
+@given(text=st.text(max_size=80),
+       enc=st.sampled_from(["utf-8", "utf-16-le", "utf-16-be", "cp1251",
+                            "shift_jis", "latin-1"]))
+@hyp_settings(max_examples=60, deadline=None)
+def test_sniff_decode_declared_roundtrip(text, enc):
+    """Encodable text + an honest transport declaration round-trips for
+    every supported family (BOM added for the UTF-16 flavors)."""
+    import codecs as _codecs
+
+    from thewhisperdb_spark.operators.encoding import sniff_decode
+
+    try:
+        data = text.encode(enc)
+    except (UnicodeEncodeError, ValueError):
+        return                     # text not representable in enc: skip
+    if enc.startswith("utf-16"):
+        bom = (_codecs.BOM_UTF16_LE if enc.endswith("le")
+               else _codecs.BOM_UTF16_BE)
+        got, e, s, fb = sniff_decode(bom + data, None)
+        # BOM chars inside the text itself can legally shift the verdict;
+        # the decode must still round-trip when no fallback fired
+        if not fb and s == "bom":
+            assert got == text
+        return
+    got, e, s, fb = sniff_decode(data, f"text/plain; charset={enc}")
+    if not fb:
+        assert got == text and s == "header"
+
+
+@given(pattern=st.text(
+    alphabet=st.sampled_from(list("abc/*.$?[](){}+^|\\")),
+    min_size=1, max_size=12),
+    path=st.text(alphabet=st.sampled_from(list("abc/.z")), max_size=16))
+@hyp_settings(max_examples=80, deadline=None)
+def test_robots_pattern_regex_matches_reference(pattern, path):
+    """_pattern_regex agrees with a direct REP matcher (greedy * over
+    literal segments, optional $ anchor) on arbitrary metacharacter
+    soup — regex escaping can't change the match relation."""
+    import re as _re
+
+    from thewhisperdb_spark.operators.robots import _pattern_regex
+
+    def ref_match(pat: str, p: str) -> bool:
+        # reference matcher: anchored-at-0 literal segments joined by
+        # greedy wildcards, optional end anchor — regex .* semantics
+        anchored = pat.endswith("$")
+        segs = (pat[:-1] if anchored else pat).split("*")
+        if not p.startswith(segs[0]):
+            return False
+        pos, rest = len(segs[0]), segs[1:]
+
+        def rec(segs, pos):
+            if not segs:
+                return pos == len(p) if anchored else True
+            first, rest2 = segs[0], segs[1:]
+            i = p.find(first, pos)
+            while i != -1:
+                if rec(rest2, i + len(first)):
+                    return True
+                i = p.find(first, i + 1)
+            return False
+
+        return rec(rest, pos) if rest else (
+            (pos == len(p)) if anchored else True)
+
+    rx = _pattern_regex(pattern)
+    got = _re.search(rx, path) is not None
+    assert got == ref_match(pattern, path), (pattern, path, rx)
