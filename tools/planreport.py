@@ -47,6 +47,11 @@ arguments (no config-file indirection), and what to move at 100 TB:
 | Perceptual hash index (`operators/hashindex.py`) | banding frozen in meta at build; probe `max_hamming` <= index's (lossy probes refused) | d=4 | at-rest band rows hive-partitioned by band; probes band only the batch; appends claim-first anti-joined (replay = no-op) under the shared sentinel/claim-v3 contract |
 | HTML extraction (`operators/htmltext.py`) | block filter thresholds (`link_density`, `n_chars`) downstream of `html_extract_blocks` | caller-set | the readability cut is a Catalyst predicate over per-block stats — tune per corpus, nothing re-parses |
 | URL blocklists (`operators/urls.py:drop_blocklisted`) | blocklist table (broadcast), suffix table in `MULTI_SUFFIXES` | built-in baseline | suffix explosion is per DISTINCT host (~5 rows each); swap the full Public Suffix List in as data when precision matters |
+| PSL grouping (`operators/psl.py:with_registrable_domain`) | rules file (`load_psl` path; full upstream list drops in), `include_private` | committed curated snapshot | rules are a ~10k-row broadcast; work term = DISTINCT hosts x ~5 suffixes; verdict joins back on the host key (shuffle equi-join) — at 100 TB pre-aggregate to distinct hosts ONCE and reuse the mapping across downstream ops |
+| robots.txt admission (`operators/robots.py`) | `agent`, rules from `extract_robots_rules` | `*` | per-URL cost = one host equi-join + struct-max; rules side is per-host-small (broadcast when the host universe allows); rlike patterns are per-ROW literals, precompiled by the regex cache per task |
+| Charset decode (`operators/encoding.py:decode_payload_text`) | content-type column opt-in | cascade (BOM>header>meta>utf-8, latin-1 rescue) | Arrow-batched Python by necessity (arbitrary charsets have no JVM expression); keep it fused with the WARC explode stage so payload bytes cross into Python once, not twice |
+| Crawl curation composite (`crawl_curation_pipeline`) | blocklist table, cap (`per_stratum_cap`), extraction thresholds | blocklist 2 entries, cap 6 | each stage is row-linear; stage counts come off 3 localCheckpoints so the parse/extract work runs once, not once per count; 10x probe exponent 0.06 (SCALE_PROBE_r10) |
+| Video frame dedup (`operators/imagededup.py:video_frame_dhash`) | `max_frames`, then the shared hamming-banding knobs | 16 | MJPEG decode is per-frame independent (Arrow batch); frames feed the SAME banded hash index as images — one dedup infrastructure across modalities |
 """
 
 
