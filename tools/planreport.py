@@ -77,7 +77,9 @@ def main():
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
-            plan = buf.getvalue().rstrip()
+            # NUL separators from row-canon hash literals render the file
+            # "binary" to grep — keep PLANS.md plain text
+            plan = buf.getvalue().rstrip().replace("\x00", "\\0")
         except Exception as e:  # streaming twins can't explain pre-start
             plan = f"(not explainable: {type(e).__name__}: {e})"
         sections.append(f"## {key}\n\n```\n{plan}\n```\n")
