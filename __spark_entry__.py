@@ -726,6 +726,106 @@ def url_psl_registrable(spark, sf_dir):
             .select("doc_id", "host", "registrable_domain"))
 
 
+@q("lm_quality_bits",
+   # FULL-VALUE oracle for the CCNet-style character-LM quality filter
+   # (operators/text.py:char_trigram_lm/lm_doc_bits): the trigram model
+   # is trained on docs [300, 600) and scores docs < 100; the oracle
+   # re-derives model and surprisal from first principles in DuckDB.
+   # Float portability: per-trigram bits are rounded to 4 decimals
+   # BEFORE the sum and accumulated in DECIMAL(18,6), so the total is
+   # order-independent and libm-robust; sum_cnt/sum_tot are exact ints.
+   "WITH train AS (SELECT text FROM documents WHERE doc_id >= 300 "
+   "  AND doc_id < 600), "
+   "ttri AS (SELECT unnest(list_transform(range(1, length(text) - 1), "
+   "  i -> substr(text, CAST(i AS INTEGER), 3))) AS tri FROM train "
+   "  WHERE length(text) >= 3), "
+   "counts AS (SELECT substr(tri, 1, 2) AS ctx, substr(tri, 3, 1) AS ch, "
+   "  count(*) AS cnt FROM ttri GROUP BY 1, 2), "
+   "totals AS (SELECT ctx, sum(cnt) AS tot FROM counts GROUP BY 1), "
+   "v AS (SELECT count(DISTINCT ch) AS v FROM counts), "
+   "stri AS (SELECT doc_id, unnest(list_transform(range(1, "
+   "  length(text) - 1), i -> substr(text, CAST(i AS INTEGER), 3))) "
+   "  AS tri FROM documents WHERE doc_id < 100 AND length(text) >= 3), "
+   "s2 AS (SELECT doc_id, substr(tri, 1, 2) AS ctx, "
+   "  substr(tri, 3, 1) AS ch FROM stri), "
+   "j AS (SELECT s2.doc_id, coalesce(c.cnt, 0) AS cnt, "
+   "  coalesce(t.tot, 0) AS tot FROM s2 "
+   "  LEFT JOIN counts c USING (ctx, ch) "
+   "  LEFT JOIN totals t USING (ctx)) "
+   "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
+   "CAST(sum(CAST(round(-log2((cnt + 1.0) / (tot + (SELECT v FROM v))), "
+   "  4) AS DECIMAL(18,6))) AS DOUBLE) AS total_bits, "
+   "CAST(sum(cnt) AS BIGINT) AS sum_cnt, "
+   "CAST(sum(tot) AS BIGINT) AS sum_tot "
+   "FROM j GROUP BY doc_id")
+def lm_quality_bits(spark, sf_dir):
+    from thewhisperdb_spark.operators.text import (
+        char_trigram_lm, lm_doc_bits)
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 600))
+    counts, totals, v = char_trigram_lm(train)
+    score = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    out = lm_doc_bits(score, counts, totals, v)
+    return out.select("doc_id", "n_trigrams", "total_bits", "sum_cnt",
+                      "sum_tot")
+
+
+@q("pii_scrub_roundtrip",
+   # FULL-VALUE oracle for PII scrubbing (operators/pii.py): texts are
+   # CONSTRUCTED per doc with known PII placements — email, intl phone,
+   # IPv4, a Luhn-VALID card (3 rotating test numbers), and a
+   # Luhn-broken card that must survive — so DuckDB mirrors the
+   # expected redacted string and counts by construction, independent
+   # of the regex engine. The scrubber must reproduce them exactly.
+   "SELECT doc_id, "
+   "CASE doc_id % 5 "
+   " WHEN 0 THEN 'reach [EMAIL] today' "
+   " WHEN 1 THEN 'call [PHONE] now' "
+   " WHEN 2 THEN 'server [IP] up' "
+   " WHEN 3 THEN 'card [CARD] on file' "
+   " ELSE 'invalid card 4242424242424243 id ' "
+   "      || CAST(doc_id AS VARCHAR) END AS text_scrubbed, "
+   "CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER) "
+   "  AS n_emails, "
+   "CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END AS INTEGER) "
+   "  AS n_cards, "
+   "CAST(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS INTEGER) "
+   "  AS n_phones, "
+   "CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INTEGER) "
+   "  AS n_ips "
+   "FROM documents WHERE doc_id < 500")
+def pii_scrub_roundtrip(spark, sf_dir):
+    from thewhisperdb_spark.operators.pii import pii_counts, scrub_pii
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500) \
+        .select("doc_id")
+    m = F.col("doc_id") % 5
+    did = F.col("doc_id").cast("string")
+    cards = F.array(F.lit("4242424242424242"),
+                    F.lit("5105105105105100"),
+                    F.lit("378282246310005"))
+    text = (F.when(m == 0, F.concat(F.lit("reach user"), did,
+                                    F.lit("@example.com today")))
+            .when(m == 1, F.concat(
+                F.lit("call +1-202-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" now")))
+            .when(m == 2, F.concat(F.lit("server 10.1.2."),
+                                   (F.col("doc_id") % 250).cast("string"),
+                                   F.lit(" up")))
+            .when(m == 3, F.concat(
+                F.lit("card "),
+                F.element_at(cards, (F.col("doc_id") % 3 + 1).cast("int")),
+                F.lit(" on file")))
+            .otherwise(F.concat(F.lit("invalid card 4242424242424243 id "),
+                                did)))
+    rows = d.select("doc_id", text.alias("text"))
+    out = pii_counts(scrub_pii(rows))
+    return out.select("doc_id", "text_scrubbed", "n_emails", "n_cards",
+                      "n_phones", "n_ips")
+
+
 @q("charset_sniff_decode",
    # FULL-VALUE oracle for the decode cascade (operators/encoding.py):
    # payloads are built with the JVM's own encoders — plain UTF-8 (no

@@ -141,6 +141,8 @@ HEADLINE = [
     "crawl_curation_pipeline",
     "robots_allow_filter",
     "charset_sniff_decode",
+    "pii_scrub_roundtrip",
+    "lm_quality_bits",
 ]
 
 # Index-maintenance keys (VERDICT r8 #7): NOT in the headline total —

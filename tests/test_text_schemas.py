@@ -169,3 +169,38 @@ def test_pii_detect_and_redact(spark):
     assert all(r["email"] == r["ipv4"] == r["phone"] == 0 for r in residue)
     joined = " ".join(r["text"] for r in red.collect())
     assert "[PII]" in joined and "@" not in joined
+
+
+def test_char_lm_quality_scoring(spark):
+    """CCNet-style char-trigram LM (operators/text.py): in-domain text
+    scores fewer bits/trigram than garbage; unseen contexts take the
+    uniform 1/V fallback; short texts produce no trigrams; integer
+    sidecar columns are exact."""
+    from thewhisperdb_spark.operators.text import (
+        char_trigram_lm,
+        char_trigrams,
+        lm_doc_bits,
+    )
+
+    train = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the rat sat on the cat",)],
+        "text string")
+    counts, totals, v = char_trigram_lm(train)
+    assert v == counts.select("ch").distinct().count()
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zqx!?~zqx!?~"), (3, "ab")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           lm_doc_bits(docs, counts, totals, v).collect()}
+    assert 3 not in out                       # <3 chars: no trigrams
+    in_dom, garbage = out[1], out[2]
+    assert in_dom["n_trigrams"] == 9 and garbage["n_trigrams"] == 10
+    assert (in_dom["total_bits"] / in_dom["n_trigrams"]
+            < garbage["total_bits"] / garbage["n_trigrams"])
+    # garbage hit zero training mass: every cnt and tot is 0
+    assert garbage["sum_cnt"] == 0 and garbage["sum_tot"] == 0
+    assert in_dom["sum_cnt"] > 0
+    # trigram extraction itself
+    tri = spark.range(1).select(
+        char_trigrams(F.lit("abcd")).alias("t")).collect()[0]["t"]
+    assert tri == ["abc", "bcd"]

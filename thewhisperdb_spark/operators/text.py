@@ -730,3 +730,69 @@ def bpe_apply_merges(col: Column, merges: list[tuple[str, str]]) -> Column:
     for a, b in merges:
         syms = merge_pass(syms, a, b)
     return syms
+
+
+# ---- character-LM quality scoring (CCNet-style perplexity filter) ----------
+
+def char_trigrams(col: Column) -> Column:
+    """All overlapping character trigrams of ``col`` (empty for texts
+    shorter than 3 chars). Pure HOF — rides the scan."""
+    n = F.length(col)
+    return F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: col.substr(i, F.lit(3)))) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def char_trigram_lm(train: DataFrame, text_col: str = "text"
+                    ) -> tuple[DataFrame, DataFrame, int]:
+    """Train the character-trigram LM the CCNet-style quality filter
+    scores against: returns ``(counts(ctx, ch, cnt), totals(ctx, tot),
+    vocab_size)`` where ctx = first 2 chars, ch = the next char, and
+    vocab_size = distinct next-chars in training (the add-one smoothing
+    denominator). Two aggregations over the training slice; the model
+    is charset-bounded (|charset|^2 contexts), so downstream joins
+    BROADCAST it regardless of corpus size."""
+    tri = (train.select(F.explode(char_trigrams(F.col(text_col)))
+                        .alias("tri"))
+           .select(F.col("tri").substr(1, 2).alias("ctx"),
+                   F.col("tri").substr(3, 1).alias("ch")))
+    counts = tri.groupBy("ctx", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    totals = counts.groupBy("ctx").agg(F.sum("cnt").alias("tot"))
+    vocab = counts.select("ch").distinct().count()
+    return counts, totals, int(vocab)
+
+
+def lm_doc_bits(docs: DataFrame, counts: DataFrame, totals: DataFrame,
+                vocab_size: int, text_col: str = "text",
+                id_col: str = "doc_id",
+                round_digits: int = 4) -> DataFrame:
+    """Per-document surprisal under the trained character LM:
+    ``total_bits`` = Σ round(-log2((cnt+1)/(tot+V)), round_digits) over
+    the doc's trigrams (add-one smoothing; unseen context -> uniform
+    1/V). The round-BEFORE-sum + DECIMAL accumulation makes the sum
+    order-independent and oracle-portable; ``sum_cnt``/``sum_tot`` ride
+    along as exact integers. High bits-per-trigram = out-of-domain /
+    garbage text — the CCNet perplexity cut is a plain filter over
+    ``total_bits / n_trigrams``."""
+    tri = docs.select(
+        F.col(id_col),
+        F.explode(char_trigrams(F.col(text_col))).alias("tri")).select(
+        id_col, F.col("tri").substr(1, 2).alias("ctx"),
+        F.col("tri").substr(3, 1).alias("ch"))
+    joined = (tri.join(F.broadcast(counts), ["ctx", "ch"], "left")
+              .join(F.broadcast(totals), ["ctx"], "left")
+              .select(id_col,
+                      F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+                      F.coalesce(F.col("tot"), F.lit(0)).alias("tot")))
+    bits = F.round(-F.log2((F.col("cnt") + 1)
+                           / (F.col("tot") + F.lit(vocab_size))),
+                   round_digits).cast("decimal(18,6)")
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+                 F.sum(bits).alias("_bits"),
+                 F.sum("cnt").cast("long").alias("sum_cnt"),
+                 F.sum("tot").cast("long").alias("sum_tot"))
+            .withColumn("total_bits", F.col("_bits").cast("double"))
+            .drop("_bits"))
