@@ -726,6 +726,86 @@ def url_psl_registrable(spark, sf_dir):
             .select("doc_id", "host", "registrable_domain"))
 
 
+@q("tokenizer_fertility_by_lang",
+   # FULL-VALUE oracle: chars-per-BPE-token by language — the fertility
+   # dashboard a tokenizer/mixture decision reads (languages with high
+   # fertility are under-served by the vocabulary). Exact integer sums
+   # per lang; fertility is ONE IEEE division rounded to 6 (portable).
+   "SELECT lang, CAST(sum(length(text)) AS BIGINT) AS n_chars, "
+   "CAST(sum(len(regexp_extract_all(text, "
+   "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'"
+   "))) AS BIGINT) AS n_bpe_tokens, "
+   "round(CAST(sum(length(text)) AS DOUBLE) / "
+   "sum(len(regexp_extract_all(text, "
+   "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'"
+   "))), 6) AS fertility "
+   "FROM documents GROUP BY lang")
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    agg = d.groupBy("lang").agg(
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(TX.bpe_token_count(F.col("text"))).cast("long")
+        .alias("n_bpe_tokens"))
+    return agg.select(
+        "lang", "n_chars", "n_bpe_tokens",
+        F.round(F.col("n_chars").cast("double") / F.col("n_bpe_tokens"),
+                6).alias("fertility"))
+
+
+@q("compression_quality_flags",
+   # contract oracle for the deflate-ratio quality signal
+   # (operators/dq.py:compression_ratio): the bitstream isn't
+   # SQL-portable, but the DISCRIMINATION contract is — per doc, three
+   # constructed same-length variants (natural text / 'ab'-repetition /
+   # md5-hex chain): repetition must compress below BOTH others for
+   # every doc, and natural prose must beat the hex chain ON AVERAGE
+   # (short strings make the per-doc nat-vs-hex margin noisy — measured
+   # 34/300 inversions — so that comparison is an aggregate, not a
+   # row-wise, guarantee). Exact raw byte lengths anchor the rows.
+   "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw, "
+   "TRUE AS rep_lt_nat, TRUE AS rep_lt_rnd, TRUE AS mean_nat_lt_rnd, "
+   "TRUE AS ratios_valid "
+   "FROM documents WHERE doc_id < 300 AND length(text) >= 32")
+def compression_quality_flags(spark, sf_dir):
+    from thewhisperdb_spark.operators.dq import compression_ratio
+
+    d = (_docs(spark, sf_dir)
+         .filter((F.col("doc_id") < 300) & (F.length("text") >= 32))
+         .select("doc_id", "text"))
+    n = F.length("text")
+    # same-length variants: repetition and a deterministic hex chain
+    rep = F.repeat(F.lit("ab"), 4096).substr(F.lit(1), n)
+    rnd = F.concat(*[
+        F.md5(F.concat(F.col("text"), F.lit(str(i)))) for i in range(20)
+    ]).substr(F.lit(1), n)
+    variants = d.select(
+        "doc_id",
+        F.explode(F.array(
+            F.struct(F.lit("nat").alias("kind"), F.col("text").alias("t")),
+            F.struct(F.lit("rep").alias("kind"), rep.alias("t")),
+            F.struct(F.lit("rnd").alias("kind"), rnd.alias("t")),
+        )).alias("v")).select("doc_id", "v.kind",
+                              F.col("v.t").alias("text"))
+    scored = compression_ratio(variants)  # appends n_raw/n_deflate/ratio
+    pivot = (scored.groupBy("doc_id")
+             .agg(F.max(F.when(F.col("kind") == "nat",
+                               F.col("n_raw"))).alias("n_raw"),
+                  F.max(F.when(F.col("kind") == "nat",
+                               F.col("deflate_ratio"))).alias("nat"),
+                  F.max(F.when(F.col("kind") == "rep",
+                               F.col("deflate_ratio"))).alias("rep"),
+                  F.max(F.when(F.col("kind") == "rnd",
+                               F.col("deflate_ratio"))).alias("rnd")))
+    means = pivot.agg(
+        (F.avg("nat") < F.avg("rnd")).alias("mean_nat_lt_rnd"))
+    return pivot.join(F.broadcast(means)).select(
+        "doc_id", F.col("n_raw").cast("long").alias("n_raw"),
+        (F.col("rep") < F.col("nat")).alias("rep_lt_nat"),
+        (F.col("rep") < F.col("rnd")).alias("rep_lt_rnd"),
+        "mean_nat_lt_rnd",
+        ((F.col("rep") > 0) & (F.col("rnd") <= 1.2)).alias("ratios_valid"))
+
+
 @q("lm_quality_bits",
    # FULL-VALUE oracle for the CCNet-style character-LM quality filter
    # (operators/text.py:char_trigram_lm/lm_doc_bits): the trigram model

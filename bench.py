@@ -143,6 +143,8 @@ HEADLINE = [
     "charset_sniff_decode",
     "pii_scrub_roundtrip",
     "lm_quality_bits",
+    "compression_quality_flags",
+    "tokenizer_fertility_by_lang",
 ]
 
 # Index-maintenance keys (VERDICT r8 #7): NOT in the headline total —

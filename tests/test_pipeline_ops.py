@@ -315,3 +315,25 @@ def test_sample_quantiles_exact_below_k_and_stable(spark):
     est = sample_quantiles(big, "v", ["id"], qs=(0.5,), k=256).collect()[0]
     assert est["n_sample"] == 256
     assert abs(est["q_50"] - 500.0) < 150  # ~±6 pct points at k=256, 3 sigma
+
+
+def test_compression_ratio_signal(spark):
+    """deflate-ratio quality signal (operators/dq.py): repetition
+    compresses far below prose, empty text is NULL, ratio/level are
+    deterministic, original columns pass through."""
+    from thewhisperdb_spark.operators.dq import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 10),
+         (2, "ab" * 220),
+         (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert out[2]["deflate_ratio"] < out[1]["deflate_ratio"] < 1.0
+    assert out[2]["deflate_ratio"] < 0.1
+    assert out[3]["deflate_ratio"] is None and out[3]["n_raw"] == 0
+    assert out[1]["n_raw"] == len("the quick brown fox jumps over the lazy dog " * 10)
+    # determinism across invocations
+    again = {r["doc_id"]: r["deflate_ratio"]
+             for r in compression_ratio(df).collect()}
+    assert all(again[k] == out[k]["deflate_ratio"] for k in (1, 2))

@@ -125,3 +125,49 @@ def snapshot_drift_report(old: DataFrame, new: DataFrame,
                     F.round(po, 6).alias("share_old"),
                     F.round(pn, 6).alias("share_new"),
                     F.round((pn - po) * F.log(pn / po), 6).alias("psi")))
+
+
+# ---- compression-ratio quality signal --------------------------------------
+
+COMPRESSION_SCHEMA_COLS = ("n_raw", "n_deflate", "deflate_ratio")
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      level: int = 6) -> DataFrame:
+    """Append (n_raw, n_deflate, deflate_ratio): zlib-deflate size over
+    UTF-8 byte size — the classic templated/spam text detector
+    (boilerplate and repetition compress far below natural prose;
+    random/encrypted blobs sit near or above 1.0). Arrow-batched
+    ``mapInPandas`` (the DEFLATE bitstream has no JVM expression);
+    ``level`` is pinned so the signal is deterministic across runs.
+    Empty text gets ratio NULL (no bytes to compare)."""
+    import zlib
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType)
+
+    out_schema = StructType(df.schema.fields + [
+        StructField("n_raw", LongType()),
+        StructField("n_deflate", LongType()),
+        StructField("deflate_ratio", DoubleType()),
+    ])
+    cols = df.columns
+
+    def run(batches: _It[pd.DataFrame]):
+        for pdf in batches:
+            raws, defs, ratios = [], [], []
+            for t in pdf[text_col]:
+                b = (t or "").encode("utf-8")
+                c = len(zlib.compress(b, level))
+                raws.append(len(b))
+                defs.append(c)
+                ratios.append(round(c / len(b), 6) if b else None)
+            pdf = pdf.copy()
+            pdf["n_raw"] = raws
+            pdf["n_deflate"] = defs
+            pdf["deflate_ratio"] = ratios
+            yield pdf[cols + list(COMPRESSION_SCHEMA_COLS)]
+
+    return df.mapInPandas(run, out_schema)
