@@ -722,3 +722,69 @@ def test_stream_dedup_ingest_checkpoint_restart(spark, tmp_path,
     want = {(r["batch_id"], r["index_id"]) for r in D.lsh_index_probe(
         spark, idx_o, probe_in, threshold=0.9).collect()}
     assert got == want and got
+def test_stream_crawl_curation_two_batches(spark, tmp_path):
+    """Streaming crawl curation (streaming/jobs.py r10): archives stream
+    in, curated text lands batch-partitioned; blocklist + robots both
+    enforced; a second lifecycle against the same checkpoint processes
+    only the new archive."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from thewhisperdb_spark.operators.robots import extract_robots_rules
+    from thewhisperdb_spark.sources.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+    )
+    from thewhisperdb_spark.streaming.jobs import stream_crawl_curation
+
+    def page(uri, body):
+        return build_warc_record(
+            "response", build_http_response(
+                b"<html><body><p>" + body + b"</p></body></html>"),
+            target_uri=uri)
+
+    src = tmp_path / "arrivals"
+    out = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    arc1 = build_warc([
+        page("https://ok.com/a", b"clean page one"),
+        page("https://evil.com/x", b"blocked host"),
+        page("https://ok.com/private/x", b"robots disallowed"),
+    ], gzip_per_record=True)
+    spark.createDataFrame([("b1", arc1)], "path string, content binary") \
+        .write.mode("overwrite").parquet(str(src / "f1.parquet"))
+
+    blocklist = spark.createDataFrame([("evil.com",)], "domain string")
+    robots = extract_robots_rules(spark.createDataFrame(
+        [("ok.com", "User-agent: *\nDisallow: /private\n")],
+        "host string, robots_txt string"))
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("path string, content binary")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/*"))
+        q = stream_crawl_curation(stream, out, ckpt,
+                                  blocklist=blocklist,
+                                  robots_rules=robots)
+        q.awaitTermination(120)
+        time.sleep(0.2)
+
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert {r["url"] for r in rows} == {"https://ok.com/a"}
+    assert rows[0]["text"] == "clean page one"
+    assert rows[0]["registrable_domain"] == "ok.com"
+
+    # second arrival -> new lifecycle, same checkpoint: only batch 2
+    arc2 = build_warc([page("https://fresh.org/b", b"second wave")])
+    spark.createDataFrame([("b2", arc2)], "path string, content binary") \
+        .write.mode("overwrite").parquet(str(src / "f2.parquet"))
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert {r["url"] for r in rows} == {"https://ok.com/a",
+                                        "https://fresh.org/b"}
+    assert len({r["ingest_batch"] for r in rows}) == 2

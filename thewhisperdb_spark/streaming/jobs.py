@@ -652,3 +652,76 @@ def stream_shards_sink(stream_df: DataFrame, out_dir: str,
     return (stream_df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+# ---------------------------------------------------------------------------
+# streaming crawl curation (r10): the WARC -> text -> policy loop
+# ---------------------------------------------------------------------------
+
+def crawl_curation_batch(archives: DataFrame, batch_id: int,
+                         survivors_dir: str,
+                         blocklist: DataFrame | None = None,
+                         robots_rules: DataFrame | None = None,
+                         psl: DataFrame | None = None,
+                         min_chars: int = 1) -> None:
+    """One micro-batch of the crawl-curation loop — the streaming twin
+    of the ``crawl_curation_pipeline`` key, composing the r10 pieces:
+    (path, content) WARC archives -> record explosion -> charset decode
+    cascade -> HTML text extraction -> URL/domain features (PSL-exact
+    when ``psl`` given) -> blocklist -> robots admission. Survivors are
+    published batch-partitioned with dynamic overwrite (the
+    idempotent-sink recipe: a replayed batch rewrites exactly its own
+    partition). Per-domain caps/quotas stay OUT of the loop by design —
+    a cap is a global property, applied over the survivors store by the
+    batch path (``per_stratum_cap``), not inside a micro-batch that
+    sees one slice of a domain."""
+    from thewhisperdb_spark.operators.encoding import decode_payload_text
+    from thewhisperdb_spark.operators.htmltext import html_extract
+    from thewhisperdb_spark.operators.robots import drop_robots_disallowed
+    from thewhisperdb_spark.operators.urls import (
+        drop_blocklisted, url_features)
+    from thewhisperdb_spark.sources.warc import explode_warc
+
+    if archives.isEmpty():
+        return
+    records = explode_warc(archives.select("path", "content"))
+    responses = (records.filter(
+        (F.col("status") == "ok") & (F.col("warc_type") == "response")
+        & F.col("content_type").startswith("text/html"))
+        .localCheckpoint(eager=True))
+    decoded = decode_payload_text(responses)   # adds text/encoding/...
+    ex = html_extract(decoded, html_col="text", id_col="target_uri")
+    pages = (ex.filter(F.length("text") >= min_chars)
+             .withColumnRenamed("doc_id", "url"))
+    feats = url_features(pages, url_col="url", psl=psl)
+    kept = feats
+    if blocklist is not None:
+        kept = drop_blocklisted(kept, blocklist, url_col="url")
+    if robots_rules is not None:
+        kept = drop_robots_disallowed(kept, robots_rules, url_col="url")
+    (kept.withColumn("ingest_batch", F.lit(int(batch_id)))
+     .write.mode("overwrite").partitionBy("ingest_batch")
+     .option("partitionOverwriteMode", "dynamic").parquet(survivors_dir))
+
+
+def stream_crawl_curation(stream: DataFrame, survivors_dir: str,
+                          checkpoint_dir: str,
+                          blocklist: DataFrame | None = None,
+                          robots_rules: DataFrame | None = None,
+                          psl: DataFrame | None = None,
+                          min_chars: int = 1):
+    """The crawl-curation loop as one streaming job: WARC archives
+    stream in, curated text rows land batch-partitioned in
+    ``survivors_dir``. Chain ``stream_media_dedup_ingest`` /
+    ``stream_dedup_ingest`` over the survivors store for the dedup
+    stage. Returns the started StreamingQuery (availableNow drains and
+    stops)."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        crawl_curation_batch(batch_df, batch_id, survivors_dir,
+                             blocklist=blocklist,
+                             robots_rules=robots_rules, psl=psl,
+                             min_chars=min_chars)
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
