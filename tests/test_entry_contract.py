@@ -76,6 +76,10 @@ def test_bench_headline_contract():
     assert [k for k in bench.MAINTENANCE if k not in qs] == []
     assert len(bench.MAINTENANCE) == len(set(bench.MAINTENANCE))
     assert not set(bench.MAINTENANCE) & set(bench.HEADLINE)
+    # every MAINTENANCE key has a build/op phase factory and vice versa
+    # (r10 split): a key in one registry but not the other would either
+    # crash bench.py or silently skip the phase timing
+    assert set(bench.MAINTENANCE) == set(E.maintenance_split())
     # reconstruct the summary line shape with worst-case float widths
     slowest = {k: 999.999 for k in bench.HEADLINE[:10]}
     line = json.dumps({
