@@ -982,6 +982,114 @@ def robots_allow_filter(spark, sf_dir):
             .select("doc_id", "url", "robots_allowed"))
 
 
+@q("crawl_curation_stream_twin",
+   # contract oracle for the STREAMING crawl-curation loop
+   # (streaming/jobs.py:crawl_curation_batch — the foreachBatch body,
+   # driven directly like the daily-crawl loop keys): two synthesized
+   # archive batches flow through decode -> extract -> blocklist ->
+   # robots into the batch-partitioned survivor store, then batch 2 is
+   # REPLAYED — the store must be byte-stable (dynamic-overwrite
+   # idempotency). Survivor counts per batch are pure construction
+   # arithmetic: docs with a body (doc_id % 17 != 0), not on the
+   # blocked domain (source src3 x com class), and not under the
+   # robots-disallowed /private path (doc_id % 11 == 0).
+   "WITH d AS (SELECT doc_id, source, "
+   "  CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' "
+   "  ELSE 'org' END AS cls FROM documents WHERE doc_id < 240), "
+   "surv AS (SELECT * FROM d WHERE doc_id % 17 <> 0 "
+   "  AND NOT (source = 'src3' AND cls = 'com') AND doc_id % 11 <> 0) "
+   "SELECT CAST(2 AS BIGINT) AS n_batches, "
+   "CAST((SELECT count(*) FROM surv WHERE doc_id < 120) AS BIGINT) "
+   "  AS n_b1, "
+   "CAST((SELECT count(*) FROM surv WHERE doc_id >= 120) AS BIGINT) "
+   "  AS n_b2, "
+   "TRUE AS replay_stable")
+def crawl_curation_stream_twin(spark, sf_dir):
+    build, op = _crawl_stream_phases(spark, sf_dir)
+    build()
+    return op()
+
+
+def _crawl_stream_phases(spark, sf_dir):
+    # build/op split (bench MAINTENANCE): build = the two initial batch
+    # ingests (store writes); op = the replay + stability verdict.
+    import tempfile
+
+    import pandas as pd
+
+    from thewhisperdb_spark.operators.robots import extract_robots_rules
+    from thewhisperdb_spark.sources import warc as W
+    from thewhisperdb_spark.streaming.jobs import crawl_curation_batch
+
+    docs = (_docs(spark, sf_dir).filter(F.col("doc_id") < 240)
+            .select("doc_id", "text", "source"))
+    cls = (F.when(F.col("doc_id") % 3 == 0, "com")
+           .when(F.col("doc_id") % 3 == 1, "co.uk").otherwise("org"))
+    host = F.concat(F.lit("sub"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit("."), F.col("source"), F.lit("."), cls)
+    path = F.when(F.col("doc_id") % 11 == 0,
+                  F.concat(F.lit("/private/"),
+                           F.col("doc_id").cast("string"))) \
+        .otherwise(F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+    url = F.concat(F.lit("https://"), host, path)
+    body = F.when(F.col("doc_id") % 17 == 0, F.lit("")) \
+        .otherwise(F.col("text"))
+    html = F.concat(F.lit("<html><body><p>"), body,
+                    F.lit("</p></body></html>"))
+    pages = docs.select("doc_id", url.alias("url"), html.alias("html"),
+                        (F.col("doc_id") % 12).alias("archive"))
+
+    def pack(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        recs = [W.build_warc_record(
+            "response", W.build_http_response(r["html"].encode("utf-8")),
+            target_uri=r["url"]) for _, r in pdf.iterrows()]
+        return pd.DataFrame({"path": [f"mem://arc{key[0]}"],
+                             "content": [W.build_warc(recs)]})
+
+    def archives(lo, hi):
+        return (pages.filter((F.col("doc_id") >= lo)
+                             & (F.col("doc_id") < hi))
+                .groupBy("archive")
+                .applyInPandas(pack, "path string, content binary"))
+
+    blocklist = spark.createDataFrame([("src3.com",)], "domain string")
+    robots = extract_robots_rules(
+        docs.select(host.alias("host")).distinct()
+        .withColumn("robots_txt",
+                    F.lit("User-agent: *\nDisallow: /private\n")))
+    out_dir = tempfile.mkdtemp(prefix="whisper_crawl_stream_")
+
+    def build():
+        crawl_curation_batch(archives(0, 120), 1, out_dir,
+                             blocklist=blocklist, robots_rules=robots)
+        crawl_curation_batch(archives(120, 240), 2, out_dir,
+                             blocklist=blocklist, robots_rules=robots)
+
+    def op():
+        first = (spark.read.parquet(out_dir)
+                 .groupBy("ingest_batch")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .localCheckpoint(eager=True))
+        # replay batch 2: the dynamic-overwrite sink must be a no-op
+        crawl_curation_batch(archives(120, 240), 2, out_dir,
+                             blocklist=blocklist, robots_rules=robots)
+        second = (spark.read.parquet(out_dir)
+                  .groupBy("ingest_batch")
+                  .agg(F.count(F.lit(1)).alias("n2")))
+        j = first.join(second, "ingest_batch", "full")
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.max(F.when(F.col("ingest_batch") == 1, F.col("n")))
+            .cast("long").alias("n_b1"),
+            F.max(F.when(F.col("ingest_batch") == 2, F.col("n")))
+            .cast("long").alias("n_b2"),
+            F.coalesce(F.bool_and(F.col("n") == F.col("n2")),
+                       F.lit(False)).alias("replay_stable"))
+
+    return build, op
+
+
 @q("video_frame_dedup_contract",
    # contract oracle (the VIDEO twin of image_dhash_dedup_contract,
    # VERDICT r9 #6): per-doc MJPEG AVIs are synthesized executor-side
@@ -8001,6 +8109,7 @@ def maintenance_split() -> dict[str, Callable]:
         "ivf_index_stats": _ivf_index_stats_phases,
         "dhash_index_incremental_dedup": _dhash_index_incremental_phases,
         "video_frame_dedup_contract": _video_frame_dedup_phases,
+        "crawl_curation_stream_twin": _crawl_stream_phases,
     }
 
 
