@@ -982,6 +982,46 @@ def robots_allow_filter(spark, sf_dir):
             .select("doc_id", "url", "robots_allowed"))
 
 
+@q("url_canonicalize",
+   # FULL-VALUE oracle for frontier URL canonicalization
+   # (operators/urls.py:canonicalize_url): four messy-variant classes
+   # (case+default port+dot segments+tracking params+fragment /
+   # duplicate slashes / trailing host dot+param reorder / bare host)
+   # whose canonical forms are pure construction arithmetic in DuckDB.
+   "SELECT doc_id, "
+   "CASE doc_id % 4 "
+   " WHEN 0 THEN 'http://h' || CAST(doc_id % 7 AS VARCHAR) || "
+   "  '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' "
+   " WHEN 1 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
+   "  '.example.com/p/' || CAST(doc_id AS VARCHAR) "
+   " WHEN 2 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
+   "  '.example.com/p?y=2&z=' || CAST(doc_id AS VARCHAR) "
+   " ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
+   "  '.example.com/' END AS canonical_url "
+   "FROM documents WHERE doc_id < 500")
+def url_canonicalize(spark, sf_dir):
+    from thewhisperdb_spark.operators.urls import canonicalize_url
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500) \
+        .select("doc_id")
+    m = F.col("doc_id") % 4
+    k = (F.col("doc_id") % 7).cast("string")
+    did = F.col("doc_id").cast("string")
+    raw = (F.when(m == 0, F.concat(
+        F.lit("HTTP://H"), k, F.lit(".Example.COM:80/p/./"), did,
+        F.lit("/../"), did, F.lit("?b=2&utm_source=x&a=1#frag")))
+        .when(m == 1, F.concat(
+            F.lit("https://h"), k, F.lit(".example.com:443/p//"), did))
+        .when(m == 2, F.concat(
+            F.lit("https://H"), k, F.lit(".Example.com./p?z="), did,
+            F.lit("&y=2")))
+        .otherwise(F.concat(F.lit("https://h"), k,
+                            F.lit(".example.com"))))
+    return d.select(
+        "doc_id",
+        canonicalize_url(raw).alias("canonical_url"))
+
+
 @q("crawl_curation_stream_twin",
    # contract oracle for the STREAMING crawl-curation loop
    # (streaming/jobs.py:crawl_curation_batch — the foreachBatch body,

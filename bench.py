@@ -145,6 +145,7 @@ HEADLINE = [
     "lm_quality_bits",
     "compression_quality_flags",
     "tokenizer_fertility_by_lang",
+    "url_canonicalize",
 ]
 
 # Index-maintenance keys (VERDICT r8 #7): NOT in the headline total —

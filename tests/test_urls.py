@@ -192,3 +192,37 @@ def test_robots_parse_and_allow(spark):
     # * counts per RFC octet length) -> tie -> allow wins
     got = robots_allowed(turl, trules).collect()[0]["robots_allowed"]
     assert got is True
+
+
+def test_canonicalize_url(spark):
+    """Frontier canonicalization golden cases: case, default ports,
+    dot-segments, duplicate slashes, tracking params, param ordering,
+    fragments, empty path/query."""
+    from thewhisperdb_spark.operators.urls import canonicalize_url
+
+    cases = {
+        "HTTP://WWW.Example.COM:80/a/./b/../c//d?b=2&utm_source=x&a=1#f":
+            "http://www.example.com/a/c/d?a=1&b=2",
+        "https://example.org:443/": "https://example.org/",
+        "https://example.org:8443/x": "https://example.org:8443/x",
+        "https://example.com": "https://example.com/",
+        "https://example.com/?utm_campaign=z&fbclid=abc":
+            "https://example.com/",
+        "https://u:p@Example.com./path?z=1&y=2":
+            "https://u:p@example.com/path?y=2&z=1",
+        "http://a.com/../../x": "http://a.com/x",
+        "https://a.com/a%2Fb?q=Caf%C3%A9":
+            "https://a.com/a%2Fb?q=Caf%C3%A9",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["canon"] for r in df.select(
+        "url", canonicalize_url(F.col("url")).alias("canon")).collect()}
+    for src, want in cases.items():
+        assert got[src] == want, f"{src}: {got[src]!r} != {want!r}"
+    # the frontier-dedup property: raw variants collapse to one key
+    variants = ["https://Example.com/a/b/?x=1&y=2#top",
+                "https://example.com:443/a/b/?y=2&x=1",
+                "https://example.com/a/./b/../b/?x=1&y=2&utm_medium=m"]
+    vdf = spark.createDataFrame([(u,) for u in variants], "url string")
+    canon = vdf.select(canonicalize_url(F.col("url")).alias("c"))
+    assert canon.distinct().count() == 1

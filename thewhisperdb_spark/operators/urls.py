@@ -116,3 +116,66 @@ def drop_blocklisted(df: DataFrame, blocklist: DataFrame,
     bad_hosts = (exploded.join(F.broadcast(bl), "_suf")
                  .select("_host").distinct())
     return keyed.join(bad_hosts, "_host", "left_anti").drop("_host")
+
+
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid)$"
+
+
+def canonicalize_url(url: Column,
+                     tracking_re: str = TRACKING_PARAM_RE) -> Column:
+    """Crawl-frontier URL canonicalization — the key two fetches of the
+    same page must agree on (frontier dedup, URL-seen sets, per-URL
+    quotas key on THIS, not the raw string). RFC 3986 normalizations,
+    all JVM HOFs (no Python, no shuffle):
+
+    - scheme and host lowercased; trailing host dot dropped;
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+    - dot-segments resolved (``/a/./b/../c`` -> ``/a/c``) via a
+      push/pop ``aggregate`` fold; duplicate slashes collapsed; empty
+      path -> ``/``;
+    - query: tracking params dropped (``utm_*``/fbclid/gclid/...),
+      remaining params sorted byte-wise (stable key for reordered
+      params), empty query dropped;
+    - fragment dropped.
+
+    Percent-encoding is passed through untouched (case-normalizing it
+    safely needs a decode table; out of scope and rarely the dedup
+    blocker)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][\w+.-]*):", 1))
+    rest = F.regexp_replace(url, r"^[A-Za-z][\w+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")          # fragment
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    userinfo = F.regexp_extract(hostport, r"^(.*@)", 1)
+    host = F.lower(F.regexp_replace(hostport, r"^.*@", ""))
+    host = F.regexp_replace(host, r"\.$", "")
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, r":80$", "")
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    tail = F.regexp_replace(rest, r"^[^/?]*", "")       # /path?query
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.when(tail.contains("?"),
+                   F.regexp_replace(tail, r"^[^?]*\?", "")) \
+        .otherwise(F.lit(None))
+    # dot-segment fold over the slash-split path
+    segs = F.split(F.regexp_replace(path, r"/+", "/"), "/")
+    resolved = F.aggregate(
+        segs, F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when((s == "..") & (F.size(acc) > 0),
+              F.slice(acc, 1, F.size(acc) - 1))
+        .when(s == "..", acc)
+        .otherwise(F.concat(acc, F.array(s))))
+    norm_path = F.concat(F.lit("/"), F.array_join(
+        F.filter(resolved, lambda s: s != ""), "/"))
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~F.regexp_extract(
+            p, r"^([^=]*)", 1).rlike(tracking_re)))
+    norm_query = F.when(query.isNull() | (F.size(kept) == 0), F.lit("")) \
+        .otherwise(F.concat(F.lit("?"), F.array_join(kept, "&")))
+    return F.concat(scheme, F.lit("://"), userinfo, host, norm_path,
+                    norm_query)
