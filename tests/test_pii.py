@@ -37,6 +37,11 @@ def test_scrub_golden_cases(spark):
         "order 1234567890123456 ts 20260816094500":
             "order 1234567890123456 ts 20260816094500",
         "no pii here.": "no pii here.",
+        # ADVICE r10: a valid card that ALSO appears as a substring of
+        # a longer digit run elsewhere must not be rewritten inside
+        # that run (the run itself is not a candidate — no boundary)
+        "pay 4242424242424242 ref 94242424242424242426":
+            "pay [CARD] ref 94242424242424242426",
     }
     for src, want in cases.items():
         assert _scrub(spark, src) == want, src

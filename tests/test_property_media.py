@@ -142,6 +142,23 @@ def test_avi_container_roundtrip(rasters, usec):
                                         for i in range(len(frames))]
     for (_, _, raster), fr in zip(out, frames):
         assert raster == _decode_jpeg(fr)   # framing is byte-lossless
+    # idx1 entries must land on the '00dc' fourcc even for the frame
+    # wrapped in a 'rec ' LIST (ADVICE r10: third-party idx1-seeking
+    # readers, which our movi walk doesn't emulate, read via these).
+    import struct as _struct
+    movi_at = avi.find(b"movi")
+    idx_at = avi.find(b"idx1")
+    assert movi_at > 0 and idx_at > movi_at
+    n_entries = _struct.unpack("<I", avi[idx_at + 4:idx_at + 8])[0] // 16
+    assert n_entries == len(frames)
+    for e in range(n_entries):
+        ent = avi[idx_at + 8 + 16 * e:idx_at + 8 + 16 * (e + 1)]
+        fourcc, _flags, off, size = _struct.unpack("<4sIII", ent)
+        assert fourcc == b"00dc"
+        at = movi_at + off                 # offset is from 'movi' fourcc
+        assert avi[at:at + 4] == b"00dc"
+        assert _struct.unpack("<I", avi[at + 4:at + 8])[0] == size
+        assert avi[at + 8:at + 8 + size] == frames[e]
 
 
 @given(text=st.text(max_size=80),

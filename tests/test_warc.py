@@ -159,6 +159,28 @@ def test_archive_size_cap(monkeypatch):
         w.parse_warc(gzip.compress(data))
 
 
+def test_single_member_bomb_aborts_early():
+    """ADVICE r10: a SINGLE-member gzip bomb must abort as soon as its
+    output crosses the cap — not after materializing the whole member.
+    A 256 MiB-of-zeros member against a 1 MiB cap must peak well under
+    the full expansion (tracemalloc-pinned)."""
+    import tracemalloc
+
+    from thewhisperdb_spark.sources.warc import _gunzip_members
+
+    bomb = gzip.compress(b"\x00" * (256 << 20), compresslevel=9)
+    tracemalloc.start()
+    try:
+        with pytest.raises(ValueError, match="cap"):
+            _gunzip_members(bomb, max_bytes=1 << 20)
+        _cur, peak = tracemalloc.get_traced_memory()
+    finally:
+        tracemalloc.stop()
+    # cap (1 MiB) + one 16 MiB inflate step + the compressed input,
+    # with generous slack — far below the 256 MiB full expansion
+    assert peak < 128 << 20
+
+
 def test_build_warc_roundtrip_and_explode(spark):
     """Synthesis helpers round-trip through parse_warc (plain and
     gzip-per-record) and through the DataFrame explode entry point."""

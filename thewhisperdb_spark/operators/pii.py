@@ -71,9 +71,17 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
     if "card" in types:
         cands = F.regexp_extract_all(col, F.lit(CARD_CAND_RE), 0)
         valid = F.filter(cands, luhn_valid)
-        col = F.aggregate(valid, col,
-                          lambda acc, c: F.replace(acc, c,
-                                                   F.lit("[CARD]")))
+        # Replace with the SAME boundary lookarounds the candidate scan
+        # used — a bare substring replace rewrote valid-card substrings
+        # inside longer non-candidate digit runs elsewhere in the text
+        # (ADVICE r10). Candidates match only [0-9 -] so the literal is
+        # regex-safe without escaping.
+        col = F.aggregate(
+            valid, col,
+            lambda acc, c: F.regexp_replace(
+                acc,
+                F.concat(F.lit(r"(?<![\d-])"), c, F.lit(r"(?![\d-])")),
+                F.lit("[CARD]")))
     if "phone" in types:
         col = F.regexp_replace(col, PHONE_INTL_RE, "[PHONE]")
         col = F.regexp_replace(col, PHONE_US_RE, "[PHONE]")

@@ -142,8 +142,15 @@ def robots_allowed(urls: DataFrame, rules: DataFrame,
     from thewhisperdb_spark.operators.urls import url_host
 
     keyed = urls.withColumn("_rb_host", url_host(F.col(url_col)))
-    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")),
-                      F.lit("/"))
+    # RFC 9309 §2.2.2 matches the path-and-query ("the path of the URI"
+    # including the query component) — a bare PATH miss made rules like
+    # 'Disallow: /search?q=' unmatchable (ADVICE r10).
+    query = F.parse_url(F.col(url_col), F.lit("QUERY"))
+    path = F.concat(
+        F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")),
+                   F.lit("/")),
+        F.when(query.isNotNull(), F.concat(F.lit("?"), query))
+         .otherwise(F.lit("")))
     probe = (keyed.select("_rb_host", F.col(url_col).alias("_rb_url"),
                           path.alias("_rb_path")).distinct())
     matched = (probe.join(rules.withColumnRenamed("host", "_rb_host"),

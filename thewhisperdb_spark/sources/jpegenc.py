@@ -208,8 +208,15 @@ def encode_mjpeg_avi(frames: list[bytes], usec_per_frame: int = 40_000,
         c = chunk(b"00dc", fr)
         movi_payload += lst(b"rec ", c) if k == 2 else c
     movi = lst(b"movi", movi_payload)
+    # idx1 offsets are relative to the 'movi' fourcc; frame 2 sits
+    # inside a 12-byte 'rec ' LIST header ('LIST' + size + 'rec ') that
+    # must be counted BOTH in its own offset and in every later frame's
+    # (ADVICE r10 — third-party idx1-seeking readers hit garbage
+    # otherwise; the in-repo movi walk never noticed).
     idx, off = b"", 4
-    for fr in frames:
+    for k, fr in enumerate(frames):
+        if k == 2:
+            off += 12
         idx += b"00dc" + struct.pack("<III", 0x10, off, len(fr))
         off += 8 + len(fr) + (len(fr) & 1)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)

@@ -43,20 +43,35 @@ MAX_ARCHIVE_BYTES = 4 << 30
 
 
 def _gunzip_members(data: bytes, max_bytes: int = MAX_ARCHIVE_BYTES) -> bytes:
-    """Concatenate every gzip member (record-per-member crawl framing)."""
+    """Concatenate every gzip member (record-per-member crawl framing).
+
+    The size cap is enforced INSIDE each member via ``max_length``-bounded
+    ``decompress`` calls, so a single-member bomb aborts as soon as its
+    output crosses the cap rather than after materializing fully
+    (ADVICE r10 — the between-member check alone never fired for the
+    one-member adversarial case it was added for).
+    """
     out = bytearray()
     i, n = 0, len(data)
+    # Inflate in bounded steps; 16 MiB keeps the Python-loop overhead
+    # negligible for real archives while bounding bomb exposure.
+    step = 16 << 20
     while i < n:
         d = zlib.decompressobj(wbits=31)
+        chunk = data[i:]
         try:
-            out += d.decompress(data[i:])
+            while True:
+                out += d.decompress(chunk, step)
+                if len(out) > max_bytes:
+                    raise ValueError(
+                        f"WARC decompresses past the {max_bytes}-byte cap")
+                if d.eof or not d.unconsumed_tail:
+                    break
+                chunk = d.unconsumed_tail
         except zlib.error as e:                  # corrupt deflate stream
             raise ValueError(f"corrupt gzip member in WARC: {e}") from e
         if not d.eof:
             raise ValueError("truncated gzip member in WARC")
-        if len(out) > max_bytes:
-            raise ValueError(
-                f"WARC decompresses past the {max_bytes}-byte cap")
         consumed = (n - i) - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("gzip member consumed no bytes")
