@@ -726,6 +726,54 @@ def url_psl_registrable(spark, sf_dir):
             .select("doc_id", "host", "registrable_domain"))
 
 
+@q("idn_psl_registrable",
+   # FULL-VALUE oracle for IDN host normalization ahead of PSL grouping
+   # (operators/idn.py + psl.py idna=True): unicode and punycode
+   # spellings of ONE host must collapse to ONE (punycode) registrable
+   # domain; DuckDB mirrors the expected eTLD+1 with literal punycode
+   # forms (the codec's output is pinned here as data, independently of
+   # the Arrow-batched encoder).
+   "SELECT doc_id, "
+   "CASE doc_id % 5 "
+   " WHEN 0 THEN 'shop' || CAST(doc_id % 7 AS VARCHAR) || "
+   "   '.bücher.de' "
+   " WHEN 1 THEN 'shop' || CAST(doc_id % 7 AS VARCHAR) || "
+   "   '.xn--bcher-kva.de' "
+   " WHEN 2 THEN 'blog' || CAST(doc_id % 7 AS VARCHAR) || "
+   "   '.münchen.github.io' "
+   " WHEN 3 THEN 'x' || CAST(doc_id % 7 AS VARCHAR) || "
+   "   '.example.рф' "
+   " ELSE 'www.plain' || CAST(doc_id % 7 AS VARCHAR) || '.com' "
+   "END AS host, "
+   "CASE doc_id % 5 "
+   " WHEN 0 THEN 'xn--bcher-kva.de' "
+   " WHEN 1 THEN 'xn--bcher-kva.de' "
+   " WHEN 2 THEN 'xn--mnchen-3ya.github.io' "
+   " WHEN 3 THEN 'example.xn--p1ai' "
+   " ELSE 'plain' || CAST(doc_id % 7 AS VARCHAR) || '.com' "
+   "END AS registrable_domain "
+   "FROM documents WHERE doc_id < 500")
+def idn_psl_registrable(spark, sf_dir):
+    from thewhisperdb_spark.operators.psl import (
+        load_psl, with_registrable_domain)
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 5
+    host = (F.when(m == 0, F.concat(F.lit("shop"), k,
+                                    F.lit(".bücher.de")))
+            .when(m == 1, F.concat(F.lit("shop"), k,
+                                   F.lit(".xn--bcher-kva.de")))
+            .when(m == 2, F.concat(F.lit("blog"), k,
+                                   F.lit(".münchen.github.io")))
+            .when(m == 3, F.concat(F.lit("x"), k,
+                                   F.lit(".example.рф")))
+            .otherwise(F.concat(F.lit("www.plain"), k, F.lit(".com"))))
+    hosts = d.select("doc_id", host.alias("host"))
+    return (with_registrable_domain(hosts, load_psl(spark))
+            .select("doc_id", "host", "registrable_domain"))
+
+
 @q("tokenizer_fertility_by_lang",
    # FULL-VALUE oracle: chars-per-BPE-token by language — the fertility
    # dashboard a tokenizer/mixture decision reads (languages with high
@@ -948,12 +996,14 @@ def charset_sniff_decode(spark, sf_dir):
    # struct-max decision all under a value-exact gate.
    "SELECT doc_id, "
    "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.crawl.com' || "
-   "CASE doc_id % 4 WHEN 0 THEN '/public/' || CAST(doc_id AS VARCHAR) "
+   "CASE doc_id % 5 WHEN 0 THEN '/public/' || CAST(doc_id AS VARCHAR) "
    " WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR) "
    " WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR) "
-   " ELSE '/files/' || CAST(doc_id AS VARCHAR) || '.zip' END AS url, "
-   "CASE doc_id % 4 WHEN 0 THEN TRUE WHEN 1 THEN FALSE "
-   " WHEN 2 THEN TRUE ELSE (doc_id % 7) % 2 = 1 END AS robots_allowed "
+   " WHEN 3 THEN '/files/' || CAST(doc_id AS VARCHAR) || '.zip' "
+   " ELSE '/search?q=' || CAST(doc_id AS VARCHAR) END AS url, "
+   "CASE doc_id % 5 WHEN 0 THEN TRUE WHEN 1 THEN FALSE "
+   " WHEN 2 THEN TRUE WHEN 3 THEN (doc_id % 7) % 2 = 1 "
+   " ELSE FALSE END AS robots_allowed "
    "FROM documents WHERE doc_id < 500")
 def robots_allow_filter(spark, sf_dir):
     from thewhisperdb_spark.operators.robots import (
@@ -964,17 +1014,22 @@ def robots_allow_filter(spark, sf_dir):
                  F.lit(".crawl.com")).alias("host"),
         F.concat(
             F.lit("User-agent: *\nDisallow: /private\n"
-                  "Allow: /private/ok\n"),
+                  "Allow: /private/ok\n"
+                  # query-targeted rule: RFC 9309 matches path AND
+                  # query, so '/search?q=…' URLs must be refused
+                  # (ADVICE r10 regression pin)
+                  "Disallow: /search?q=\n"),
             F.when(F.col("id") % 2 == 0, F.lit("Disallow: /*.zip$\n"))
             .otherwise(F.lit(""))).alias("robots_txt"))
     rules = extract_robots_rules(hosts)
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
-    m = F.col("doc_id") % 4
+    m = F.col("doc_id") % 5
     did = F.col("doc_id").cast("string")
     path = (F.when(m == 0, F.concat(F.lit("/public/"), did))
             .when(m == 1, F.concat(F.lit("/private/"), did))
             .when(m == 2, F.concat(F.lit("/private/ok/"), did))
-            .otherwise(F.concat(F.lit("/files/"), did, F.lit(".zip"))))
+            .when(m == 3, F.concat(F.lit("/files/"), did, F.lit(".zip")))
+            .otherwise(F.concat(F.lit("/search?q="), did)))
     urls = d.select("doc_id", F.concat(
         F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
         F.lit(".crawl.com"), path).alias("url"))
@@ -989,22 +1044,25 @@ def robots_allow_filter(spark, sf_dir):
    # duplicate slashes / trailing host dot+param reorder / bare host)
    # whose canonical forms are pure construction arithmetic in DuckDB.
    "SELECT doc_id, "
-   "CASE doc_id % 4 "
+   "CASE doc_id % 5 "
    " WHEN 0 THEN 'http://h' || CAST(doc_id % 7 AS VARCHAR) || "
    "  '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' "
    " WHEN 1 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
    "  '.example.com/p/' || CAST(doc_id AS VARCHAR) "
    " WHEN 2 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
    "  '.example.com/p?y=2&z=' || CAST(doc_id AS VARCHAR) "
+   " WHEN 3 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
+   "  '.example.com/' "
    " ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
-   "  '.example.com/' END AS canonical_url "
+   "  '.example.com/d/' || CAST(doc_id AS VARCHAR) || '/' "
+   "END AS canonical_url "
    "FROM documents WHERE doc_id < 500")
 def url_canonicalize(spark, sf_dir):
     from thewhisperdb_spark.operators.urls import canonicalize_url
 
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500) \
         .select("doc_id")
-    m = F.col("doc_id") % 4
+    m = F.col("doc_id") % 5
     k = (F.col("doc_id") % 7).cast("string")
     did = F.col("doc_id").cast("string")
     raw = (F.when(m == 0, F.concat(
@@ -1015,8 +1073,14 @@ def url_canonicalize(spark, sf_dir):
         .when(m == 2, F.concat(
             F.lit("https://H"), k, F.lit(".Example.com./p?z="), did,
             F.lit("&y=2")))
-        .otherwise(F.concat(F.lit("https://h"), k,
-                            F.lit(".example.com"))))
+        .when(m == 3, F.concat(F.lit("https://h"), k,
+                               F.lit(".example.com")))
+        # trailing slash must SURVIVE canonicalization ('/a/b/' and
+        # '/a/b' are distinct resources — ADVICE r10 regression pin);
+        # the '/x/..' detour resolves back to the directory form
+        .otherwise(F.concat(
+            F.lit("https://h"), k, F.lit(".example.com/d/"), did,
+            F.lit("/x/../"))))
     return d.select(
         "doc_id",
         canonicalize_url(raw).alias("canonical_url"))

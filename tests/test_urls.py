@@ -213,6 +213,12 @@ def test_canonicalize_url(spark):
         "http://a.com/../../x": "http://a.com/x",
         "https://a.com/a%2Fb?q=Caf%C3%A9":
             "https://a.com/a%2Fb?q=Caf%C3%A9",
+        # trailing slash is load-bearing (RFC 3986: '/a/b/' != '/a/b');
+        # '.'/'..' final segments resolve to the DIRECTORY form (§5.2.4)
+        "https://a.com/a/b/": "https://a.com/a/b/",
+        "https://a.com/a/b/.": "https://a.com/a/b/",
+        "https://a.com/a/b/..": "https://a.com/a/",
+        "https://a.com/a//b//": "https://a.com/a/b/",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r["url"]: r["canon"] for r in df.select(

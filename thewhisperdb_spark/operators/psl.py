@@ -39,10 +39,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from thewhisperdb_spark.operators.idn import host_to_ascii, idna_ascii
 from thewhisperdb_spark.operators.urls import _is_ip
 
-DEFAULT_SNAPSHOT = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "data", "public_suffix_snapshot.dat")
+_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data")
+# full upstream publicsuffix.org list (public data; the copy committed
+# here is the Debian `publicsuffix` package's verbatim file) — the
+# production default since r11. The curated snapshot remains as a small
+# deterministic TEST fixture.
+DEFAULT_PSL = os.path.join(_DATA_DIR, "public_suffix_list.dat")
+DEFAULT_SNAPSHOT = os.path.join(_DATA_DIR, "public_suffix_snapshot.dat")
 
 _RULE_SCHEMA = ("rule string, labels int, is_wildcard boolean, "
                 "is_exception boolean, section string")
@@ -79,6 +86,9 @@ def parse_psl_lines(lines, include_private: bool = True) -> list[tuple]:
             rule = rule[2:]
         if not rule:
             continue
+        # the upstream list spells IDN rules in unicode; matching runs
+        # in punycode space (idn.py), so encode rules at parse time
+        rule = host_to_ascii(rule)
         labels = rule.count(".") + 1 + (1 if is_wild else 0)
         rules.append((rule, labels, is_wild, is_exc, section))
     return rules
@@ -87,10 +97,12 @@ def parse_psl_lines(lines, include_private: bool = True) -> list[tuple]:
 def load_psl(spark: SparkSession, path: str | None = None,
              include_private: bool = True) -> DataFrame:
     """Rules DataFrame from a PSL-format file (default: the committed
-    curated snapshot). ``include_private=False`` drops the PRIVATE
-    DOMAINS section (github.io-class hoster suffixes) for analyses that
-    want ICANN-only grouping."""
-    with open(path or DEFAULT_SNAPSHOT, encoding="utf-8") as f:
+    FULL upstream ``public_suffix_list.dat``; the curated snapshot at
+    ``DEFAULT_SNAPSHOT`` is the small test fixture).
+    ``include_private=False`` drops the PRIVATE DOMAINS section
+    (github.io-class hoster suffixes) for analyses that want ICANN-only
+    grouping."""
+    with open(path or DEFAULT_PSL, encoding="utf-8") as f:
         rules = parse_psl_lines(f, include_private=include_private)
     if not rules:
         raise ValueError("PSL file contains no rules")
@@ -99,8 +111,8 @@ def load_psl(spark: SparkSession, path: str | None = None,
 
 def with_registrable_domain(df: DataFrame, psl: DataFrame,
                             host_col: str = "host",
-                            out_col: str = "registrable_domain"
-                            ) -> DataFrame:
+                            out_col: str = "registrable_domain",
+                            idna: bool = True) -> DataFrame:
     """Append the PSL-exact eTLD+1 column.
 
     Per-host verdict (canonical algorithm, publicsuffix.org):
@@ -116,12 +128,27 @@ def with_registrable_domain(df: DataFrame, psl: DataFrame,
          a public suffix, an IP literal, or single-label passes through
          unchanged (group key stays total — the spec's "no registrable
          domain" would NULL-group such rows together).
+
+    ``idna=True`` (default since r11) first maps unicode host spellings
+    to punycode on the DISTINCT-host frame (``idn.idna_ascii`` — the
+    Python codec never sees the fact table), so unicode and punycode
+    spellings of one host collapse to ONE (ASCII) registrable domain
+    and match the ASCII-encoded rule set. The emitted group key is the
+    punycode form.
     """
     host = F.lower(F.col(host_col))
-    keyed = df.withColumn("_psl_host", host)
-    hosts = (keyed.select("_psl_host").filter(
-        F.col("_psl_host").isNotNull() & ~_is_ip(F.col("_psl_host")))
+    keyed = df.withColumn("_psl_raw", host)
+    raws = (keyed.select("_psl_raw").filter(
+        F.col("_psl_raw").isNotNull() & ~_is_ip(F.col("_psl_raw")))
         .distinct())
+    if idna:
+        ascii_of = (F.when(F.col("_psl_raw").rlike(r"[^\x00-\x7F]"),
+                           idna_ascii(F.col("_psl_raw")))
+                    .otherwise(F.col("_psl_raw")))
+    else:
+        ascii_of = F.col("_psl_raw")
+    raw2ascii = raws.select("_psl_raw", ascii_of.alias("_psl_host"))
+    hosts = raw2ascii.select("_psl_host").distinct()
     parts = F.split(F.col("_psl_host"), r"\.")
     n = F.size(parts)
     sufs = F.transform(
@@ -165,9 +192,14 @@ def with_registrable_domain(df: DataFrame, psl: DataFrame,
         F.array_join(F.slice(vparts, F.col("_n") - F.col("_ps_len"),
                              F.col("_ps_len") + 1), ".")
     ).otherwise(F.col("_psl_host"))
-    mapping = verdict.select("_psl_host", reg.alias("_psl_reg"))
-    out = (keyed.join(mapping, "_psl_host", "left")
+    # verdict is keyed by the ASCII host; route it back to every RAW
+    # spelling, then to the fact table (both joins broadcast-sized)
+    mapping = (raw2ascii.join(
+        verdict.select("_psl_host", reg.alias("_psl_reg")),
+        "_psl_host")
+        .select("_psl_raw", "_psl_reg"))
+    out = (keyed.join(mapping, "_psl_raw", "left")
            .withColumn(out_col,
-                       F.coalesce(F.col("_psl_reg"), F.col("_psl_host")))
-           .drop("_psl_host", "_psl_reg"))
+                       F.coalesce(F.col("_psl_reg"), F.col("_psl_raw")))
+           .drop("_psl_raw", "_psl_reg"))
     return out

@@ -161,7 +161,8 @@ def canonicalize_url(url: Column,
                    F.regexp_replace(tail, r"^[^?]*\?", "")) \
         .otherwise(F.lit(None))
     # dot-segment fold over the slash-split path
-    segs = F.split(F.regexp_replace(path, r"/+", "/"), "/")
+    collapsed = F.regexp_replace(path, r"/+", "/")
+    segs = F.split(collapsed, "/")
     resolved = F.aggregate(
         segs, F.array().cast("array<string>"),
         lambda acc, s: F.when(s == ".", acc)
@@ -169,8 +170,17 @@ def canonicalize_url(url: Column,
               F.slice(acc, 1, F.size(acc) - 1))
         .when(s == "..", acc)
         .otherwise(F.concat(acc, F.array(s))))
-    norm_path = F.concat(F.lit("/"), F.array_join(
-        F.filter(resolved, lambda s: s != ""), "/"))
+    joined = F.array_join(F.filter(resolved, lambda s: s != ""), "/")
+    # RFC 3986 treats '/a/b/' and '/a/b' as distinct resources; the
+    # fold above dropped the trailing empty segment, silently colliding
+    # them on one frontier key (ADVICE r10). Preserve directory-ness:
+    # re-append '/' when the collapsed pre-fold path ended in '/' or in
+    # a '.'/'..' segment (both resolve to a directory per §5.2.4).
+    dir_tail = collapsed.rlike(r"(/|(^|/)\.{1,2})$")
+    norm_path = F.concat(
+        F.lit("/"), joined,
+        F.when(dir_tail & (joined != ""), F.lit("/"))
+         .otherwise(F.lit("")))
     kept = F.array_sort(F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~F.regexp_extract(
@@ -179,3 +189,46 @@ def canonicalize_url(url: Column,
         .otherwise(F.concat(F.lit("?"), F.array_join(kept, "&")))
     return F.concat(scheme, F.lit("://"), userinfo, host, norm_path,
                     norm_query)
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url",
+                      out_col: str = "canonical_url",
+                      idna: bool = True,
+                      tracking_re: str = TRACKING_PARAM_RE) -> DataFrame:
+    """DataFrame form of :func:`canonicalize_url`, adding the IDN host
+    step the pure-Column expression cannot express: unicode hosts are
+    punycode-encoded (``idn.host_to_ascii``) so both spellings of a
+    site land on ONE frontier key.
+
+    Scale shape: the JVM expression canonicalizes every row; the
+    Python codec then sees only DISTINCT NON-ASCII hosts (one tiny
+    broadcast join back — a crawl frontier is overwhelmingly ASCII).
+    The host swap is position arithmetic on the canonical form (the
+    scheme/userinfo prefix is regular by construction), not a second
+    parse.
+    """
+    from thewhisperdb_spark.operators.idn import NON_ASCII_RE, idna_ascii
+
+    out = df.withColumn(out_col, canonicalize_url(F.col(url_col),
+                                                  tracking_re))
+    if not idna:
+        return out
+    c = F.col(out_col)
+    prefix = F.regexp_extract(c, r"^([a-z][\w+.-]*://(?:[^/?@]*@)?)", 1)
+    host = F.regexp_extract(c, r"^[a-z][\w+.-]*://(?:[^/?@]*@)?([^/?]*)",
+                            1)
+    keyed = out.withColumn("_cu_host", host)
+    mapping = (keyed.select("_cu_host")
+               .filter(F.col("_cu_host").rlike(NON_ASCII_RE))
+               .distinct()
+               .select("_cu_host",
+                       idna_ascii(F.col("_cu_host")).alias("_cu_ascii")))
+    swapped = F.concat(
+        prefix, F.col("_cu_ascii"),
+        F.substring(c, F.length(prefix) + F.length(F.col("_cu_host")) + 1,
+                    F.lit(1 << 30)))
+    return (keyed.join(F.broadcast(mapping), "_cu_host", "left")
+            .withColumn(out_col,
+                        F.when(F.col("_cu_ascii").isNotNull(), swapped)
+                        .otherwise(c))
+            .drop("_cu_host", "_cu_ascii"))
