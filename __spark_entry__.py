@@ -1315,6 +1315,117 @@ def _video_frame_dedup_phases(spark, sf_dir):
     return build, op
 
 
+@q("video_clip_dedup_contract",
+   # contract oracle for CLIP-level (temporal) video dedup (VERDICT r10
+   # #4, operators/imagededup.video_clip_near_dup_pairs): 160 distinct
+   # 6-frame MJPEG AVIs are synthesized from block rasters of document
+   # text; every doc_id % 4 == 0 video also ships a RE-ENCODED copy
+   # (decode -> encode at qscale 2 — real generation loss, frame
+   # hashes drift a few bits). Copies must pair with their source at
+   # clip level (packed-window hamming match), distinct clips must not
+   # pair at all, and CC survivors = originals.
+   "SELECT CAST(count(*) + sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 "
+   "END) AS BIGINT) AS n_videos, "
+   "CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_copies, "
+   "TRUE AS copies_all_paired, TRUE AS pairs_clean, "
+   "CAST(count(*) AS BIGINT) AS n_survivors "
+   "FROM documents WHERE doc_id < 160")
+def video_clip_dedup_contract(spark, sf_dir):
+    build, op = _video_clip_dedup_phases(spark, sf_dir)
+    build()
+    return op()
+
+
+def _video_clip_dedup_phases(spark, sf_dir):
+    # build = synthesize the AVI corpus (originals + re-encoded copies)
+    # and materialize frame hashes; op = the clip-level pair join + CC
+    # survivors + verdict aggregates (the read path under measurement).
+    import pandas as pd
+
+    from thewhisperdb_spark.operators.dedup import near_dup_groups
+    from thewhisperdb_spark.operators.imagededup import (
+        video_clip_near_dup_pairs, video_frame_dhash)
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 160) \
+        .select("doc_id", "text")
+
+    def synth(batches):
+        import numpy as np
+
+        from thewhisperdb_spark.sources.jpegenc import (
+            encode_gray_baseline, encode_mjpeg_avi, make_block_raster)
+        from thewhisperdb_spark.sources.multimodal import _decode_jpeg
+
+        for pdf in batches:
+            paths, contents = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = [encode_gray_baseline(
+                    make_block_raster(f"{text}#{i}")) for i in range(6)]
+                paths.append(f"orig{did:09d}")
+                contents.append(
+                    encode_mjpeg_avi(frames, width=36, height=32))
+                if did % 4 == 0:
+                    re2 = [encode_gray_baseline(
+                        np.array(_decode_jpeg(f), dtype=np.float64)
+                        * 255.0, qscale=2.0) for f in frames]
+                    paths.append(f"copy{did:09d}")
+                    contents.append(
+                        encode_mjpeg_avi(re2, width=36, height=32))
+            yield pd.DataFrame({
+                "path": paths, "content": contents,
+                "modality": ["video"] * len(paths)})
+
+    syn_schema = "path string, content binary, modality string"
+    state = {}
+
+    def build():
+        media = docs.mapInPandas(synth, syn_schema)
+        state["hashes"] = video_frame_dhash(media) \
+            .localCheckpoint(eager=True)
+
+    def op():
+        hashes = state["hashes"]
+        pairs = video_clip_near_dup_pairs(
+            hashes, k=3, bands=4, max_hamming=8, min_containment=0.35) \
+            .localCheckpoint(eager=True)
+        copies = docs.filter(F.col("doc_id") % 4 == 0).select(
+            F.format_string("copy%09d", "doc_id").alias("a"),
+            F.format_string("orig%09d", "doc_id").alias("b"))
+        missing = copies.join(pairs, ["a", "b"], "left_anti")
+        stray = pairs.join(copies, ["a", "b"], "left_anti")
+        # survivors via the standard CC keep rule over surrogate ids
+        vids = (hashes.select("path").distinct()
+                .withColumn("_sid", F.xxhash64("path")))
+        p_sid = (pairs
+                 .join(vids.select(F.col("path").alias("a"),
+                                   F.col("_sid").alias("_sa")), "a")
+                 .join(vids.select(F.col("path").alias("b"),
+                                   F.col("_sid").alias("_sb")), "b")
+                 .select(F.col("_sa").alias("a"),
+                         F.col("_sb").alias("b")))
+        verdict = near_dup_groups(vids, p_sid, id_col="_sid")
+        n_keep = verdict.filter(F.col("keep")) \
+            .agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
+        stats = docs.groupBy().agg(
+            (F.count(F.lit(1))
+             + F.sum(F.when(F.col("doc_id") % 4 == 0, 1).otherwise(0)))
+            .cast("long").alias("n_videos"),
+            F.sum(F.when(F.col("doc_id") % 4 == 0, 1).otherwise(0))
+            .cast("long").alias("n_copies"))
+        ok_paired = missing.groupBy().agg(
+            (F.count(F.lit(1)) == 0).alias("copies_all_paired"))
+        ok_clean = stray.groupBy().agg(
+            (F.count(F.lit(1)) == 0).alias("pairs_clean"))
+        return (stats.join(F.broadcast(ok_paired))
+                .join(F.broadcast(ok_clean))
+                .join(F.broadcast(n_keep))
+                .select("n_videos", "n_copies", "copies_all_paired",
+                        "pairs_clean", "n_survivors"))
+
+    return build, op
+
+
 @q("crawl_curation_pipeline",
    # the r9 media/web pieces COMPOSED (VERDICT r9 #8): synthesized WARC
    # archives (gzip-member framing) -> record explosion -> HTML text
@@ -8213,6 +8324,7 @@ def maintenance_split() -> dict[str, Callable]:
         "ivf_index_stats": _ivf_index_stats_phases,
         "dhash_index_incremental_dedup": _dhash_index_incremental_phases,
         "video_frame_dedup_contract": _video_frame_dedup_phases,
+        "video_clip_dedup_contract": _video_clip_dedup_phases,
         "crawl_curation_stream_twin": _crawl_stream_phases,
     }
 

@@ -174,21 +174,28 @@ def video_frame_dhash(media: DataFrame, max_frames: int = 16) -> DataFrame:
 
 
 def band_hashes(h: DataFrame, bands: int,
-                keep_cols: list[str] | None = None) -> DataFrame:
+                keep_cols: list[str] | None = None,
+                width: int = 64) -> DataFrame:
     """Explode (id, h) rows into multi-index-hamming band rows
     (id, band, slice [, keep_cols...]): band b is the ``h`` bit range
-    [b*64//bands, (b+1)*64//bands) — balanced widths when 64 % bands
-    != 0. A full-width single band skips the mask (a 64-bit mask literal
-    would overflow a Java long). Shared by the in-memory pair join and
-    the persisted hash index."""
-    lo = [b * 64 // bands for b in range(bands + 1)]
+    [b*width//bands, (b+1)*width//bands) — balanced widths when width %
+    bands != 0. A full-width single band skips the mask (a 64-bit mask
+    literal would overflow a Java long). ``width`` < 64 bands only the
+    low ``width`` bits — for values narrower than a long (packed clip
+    windows), where banding the full 64 would mint constant all-zero
+    top slices that defeat both the pigeonhole count and the bucket
+    statistics. Shared by the in-memory pair join and the persisted
+    hash index."""
+    if not 1 <= width <= 64:
+        raise ValueError("width must be in 1..64")
+    lo = [b * width // bands for b in range(bands + 1)]
 
     def slice_expr(b):
-        width = lo[b + 1] - lo[b]
+        w = lo[b + 1] - lo[b]
         shifted = F.shiftrightunsigned("h", lo[b])
-        if width >= 64:
+        if w >= 64:
             return shifted
-        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
 
     keep = keep_cols or []
     return h.select(
@@ -288,3 +295,176 @@ def drop_near_duplicate_images(media: DataFrame,
     quarantined = with_sid.filter(F.col("dhash").isNull())
     return (survivors.unionByName(quarantined)
             .select("path", "dhash", "status"))
+
+
+def video_clip_fingerprints(frames: DataFrame, k: int = 3,
+                            bands: int = 4,
+                            id_col: str = "path",
+                            hash_col: str = "dhash",
+                            idx_col: str = "frame_idx") -> DataFrame:
+    """Shingled CLIP-level fingerprints over a video's ordered
+    frame-dHash sequence (input = :func:`video_frame_dhash` rows).
+
+    Each 64-bit frame hash splits into ``bands`` slices; per
+    (video, band), every run of ``k`` consecutive slices PACKS into one
+    integer fingerprint (slice of frame t in the high bits). Packing —
+    not hashing — keeps HAMMING STRUCTURE: a re-encode that flips a few
+    dHash bits per frame perturbs the fingerprint by those same bits,
+    so :func:`video_clip_near_dup_pairs` can verify windows with a
+    bit_count tolerance instead of demanding exact survival (the md5
+    route would need a band to stay PERFECTLY clean across the whole
+    window — measured re-encode flip rates of 3-11 bits/frame make
+    that a coin toss). ``k * ceil(64/bands) <= 63`` is enforced so the
+    packed value stays a positive Java long.
+
+    Output: ``(id, band, shingle_idx, fp, n_shingles)``; videos with
+    fewer than ``k`` decoded frames yield no rows (too short at this k
+    — lower k for thumbnail-length clips). Entirely JVM HOFs after the
+    group-by: one shuffle on the video id, no Python.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    width = -(-64 // bands)               # widest slice (balanced split)
+    if k * width > 63:
+        raise ValueError(
+            f"k={k} windows of {width}-bit slices ({bands} bands) "
+            "overflow a signed 64-bit fingerprint; raise bands or "
+            "lower k")
+    h = (frames.filter(F.col(hash_col).isNotNull())
+         .select(F.col(id_col).alias("id"),
+                 F.col(hash_col).alias("h"),
+                 F.col(idx_col).alias("fidx")))
+    banded = band_hashes(h, bands, keep_cols=["fidx"])
+    grouped = (banded.groupBy("id", "band")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("fidx", "slice"))).alias("seq")))
+    sl = F.transform(F.col("seq"), lambda s: s["slice"])
+    n = F.size(sl)
+
+    def pack(i):
+        win = F.slice(sl, i, k)
+        return F.aggregate(
+            win, F.lit(0).cast("long"),
+            lambda acc, s: F.shiftleft(acc, width)
+            .bitwiseOR(s.cast("long")))
+
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.struct((i - 1).cast("int").alias("shingle_idx"),
+                           pack(i).alias("fp")))
+    return (grouped.filter(n >= k)
+            .select("id", "band",
+                    (n - k + 1).cast("int").alias("n_shingles"),
+                    F.explode(shingles).alias("s"))
+            .select("id", "band", F.col("s.shingle_idx"),
+                    F.col("s.fp"), "n_shingles"))
+
+
+def video_clip_near_dup_pairs(frames: DataFrame, k: int = 3,
+                              bands: int = 4,
+                              max_hamming: int = 8,
+                              min_containment: float = 0.35,
+                              max_bucket_df: int = 50,
+                              id_col: str = "path",
+                              hash_col: str = "dhash",
+                              idx_col: str = "frame_idx",
+                              block_cols: list[str] | None = None
+                              ) -> DataFrame:
+    """CLIP-level near-duplicate pairs ``(a, b, n_shared,
+    containment)``: two videos pair when enough of the smaller one's
+    shingle windows (:func:`video_clip_fingerprints`) find a
+    counterpart in the other within ``max_hamming`` bits — re-encode
+    tolerant (per-frame dHash drift accumulates into the window budget)
+    and shift-tolerant (the match ignores ``shingle_idx``, so trimmed /
+    offset copies still pair on their overlapping windows).
+
+    Candidate generation is the multi-index-hamming pigeonhole of
+    :func:`hamming_near_dup_pairs`, applied to the PACKED window
+    fingerprints over their TRUE bit width (k * slice bits — banding
+    the full 64 would mint constant all-zero top slices): each fp
+    splits into ``max_hamming + 1`` sub-slices; any pair within the
+    budget collides on one — never an all-pairs product, LOSSLESS for
+    uncapped buckets.
+
+    Scale levers (mirroring ``dedup.containment_dedup_pairs`` and the
+    frame-level kernel):
+    - DISTINCT (id, band, fp) before the join — a static clip repeats
+      one window hundreds of times, quadratic otherwise;
+    - ``max_bucket_df`` drops candidate buckets hit by more than that
+      many videos (all-black intros, test cards); totals are computed
+      before the cap so containment stays a true fraction;
+    - ``block_cols``: extra equality keys ANDed into the candidate key
+      (duration bucket, resolution, source domain — properties a
+      re-encode preserves). The tolerance budget thins sub-slices
+      (48-bit windows / 9 sub-bands ~ 5 bits), so at full corpus scale
+      blocking is what keeps buckets selective — same production
+      posture as ``hamming_near_dup_pairs``. Block columns must be
+      single-valued per video (they ride on the frame rows).
+
+    ``containment`` = matched distinct (band, window) slots of the
+    side with FEWER slots, over that side's slot count, in [0, 1].
+    Measured on re-encoded copies (qscale-2 generation loss, blocky
+    rasters): copy containment >= ~0.69, unrelated clips <= ~0.06 —
+    the 0.35 default sits in the gap.
+    """
+    keys = list(block_cols or [])
+    fps = video_clip_fingerprints(
+        frames.select(id_col, hash_col, idx_col, *keys)
+        if keys else frames,
+        k=k, bands=bands, id_col=id_col, hash_col=hash_col,
+        idx_col=idx_col)
+    if keys:
+        per_vid = (frames.select(F.col(id_col).alias("id"), *keys)
+                   .dropDuplicates(["id"]))
+        fps = fps.join(per_vid, "id")
+    d = (fps.select("id", "band", "fp", *keys).distinct()
+         .localCheckpoint(eager=True))
+    totals = (d.select("id", "band", "fp").distinct()
+              .groupBy("id").agg(F.count(F.lit(1)).alias("t")))
+    nb = max_hamming + 1
+    fp_width = min(63, k * -(-64 // bands))
+    # band_hashes emits its OWN "band" column for the sub-split; the
+    # video-level band rides through keep_cols renamed "vband" to keep
+    # the two axes apart
+    sub = band_hashes(
+        d.withColumnRenamed("band", "vband")
+         .select(F.col("fp").alias("h"), "id", "vband",
+                 F.col("fp").alias("fp0"), *keys),
+        nb, keep_cols=["vband", "fp0"] + keys, width=fp_width)
+    bucket = ["vband", "band", "slice"] + keys
+    bucket_cap = (sub.groupBy(*bucket)
+                  .agg(F.count_distinct("id").alias("_df"))
+                  .filter(F.col("_df") <= max_bucket_df)
+                  .select(*bucket))
+    cand = sub.join(bucket_cap, bucket)
+    jcond = (F.col("x.vband") == F.col("y.vband")) \
+        & (F.col("x.band") == F.col("y.band")) \
+        & (F.col("x.slice") == F.col("y.slice")) \
+        & (F.col("x.id") < F.col("y.id"))
+    for kcol in keys:
+        jcond = jcond & (F.col(f"x.{kcol}").eqNullSafe(
+            F.col(f"y.{kcol}")))
+    matched = (cand.alias("x")
+               .join(cand.alias("y"), jcond)
+               .select(F.col("x.id").alias("a"),
+                       F.col("y.id").alias("b"),
+                       F.col("x.vband").alias("vband"),
+                       F.col("x.fp0").alias("fa"),
+                       F.col("y.fp0").alias("fb"))
+               .dropDuplicates(["a", "b", "vband", "fa", "fb"])
+               .filter(F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+                       <= max_hamming))
+    # matched slots per side: distinct (vband, fp) of a / of b
+    shared = matched.groupBy("a", "b").agg(
+        F.count_distinct("vband", "fa").alias("sa"),
+        F.count_distinct("vband", "fb").alias("sb"))
+    ta = totals.select(F.col("id").alias("a"), F.col("t").alias("ta"))
+    tb = totals.select(F.col("id").alias("b"), F.col("t").alias("tb"))
+    small_shared = F.when(F.col("ta") <= F.col("tb"), F.col("sa")) \
+        .otherwise(F.col("sb"))
+    contain = small_shared / F.least("ta", "tb").cast("double")
+    return (shared.join(ta, "a").join(tb, "b")
+            .select("a", "b",
+                    small_shared.cast("long").alias("n_shared"),
+                    F.round(contain, 6).alias("containment"))
+            .filter(F.col("containment") >= min_containment))

@@ -94,8 +94,34 @@ def make_pattern(h: int = 20, w: int = 24) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.float64)
 
 
-def encode_gray_baseline(img: np.ndarray, dri: int = 2) -> bytes:
+def make_block_raster(seed: str, gh: int = 8, gw: int = 9,
+                      cell: int = 4) -> np.ndarray:
+    """Deterministic BLOCKY test raster (gh*cell x gw*cell): one of four
+    well-separated gray levels per dHash-grid-aligned cell, derived from
+    sha256(seed). Block structure makes the dHash robust to JPEG
+    re-encode noise (adjacent-cell level gaps of 64 dwarf quantization
+    error) — the property video-clip dedup contracts need; the smooth
+    ``make_pattern`` card and noise rasters both sit on gradient
+    knife-edges where a re-encode flips ~half the hash."""
+    import hashlib
+
+    d = hashlib.sha256(seed.encode("utf-8")).digest()
+    need = gh * gw
+    d = (d * (need // len(d) + 1))[:need]
+    lv = np.array([32 + (b % 4) * 64 for b in d],
+                  dtype=np.float64).reshape(gh, gw)
+    return np.kron(lv, np.ones((cell, cell)))
+
+
+def encode_gray_baseline(img: np.ndarray, dri: int = 2,
+                         qscale: float = 1.0) -> bytes:
+    """``qscale`` scales the quantization table (T.81 leaves the table
+    to the encoder): >1 = coarser = lower quality. Used to synthesize
+    RE-ENCODED copies (generation loss) for clip-dedup contracts; the
+    scaled table is written to the DQT segment so any decoder
+    reconstructs correctly."""
     h, w = img.shape
+    qtab = np.clip(np.round(QTAB * qscale), 1, 255)
     dc_c, ac_c = _codes(DC_BITS, DC_VALS), _codes(AC_BITS, AC_VALS)
     u = np.arange(8)
     x = np.arange(8)
@@ -105,7 +131,7 @@ def encode_gray_baseline(img: np.ndarray, dri: int = 2) -> bytes:
     padded = np.pad(img, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
 
     out = bytearray(b"\xff\xd8")                       # SOI
-    zz_q = bytes(int(QTAB.flat[z]) for z in _ZIGZAG)
+    zz_q = bytes(int(qtab.flat[z]) for z in _ZIGZAG)
     out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + zz_q
     out += (b"\xff\xc0" + (8 + 3).to_bytes(2, "big") + b"\x08"
             + h.to_bytes(2, "big") + w.to_bytes(2, "big")
@@ -130,7 +156,7 @@ def encode_gray_baseline(img: np.ndarray, dri: int = 2) -> bytes:
                 pred = 0
             blk = padded[r * 8:r * 8 + 8, c * 8:c * 8 + 8] - 128.0
             coef = M.T @ blk @ M                       # forward DCT
-            q = np.round(coef / QTAB).astype(int)
+            q = np.round(coef / qtab).astype(int)
             zz = [int(q.flat[z]) for z in _ZIGZAG]
             diff = zz[0] - pred
             pred = zz[0]
