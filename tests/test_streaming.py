@@ -788,3 +788,110 @@ def test_stream_crawl_curation_two_batches(spark, tmp_path):
     assert {r["url"] for r in rows} == {"https://ok.com/a",
                                         "https://fresh.org/b"}
     assert len({r["ingest_batch"] for r in rows}) == 2
+
+
+def test_stream_crawl_policy_refresh_between_batches(spark, tmp_path):
+    """VERDICT r10 #7: robots rules passed as a versioned snapshot-store
+    path are reloaded at every micro-batch — publishing a new rule
+    between two arrivals changes admission for the second batch only,
+    with no query restart."""
+    import time
+
+    from thewhisperdb_spark.operators.policystore import (
+        latest_policy_version,
+        publish_policy_snapshot,
+    )
+    from thewhisperdb_spark.operators.robots import extract_robots_rules
+    from thewhisperdb_spark.sources.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+    )
+    from thewhisperdb_spark.streaming.jobs import stream_crawl_curation
+
+    def page(uri, body):
+        return build_warc_record(
+            "response", build_http_response(
+                b"<html><body><p>" + body + b"</p></body></html>"),
+            target_uri=uri)
+
+    src = tmp_path / "arrivals"
+    out = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    rules_store = str(tmp_path / "robots_snapshots")
+    src.mkdir()
+
+    def rules_for(body):
+        return extract_robots_rules(spark.createDataFrame(
+            [("site.com", body)], "host string, robots_txt string"))
+
+    v1 = publish_policy_snapshot(
+        rules_for("User-agent: *\nDisallow: /private\n"), rules_store)
+    assert v1 == 1
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("path string, content binary")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/*"))
+        q = stream_crawl_curation(stream, out, ckpt,
+                                  robots_rules=rules_store)
+        q.awaitTermination(120)
+        time.sleep(0.2)
+
+    arc1 = build_warc([page("https://site.com/news/a", b"wave one")],
+                      gzip_per_record=True)
+    spark.createDataFrame([("b1", arc1)], "path string, content binary") \
+        .write.mode("overwrite").parquet(str(src / "f1.parquet"))
+    run_once()
+    assert {r["url"] for r in spark.read.parquet(out).collect()} == \
+        {"https://site.com/news/a"}
+
+    # policy change between batches: /news is now disallowed
+    v2 = publish_policy_snapshot(
+        rules_for("User-agent: *\nDisallow: /private\n"
+                  "Disallow: /news\n"), rules_store)
+    assert v2 == 2
+    assert latest_policy_version(spark, rules_store) == 2
+
+    arc2 = build_warc([page("https://site.com/news/b", b"now blocked"),
+                       page("https://site.com/ok/c", b"still fine")],
+                      gzip_per_record=True)
+    spark.createDataFrame([("b2", arc2)], "path string, content binary") \
+        .write.mode("overwrite").parquet(str(src / "f2.parquet"))
+    run_once()
+    got = {r["url"] for r in spark.read.parquet(out).collect()}
+    # batch-1 survivor untouched (no retroactive re-filtering);
+    # batch 2 admitted under the NEW rules
+    assert got == {"https://site.com/news/a", "https://site.com/ok/c"}
+
+
+def test_policy_store_versions_and_torn_write(spark, tmp_path):
+    """Store semantics: versions are immutable and monotonically
+    numbered; a torn (no _SUCCESS) directory is invisible to readers."""
+    import pytest as _pytest
+
+    from thewhisperdb_spark.operators.policystore import (
+        latest_policy_version,
+        load_policy_snapshot,
+        publish_policy_snapshot,
+    )
+
+    store = str(tmp_path / "policies")
+    with _pytest.raises(ValueError, match="no complete"):
+        load_policy_snapshot(spark, store)
+    df1 = spark.createDataFrame([("a.com",)], "domain string")
+    df2 = spark.createDataFrame([("a.com",), ("b.com",)],
+                                "domain string")
+    assert publish_policy_snapshot(df1, store) == 1
+    assert publish_policy_snapshot(df2, store) == 2
+    assert load_policy_snapshot(spark, store).count() == 2
+    assert load_policy_snapshot(spark, store, version=1).count() == 1
+    # torn write: v3 exists but has no _SUCCESS -> still serves v2
+    import os
+    import shutil
+    v3 = os.path.join(store, "v000000003")
+    shutil.copytree(os.path.join(store, "v000000002"), v3)
+    os.remove(os.path.join(v3, "_SUCCESS"))
+    assert latest_policy_version(spark, store) == 2
+    assert load_policy_snapshot(spark, store).count() == 2

@@ -706,20 +706,41 @@ def crawl_curation_batch(archives: DataFrame, batch_id: int,
 
 def stream_crawl_curation(stream: DataFrame, survivors_dir: str,
                           checkpoint_dir: str,
-                          blocklist: DataFrame | None = None,
-                          robots_rules: DataFrame | None = None,
-                          psl: DataFrame | None = None,
+                          blocklist: DataFrame | str | None = None,
+                          robots_rules: DataFrame | str | None = None,
+                          psl: DataFrame | str | None = None,
                           min_chars: int = 1):
     """The crawl-curation loop as one streaming job: WARC archives
     stream in, curated text rows land batch-partitioned in
     ``survivors_dir``. Chain ``stream_media_dedup_ingest`` /
     ``stream_dedup_ingest`` over the survivors store for the dedup
     stage. Returns the started StreamingQuery (availableNow drains and
-    stops)."""
+    stops).
+
+    POLICY FRESHNESS (VERDICT r10 #7): each of ``blocklist`` /
+    ``robots_rules`` / ``psl`` accepts either a static DataFrame
+    (captured once at start — the r10 behavior, fine for short drains)
+    or a ``str`` path to a versioned snapshot store
+    (``operators/policystore.py``). A path is re-resolved to the LATEST
+    complete snapshot INSIDE foreachBatch, so a robots/PSL/blocklist
+    update published between micro-batches changes admission at the
+    next batch boundary — no query restart. Real crawls run for days;
+    static policy frames silently go stale, which for robots is a
+    compliance bug, not just drift."""
+    from thewhisperdb_spark.operators.policystore import (
+        load_policy_snapshot)
+
+    def resolve(policy, spark):
+        if isinstance(policy, str):
+            return load_policy_snapshot(spark, policy)
+        return policy
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         crawl_curation_batch(batch_df, batch_id, survivors_dir,
-                             blocklist=blocklist,
-                             robots_rules=robots_rules, psl=psl,
+                             blocklist=resolve(blocklist, spark),
+                             robots_rules=resolve(robots_rules, spark),
+                             psl=resolve(psl, spark),
                              min_chars=min_chars)
 
     return (stream.writeStream.foreachBatch(write_batch)
