@@ -899,6 +899,88 @@ def lm_quality_bits(spark, sf_dir):
                       "sum_tot")
 
 
+@q("quality_ensemble_keep",
+   # FULL-VALUE oracle for the FineWeb-style quality ENSEMBLE (VERDICT
+   # r10 #8, operators/dq.py:quality_keep_verdict): Gopher rule pass +
+   # word-trigram repetition + char-LM surprisal composed into one
+   # keep verdict with fail-reason attribution; DuckDB re-derives every
+   # rule from first principles (the compression rule is excluded here
+   # — DEFLATE has no SQL expression; it is pinned by the
+   # compression_quality_flags contract and the pipeline stage test).
+   # Thresholds are calibrated to SPLIT this corpus (min_words 30,
+   # min_stopwords 1, rep<=0.02, bits/trigram<=1.22) so keep/drop and
+   # every attribution string carry signal.
+   "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300), "
+   "w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+   "  t -> t <> '') AS ws FROM d), "
+   "s AS (SELECT doc_id, len(ws) AS n, "
+   "  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) "
+   "  AS chars, "
+   "  len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha, "
+   "  len(list_intersect(list_distinct(list_transform(ws, "
+   "  w -> lower(w))), ['the','be','to','of','and','that','have',"
+   "'with'])) AS stop FROM w), "
+   "g AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words, "
+   "  (n BETWEEN 30 AND 100000 "
+   "  AND CAST(chars AS DOUBLE) / greatest(n, 1) BETWEEN 3 AND 10 "
+   "  AND CAST(alpha AS DOUBLE) / greatest(n, 1) >= 0.8 "
+   "  AND stop >= 1) AS gopher_ok FROM s), "
+   "r AS (SELECT doc_id, round(1.0 - "
+   "  CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) "
+   "  AS rep3 FROM (SELECT doc_id, list_transform(generate_series(1, "
+   "  greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+2], ' ')) "
+   "  AS grams FROM w)), "
+   "train AS (SELECT text FROM documents WHERE doc_id >= 300 "
+   "  AND doc_id < 600), "
+   "ttri AS (SELECT unnest(list_transform(range(1, length(text) - 1), "
+   "  i -> substr(text, CAST(i AS INTEGER), 3))) AS tri FROM train "
+   "  WHERE length(text) >= 3), "
+   "counts AS (SELECT substr(tri, 1, 2) AS ctx, substr(tri, 3, 1) AS ch, "
+   "  count(*) AS cnt FROM ttri GROUP BY 1, 2), "
+   "totals AS (SELECT ctx, sum(cnt) AS tot FROM counts GROUP BY 1), "
+   "v AS (SELECT count(DISTINCT ch) AS v FROM counts), "
+   "stri AS (SELECT doc_id, unnest(list_transform(range(1, "
+   "  length(text) - 1), i -> substr(text, CAST(i AS INTEGER), 3))) "
+   "  AS tri FROM d WHERE length(text) >= 3), "
+   "s2 AS (SELECT doc_id, substr(tri, 1, 2) AS ctx, "
+   "  substr(tri, 3, 1) AS ch FROM stri), "
+   "j AS (SELECT s2.doc_id, coalesce(c.cnt, 0) AS cnt, "
+   "  coalesce(t.tot, 0) AS tot FROM s2 "
+   "  LEFT JOIN counts c USING (ctx, ch) "
+   "  LEFT JOIN totals t USING (ctx)), "
+   "lmb AS (SELECT doc_id, round(CAST(sum(CAST(round(-log2((cnt + 1.0) "
+   "  / (tot + (SELECT v FROM v))), 4) AS DECIMAL(18,6))) AS DOUBLE) "
+   "  / count(*), 6) AS bpt FROM j GROUP BY doc_id) "
+   "SELECT d.doc_id, g.n_words, r.rep3 AS repetition_3, "
+   "lmb.bpt AS bits_per_trigram, g.gopher_ok, "
+   "(r.rep3 <= 0.02) AS repetition_ok, "
+   "coalesce(lmb.bpt <= 1.22, FALSE) AS lm_ok, "
+   "(g.gopher_ok AND r.rep3 <= 0.02 "
+   " AND coalesce(lmb.bpt <= 1.22, FALSE)) AS keep, "
+   "ltrim(CASE WHEN NOT g.gopher_ok THEN ',gopher' ELSE '' END || "
+   " CASE WHEN NOT (r.rep3 <= 0.02) THEN ',repetition' ELSE '' END || "
+   " CASE WHEN NOT coalesce(lmb.bpt <= 1.22, FALSE) THEN ',lm' "
+   " ELSE '' END, ',') AS fail_reasons "
+   "FROM d JOIN g USING (doc_id) JOIN r USING (doc_id) "
+   "LEFT JOIN lmb USING (doc_id)")
+def quality_ensemble_keep(spark, sf_dir):
+    from thewhisperdb_spark.operators.dq import quality_keep_verdict
+    from thewhisperdb_spark.operators.text import char_trigram_lm
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 600))
+    model = char_trigram_lm(train)
+    v = quality_keep_verdict(
+        docs.filter(F.col("doc_id") < 300).select("doc_id", "text"),
+        lm_model=model, min_words=30, min_stopwords=1,
+        max_repetition=0.02, max_bits_per_trigram=1.22,
+        include_compression=False)
+    return v.select(
+        "doc_id", "n_words", "repetition_3", "bits_per_trigram",
+        "gopher_ok", "repetition_ok", "lm_ok", "keep",
+        F.array_join("fail_reasons", ",").alias("fail_reasons"))
+
+
 @q("pii_scrub_roundtrip",
    # FULL-VALUE oracle for PII scrubbing (operators/pii.py): texts are
    # CONSTRUCTED per doc with known PII placements — email, intl phone,

@@ -1,0 +1,108 @@
+"""Quality-ensemble keep verdict (operators/dq.py, VERDICT r10 #8):
+rule composition, attribution, degenerate posture, and the crawl-loop
+stage."""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from thewhisperdb_spark.operators.dq import (
+    quality_attribution_report,
+    quality_keep_verdict,
+)
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then walks "
+        "to be of and that have with more plain words here making "
+        "this document long enough to pass the word count rule with "
+        "varied natural tokens every sentence something different")
+LOOPY = ("click here to buy now " * 20).strip()
+
+
+def test_keep_and_attribution(spark):
+    rows = [("good", GOOD),
+            ("loopy", LOOPY),           # repetition + compression fail
+            # below the word-count floor but long enough that zlib
+            # overhead doesn't ALSO trip the compression rule
+            ("short", "just a few natural words written plainly here "
+                      "today about nothing in particular at all"),
+            ("empty", "")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    v = quality_keep_verdict(df, min_words=20)
+    got = {r["doc_id"]: r for r in v.collect()}
+    assert got["good"]["keep"] is True
+    assert got["good"]["fail_reasons"] == []
+    assert got["loopy"]["keep"] is False
+    assert "repetition" in got["loopy"]["fail_reasons"]
+    assert got["short"]["keep"] is False
+    assert got["short"]["fail_reasons"] == ["gopher"]
+    # degenerate posture: empty text fails, never passes unmeasured
+    assert got["empty"]["keep"] is False
+    assert "compression" in got["empty"]["fail_reasons"]
+    rep = {r["rule"]: r for r in
+           quality_attribution_report(v).collect()}
+    assert rep["gopher"]["n_docs"] == 4 and rep["gopher"]["n_kept"] == 1
+    assert rep["gopher"]["n_failed"] == 3   # loopy, short, empty
+    assert rep["repetition"]["n_failed"] == 1
+    # short fails ONLY gopher -> gopher sole-blocks it
+    assert rep["gopher"]["n_sole_blocker"] >= 1
+
+
+def test_lm_rule_requires_model_and_scores(spark):
+    from thewhisperdb_spark.operators.text import char_trigram_lm
+
+    train = spark.createDataFrame(
+        [(i, GOOD) for i in range(5)], "doc_id long, text string")
+    model = char_trigram_lm(train)
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, "zzqx jkwv pfft glrm xxzz qqww eejj kkpp")],
+        "doc_id long, text string")
+    v = quality_keep_verdict(docs, lm_model=model, min_words=1,
+                             min_stopwords=0, max_repetition=1.0,
+                             include_compression=False,
+                             max_bits_per_trigram=3.0)
+    got = {r["doc_id"]: r for r in v.collect()}
+    assert got[1]["lm_ok"] is True          # in-domain text
+    assert got[2]["lm_ok"] is False         # gibberish: high surprisal
+    assert got[2]["bits_per_trigram"] > got[1]["bits_per_trigram"]
+    # no model -> no lm columns, conjunction over remaining rules only
+    v2 = quality_keep_verdict(docs, min_words=1, min_stopwords=0,
+                              max_repetition=1.0,
+                              include_compression=False)
+    assert "lm_ok" not in v2.columns
+    assert all(r["keep"] for r in v2.collect())
+
+
+def test_crawl_loop_quality_stage(spark, tmp_path):
+    """The ensemble as an opt-in crawl_curation_batch stage: a junk
+    page is dropped with attribution, a clean page survives with its
+    rule booleans in the store."""
+    from thewhisperdb_spark.sources.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+    )
+    from thewhisperdb_spark.streaming.jobs import crawl_curation_batch
+
+    def page(uri, body):
+        return build_warc_record(
+            "response", build_http_response(
+                b"<html><body><p>" + body + b"</p></body></html>"),
+            target_uri=uri)
+
+    arc = build_warc([
+        page("https://ok.com/clean", GOOD.encode("utf-8")),
+        page("https://ok.com/loopy", LOOPY.encode("utf-8") * 3),
+    ], gzip_per_record=True)
+    archives = spark.createDataFrame([("b", arc)],
+                                     "path string, content binary")
+    out = str(tmp_path / "survivors")
+    crawl_curation_batch(archives, 0, out,
+                         quality={"min_words": 20})
+    rows = spark.read.parquet(out).collect()
+    assert {r["url"] for r in rows} == {"https://ok.com/clean"}
+    r = rows[0]
+    assert r["gopher_ok"] and r["repetition_ok"] and r["compression_ok"]
+    assert r["fail_reasons"] == []
+    # same batch WITHOUT the stage keeps both
+    out2 = str(tmp_path / "survivors2")
+    crawl_curation_batch(archives, 0, out2)
+    assert spark.read.parquet(out2).count() == 2

@@ -171,3 +171,122 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
             yield pdf[cols + list(COMPRESSION_SCHEMA_COLS)]
 
     return df.mapInPandas(run, out_schema)
+
+
+def quality_keep_verdict(df: DataFrame,
+                         lm_model: tuple | None = None,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_len: float = 3.0,
+                         max_mean_len: float = 10.0,
+                         min_alpha_ratio: float = 0.8,
+                         min_stopwords: int = 2,
+                         max_repetition: float = 0.2, rep_n: int = 3,
+                         max_bits_per_trigram: float = 9.0,
+                         min_deflate_ratio: float = 0.10,
+                         max_deflate_ratio: float = 1.10,
+                         include_compression: bool = True) -> DataFrame:
+    """The FineWeb-style quality ENSEMBLE (VERDICT r10 #8): the four
+    independent signals this repo already computes — Gopher rule pass
+    (``text.gopher_quality_flags``), word-trigram repetition
+    (``text.repetition_ratio``), character-LM surprisal
+    (``text.lm_doc_bits``, active iff ``lm_model=(counts, totals,
+    vocab)`` from ``char_trigram_lm`` is given), and zlib compression
+    ratio (``compression_ratio``, Arrow pass — set
+    ``include_compression=False`` for a pure-JVM/SQL-derivable plan) —
+    composed into ONE calibrated keep/drop verdict with per-rule
+    attribution.
+
+    Appends: the component stats, one ``<rule>_ok`` boolean per active
+    rule (``gopher_ok``, ``repetition_ok``, ``lm_ok``,
+    ``compression_ok``), ``fail_reasons`` (array of failed rule names,
+    empty = clean), and ``keep`` = conjunction of active rules.
+    Degenerate posture: a doc too short to score a rule FAILS that rule
+    (no trigrams -> lm fail; empty text -> compression fail) — junk
+    must not pass by being unmeasurable; ``fail_reasons`` says why.
+
+    Scale shape: gopher/repetition are per-row expressions riding the
+    scan; LM scoring is one explode + broadcast model join (charset-
+    bounded model); compression is the one Arrow stage. Attribution
+    DASHBOARDS are a plain aggregate over the rule booleans downstream.
+    """
+    from thewhisperdb_spark.operators.text import (
+        gopher_quality_flags,
+        lm_doc_bits,
+        repetition_ratio,
+    )
+
+    out = gopher_quality_flags(
+        df, text_col=text_col, min_words=min_words, max_words=max_words,
+        min_mean_len=min_mean_len, max_mean_len=max_mean_len,
+        min_alpha_ratio=min_alpha_ratio, min_stopwords=min_stopwords) \
+        .withColumnRenamed("keep", "gopher_ok")
+    rep = repetition_ratio(F.col(text_col), n=rep_n)
+    out = out.withColumn("repetition_3", F.round(F.coalesce(
+        rep, F.lit(0.0)), 6))
+    out = out.withColumn(
+        "repetition_ok", F.col("repetition_3") <= max_repetition)
+    rules = ["gopher", "repetition"]
+    if lm_model is not None:
+        counts, totals, vocab = lm_model
+        bits = lm_doc_bits(
+            df.select(id_col, text_col), counts, totals, vocab,
+            text_col=text_col, id_col=id_col) \
+            .select(id_col,
+                    F.round(F.col("total_bits")
+                            / F.col("n_trigrams"), 6)
+                    .alias("bits_per_trigram"))
+        out = (out.join(bits, id_col, "left")
+               .withColumn("lm_ok",
+                           F.coalesce(F.col("bits_per_trigram")
+                                      <= max_bits_per_trigram,
+                                      F.lit(False))))
+        rules.append("lm")
+    if include_compression:
+        out = compression_ratio(out, text_col=text_col)
+        out = out.withColumn(
+            "compression_ok",
+            F.coalesce(F.col("deflate_ratio").between(
+                min_deflate_ratio, max_deflate_ratio), F.lit(False)))
+        rules.append("compression")
+    fails = F.filter(
+        F.array(*[F.struct(F.lit(r).alias("r"),
+                           F.col(f"{r}_ok").alias("ok"))
+                  for r in rules]),
+        lambda s: ~s["ok"])
+    out = out.withColumn("fail_reasons",
+                         F.transform(fails, lambda s: s["r"]))
+    keep = F.lit(True)
+    for r in rules:
+        keep = keep & F.col(f"{r}_ok")
+    return out.withColumn("keep", keep)
+
+
+def quality_attribution_report(verdicts: DataFrame) -> DataFrame:
+    """One row per rule over a ``quality_keep_verdict`` output:
+    ``(rule, n_failed, n_sole_blocker, fail_rate, n_docs, n_kept)`` —
+    ``n_sole_blocker`` counts docs ONLY that rule rejected (the
+    calibration signal: a rule with many sole-blocks is doing real
+    work; one with none is redundant at its threshold); ``n_docs`` /
+    ``n_kept`` repeat the corpus totals on every row. One aggregate
+    pass over the exploded fail_reasons + one 1-row broadcast join —
+    no driver-side collect."""
+    tot = verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long")
+        .alias("n_kept"))
+    per_rule = (verdicts
+                .select(F.explode("fail_reasons").alias("rule"),
+                        (F.size("fail_reasons") == 1).alias("sole"))
+                .groupBy("rule")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_failed"),
+                     F.sum(F.when(F.col("sole"), 1).otherwise(0))
+                     .cast("long").alias("n_sole_blocker")))
+    return (per_rule.join(F.broadcast(tot))
+            .withColumn("fail_rate",
+                        F.round(F.col("n_failed")
+                                / F.greatest(F.col("n_docs"), F.lit(1))
+                                .cast("double"), 6))
+            .select("rule", "n_failed", "n_sole_blocker", "fail_rate",
+                    "n_docs", "n_kept"))

@@ -663,7 +663,8 @@ def crawl_curation_batch(archives: DataFrame, batch_id: int,
                          blocklist: DataFrame | None = None,
                          robots_rules: DataFrame | None = None,
                          psl: DataFrame | None = None,
-                         min_chars: int = 1) -> None:
+                         min_chars: int = 1,
+                         quality: dict | None = None) -> None:
     """One micro-batch of the crawl-curation loop — the streaming twin
     of the ``crawl_curation_pipeline`` key, composing the r10 pieces:
     (path, content) WARC archives -> record explosion -> charset decode
@@ -699,6 +700,16 @@ def crawl_curation_batch(archives: DataFrame, batch_id: int,
         kept = drop_blocklisted(kept, blocklist, url_col="url")
     if robots_rules is not None:
         kept = drop_robots_disallowed(kept, robots_rules, url_col="url")
+    if quality is not None:
+        # the quality-ensemble stage (VERDICT r10 #8): kwargs forwarded
+        # to dq.quality_keep_verdict (thresholds, lm_model,
+        # include_compression); survivors keep their rule booleans and
+        # fail_reasons so the store stays audit-ready, dropped docs
+        # leave the loop here
+        from thewhisperdb_spark.operators.dq import quality_keep_verdict
+
+        kept = (quality_keep_verdict(kept, id_col="url", **quality)
+                .filter(F.col("keep")).drop("keep"))
     (kept.withColumn("ingest_batch", F.lit(int(batch_id)))
      .write.mode("overwrite").partitionBy("ingest_batch")
      .option("partitionOverwriteMode", "dynamic").parquet(survivors_dir))
@@ -709,7 +720,8 @@ def stream_crawl_curation(stream: DataFrame, survivors_dir: str,
                           blocklist: DataFrame | str | None = None,
                           robots_rules: DataFrame | str | None = None,
                           psl: DataFrame | str | None = None,
-                          min_chars: int = 1):
+                          min_chars: int = 1,
+                          quality: dict | None = None):
     """The crawl-curation loop as one streaming job: WARC archives
     stream in, curated text rows land batch-partitioned in
     ``survivors_dir``. Chain ``stream_media_dedup_ingest`` /
@@ -741,7 +753,7 @@ def stream_crawl_curation(stream: DataFrame, survivors_dir: str,
                              blocklist=resolve(blocklist, spark),
                              robots_rules=resolve(robots_rules, spark),
                              psl=resolve(psl, spark),
-                             min_chars=min_chars)
+                             min_chars=min_chars, quality=quality)
 
     return (stream.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
