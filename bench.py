@@ -146,6 +146,9 @@ HEADLINE = [
     "compression_quality_flags",
     "tokenizer_fertility_by_lang",
     "url_canonicalize",
+    # round-11 headliners (IDN-aware PSL grouping; quality ensemble)
+    "idn_psl_registrable",
+    "quality_ensemble_keep",
 ]
 
 # Index-maintenance keys (VERDICT r8 #7): NOT in the headline total —
@@ -171,12 +174,45 @@ MAINTENANCE = [
 ]
 
 
+# Session-shift calibration (VERDICT r10 #1): cross-session drift on this
+# box reaches ~1.4-1.5x uniformly, the same order as the 2x regression
+# gate. The calibration key is measured FIRST in every session (before any
+# other query warms caches/JIT beyond its own warm-up) under the exact
+# headline protocol; its ratio to the committed row divides the shift out
+# mechanically when comparing any other key to its BASELINE.md row.
+CALIBRATION_KEY = "tpch_q1_pricing_summary"
+# committed first-in-session median from the r11 consolidated baseline
+# re-record (BASELINE.md "r11 consolidated baseline"); update ONLY when
+# re-recording the whole table.
+CALIBRATION_ROW_SEC = None  # set by the r11 re-record below
+
+
+def _measure(fn, spark, sf_dir, runs=5):
+    fn(spark, sf_dir).count()       # warm-up (JIT, code cache, listing)
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        times.append(time.time() - t0)
+    return round(statistics.median(times), 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    cal_sec = _measure(qs[CALIBRATION_KEY], spark, sf_dir)
+    calibration = {
+        "key": CALIBRATION_KEY,
+        "sec": cal_sec,
+        "row_sec": CALIBRATION_ROW_SEC,
+        "ratio_to_row": (round(cal_sec / CALIBRATION_ROW_SEC, 3)
+                         if CALIBRATION_ROW_SEC else None),
+    }
+    print(f"# calibration {CALIBRATION_KEY}: {cal_sec}s "
+          f"(ratio {calibration['ratio_to_row']})", file=sys.stderr)
     timings: dict[str, float] = {}
     for key in HEADLINE:
         fn = qs[key]
@@ -237,6 +273,7 @@ def main():
         "queries": timings,
         "maintenance": maintenance,
         "maintenance_split": maintenance_split,
+        "calibration": calibration,
         "sf": float(sf),
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -249,6 +286,7 @@ def main():
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(timings),
+        "cal": calibration["ratio_to_row"],
         "queries": slowest,
     }))
 

@@ -24,10 +24,13 @@ Scale shape: rules are a ~10k-row broadcast; each DISTINCT host
 explodes into its label suffixes (~5 rows) for one broadcast equi-join,
 then the per-host verdict joins back on the host key — the fact table
 is scanned once, nothing quadratic, no LIKE scans (same pattern as
-``urls.drop_blocklisted``). IDN note: matching is exact on the host
-string as stored; punycode hosts match punycode rules (the upstream
-list carries unicode rule spellings, which simply never match ASCII
-hosts — normalize upstream if the corpus mixes forms).
+``urls.drop_blocklisted``). IDN note (closed r11, VERDICT r10 #2):
+matching runs in PUNYCODE space — rules are IDNA-encoded at parse time
+(the upstream list carries unicode rule spellings) and
+``with_registrable_domain(idna=True)`` (the default) normalizes
+distinct hosts through ``idn.idna_ascii`` before the suffix join, so
+unicode and punycode spellings of one host collapse to one (ASCII)
+registrable domain. ``idna=False`` restores exact-string matching.
 
 The reference has no URL handling; north-star extension surface.
 """

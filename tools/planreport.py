@@ -52,6 +52,11 @@ arguments (no config-file indirection), and what to move at 100 TB:
 | Charset decode (`operators/encoding.py:decode_payload_text`) | content-type column opt-in | cascade (BOM>header>meta>utf-8, latin-1 rescue) | Arrow-batched Python by necessity (arbitrary charsets have no JVM expression); keep it fused with the WARC explode stage so payload bytes cross into Python once, not twice |
 | Crawl curation composite (`crawl_curation_pipeline`) | blocklist table, cap (`per_stratum_cap`), extraction thresholds | blocklist 2 entries, cap 6 | each stage is row-linear; stage counts come off 3 localCheckpoints so the parse/extract work runs once, not once per count; 10x probe exponent 0.06 (SCALE_PROBE_r10) |
 | Video frame dedup (`operators/imagededup.py:video_frame_dhash`) | `max_frames`, then the shared hamming-banding knobs | 16 | MJPEG decode is per-frame independent (Arrow batch); frames feed the SAME banded hash index as images — one dedup infrastructure across modalities |
+| Video CLIP dedup (`imagededup.py:video_clip_near_dup_pairs`) | `k` (window frames), `bands` (k*ceil(64/bands) <= 63), `max_hamming` (window budget), `min_containment`, `max_bucket_df`, `block_cols` | k=3, 4 bands, d=8, 0.35, df=50 | tolerance budget thins sub-slices (48-bit window / 9 sub-bands ~ 5 bits), so at corpus scale `block_cols` (duration bucket — a re-encode preserves it) is the selectivity lever; DISTINCT-before-join kills static-clip quadratics; bucket cap bounds test-card hot keys |
+| IDN normalization (`operators/idn.py`) | — (pure function; `with_ascii_host` wrapper) | IDNA 2003 + punycode fallback | Python codec sees only DISTINCT NON-ASCII hosts (JVM rlike gate); one broadcast join back — cost is per-distinct-unicode-host, ~0 on ASCII corpora |
+| PSL grouping (`operators/psl.py`) | `include_private`, `idna` | full upstream list, idna on | rules broadcast (~10k rows); per-DISTINCT-host suffix explode; idna adds one distinct + one broadcast map join, nothing per-row |
+| Quality ensemble (`operators/dq.py:quality_keep_verdict`) | per-rule thresholds; `lm_model` (rule active iff given); `include_compression` | gopher defaults, rep<=0.2, bits<=9, deflate in [0.1,1.1] | gopher/repetition ride the scan; LM = explode + broadcast model join (charset-bounded model); compression is the one Arrow stage — drop it (include_compression=False) if the corpus already carries deflate sizes; calibrate thresholds off `quality_attribution_report` sole-blocker counts |
+| Policy snapshots (`operators/policystore.py` + `stream_crawl_curation`) | snapshot path vs static frame per policy | static | per-batch reload = one listing + one small parquet read; publish cadence bounds staleness; _SUCCESS promotion means readers never see torn snapshots |
 """
 
 

@@ -143,6 +143,7 @@ PROBE_INPUTS = {
     "dhash_pairs_kernel": "documents",
     "psl_match_kernel": "documents",
     "crawl_curation_kernel": "documents",
+    "video_clip_kernel": "documents",
 }
 
 
@@ -290,6 +291,45 @@ def probes(spark, d: str, copies: int) -> dict:
             id_col="url")
 
     out["crawl_curation_kernel"] = crawl_curation
+
+    def video_clip():
+        # clip-level video dedup (r11): the probe measures the CLIP
+        # JOIN kernel (fingerprint pack -> sub-band candidates ->
+        # hamming verify -> containment), not the codec — frame hashing
+        # is embarrassingly parallel and measured by dhash_pairs.
+        # Frame-hash sequences are minted JVM-side: 6 xxhash64 frames
+        # per doc (near-random cross-doc, the adversarial point for the
+        # 5-bit sub-slices), plus a 3-bit-drifted "re-encode" copy for
+        # every 4th doc — so the candidate term carries both the
+        # quadratic-with-tiny-constant random collisions and the real
+        # matches.
+        from thewhisperdb_spark.operators.imagededup import (
+            video_clip_near_dup_pairs)
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        frames = docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("frame_idx"))
+        h = F.xxhash64("doc_id", "frame_idx")
+        base = frames.select(
+            F.format_string("o%012d", "doc_id").alias("path"),
+            "frame_idx", h.alias("dhash"))
+
+        def flip(seed):
+            # DataFrame shiftleft() wants a literal bit count; the SQL
+            # form takes a column
+            return F.expr(
+                f"shiftleft(1L, cast(pmod(xxhash64({seed}L, doc_id, "
+                "frame_idx), 63) as int))")
+
+        drift = flip(1).bitwiseOR(flip(2)).bitwiseOR(flip(3))
+        cop = (frames.filter(F.col("doc_id") % 4 == 0)
+               .select(F.format_string("c%012d", "doc_id").alias("path"),
+                       "frame_idx",
+                       h.bitwiseXOR(drift).alias("dhash")))
+        allf = base.unionByName(cop).withColumn("status", F.lit("ok"))
+        return video_clip_near_dup_pairs(allf)
+
+    out["video_clip_kernel"] = video_clip
     return out
 
 
