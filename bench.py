@@ -182,9 +182,10 @@ MAINTENANCE = [
 # mechanically when comparing any other key to its BASELINE.md row.
 CALIBRATION_KEY = "tpch_q1_pricing_summary"
 # committed first-in-session median from the r11 consolidated baseline
-# re-record (BASELINE.md "r11 consolidated baseline"); update ONLY when
-# re-recording the whole table.
-CALIBRATION_ROW_SEC = None  # set by the r11 re-record below
+# re-record (BASELINE.md "r11 consolidated baseline": medians 0.495 /
+# 0.563 / 0.726 over the three runs); update ONLY when re-recording the
+# whole table.
+CALIBRATION_ROW_SEC = 0.563
 
 
 def _measure(fn, spark, sf_dir, runs=5):
