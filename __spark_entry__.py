@@ -1508,6 +1508,131 @@ def _video_clip_dedup_phases(spark, sf_dir):
     return build, op
 
 
+@q("audio_clip_dedup_contract",
+   # contract oracle for RECORDING-level (temporal) audio dedup
+   # (operators/audiodedup.py:audio_segment_fingerprints +
+   # audio_clip_near_dup_pairs — the audio twin of
+   # video_clip_dedup_contract): 120 distinct 6-second WAVs are
+   # synthesized from per-document 3-note chords (chord sequences are
+   # hash-unique per doc, so cross-doc windows share nothing); every
+   # doc_id % 4 == 0 recording also ships a TRIMMED (first 1.5 s cut)
+   # gain-scaled copy. Copies must pair with their source at clip
+   # level, distinct recordings must not pair, survivors = originals.
+   "SELECT CAST(count(*) + sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 "
+   "END) AS BIGINT) AS n_recordings, "
+   "CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS n_copies, "
+   "TRUE AS copies_all_paired, TRUE AS pairs_clean, "
+   "CAST(count(*) AS BIGINT) AS n_survivors "
+   "FROM documents WHERE doc_id < 120")
+def audio_clip_dedup_contract(spark, sf_dir):
+    build, op = _audio_clip_dedup_phases(spark, sf_dir)
+    build()
+    return op()
+
+
+def _audio_clip_dedup_phases(spark, sf_dir):
+    # build = synthesize WAVs (originals + trimmed gain-scaled copies)
+    # and materialize segment fingerprints; op = clip pair join + CC
+    # survivors + verdicts. Mirrors _video_clip_dedup_phases.
+    import pandas as pd
+
+    from thewhisperdb_spark.operators.audiodedup import (
+        audio_clip_near_dup_pairs, audio_segment_fingerprints)
+    from thewhisperdb_spark.operators.dedup import near_dup_groups
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 120) \
+        .select("doc_id", "text")
+    rate = 8000
+
+    def synth(batches):
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        def wav(arr):
+            pcm = np.clip(arr * 32767.0, -32768, 32767) \
+                .astype("<i2").tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                      + b"data" + struct.pack("<I", len(pcm)) + pcm)
+            return (b"RIFF" + struct.pack("<I", 4 + len(chunks))
+                    + b"WAVE" + chunks)
+
+        for pdf in batches:
+            paths, contents = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                blocks = []
+                for i in range(6):
+                    # broadband seeded-noise second blocks: every
+                    # spectral band carries doc-unique energy, so the
+                    # 9-band gradient fingerprint is discriminative
+                    # (pure chords left most bands near zero and the
+                    # sign patterns collided across docs)
+                    seed = int.from_bytes(hashlib.sha256(
+                        f"{text}#{i}".encode("utf-8")).digest()[:8],
+                        "big")
+                    rng = np.random.default_rng(seed)
+                    blocks.append(rng.standard_normal(rate) * 0.3)
+                sig = np.concatenate(blocks)
+                paths.append(f"orig{did:09d}")
+                contents.append(wav(sig))
+                if did % 4 == 0:
+                    paths.append(f"copy{did:09d}")
+                    contents.append(wav(0.4 * sig[int(1.5 * rate):]))
+            yield pd.DataFrame({
+                "path": paths, "content": contents,
+                "modality": ["audio"] * len(paths)})
+
+    syn_schema = "path string, content binary, modality string"
+    state = {}
+
+    def build():
+        media = docs.mapInPandas(synth, syn_schema)
+        state["segs"] = audio_segment_fingerprints(media) \
+            .localCheckpoint(eager=True)
+
+    def op():
+        segs = state["segs"]
+        pairs = audio_clip_near_dup_pairs(segs) \
+            .localCheckpoint(eager=True)
+        copies = docs.filter(F.col("doc_id") % 4 == 0).select(
+            F.format_string("copy%09d", "doc_id").alias("a"),
+            F.format_string("orig%09d", "doc_id").alias("b"))
+        missing = copies.join(pairs, ["a", "b"], "left_anti")
+        stray = pairs.join(copies, ["a", "b"], "left_anti")
+        recs = (segs.select("path").distinct()
+                .withColumn("_sid", F.xxhash64("path")))
+        p_sid = (pairs
+                 .join(recs.select(F.col("path").alias("a"),
+                                   F.col("_sid").alias("_sa")), "a")
+                 .join(recs.select(F.col("path").alias("b"),
+                                   F.col("_sid").alias("_sb")), "b")
+                 .select(F.col("_sa").alias("a"),
+                         F.col("_sb").alias("b")))
+        verdict = near_dup_groups(recs, p_sid, id_col="_sid")
+        n_keep = verdict.filter(F.col("keep")) \
+            .agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
+        stats = docs.groupBy().agg(
+            (F.count(F.lit(1))
+             + F.sum(F.when(F.col("doc_id") % 4 == 0, 1).otherwise(0)))
+            .cast("long").alias("n_recordings"),
+            F.sum(F.when(F.col("doc_id") % 4 == 0, 1).otherwise(0))
+            .cast("long").alias("n_copies"))
+        ok_paired = missing.groupBy().agg(
+            (F.count(F.lit(1)) == 0).alias("copies_all_paired"))
+        ok_clean = stray.groupBy().agg(
+            (F.count(F.lit(1)) == 0).alias("pairs_clean"))
+        return (stats.join(F.broadcast(ok_paired))
+                .join(F.broadcast(ok_clean))
+                .join(F.broadcast(n_keep))
+                .select("n_recordings", "n_copies", "copies_all_paired",
+                        "pairs_clean", "n_survivors"))
+
+    return build, op
+
+
 @q("crawl_curation_pipeline",
    # the r9 media/web pieces COMPOSED (VERDICT r9 #8): synthesized WARC
    # archives (gzip-member framing) -> record explosion -> HTML text
@@ -8407,6 +8532,7 @@ def maintenance_split() -> dict[str, Callable]:
         "dhash_index_incremental_dedup": _dhash_index_incremental_phases,
         "video_frame_dedup_contract": _video_frame_dedup_phases,
         "video_clip_dedup_contract": _video_clip_dedup_phases,
+        "audio_clip_dedup_contract": _audio_clip_dedup_phases,
         "crawl_curation_stream_twin": _crawl_stream_phases,
     }
 

@@ -167,8 +167,10 @@ MAINTENANCE = [
     "dhash_index_incremental_dedup",
     # r10: MJPEG-in-AVI frame dedup through the persisted hash index
     "video_frame_dedup_contract",
-    # r11: clip-level (temporal) video dedup — packed-window hamming
+    # r11: clip-level (temporal) video/audio dedup — packed-window
+    # hamming over frame/segment fingerprint sequences
     "video_clip_dedup_contract",
+    "audio_clip_dedup_contract",
     # r10: the streaming crawl-curation loop (two ingests + replay)
     "crawl_curation_stream_twin",
 ]

@@ -84,3 +84,40 @@ def test_audio_fingerprint_pipeline_quarantine(spark, tmp_path):
                  audio_fingerprint(media), max_hamming=4).collect()}
     assert ("a.wav", "a_quiet.wav") in pairs
     assert not any("chirp.wav" in p for p in pairs)
+
+
+def test_audio_clip_dedup_trimmed_and_reencoded(spark):
+    """Segment sequences + the packed-window kernel pair a TRIMMED,
+    gain-scaled re-encode with its source recording; an unrelated
+    signal doesn't; too-short audio quarantines visibly."""
+    import pyspark.sql.functions as F
+
+    from thewhisperdb_spark.operators.audiodedup import (
+        audio_clip_near_dup_pairs,
+        audio_segment_fingerprints,
+    )
+
+    rate = 8000
+    # 6 s recording: 1 s tone blocks at distinct frequencies
+    freqs = [300, 523, 880, 1247, 660, 415]
+    src = sum((_tone(f, n=rate, rate=rate) for f in freqs), [])
+    # copy: drop the first 1.5 s, scale gain (re-encode analog)
+    copy = [0.4 * s for s in src[int(1.5 * rate):]]
+    other = _tone(1000, n=6 * rate, rate=rate)
+    media = spark.createDataFrame(
+        [("orig", make_wav(src, rate), "audio"),
+         ("trimcopy", make_wav(copy, rate), "audio"),
+         ("other", make_wav(other, rate), "audio"),
+         ("short", make_wav(_tone(440, n=100, rate=rate), rate),
+          "audio"),
+         ("corrupt", b"RIFFnope", "audio")],
+        "path string, content binary, modality string")
+    segs = audio_segment_fingerprints(media)
+    st = {r["path"]: r["status"]
+          for r in segs.filter(F.col("afp").isNull()).collect()}
+    assert set(st) == {"short", "corrupt"}
+    assert "too short" in st["short"]
+    pairs = {(r["a"], r["b"]): r["containment"]
+             for r in audio_clip_near_dup_pairs(segs).collect()}
+    assert ("orig", "trimcopy") in pairs
+    assert all("other" not in p for pair in pairs for p in pair)
