@@ -40,11 +40,12 @@ HASH_INDEX_FORMAT_VERSION = 1
 
 
 def _meta_writer(spark: SparkSession, path: str, max_hamming: int,
-                 bands: int, id_type: str):
+                 bands: int, id_type: str, width: int = 64):
     def write(version: int) -> None:
         (spark.createDataFrame(
-            [(version, max_hamming, bands, id_type)],
-            "format_version int, max_hamming int, bands int, id_type string")
+            [(version, max_hamming, bands, id_type, width)],
+            "format_version int, max_hamming int, bands int, "
+            "id_type string, width int")
          .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
     return write
 
@@ -54,6 +55,9 @@ def _hash_index_meta(spark: SparkSession, path: str) -> dict:
     if not rows:
         raise ValueError(f"hash index at {path} has an empty meta")
     m = rows[0].asDict()
+    m.setdefault("width", 64)        # pre-r11 indexes banded all 64 bits
+    if m["width"] is None:
+        m["width"] = 64
     if m["format_version"] != HASH_INDEX_FORMAT_VERSION:
         raise ValueError(
             f"hash index at {path} has format_version "
@@ -66,7 +70,7 @@ def _hash_index_meta(spark: SparkSession, path: str) -> dict:
 
 def dhash_index_build(hashes: DataFrame, path: str, max_hamming: int = 4,
                       bands: int | None = None, id_col: str = "path",
-                      hash_col: str = "dhash") -> None:
+                      hash_col: str = "dhash", width: int = 64) -> None:
     """Materialize the hash index: ``<path>/hashes`` (id, h),
     ``<path>/bands`` (slice, id) hive-partitioned by band, ``<path>/meta``
     (banding parameters + id type + the completion sentinel, invalidated
@@ -81,15 +85,22 @@ def dhash_index_build(hashes: DataFrame, path: str, max_hamming: int = 4,
         # band slices into the persisted meta — every row collides in those
         # bands, a quadratic candidate blowup on every future probe (ADVICE r9)
         raise ValueError("bands must be in [1, 64] for a 64-bit hash")
+    if not 1 <= width <= 64:
+        raise ValueError("width must be in [1, 64]")
+    if bands > width:
+        # zero-width band slices frozen into meta = every row collides
+        # in those bands on every future probe
+        raise ValueError(f"bands={bands} exceeds hash width={width}")
     spark = hashes.sparkSession
     h = (hashes.filter(F.col(hash_col).isNotNull())
          .select(F.col(id_col).alias("id"), F.col(hash_col).alias("h")))
     write_meta = _meta_writer(spark, path, max_hamming, bands,
-                              h.schema["id"].dataType.simpleString())
+                              h.schema["id"].dataType.simpleString(),
+                              width)
     write_meta(-1)
     h.write.mode("overwrite").parquet(f"{path}/hashes")
-    (band_hashes(h, bands).write.mode("overwrite").partitionBy("band")
-     .parquet(f"{path}/bands"))
+    (band_hashes(h, bands, width=width).write.mode("overwrite")
+     .partitionBy("band").parquet(f"{path}/bands"))
     write_meta(HASH_INDEX_FORMAT_VERSION)
 
 
@@ -111,7 +122,8 @@ def dhash_index_append(spark: SparkSession, path: str, new_hashes: DataFrame,
             f"hash index at {path} stores {m['id_type']} ids; appending a "
             f"batch with {in_type} ids would corrupt the index")
     write_meta = _meta_writer(spark, path, int(m["max_hamming"]),
-                              int(m["bands"]), str(m["id_type"]))
+                              int(m["bands"]), str(m["id_type"]),
+                              int(m["width"]))
     meta_dir = f"{path}/meta"
     token = claim_sentinel(spark, meta_dir)
     try:
@@ -122,7 +134,8 @@ def dhash_index_append(spark: SparkSession, path: str, new_hashes: DataFrame,
         if fresh.isEmpty():
             release_claim(spark, meta_dir, token)
             return
-        banded = band_hashes(fresh, int(m["bands"])).localCheckpoint(
+        banded = band_hashes(fresh, int(m["bands"]),
+                             width=int(m["width"])).localCheckpoint(
             eager=True)
     except Exception:
         release_claim(spark, meta_dir, token)    # nothing written
@@ -156,7 +169,8 @@ def dhash_index_probe(spark: SparkSession, path: str, batch: DataFrame,
             "max_hamming < bands); rebuild with more bands")
     b = (batch.filter(F.col(hash_col).isNotNull())
          .select(F.col(id_col).alias("id"), F.col(hash_col).alias("h")))
-    banded_b = band_hashes(b, int(m["bands"]), keep_cols=["h"])
+    banded_b = band_hashes(b, int(m["bands"]), keep_cols=["h"],
+                           width=int(m["width"]))
     idx_bands = spark.read.schema(
         f"slice long, id {m['id_type']}, band int"
     ).parquet(f"{path}/bands")

@@ -758,3 +758,91 @@ def stream_crawl_curation(stream: DataFrame, survivors_dir: str,
     return (stream.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+# ---------------------------------------------------------------------------
+# streaming clip-level media dedup (r11): the daily loop for video/audio
+# ---------------------------------------------------------------------------
+
+def clip_dedup_ingest_batch(frames: DataFrame, batch_id: int,
+                            index_path: str, survivors_dir: str,
+                            min_containment: float = 0.35,
+                            id_col: str = "path",
+                            hash_col: str = "dhash",
+                            idx_col: str = "frame_idx") -> None:
+    """One micro-batch of the CLIP-level media dedup loop — the
+    video/audio twin of ``dedup_ingest_batch``: frame/segment hash rows
+    (``video_frame_dhash`` / ``audio_segment_fingerprints`` output)
+    arrive, clips that near-dup the ever-growing persisted clip index
+    (``operators/clipindex.py``) at >= ``min_containment`` are dropped,
+    the batch is internally clip-deduped (min-id survivor per CC
+    group), survivors' frame rows are published batch-partitioned
+    (idempotent dynamic overwrite) and appended to the index. Only the
+    day's delta is ever fingerprinted; replay is idempotent end to end
+    (probe self-exclusion by id, partition-scoped sink rewrite,
+    anti-joined append under the claim sentinel). Quarantined frames
+    (null hash) ride into the survivors store untouched — an
+    undecodable clip was never shown to be a duplicate."""
+    from thewhisperdb_spark.operators.clipindex import (
+        clip_index_append, clip_index_probe)
+    from thewhisperdb_spark.operators.dedup import near_dup_groups
+    from thewhisperdb_spark.operators.imagededup import (
+        video_clip_near_dup_pairs)
+
+    if frames.isEmpty():
+        return
+    spark = frames.sparkSession
+    frames = frames.localCheckpoint(eager=True)
+    hits = (clip_index_probe(spark, index_path, frames,
+                             min_containment=min_containment,
+                             id_col=id_col, hash_col=hash_col,
+                             idx_col=idx_col)
+            # a replayed batch's clips are already indexed under their
+            # OWN ids — self-matches must not re-drop them
+            .filter(F.col("index_clip") != F.col("batch_clip"))
+            .select(F.col("batch_clip").alias(id_col)).distinct())
+    fresh = frames.join(hits, id_col, "left_anti") \
+        .localCheckpoint(eager=True)
+    if fresh.isEmpty():
+        return
+    pairs = video_clip_near_dup_pairs(
+        fresh, min_containment=min_containment, id_col=id_col,
+        hash_col=hash_col, idx_col=idx_col)
+    ids = (fresh.select(F.col(id_col).alias("cid")).distinct()
+           .withColumn("_sid", F.xxhash64("cid")))
+    p_sid = (pairs
+             .join(ids.select(F.col("cid").alias("a"),
+                              F.col("_sid").alias("_sa")), "a")
+             .join(ids.select(F.col("cid").alias("b"),
+                              F.col("_sid").alias("_sb")), "b")
+             .select(F.col("_sa").alias("a"), F.col("_sb").alias("b")))
+    verdict = near_dup_groups(ids, p_sid, id_col="_sid")
+    keep = (verdict.filter(F.col("keep"))
+            .join(ids, "_sid").select(F.col("cid").alias(id_col)))
+    survivors = fresh.join(keep, id_col).localCheckpoint(eager=True)
+    (survivors.withColumn("ingest_batch", F.lit(int(batch_id)))
+     .write.mode("overwrite").partitionBy("ingest_batch")
+     .option("partitionOverwriteMode", "dynamic").parquet(survivors_dir))
+    clip_index_append(spark, index_path, survivors, id_col=id_col,
+                      hash_col=hash_col, idx_col=idx_col)
+
+
+def stream_clip_dedup_ingest(stream: DataFrame, index_path: str,
+                             survivors_dir: str, checkpoint_dir: str,
+                             min_containment: float = 0.35,
+                             id_col: str = "path",
+                             hash_col: str = "dhash",
+                             idx_col: str = "frame_idx"):
+    """The clip-level media dedup loop as one streaming job
+    (``clip_dedup_ingest_batch`` per micro-batch under a checkpoint).
+    Returns the started StreamingQuery (availableNow drains + stops)."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        clip_dedup_ingest_batch(batch_df, batch_id, index_path,
+                                survivors_dir,
+                                min_containment=min_containment,
+                                id_col=id_col, hash_col=hash_col,
+                                idx_col=idx_col)
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())

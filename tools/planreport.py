@@ -57,6 +57,7 @@ arguments (no config-file indirection), and what to move at 100 TB:
 | PSL grouping (`operators/psl.py`) | `include_private`, `idna` | full upstream list, idna on | rules broadcast (~10k rows); per-DISTINCT-host suffix explode; idna adds one distinct + one broadcast map join, nothing per-row |
 | Quality ensemble (`operators/dq.py:quality_keep_verdict`) | per-rule thresholds; `lm_model` (rule active iff given); `include_compression` | gopher defaults, rep<=0.2, bits<=9, deflate in [0.1,1.1] | gopher/repetition ride the scan; LM = explode + broadcast model join (charset-bounded model); compression is the one Arrow stage — drop it (include_compression=False) if the corpus already carries deflate sizes; calibrate thresholds off `quality_attribution_report` sole-blocker counts |
 | Policy snapshots (`operators/policystore.py` + `stream_crawl_curation`) | snapshot path vs static frame per policy | static | per-batch reload = one listing + one small parquet read; publish cadence bounds staleness; _SUCCESS promotion means readers never see torn snapshots |
+| Persisted clip index (`operators/clipindex.py` + `stream_clip_dedup_ingest`) | window (k, bands) frozen in clipmeta; probe `min_containment`; hash-index `max_hamming`/sub-band count frozen at build | k=3, 4 vbands, d=8, 0.35 | probes fingerprint only the batch vs the at-rest band layout; index totals = one pruned id scan; same bucket-selectivity calculus as the in-memory kernel — block upstream (duration bucket in the id universe) when the corpus outgrows the sub-slices |
 """
 
 
