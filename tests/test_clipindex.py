@@ -55,8 +55,11 @@ def test_clip_index_lifecycle(spark, tmp_path):
     assert ("v1", "driftcopy") in got
     assert not any(b == "fresh" for _, b in got)
 
-    # append the batch, replay it (no-op), re-probe: batch clips now
-    # self-match at containment 1.0
+    # append the batch, replay it (no-op), re-probe: self-pairs (a
+    # replayed clip matching its own indexed windows at containment
+    # 1.0) are excluded INSIDE the probe (ADVICE r11) — a direct caller
+    # must not re-drop a replayed clip as its own duplicate; the
+    # genuine cross pair still surfaces
     clip_index_append(spark, path, _frames(spark, batch))
     n_rows = spark.read.parquet(f"{path}/hashes").count()
     clip_index_append(spark, path, _frames(spark, batch))  # replay
@@ -64,8 +67,29 @@ def test_clip_index_lifecycle(spark, tmp_path):
     re = {(r["index_clip"], r["batch_clip"]): r["containment"]
           for r in clip_index_probe(
               spark, path, _frames(spark, batch)).collect()}
-    assert re[("fresh", "fresh")] == 1.0
-    assert re[("exactcopy", "exactcopy")] == 1.0
+    assert not any(a == b for a, b in re)
+    assert re[("v0", "exactcopy")] == 1.0
+
+
+def test_clip_index_probe_bucket_cap(spark, tmp_path):
+    """ADVICE r11: common windows already AT REST (all-black intros,
+    test cards shared by many clips) must not fan out unboundedly on
+    every probe — the probe applies the in-memory kernel's bucket-df
+    cap, counted in distinct CLIPS over index + batch band rows; a
+    generous cap restores the pairs (the cap is the only difference)."""
+    rng = random.Random(11)
+    intro = _mk(rng, "template")            # one shared frame sequence
+    rows = [(f"c{v}", i, h) for v in range(6) for _, i, h in intro]
+    path = str(tmp_path / "capidx")
+    clip_index_build(_frames(spark, rows), path)
+    batch = _frames(spark, [("probe", i, h) for _, i, h in intro])
+    capped = clip_index_probe(spark, path, batch, max_bucket_df=3)
+    assert capped.count() == 0              # 7 clips/bucket > cap
+    open_ = clip_index_probe(spark, path, batch, max_bucket_df=50)
+    got = {(r["index_clip"], r["batch_clip"]): r["containment"]
+           for r in open_.collect()}
+    assert len(got) == 6
+    assert all(c == 1.0 for c in got.values())
 
 
 def test_clip_index_separator_refused(spark, tmp_path):

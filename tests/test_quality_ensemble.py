@@ -71,6 +71,51 @@ def test_lm_rule_requires_model_and_scores(spark):
     assert all(r["keep"] for r in v2.collect())
 
 
+def test_lm_rule_duplicate_ids_score_independently(spark):
+    """ADVICE r11: the streaming path keys on url and one crawl batch
+    can carry the same URL twice with DIFFERENT bodies — each row must
+    get ITS OWN bits_per_trigram, not a merged mixture of both
+    documents' trigram counts; exact (id, text) duplicates get the
+    identical (ratio-invariant) score."""
+    from thewhisperdb_spark.operators.text import char_trigram_lm
+
+    train = spark.createDataFrame(
+        [(i, GOOD) for i in range(5)], "doc_id long, text string")
+    model = char_trigram_lm(train)
+    gibberish = "zzqx jkwv pfft glrm xxzz qqww eejj kkpp"
+    dup = spark.createDataFrame(
+        [("u", GOOD), ("u", gibberish), ("u", GOOD)],
+        "doc_id string, text string")
+    v = quality_keep_verdict(dup, lm_model=model, min_words=1,
+                             min_stopwords=0, max_repetition=1.0,
+                             include_compression=False,
+                             max_bits_per_trigram=3.0)
+    rows = v.select("text", "bits_per_trigram", "lm_ok").collect()
+    assert len(rows) == 3
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], []).append(r)
+    good_rows, gib_rows = by_text[GOOD], by_text[gibberish]
+    assert len(good_rows) == 2 and len(gib_rows) == 1
+    # same-text duplicates score identically; the distinct text under
+    # the same id scores on its own trigrams (strictly worse)
+    assert good_rows[0]["bits_per_trigram"] == \
+        good_rows[1]["bits_per_trigram"]
+    assert gib_rows[0]["bits_per_trigram"] > \
+        good_rows[0]["bits_per_trigram"]
+    assert all(r["lm_ok"] for r in good_rows)
+    assert not gib_rows[0]["lm_ok"]
+    # clean frame (unique ids) matches the pre-fix semantics exactly
+    solo = spark.createDataFrame(
+        [(1, GOOD), (2, gibberish)], "doc_id long, text string")
+    vs = {r["doc_id"]: r for r in quality_keep_verdict(
+        solo, lm_model=model, min_words=1, min_stopwords=0,
+        max_repetition=1.0, include_compression=False,
+        max_bits_per_trigram=3.0).collect()}
+    assert vs[1]["bits_per_trigram"] == good_rows[0]["bits_per_trigram"]
+    assert vs[2]["bits_per_trigram"] == gib_rows[0]["bits_per_trigram"]
+
+
 def test_crawl_loop_quality_stage(spark, tmp_path):
     """The ensemble as an opt-in crawl_curation_batch stage: a junk
     page is dropped with attribution, a clean page survives with its

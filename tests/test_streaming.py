@@ -895,3 +895,9 @@ def test_policy_store_versions_and_torn_write(spark, tmp_path):
     os.remove(os.path.join(v3, "_SUCCESS"))
     assert latest_policy_version(spark, store) == 2
     assert load_policy_snapshot(spark, store).count() == 2
+    # publisher recovery (ADVICE r11): the torn v3 still OCCUPIES its
+    # number — the next publish must skip to v4, not wedge forever on
+    # errorifexists against the debris; readers promote it via _SUCCESS
+    assert publish_policy_snapshot(df1, store) == 4
+    assert latest_policy_version(spark, store) == 4
+    assert load_policy_snapshot(spark, store).count() == 1

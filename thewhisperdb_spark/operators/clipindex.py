@@ -121,6 +121,7 @@ def _split_wid(col, piece: int):
 
 def clip_index_probe(spark: SparkSession, path: str, frames: DataFrame,
                      min_containment: float = 0.35,
+                     max_bucket_df: int = 50,
                      id_col: str = "path", hash_col: str = "dhash",
                      idx_col: str = "frame_idx") -> DataFrame:
     """(index_clip, batch_clip, n_shared, containment) for every clip
@@ -129,13 +130,28 @@ def clip_index_probe(spark: SparkSession, path: str, frames: DataFrame,
     candidates come from the at-rest band layout; window matches
     aggregate to the same smaller-side containment score. Index-side
     window totals come from one column-pruned scan of the at-rest ids
-    (no re-banding, no re-hash)."""
+    (no re-banding, no re-hash).
+
+    Mirrors the in-memory kernel's scale posture exactly (ADVICE r11):
+    ``max_bucket_df`` caps candidate buckets by distinct CLIP count
+    (computed over index + batch band rows, the composite window id
+    split back to its clip) so common windows already at rest —
+    all-black intros, test cards — cannot fan out unboundedly on every
+    daily probe; totals (``ta``/``tb``) are computed PRE-cap from the
+    full id scans, so containment stays a true fraction. Self-pairs
+    (a replayed batch whose clips are already indexed match themselves
+    at containment 1.0) are excluded here, not left to callers."""
     k, bands = _clipmeta(spark, path)
     rows = _fingerprint_rows(frames, k, bands, id_col, hash_col,
                              idx_col).localCheckpoint(eager=True)
     hits = dhash_index_probe(spark, path, rows, id_col="wid",
-                             hash_col="wfp")
+                             hash_col="wfp",
+                             max_bucket_df=max_bucket_df,
+                             df_entity=lambda c:
+                             F.split(c, SEP).getItem(0))
     m = (hits
+         .filter(_split_wid(F.col("index_id"), 0)
+                 != _split_wid(F.col("batch_id"), 0))
          .select(_split_wid(F.col("index_id"), 0).alias("a"),
                  _split_wid(F.col("index_id"), 1).alias("vband_a"),
                  _split_wid(F.col("index_id"), 2).alias("fp_a"),

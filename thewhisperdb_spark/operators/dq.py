@@ -230,14 +230,31 @@ def quality_keep_verdict(df: DataFrame,
     rules = ["gopher", "repetition"]
     if lm_model is not None:
         counts, totals, vocab = lm_model
+        # LM scoring keys on a CONTENT hash of (id, text), not id alone:
+        # callers don't always have unique ids (the streaming path keys
+        # on url, and one crawl batch can carry the same URL twice), and
+        # grouping trigram stats by a duplicated id would merge BOTH
+        # documents' counts into one bits_per_trigram applied to every
+        # duplicate row (ADVICE r11). Same (id, text) rows merging is
+        # harmless — total_bits / n_trigrams is invariant under exact
+        # duplication — and distinct texts under one id now score
+        # independently. Null text folds to a sentinel so it cannot
+        # alias a real text's hash.
+        lmk = F.xxhash64(F.col(id_col).cast("string"),
+                         F.coalesce(F.col(text_col),
+                                    F.lit("\x00<null-text>")))
+        keyed = (df.select(lmk.alias("_lmk"),
+                           F.col(text_col))
+                 .dropDuplicates(["_lmk"]))
         bits = lm_doc_bits(
-            df.select(id_col, text_col), counts, totals, vocab,
-            text_col=text_col, id_col=id_col) \
-            .select(id_col,
+            keyed, counts, totals, vocab,
+            text_col=text_col, id_col="_lmk") \
+            .select("_lmk",
                     F.round(F.col("total_bits")
                             / F.col("n_trigrams"), 6)
                     .alias("bits_per_trigram"))
-        out = (out.join(bits, id_col, "left")
+        out = (out.withColumn("_lmk", lmk)
+               .join(bits, "_lmk", "left").drop("_lmk")
                .withColumn("lm_ok",
                            F.coalesce(F.col("bits_per_trigram")
                                       <= max_bits_per_trigram,

@@ -151,14 +151,28 @@ def dhash_index_append(spark: SparkSession, path: str, new_hashes: DataFrame,
 
 def dhash_index_probe(spark: SparkSession, path: str, batch: DataFrame,
                       max_hamming: int | None = None, id_col: str = "path",
-                      hash_col: str = "dhash") -> DataFrame:
+                      hash_col: str = "dhash",
+                      max_bucket_df: int | None = None,
+                      df_entity=None) -> DataFrame:
     """(index_id, batch_id, hamming) for every (index row, batch row)
     pair within ``max_hamming`` (default: the index's own). Only the
     BATCH is banded; the index side is the at-rest band layout, so the
     probe cost scales with the batch and the collision volume, not the
     corpus. Lossless for any probe ``max_hamming`` <= the index's
     (pigeonhole still holds band-count-wise); a larger one is refused —
-    it would silently miss pairs."""
+    it would silently miss pairs.
+
+    ``max_bucket_df`` (optional) mirrors the in-memory kernels' bucket
+    cap: (band, slice) buckets whose distinct-entity frequency — counted
+    over index AND batch band rows together — exceeds the cap are
+    dropped before the candidate join, so degenerate common values
+    (all-black frames, test cards) already at rest cannot fan out
+    unboundedly on every probe. ``df_entity`` maps an id Column to the
+    entity counted (default: the id itself); the clip index passes the
+    composite-id → clip-id split so the cap counts distinct CLIPS, the
+    same df basis as ``video_clip_near_dup_pairs``. Capping makes the
+    probe lossy for capped buckets only, exactly like the in-memory
+    kernel."""
     m = _hash_index_meta(spark, path)
     if max_hamming is None:
         max_hamming = int(m["max_hamming"])
@@ -176,6 +190,18 @@ def dhash_index_probe(spark: SparkSession, path: str, batch: DataFrame,
     ).parquet(f"{path}/bands")
     idx_h = spark.read.schema(f"id {m['id_type']}, h long").parquet(
         f"{path}/hashes")
+    if max_bucket_df is not None:
+        ent = df_entity if df_entity is not None else (lambda c: c)
+        both = (idx_bands.select("band", "slice",
+                                 ent(F.col("id")).alias("_e"))
+                .unionByName(banded_b.select(
+                    "band", "slice", ent(F.col("id")).alias("_e"))))
+        keep_buckets = (both.groupBy("band", "slice")
+                        .agg(F.count_distinct("_e").alias("_df"))
+                        .filter(F.col("_df") <= max_bucket_df)
+                        .select("band", "slice"))
+        idx_bands = idx_bands.join(keep_buckets, ["band", "slice"])
+        banded_b = banded_b.join(keep_buckets, ["band", "slice"])
     cand = (idx_bands.alias("x")
             .join(banded_b.alias("y"),
                   (F.col("x.band") == F.col("y.band"))

@@ -40,35 +40,53 @@ def _version_name(v: int) -> str:
     return f"v{v:09d}"
 
 
-def latest_policy_version(spark: SparkSession,
-                          snapshot_dir: str) -> int | None:
-    """Largest COMPLETE (``_SUCCESS``-stamped) version in the store;
-    None when the store is empty or absent."""
+def _scan_versions(spark: SparkSession,
+                   snapshot_dir: str) -> list[tuple[int, bool]]:
+    """All ``v<N>`` directories as ``(version, complete)`` pairs, where
+    complete means the ``_SUCCESS`` marker exists. Torn directories
+    (publisher crashed mid-write) appear with ``complete=False`` — they
+    must still OCCUPY their version number, or the next publish would
+    collide with the debris forever."""
     fs, p = _fs_path(spark, snapshot_dir)
     if not fs.exists(p):
-        return None
-    best = None
+        return []
+    jvm = spark._jvm
+    out = []
     for st in fs.listStatus(p):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith("v")
                 and name[1:].isdigit()):
             continue
-        jvm = spark._jvm
         ok = fs.exists(jvm.org.apache.hadoop.fs.Path(
             f"{snapshot_dir.rstrip('/')}/{name}/_SUCCESS"))
-        if ok:
-            v = int(name[1:])
-            best = v if best is None else max(best, v)
-    return best
+        out.append((int(name[1:]), bool(ok)))
+    return out
+
+
+def latest_policy_version(spark: SparkSession,
+                          snapshot_dir: str) -> int | None:
+    """Largest COMPLETE (``_SUCCESS``-stamped) version in the store;
+    None when the store is empty or absent."""
+    complete = [v for v, ok in _scan_versions(spark, snapshot_dir) if ok]
+    return max(complete) if complete else None
 
 
 def publish_policy_snapshot(df: DataFrame, snapshot_dir: str) -> int:
     """Write ``df`` as the next immutable version and return its
     number. The write lands in a fresh ``v<N+1>`` directory, so readers
     holding version N are never disturbed, and ``_SUCCESS`` (written
-    last by the committer) is what promotes the new version."""
+    last by the committer) is what promotes the new version.
+
+    The next version is computed over ALL ``v*`` directories, complete
+    or torn: a publisher crash leaves a ``v<N>`` directory without
+    ``_SUCCESS``, and if that debris were ignored the next publish would
+    recompute the same N and wedge on ``errorifexists`` forever while
+    the streaming loop silently ran on stale policy. Skipping past torn
+    versions makes every retry land on a fresh number; readers never see
+    the gap because promotion is ``_SUCCESS``-gated."""
     spark = df.sparkSession
-    v = (latest_policy_version(spark, snapshot_dir) or 0) + 1
+    raw = [v for v, _ok in _scan_versions(spark, snapshot_dir)]
+    v = (max(raw) if raw else 0) + 1
     df.write.mode("errorifexists").parquet(
         f"{snapshot_dir.rstrip('/')}/{_version_name(v)}")
     return v
