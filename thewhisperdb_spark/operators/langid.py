@@ -225,6 +225,66 @@ LANGID_SEED: list[tuple[str, str]] = [
 
 LANGID_LANGS: list[str] = sorted(l for l, _ in LANGID_SEED)
 
+# Held-out sentences (same authorship posture as the seed, DIFFERENT
+# text) — the linguistic fixture the pytest suite and the driver oracle
+# key classify; sharing them here keeps Spark query, oracle SQL and
+# tests on one constant.
+LANGID_HOLDOUT: list[tuple[str, str]] = [
+    ("ar", "ذهبت إلى السوق في الصباح واشترت خبزا طازجا بما تبقى من "
+           "مالها. التقت بصديق أمام المحطة ومشيا معا في الحديقة "
+           "القديمة."),
+    ("de", "Er ging am Abend durch die Stadt und kaufte frisches Brot "
+           "für seine Familie und ihre Freunde. Vor dem Bahnhof traf "
+           "er einen Freund und sie gingen zusammen durch den alten "
+           "Park."),
+    ("el", "Πήγε στην αγορά το πρωί και αγόρασε φρέσκο ψωμί με τα "
+           "τελευταία της χρήματα. Συνάντησε έναν φίλο μπροστά στον "
+           "σταθμό και περπάτησαν μαζί στο παλιό πάρκο."),
+    ("en", "She walked to the market in the morning and bought fresh "
+           "bread with the last of her money. She met a friend in "
+           "front of the station and they walked together through the "
+           "old park."),
+    ("es", "Ella fue al mercado por la mañana y compró pan fresco con "
+           "el resto de su dinero. Se encontró con un amigo delante "
+           "de la estación y caminaron juntos por el parque viejo."),
+    ("fr", "Elle est allée au marché le matin et a acheté du pain "
+           "frais avec le reste de son argent. Elle a rencontré un "
+           "ami devant la gare et ils ont marché ensemble dans le "
+           "vieux parc."),
+    ("hi", "वह सुबह बाजार गई और अपने बचे हुए पैसों से ताजा रोटी "
+           "खरीदी। स्टेशन के सामने उसकी एक दोस्त से मुलाकात हुई और "
+           "वे पुराने बगीचे में साथ टहलने लगे।"),
+    ("it", "Lei è andata al mercato la mattina e ha comprato del pane "
+           "fresco con il resto dei suoi soldi. Ha incontrato un "
+           "amico davanti alla stazione e hanno camminato insieme nel "
+           "vecchio parco."),
+    ("ja", "彼女は朝、市場へ行って、残りのお金で新鮮なパンを買いました"
+           "。駅の前で友達に会って、一緒に古い公園を散歩しました。"),
+    ("ko", "그녀는 아침에 시장에 가서 남은 돈으로 신선한 빵을 샀다. 역 "
+           "앞에서 친구를 만나 함께 오래된 공원을 산책했다."),
+    ("nl", "Zij liep in de ochtend naar de markt en kocht vers brood "
+           "met het laatste van haar geld. Voor het station ontmoette "
+           "zij een vriend en ze wandelden samen door het oude park."),
+    ("pt", "Ela foi ao mercado de manhã e comprou pão fresco com o "
+           "resto do seu dinheiro. Encontrou um amigo em frente à "
+           "estação e caminharam juntos pelo parque velho."),
+    ("ru", "Утром она пошла на рынок и купила свежий хлеб на "
+           "оставшиеся деньги. Перед вокзалом она встретила друга, и "
+           "они вместе гуляли по старому парку."),
+    ("sv", "Hon gick till marknaden på morgonen och köpte färskt bröd "
+           "med det sista av sina pengar. Framför stationen mötte hon "
+           "en vän och de promenerade tillsammans genom den gamla "
+           "parken."),
+    ("tr", "Sabah pazara gitti ve parasının geri kalanıyla taze ekmek "
+           "aldı. İstasyonun önünde bir arkadaşıyla buluştu ve "
+           "birlikte eski parkta yürüdüler."),
+    ("vi", "Cô ấy đi chợ vào buổi sáng và mua bánh mì tươi với số "
+           "tiền còn lại của mình. Cô gặp một người bạn trước nhà ga "
+           "và họ cùng nhau đi dạo trong công viên cũ."),
+    ("zh", "她早上去市场，用剩下的钱买了新鲜的面包。然后她在火车站前面"
+           "遇到了朋友，一起在老公园里散步。"),
+]
+
 DEFAULT_TOP_K = 400
 
 
