@@ -981,6 +981,117 @@ def quality_ensemble_keep(spark, sf_dir):
         F.array_join("fail_reasons", ",").alias("fail_reasons"))
 
 
+_SWEEP_GRID = {
+    "gopher_min_words": [20.0, 30.0, 45.0],
+    "repetition_max": [0.01, 0.02, 0.05],
+    "lm_max_bits": [1.18, 1.22, 1.3],
+}
+
+
+@q("quality_threshold_sweep",
+   # FULL-VALUE oracle for the threshold-calibration sweep (VERDICT
+   # r11 #3, operators/dq.py:quality_threshold_sweep): DuckDB
+   # re-derives the same per-doc rule stats as quality_ensemble_keep
+   # (gopher sub-rules, trigram repetition, char-LM surprisal — same
+   # slices, same thresholds), cross-joins the grid literals, and
+   # re-aggregates keep / fail / sole-blocker counts per
+   # (rule, threshold) — both engines sweep one rule while holding the
+   # other two at their default verdicts.
+   "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300), "
+   "w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+   "  t -> t <> '') AS ws FROM d), "
+   "s AS (SELECT doc_id, len(ws) AS n, "
+   "  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) "
+   "  AS chars, "
+   "  len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha, "
+   "  len(list_intersect(list_distinct(list_transform(ws, "
+   "  w -> lower(w))), ['the','be','to','of','and','that','have',"
+   "'with'])) AS stop FROM w), "
+   "g AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words, "
+   "  (n <= 100000 "
+   "  AND CAST(chars AS DOUBLE) / greatest(n, 1) BETWEEN 3 AND 10 "
+   "  AND CAST(alpha AS DOUBLE) / greatest(n, 1) >= 0.8 "
+   "  AND stop >= 1) AS rest_ok FROM s), "
+   "r AS (SELECT doc_id, round(1.0 - "
+   "  CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) "
+   "  AS rep3 FROM (SELECT doc_id, list_transform(generate_series(1, "
+   "  greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+2], ' ')) "
+   "  AS grams FROM w)), "
+   "train AS (SELECT text FROM documents WHERE doc_id >= 300 "
+   "  AND doc_id < 600), "
+   "ttri AS (SELECT unnest(list_transform(range(1, length(text) - 1), "
+   "  i -> substr(text, CAST(i AS INTEGER), 3))) AS tri FROM train "
+   "  WHERE length(text) >= 3), "
+   "counts AS (SELECT substr(tri, 1, 2) AS ctx, substr(tri, 3, 1) AS ch, "
+   "  count(*) AS cnt FROM ttri GROUP BY 1, 2), "
+   "totals AS (SELECT ctx, sum(cnt) AS tot FROM counts GROUP BY 1), "
+   "v AS (SELECT count(DISTINCT ch) AS v FROM counts), "
+   "stri AS (SELECT doc_id, unnest(list_transform(range(1, "
+   "  length(text) - 1), i -> substr(text, CAST(i AS INTEGER), 3))) "
+   "  AS tri FROM d WHERE length(text) >= 3), "
+   "s2 AS (SELECT doc_id, substr(tri, 1, 2) AS ctx, "
+   "  substr(tri, 3, 1) AS ch FROM stri), "
+   "j AS (SELECT s2.doc_id, coalesce(c.cnt, 0) AS cnt, "
+   "  coalesce(t.tot, 0) AS tot FROM s2 "
+   "  LEFT JOIN counts c USING (ctx, ch) "
+   "  LEFT JOIN totals t USING (ctx)), "
+   "lmb AS (SELECT doc_id, round(CAST(sum(CAST(round(-log2((cnt + 1.0) "
+   "  / (tot + (SELECT v FROM v))), 4) AS DECIMAL(18,6))) AS DOUBLE) "
+   "  / count(*), 6) AS bpt FROM j GROUP BY doc_id), "
+   "base AS (SELECT d.doc_id, g.n_words, g.rest_ok, r.rep3, lmb.bpt, "
+   "  (g.rest_ok AND g.n_words >= 30) AS gopher_ok, "
+   "  (r.rep3 <= 0.02) AS repetition_ok, "
+   "  coalesce(lmb.bpt <= 1.22, FALSE) AS lm_ok "
+   "  FROM d JOIN g USING (doc_id) JOIN r USING (doc_id) "
+   "  LEFT JOIN lmb USING (doc_id)), "
+   "grid(rule, thr) AS (VALUES "
+   "  ('gopher_min_words', 20.0), ('gopher_min_words', 30.0), "
+   "  ('gopher_min_words', 45.0), "
+   "  ('repetition_max', 0.01), ('repetition_max', 0.02), "
+   "  ('repetition_max', 0.05), "
+   "  ('lm_max_bits', 1.18), ('lm_max_bits', 1.22), "
+   "  ('lm_max_bits', 1.3)), "
+   "x AS (SELECT grid.rule, grid.thr, "
+   "  CASE grid.rule "
+   "  WHEN 'gopher_min_words' THEN (b.n_words >= grid.thr AND b.rest_ok) "
+   "  WHEN 'repetition_max' THEN b.rep3 <= grid.thr "
+   "  ELSE coalesce(b.bpt <= grid.thr, FALSE) END AS ok_t, "
+   "  CASE grid.rule "
+   "  WHEN 'gopher_min_words' THEN (b.repetition_ok AND b.lm_ok) "
+   "  WHEN 'repetition_max' THEN (b.gopher_ok AND b.lm_ok) "
+   "  ELSE (b.gopher_ok AND b.repetition_ok) END AS others_ok "
+   "  FROM base b CROSS JOIN grid) "
+   "SELECT rule, thr AS threshold, "
+   "CAST(count(*) AS BIGINT) AS n_docs, "
+   "CAST(sum(CASE WHEN NOT ok_t THEN 1 ELSE 0 END) AS BIGINT) "
+   "  AS n_failed, "
+   "round(CAST(sum(CASE WHEN NOT ok_t THEN 1 ELSE 0 END) AS DOUBLE) "
+   "  / greatest(count(*), 1), 6) AS fail_rate, "
+   "CAST(sum(CASE WHEN ok_t AND others_ok THEN 1 ELSE 0 END) AS BIGINT) "
+   "  AS n_kept, "
+   "round(CAST(sum(CASE WHEN ok_t AND others_ok THEN 1 ELSE 0 END) "
+   "  AS DOUBLE) / greatest(count(*), 1), 6) AS keep_rate, "
+   "CAST(sum(CASE WHEN NOT ok_t AND others_ok THEN 1 ELSE 0 END) "
+   "  AS BIGINT) AS n_sole_blocker, "
+   "round(CAST(sum(CASE WHEN NOT ok_t AND others_ok THEN 1 ELSE 0 END) "
+   "  AS DOUBLE) / greatest(count(*), 1), 6) AS sole_blocker_rate "
+   "FROM x GROUP BY 1, 2")
+def quality_threshold_sweep_key(spark, sf_dir):
+    from thewhisperdb_spark.operators.dq import (
+        quality_keep_verdict, quality_threshold_sweep)
+    from thewhisperdb_spark.operators.text import char_trigram_lm
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 600))
+    model = char_trigram_lm(train)
+    v = quality_keep_verdict(
+        docs.filter(F.col("doc_id") < 300).select("doc_id", "text"),
+        lm_model=model, min_words=30, min_stopwords=1,
+        max_repetition=0.02, max_bits_per_trigram=1.22,
+        include_compression=False)
+    return quality_threshold_sweep(v, _SWEEP_GRID, min_stopwords=1)
+
+
 @q("pii_scrub_roundtrip",
    # FULL-VALUE oracle for PII scrubbing (operators/pii.py): texts are
    # CONSTRUCTED per doc with known PII placements — email, intl phone,

@@ -71,6 +71,50 @@ def test_lm_rule_requires_model_and_scores(spark):
     assert all(r["keep"] for r in v2.collect())
 
 
+def test_threshold_sweep_curves(spark):
+    """quality_threshold_sweep (VERDICT r11 #3): per (rule, threshold)
+    keep / fail / sole-blocker counts match hand-derived expectations
+    on the fixture corpus; unknown or unscored rules are refused."""
+    import pytest as _pytest
+
+    from thewhisperdb_spark.operators.dq import quality_threshold_sweep
+
+    rows = [("good", GOOD), ("loopy", LOOPY),
+            ("short", "just a few natural words written plainly here "
+                      "today about nothing in particular at all"),
+            ("empty", "")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    v = quality_keep_verdict(df, min_words=20)
+    sw = quality_threshold_sweep(
+        v, {"gopher_min_words": [5.0, 60.0],
+            "repetition_max": [0.1]})
+    got = {(r["rule"], r["threshold"]): r for r in sw.collect()}
+    assert len(got) == 3
+    g5 = got[("gopher_min_words", 5.0)]
+    # good (41 words, rest-rules pass) keeps; short (15 words >= 5 but
+    # zero required stopwords) still fails rest -> sole-blocked by
+    # gopher since its other rules pass
+    assert g5["n_docs"] == 4 and g5["n_kept"] == 1
+    assert g5["n_failed"] == 3 and g5["n_sole_blocker"] == 1
+    g60 = got[("gopher_min_words", 60.0)]
+    # raising the floor past good's 41 words drops it too
+    assert g60["n_kept"] == 0 and g60["n_failed"] == 4
+    assert g60["n_sole_blocker"] == 2          # good + short
+    r1 = got[("repetition_max", 0.1)]
+    # only loopy exceeds 0.1 repetition, and its other rules also fail
+    assert r1["n_failed"] == 1 and r1["n_sole_blocker"] == 0
+    assert r1["n_kept"] == 1
+    assert r1["keep_rate"] == 0.25
+    # refusals: unknown rule; lm sweep without an lm-scored frame
+    with _pytest.raises(ValueError, match="cannot sweep"):
+        quality_threshold_sweep(v, {"nonsense": [1.0]})
+    with _pytest.raises(ValueError, match="cannot sweep"):
+        quality_threshold_sweep(v.drop("lm_ok", "bits_per_trigram"),
+                                {"lm_max_bits": [1.0]})
+    with _pytest.raises(ValueError, match="at least one"):
+        quality_threshold_sweep(v, {})
+
+
 def test_lm_rule_duplicate_ids_score_independently(spark):
     """ADVICE r11: the streaming path keys on url and one crawl batch
     can carry the same URL twice with DIFFERENT bodies — each row must

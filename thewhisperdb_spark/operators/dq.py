@@ -288,7 +288,13 @@ def quality_attribution_report(verdicts: DataFrame) -> DataFrame:
     work; one with none is redundant at its threshold); ``n_docs`` /
     ``n_kept`` repeat the corpus totals on every row. One aggregate
     pass over the exploded fail_reasons + one 1-row broadcast join —
-    no driver-side collect."""
+    no driver-side collect.
+
+    Calibration recipe: this report is a single point per rule at the
+    CURRENT thresholds; run :func:`quality_threshold_sweep` over a
+    grid first to pick thresholds from the keep-rate /
+    sole-blocker-rate curves, then read this report as the ongoing
+    drift monitor at the chosen operating point."""
     tot = verdicts.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long")
@@ -307,3 +313,116 @@ def quality_attribution_report(verdicts: DataFrame) -> DataFrame:
                                 .cast("double"), 6))
             .select("rule", "n_failed", "n_sole_blocker", "fail_rate",
                     "n_docs", "n_kept"))
+
+
+SWEEP_RULES = {
+    "gopher_min_words": "gopher_ok",
+    "repetition_max": "repetition_ok",
+    "lm_max_bits": "lm_ok",
+    "compression_max_ratio": "compression_ok",
+}
+
+
+def quality_threshold_sweep(verdicts: DataFrame,
+                            grids: dict[str, list[float]],
+                            max_words: int = 100_000,
+                            min_mean_len: float = 3.0,
+                            max_mean_len: float = 10.0,
+                            min_alpha_ratio: float = 0.8,
+                            min_stopwords: int = 2,
+                            min_deflate_ratio: float = 0.10) -> DataFrame:
+    """Keep-rate-vs-threshold calibration sweep over a
+    ``quality_keep_verdict`` output (VERDICT r11 #3) — the pass every
+    real deployment runs BEFORE fixing thresholds: for each
+    (rule, candidate threshold) it reports, in ONE aggregation pass,
+    what the corpus-level outcome would be if THAT rule moved to that
+    threshold while every other rule stayed at its default verdict.
+
+    ``grids`` maps a swept knob to its candidate values:
+    ``gopher_min_words`` (keep needs ``n_words >= t`` plus the
+    remaining gopher sub-rules at the fixed parameters),
+    ``repetition_max`` (``repetition_3 <= t``), ``lm_max_bits``
+    (``bits_per_trigram <= t``, unscored fails), and
+    ``compression_max_ratio`` (``deflate_ratio`` in
+    ``[min_deflate_ratio, t]``, unscored fails). Only rules whose
+    columns exist in the verdict frame may be swept.
+
+    Per (rule, threshold): ``n_failed``/``fail_rate`` = docs failing
+    the swept rule alone; ``n_kept``/``keep_rate`` = docs passing the
+    swept rule AND every other rule's default verdict;
+    ``n_sole_blocker``/``sole_blocker_rate`` = docs the swept rule
+    would reject while all other rules pass — the "is this threshold
+    doing real work" curve ``quality_attribution_report`` gives a
+    single point of.
+
+    Semantics note: sweep booleans derive from the verdict frame's
+    EMITTED stat columns; ``mean_word_len``/``alpha_word_ratio`` are
+    rounded to 6 there, so a gopher rest-clause can disagree with the
+    unrounded verdict only when a raw ratio sits within 5e-7 of a
+    fixed threshold — impossible for k/n ratios until n approaches
+    2M words.
+
+    Scale shape: one explode of a literal (rule, threshold) array per
+    row (grid-size fan-out, combined map-side) into a groupBy over
+    |grid| groups — rides the verdict scan, no joins, no windows.
+    """
+    cols = set(verdicts.columns)
+    bad = [r for r in grids
+           if r not in SWEEP_RULES or SWEEP_RULES[r] not in cols]
+    if bad:
+        raise ValueError(
+            f"cannot sweep {bad}: supported rules are "
+            f"{sorted(SWEEP_RULES)} and the verdict frame must carry "
+            "the rule's columns (lm/compression are opt-in)")
+    if not grids:
+        raise ValueError("grids must name at least one rule")
+    entries = [F.struct(F.lit(r).alias("rule"),
+                        F.lit(float(t)).alias("threshold"))
+               for r in sorted(grids) for t in grids[r]]
+    g = verdicts.withColumn("_g", F.explode(F.array(*entries)))
+    thr = F.col("_g.threshold")
+    rule = F.col("_g.rule")
+    gopher_rest = ((F.col("n_words") <= max_words)
+                   & F.col("mean_word_len").between(min_mean_len,
+                                                    max_mean_len)
+                   & (F.col("alpha_word_ratio") >= min_alpha_ratio)
+                   & (F.col("n_required_stop") >= min_stopwords))
+    ok_exprs = {
+        "gopher_min_words": (F.col("n_words") >= thr) & gopher_rest,
+        "repetition_max": F.col("repetition_3") <= thr,
+        "lm_max_bits": F.coalesce(F.col("bits_per_trigram") <= thr,
+                                  F.lit(False))
+        if "lm_ok" in cols else None,
+        "compression_max_ratio": F.coalesce(
+            (F.col("deflate_ratio") >= min_deflate_ratio)
+            & (F.col("deflate_ratio") <= thr), F.lit(False))
+        if "compression_ok" in cols else None,
+    }
+    rule_cols = [c for c in ("gopher_ok", "repetition_ok", "lm_ok",
+                             "compression_ok") if c in cols]
+    ok_t = F.lit(None).cast("boolean")
+    others_ok = F.lit(None).cast("boolean")
+    for r in sorted(grids):
+        ok_t = F.when(rule == r, ok_exprs[r]).otherwise(ok_t)
+        oth = F.lit(True)
+        for c in rule_cols:
+            if c != SWEEP_RULES[r]:
+                oth = oth & F.col(c)
+        others_ok = F.when(rule == r, oth).otherwise(others_ok)
+    n_docs = F.count(F.lit(1)).cast("long")
+    cnt = (lambda cond: F.sum(F.when(cond, 1).otherwise(0))
+           .cast("long"))
+    agg = (g.groupBy(rule.alias("rule"), thr.alias("threshold"))
+           .agg(n_docs.alias("n_docs"),
+                cnt(~ok_t).alias("n_failed"),
+                cnt(ok_t & others_ok).alias("n_kept"),
+                cnt(~ok_t & others_ok).alias("n_sole_blocker")))
+    rate = (lambda c: F.round(
+        F.col(c) / F.greatest(F.col("n_docs"), F.lit(1))
+        .cast("double"), 6))
+    return agg.select(
+        "rule", "threshold", "n_docs",
+        "n_failed", rate("n_failed").alias("fail_rate"),
+        "n_kept", rate("n_kept").alias("keep_rate"),
+        "n_sole_blocker",
+        rate("n_sole_blocker").alias("sole_blocker_rate"))
