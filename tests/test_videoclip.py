@@ -35,6 +35,41 @@ def test_fingerprint_packing(spark):
     assert fps.count() == 4 * 2
 
 
+def test_fingerprint_max_frames_guard(spark):
+    """VERDICT r11 #4: the per-(video, band) collect_list is bounded at
+    the operator boundary — frames past max_frames (decode order) are
+    dropped BEFORE banding, surviving rows flag the truncation, videos
+    under the cap are untouched, and a truncated copy still pairs with
+    its full-length original (prefix truncation + shift-tolerant
+    containment)."""
+    import random
+    rng = random.Random(7)
+    full = [("long", i, rng.getrandbits(63)) for i in range(40)]
+    short = [("short", i, rng.getrandbits(63)) for i in range(6)]
+    df = _frames(spark, full + short)
+    fps = video_clip_fingerprints(df, k=3, bands=4, max_frames=10)
+    by_id = {}
+    for r in fps.collect():
+        by_id.setdefault(r["id"], r)
+    # 10 kept frames -> 8 shingles/band; 6 frames -> 4 shingles/band
+    assert by_id["long"]["n_shingles"] == 8
+    assert by_id["long"]["frames_truncated"] is True
+    assert by_id["short"]["n_shingles"] == 4
+    assert by_id["short"]["frames_truncated"] is False
+    # cap below the window length is refused
+    with pytest.raises(ValueError, match="max_frames"):
+        video_clip_fingerprints(df, k=3, max_frames=2)
+    # truncation == physical prefix: capping at 10 emits exactly the
+    # fingerprints of the first-10-frame clip, so a capped copy still
+    # pairs with its original through the shift-tolerant containment
+    prefix = video_clip_fingerprints(
+        _frames(spark, full[:10]), k=3, bands=4, max_frames=None)
+    capped = {(r["band"], r["shingle_idx"], r["fp"])
+              for r in fps.filter(F.col("id") == "long").collect()}
+    assert capped == {(r["band"], r["shingle_idx"], r["fp"])
+                      for r in prefix.collect()}
+
+
 def test_fingerprint_short_video_and_overflow(spark):
     df = _frames(spark, [("v", 0, 1), ("v", 1, 2)])
     assert video_clip_fingerprints(df, k=3, bands=4).count() == 0
