@@ -4294,6 +4294,30 @@ def orc_roundtrip_by_source(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
 
+@q("avro_roundtrip_by_source",
+   "SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+   "FROM documents GROUP BY source")
+def avro_roundtrip_by_source(spark, sf_dir):
+    # Avro OCF egress/ingest round-trip (VERDICT r11 missing #3):
+    # documents -> from-spec Avro container (sources/avroio.py, deflate
+    # codec) -> re-read -> aggregate; hash-matching the direct-parquet
+    # oracle proves values survive the format conversion, the ORC
+    # pattern. The codec itself is additionally pinned byte-level by
+    # tests/test_avro.py's hand-built spec fixture.
+    import tempfile
+
+    from thewhisperdb_spark.sources.avroio import read_avro, write_avro
+
+    out = tempfile.mkdtemp(prefix="whisper_avro_")
+    write_avro(_docs(spark, sf_dir)
+               .select("doc_id", "text", "lang", "source", "n_chars"),
+               out)
+    return (read_avro(spark, out)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
 @q("rolling_active_users_7d",
    "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), "
    "expl AS (SELECT user_id, CAST(unnest(generate_series(d, d + INTERVAL 6 DAY, "
