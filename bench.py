@@ -35,7 +35,7 @@ HEADLINE = [
     "events_windowed_agg",
     "events_sessionize",
     "shared_tag_join",
-    "jaccard_pairs",
+    "jaccard_threshold_join",
     "similar_pairs_threshold",
     "topk_similar",
     "knn_join",
@@ -134,7 +134,6 @@ HEADLINE = [
     # round-9 headliners (perceptual dedup; HTML->text; URL/domain)
     "image_dhash_dedup_contract",
     "html_extract_roundtrip",
-    "url_domain_features",
     # round-10 headliners (PSL grouping; WARC->curation composite;
     # robots.txt admission)
     "url_psl_registrable",
@@ -145,7 +144,6 @@ HEADLINE = [
     "lm_quality_bits",
     "compression_quality_flags",
     "tokenizer_fertility_by_lang",
-    "url_canonicalize",
     # round-11 headliners (IDN-aware PSL grouping; quality ensemble)
     "idn_psl_registrable",
     "quality_ensemble_keep",

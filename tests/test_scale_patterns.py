@@ -495,7 +495,6 @@ PLAN_LINT_ALLOWLIST: dict[str, set[str]] = {
     "daily_error_rate_slo": {"global (single-partition) window"},
     "domain_mixture_weights": {"global (single-partition) window"},
     "funnel_time_to_convert": {"global (single-partition) window"},
-    "jaccard_pairs": {"global (single-partition) window"},
     "jaccard_threshold_join": {"global (single-partition) window"},
     "monthly_revenue_trend": {"global (single-partition) window"},
     # ntile over the CUSTOMER DIMENSION is the documented tradeoff in the
