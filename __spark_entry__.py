@@ -1984,24 +1984,23 @@ def language_id(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", pred.alias("predicted_lang"))
 
 
-def _langid_profile_oracle() -> str:
-    # FULL-VALUE oracle for the REAL profile-based language ID
-    # (operators/langid.py): DuckDB re-derives EVERYTHING from the same
-    # committed seed literals — trigram profiles (count, top-k by
-    # (cnt DESC, tri ASC)), add-one smoothed per-language surprisal with
-    # round-4-before-DECIMAL(18,6) accumulation, argmin with lang
-    # tie-break — over held-out multilingual sentences assigned by
-    # doc_id % 18 (slot 17 is a sub-trigram text exercising the explicit
-    # NULL degenerate row). Independent engines, shared constants only.
+def _langid_scored_sql(docs_sql: str) -> str:
+    # Shared CTE body for the profile-langID oracles: DuckDB re-derives
+    # EVERYTHING from the same committed seed literals — trigram profiles
+    # (count, top-k by (cnt DESC, tri ASC)), add-one smoothed per-language
+    # surprisal with round-4-before-DECIMAL(18,6) accumulation, argmin with
+    # lang tie-break — over whatever ``docs_sql`` CTE (doc_id, t) the
+    # caller supplies, ending at a ``scored_docs`` CTE of
+    # (doc_id, predicted_lang, n_trigrams, bits_per_trigram) that includes
+    # the explicit NULL degenerate rows. Independent engines, shared
+    # constants only.
     from thewhisperdb_spark.operators.langid import (
-        DEFAULT_TOP_K, LANGID_HOLDOUT, LANGID_SEED)
+        DEFAULT_TOP_K, LANGID_SEED)
 
     def esc(s: str) -> str:
         return s.replace("'", "''")
 
     seed_vals = ", ".join(f"('{l}', '{esc(t)}')" for l, t in LANGID_SEED)
-    texts = ", ".join(f"'{esc(t)}'"
-                      for t in [t for _, t in LANGID_HOLDOUT] + ["ab"])
     return (
         f"WITH seed(lang, stext) AS (VALUES {seed_vals}), "
         "stri AS (SELECT lang, unnest(list_transform(range(1, "
@@ -2015,9 +2014,7 @@ def _langid_profile_oracle() -> str:
         "stats AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot "
         "  FROM prof GROUP BY 1), "
         "vv AS (SELECT count(DISTINCT tri) AS v FROM prof), "
-        f"docs AS (SELECT doc_id, list_extract([{texts}], "
-        "  CAST(doc_id % 18 + 1 AS INTEGER)) AS t "
-        "  FROM documents WHERE doc_id < 360), "
+        f"docs AS ({docs_sql}), "
         "dtri AS (SELECT doc_id, unnest(list_transform(range(1, "
         "  length(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3))) AS tri "
         "  FROM docs WHERE length(t) >= 3), "
@@ -2041,7 +2038,8 @@ def _langid_profile_oracle() -> str:
         "  AND m.lang = s.lang), "
         "pick AS (SELECT doc_id, lang, bits, n_tot, "
         "  row_number() OVER (PARTITION BY doc_id ORDER BY bits, lang) "
-        "  AS rn FROM scored) "
+        "  AS rn FROM scored), "
+        "scored_docs AS ("
         "SELECT doc_id, lang AS predicted_lang, n_tot AS n_trigrams, "
         "  round(CAST(bits AS DOUBLE) / n_tot, 6) AS bits_per_trigram "
         "FROM pick WHERE rn = 1 "
@@ -2049,7 +2047,30 @@ def _langid_profile_oracle() -> str:
         "SELECT doc_id, CAST(NULL AS VARCHAR) AS predicted_lang, "
         "  CAST(0 AS BIGINT) AS n_trigrams, "
         "  CAST(NULL AS DOUBLE) AS bits_per_trigram "
-        "FROM docs WHERE length(t) < 3")
+        "FROM docs WHERE length(t) < 3) ")
+
+
+def _langid_holdout_docs_sql() -> str:
+    # (doc_id, t) CTE: held-out multilingual sentences assigned by
+    # doc_id % 18; slot 17 is a sub-trigram text exercising the explicit
+    # NULL degenerate row.
+    from thewhisperdb_spark.operators.langid import LANGID_HOLDOUT
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    texts = ", ".join(f"'{esc(t)}'"
+                      for t in [t for _, t in LANGID_HOLDOUT] + ["ab"])
+    return (f"SELECT doc_id, list_extract([{texts}], "
+            "CAST(doc_id % 18 + 1 AS INTEGER)) AS t "
+            "FROM documents WHERE doc_id < 360")
+
+
+def _langid_profile_oracle() -> str:
+    # FULL-VALUE oracle for the REAL profile-based language ID
+    # (operators/langid.py) — see _langid_scored_sql.
+    return (_langid_scored_sql(_langid_holdout_docs_sql())
+            + "SELECT * FROM scored_docs")
 
 
 @q("language_id_profile", _langid_profile_oracle())
@@ -2067,6 +2088,65 @@ def language_id_profile_key(spark, sf_dir):
                 F.array(*[F.lit(t) for t in texts]),
                 (F.col("doc_id") % 18 + 1).cast("int")).alias("text")))
     return language_id_profile(docs)
+
+
+def _ccnet_buckets_oracle() -> str:
+    # FULL-VALUE oracle for CCNet-style per-language perplexity bucketing
+    # (operators/langid.py:perplexity_buckets): the langID scoring CTEs
+    # over holdout sentences REPEATED doc_id % 5 + 1 times (5 coprime with the 18 slot classes, so every language sees all five repetition counts) (space-joined —
+    # the join-boundary trigrams give each repetition count a distinct
+    # bits_per_trigram, so every language has a real score spread), slot
+    # 17 left un-repeated so the NULL / 'unscored' branch is exercised.
+    # Tercile cuts are re-derived percentile_disc-style over the
+    # compressed (lang, score) histogram with pure integer arithmetic —
+    # no interpolation, so both engines agree exactly.
+    docs = ("SELECT doc_id, CASE WHEN doc_id % 18 = 17 THEN t0 "
+            "ELSE rtrim(repeat(t0 || ' ', "
+            "CAST(doc_id % 5 + 1 AS INTEGER))) END AS t FROM ("
+            + _langid_holdout_docs_sql().replace(" AS t ", " AS t0 ")
+            + ")")
+    return (
+        _langid_scored_sql(docs)
+        + ", dist AS (SELECT predicted_lang AS lang, "
+        "  bits_per_trigram AS s, count(*) AS c FROM scored_docs "
+        "  WHERE bits_per_trigram IS NOT NULL GROUP BY 1, 2), "
+        "cum AS (SELECT lang, s, "
+        "  sum(c) OVER (PARTITION BY lang ORDER BY s) AS cum, "
+        "  sum(c) OVER (PARTITION BY lang) AS n FROM dist), "
+        "cuts AS (SELECT lang, "
+        "  min(CASE WHEN cum >= (n + 2) // 3 THEN s END) AS head_cut, "
+        "  min(CASE WHEN cum >= (2 * n + 2) // 3 THEN s END) AS tail_cut "
+        "  FROM cum GROUP BY 1) "
+        "SELECT d.doc_id, d.predicted_lang, d.bits_per_trigram, "
+        "  CASE WHEN d.bits_per_trigram IS NULL THEN 'unscored' "
+        "  WHEN d.bits_per_trigram <= c.head_cut THEN 'head' "
+        "  WHEN d.bits_per_trigram <= c.tail_cut THEN 'middle' "
+        "  ELSE 'tail' END AS bucket "
+        "FROM scored_docs d LEFT JOIN cuts c ON d.predicted_lang = c.lang")
+
+
+@q("ccnet_perplexity_buckets", _ccnet_buckets_oracle())
+def ccnet_perplexity_buckets(spark, sf_dir):
+    # CCNet head/middle/tail triage (Wenzek et al. 2020) riding the
+    # profile langID: bits_per_trigram under the predicted language's own
+    # profile IS the in-language perplexity CCNet cuts on. Holdout
+    # sentences repeated doc_id % 5 + 1 times (coprime moduli) give each language a real
+    # score spread; slot 17 stays sub-trigram -> 'unscored'. Cuts come
+    # from the compressed (lang, score) histogram, not a per-doc sort.
+    from thewhisperdb_spark.operators.langid import (
+        LANGID_HOLDOUT, language_id_profile, perplexity_buckets)
+
+    texts = [t for _, t in LANGID_HOLDOUT] + ["ab"]
+    base = F.element_at(F.array(*[F.lit(t) for t in texts]),
+                        (F.col("doc_id") % 18 + 1).cast("int"))
+    rep = F.rtrim(F.repeat(F.concat(base, F.lit(" ")),
+                           (F.col("doc_id") % 5 + 1).cast("int")))
+    docs = (_docs(spark, sf_dir).filter(F.col("doc_id") < 360)
+            .select("doc_id",
+                    F.when(F.col("doc_id") % 18 == 17, base)
+                    .otherwise(rep).alias("text")))
+    scored = language_id_profile(docs).drop("n_trigrams")
+    return perplexity_buckets(scored)
 
 
 # ---- Spark relational surface certification (TPC-H-ish) --------------------
@@ -8489,7 +8569,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # a direct unit test, the subsuming composite keeps the driver oracle, and
 # the retirement is recorded as a "RETIRED KEY" comment at the old
 # registration site (r12 retired jaccard_pairs, url_domain_features,
-# url_canonicalize, simhash_band_pairs this way; N = 270).
+# url_canonicalize, simhash_band_pairs and added language_id_profile,
+# quality_threshold_sweep, avro_roundtrip_by_source,
+# ccnet_perplexity_buckets within the ceiling; N = 271).
 
 
 def _driver_green_rounds() -> dict[str, int]:

@@ -147,6 +147,12 @@ HEADLINE = [
     # round-11 headliners (IDN-aware PSL grouping; quality ensemble)
     "idn_psl_registrable",
     "quality_ensemble_keep",
+    # round-12 headliners (real profile langID + CCNet buckets; threshold
+    # sweep; Avro OCF round-trip)
+    "language_id_profile",
+    "ccnet_perplexity_buckets",
+    "quality_threshold_sweep",
+    "avro_roundtrip_by_source",
 ]
 
 # Index-maintenance keys (VERDICT r8 #7): NOT in the headline total —

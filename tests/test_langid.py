@@ -92,3 +92,44 @@ def test_scoring_plan_is_broadcast_and_doc_keyed(spark):
     assert "CartesianProduct" not in plan
     from thewhisperdb_spark.plans.doctor import plan_lints
     assert plan_lints(out) == []
+
+
+def test_perplexity_buckets_tercile_semantics(spark):
+    """percentile_disc cut rule on a constructed distribution: 6 docs in
+    one lang with scores 1..6 (n=6, ceil(n/3)=2, ceil(2n/3)=4) ->
+    scores {1,2} head, {3,4} middle, {5,6} tail; NULL score ->
+    'unscored'; a second lang buckets independently."""
+    from thewhisperdb_spark.operators.langid import perplexity_buckets
+
+    rows = [(i, "aa", float(i)) for i in range(1, 7)]
+    rows += [(10, "bb", 5.0), (11, "bb", 5.0), (12, "bb", 9.0)]
+    rows += [(13, None, None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, predicted_lang string, bits_per_trigram double")
+    got = {r["doc_id"]: r["bucket"]
+           for r in perplexity_buckets(df).collect()}
+    assert [got[i] for i in range(1, 7)] == [
+        "head", "head", "middle", "middle", "tail", "tail"]
+    # ties share a bucket: both 5.0 docs reach the head cut (cum 2 >=
+    # ceil(3/3)=1 at score 5.0) -> head; 9.0 -> cum 3 >= 2 -> middle cut
+    # is also 5.0? n=3: third=1, two_thirds=2 -> head_cut=5.0 (cum 2),
+    # tail_cut=5.0 -> 9.0 > tail_cut -> tail
+    assert got[10] == "head" and got[11] == "head" and got[12] == "tail"
+    assert got[13] == "unscored"
+
+
+def test_perplexity_buckets_plan_shape(spark):
+    """The corpus-sized input is touched by one groupBy only; the cut
+    join-back is broadcast and the window runs over the compressed
+    histogram (plan lints clean — no single-partition window over the
+    corpus, no cartesian)."""
+    from thewhisperdb_spark.operators.langid import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", float(i % 7)) for i in range(100)],
+        "doc_id long, predicted_lang string, bits_per_trigram double")
+    out = perplexity_buckets(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    from thewhisperdb_spark.plans.doctor import plan_lints
+    assert plan_lints(out) == []

@@ -42,7 +42,7 @@ engines (Turkish dotted I, Greek final sigma).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Hand-written sample sentences (public-knowledge everyday prose echoing
@@ -391,3 +391,59 @@ def language_id_profile(df: DataFrame, text_col: str = "text",
                      F.lit(None).cast("double").alias("bits_per_trigram")))
     return (scored.unionByName(degen)
             .withColumnRenamed("id", id_col))
+
+
+def perplexity_buckets(scored: DataFrame, lang_col: str = "predicted_lang",
+                       score_col: str = "bits_per_trigram",
+                       id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
+    split each language's documents into ``head`` / ``middle`` / ``tail``
+    thirds by LM surprisal — the canonical pretraining-corpus triage where
+    head is kept, middle is kept-or-sampled and tail is dropped or routed
+    to extra filtering. ``scored`` is typically ``language_id_profile``
+    output (its ``bits_per_trigram`` IS the surprisal under the predicted
+    language's own profile, i.e. CCNet's in-language perplexity).
+
+    Cutoff semantics (percentile_disc, integer-deterministic): within a
+    language with n scored docs, ``head_cut`` is the smallest score whose
+    cumulative doc count reaches ceil(n/3) and ``tail_cut`` the smallest
+    reaching ceil(2n/3); a doc's bucket is ``head`` if score <= head_cut,
+    ``middle`` if <= tail_cut, else ``tail``. Ties share a score and
+    therefore a bucket (no arbitrary intra-tie split), NULL-score rows
+    (sub-trigram docs) come back as an explicit ``unscored`` bucket —
+    never dropped. No interpolation, no floats beyond the already-rounded
+    score column, so a SQL oracle reproduces the cuts exactly.
+
+    Scale shape: the corpus-sized table is touched by ONE groupBy
+    (lang, score) — scores are pre-rounded, so the distribution is a
+    compressed histogram, not a per-doc sort. The cumulative window and
+    the cut aggregation run over that tiny histogram only (CCNet's
+    per-language shard sort, collapsed to its sufficient statistic), and
+    the cuts (one row per language) broadcast back onto the corpus. A
+    per-doc ntile() would instead sort every language partition in one
+    task — the exact single-task skew this shape avoids at 100 TB.
+
+    Returns ``scored``'s columns + ``bucket``.
+    """
+    s, l = F.col(score_col), F.col(lang_col)
+    dist = (scored.filter(s.isNotNull())
+            .groupBy(lang_col, score_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    w_cum = (Window.partitionBy(lang_col).orderBy(score_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(lang_col)
+    cum = (dist
+           .withColumn("cum", F.sum("c").over(w_cum))
+           .withColumn("n", F.sum("c").over(w_all)))
+    third = F.floor((F.col("n") + 2) / 3)
+    two_thirds = F.floor((2 * F.col("n") + 2) / 3)
+    cuts = (cum.groupBy(lang_col)
+            .agg(F.min(F.when(F.col("cum") >= third, s)).alias("head_cut"),
+                 F.min(F.when(F.col("cum") >= two_thirds, s))
+                 .alias("tail_cut")))
+    bucket = (F.when(s.isNull(), "unscored")
+              .when(s <= F.col("head_cut"), "head")
+              .when(s <= F.col("tail_cut"), "middle")
+              .otherwise("tail"))
+    return (scored.join(F.broadcast(cuts), [lang_col], "left")
+            .select(*scored.columns, bucket.alias("bucket")))
