@@ -58,6 +58,10 @@ arguments (no config-file indirection), and what to move at 100 TB:
 | Quality ensemble (`operators/dq.py:quality_keep_verdict`) | per-rule thresholds; `lm_model` (rule active iff given); `include_compression` | gopher defaults, rep<=0.2, bits<=9, deflate in [0.1,1.1] | gopher/repetition ride the scan; LM = explode + broadcast model join (charset-bounded model); compression is the one Arrow stage — drop it (include_compression=False) if the corpus already carries deflate sizes; calibrate thresholds off `quality_attribution_report` sole-blocker counts |
 | Policy snapshots (`operators/policystore.py` + `stream_crawl_curation`) | snapshot path vs static frame per policy | static | per-batch reload = one listing + one small parquet read; publish cadence bounds staleness; _SUCCESS promotion means readers never see torn snapshots |
 | Persisted clip index (`operators/clipindex.py` + `stream_clip_dedup_ingest`) | window (k, bands) frozen in clipmeta; probe `min_containment`; hash-index `max_hamming`/sub-band count frozen at build | k=3, 4 vbands, d=8, 0.35 | probes fingerprint only the batch vs the at-rest band layout; index totals = one pruned id scan; same bucket-selectivity calculus as the in-memory kernel — block upstream (duration bucket in the id universe) when the corpus outgrows the sub-slices |
+| Profile langID (`operators/langid.py:language_id_profile`) | `top_k` trigrams/language profile; seed corpus (committed literal) | 17 langs, top_k=200 | the profile is bounded by construction (langs x top_k rows, always broadcast); scoring is explode -> broadcast join -> doc-keyed aggregate — no new shuffle key at any corpus size; grow the seed, not the plan |
+| Perplexity buckets (`langid.py:perplexity_buckets`) | tercile rule fixed (percentile_disc over ceil(n/3) cuts); score column pluggable | bits_per_trigram from langID | corpus table sees ONE groupBy (lang, score) onto a compressed histogram (scores pre-rounded to 6dp); the cumulative window runs over the histogram only and one-row-per-lang cuts broadcast back — never ntile over a language partition |
+| Threshold sweep (`operators/dq.py:quality_threshold_sweep`) | per-rule threshold grids (literal arrays) | 3 grids x 3 rules | one posexplode over grid literals (xN rows, N = grid size, bounded) + one aggregate; rules are already per-row booleans from the scan — the sweep adds zero joins; widen grids freely, cost is linear in grid size |
+| Avro OCF (`sources/avroio.py`) | codec (null/deflate), sync-marker honored; schema projected at read | deflate | mapInPandas over whole files for OCF framing (Arrow-batched, spec-driven); at 100 TB prefer a directory of many OCFs (file-parallel) — single giant OCF serializes on its sync-block chain |
 """
 
 
