@@ -2826,14 +2826,13 @@ def events_user_stats(spark, sf_dir):
         _sum_dec("value", "total_value"))
 
 
-@q("events_distinct_users_hll",
-   # accuracy-contract oracle: the Datasketches estimate itself isn't
-   # SQL-portable, but the exact count is, and "estimate within 2% of
-   # exact" IS the sketch's contract at lgK=14 (rel err ~0.8%, so 2% is
-   # >2 sigma of headroom without masking a broken sketch)
-   "SELECT event_type, count(*) AS n, "
-   "count(DISTINCT user_id) AS n_users_exact, TRUE AS within_2pct "
-   "FROM events GROUP BY event_type")
+# RETIRED KEY (governance r12, pays for mixture_epoch_schedule):
+# `events_distinct_users_hll` (Datasketches-native sketch, accuracy-contract
+# oracle) is subsumed as a driver key by `events_distinct_users_hll_portable`
+# (same query shape, strictly stronger FULL-VALUE oracle re-deriving the
+# estimate itself); the native hll_sketch_agg path stays pinned by
+# tests/test_scale_patterns.py::test_hll_sketch_distinct_within_error_bounds,
+# which calls this (now unregistered) function directly.
 def events_distinct_users_hll(spark, sf_dir):
     # Sketch surface for the 100 TB posture: per-type distinct users via an
     # HLL sketch (Datasketches HllSketch under `hll_sketch_agg`). Unlike
@@ -5732,6 +5731,45 @@ def domain_mixture_weights(spark, sf_dir):
     return SM.mixture_weights(_docs(spark, sf_dir))
 
 
+_EPOCH_TARGETS = {"src0": 0.35, "src1": 0.2,
+                  **{f"src{i}": 0.025 for i in range(2, 20)}}
+
+
+@q("mixture_epoch_schedule",
+   # FULL-VALUE oracle: the Llama-style data-recipe table (sampling
+   # proportion + epochs per domain under a token budget and a
+   # max-repetition cap) is integer/round()-pinned arithmetic over the
+   # per-source token aggregate — DuckDB re-derives every column from the
+   # same literals (budget 20000, cap 3.0 epochs, shares 0.35/0.2/0.025).
+   "WITH per AS (SELECT source, "
+   "CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) "
+   "AS BIGINT) AS n_tokens FROM documents GROUP BY source), "
+   "t AS (SELECT source, n_tokens, CAST(CASE source WHEN 'src0' THEN 0.35 "
+   "WHEN 'src1' THEN 0.2 ELSE 0.025 END AS DOUBLE) AS share FROM per), "
+   "s AS (SELECT source, n_tokens, share, "
+   "CAST(round(20000 * share) AS BIGINT) AS requested, "
+   "LEAST(CAST(round(20000 * share) AS BIGINT), "
+   "CAST(round(n_tokens * CAST(3.0 AS DOUBLE)) AS BIGINT)) AS planned "
+   "FROM t), "
+   "tot AS (SELECT CAST(SUM(planned) AS BIGINT) AS pt FROM s) "
+   "SELECT source, n_tokens, round(share, 6) AS target_share, "
+   "requested AS tokens_requested, "
+   "round(CAST(requested AS DOUBLE) / n_tokens, 4) AS epochs_uncapped, "
+   "planned AS tokens_planned, "
+   "round(CAST(planned AS DOUBLE) / n_tokens, 4) AS epochs, "
+   "planned < requested AS capped, "
+   "round(CAST(planned AS DOUBLE) / pt, 6) AS realized_share "
+   "FROM s CROSS JOIN tot")
+def mixture_epoch_schedule(spark, sf_dir):
+    # epoch/budget planning (operators/sampling.py:epoch_schedule): at
+    # budget 20k and cap 3.0 the heavy targets (src0/src1) BIND the cap
+    # (capped=true, realized_share < target_share) while the 0.025 domains
+    # run fractional epochs — both schedule regimes exercised. The 1-row
+    # planned-total side of the final join is the proven-broadcast shape.
+    return SM.epoch_schedule(_docs(spark, sf_dir), budget_tokens=20000,
+                             targets=_EPOCH_TARGETS, max_epochs=3.0)
+
+
 @q("contamination_overlap_score",
    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
    "t -> t <> '') AS ws FROM documents), "
@@ -8571,7 +8609,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # registration site (r12 retired jaccard_pairs, url_domain_features,
 # url_canonicalize, simhash_band_pairs and added language_id_profile,
 # quality_threshold_sweep, avro_roundtrip_by_source,
-# ccnet_perplexity_buckets within the ceiling; N = 271).
+# ccnet_perplexity_buckets within the ceiling, then retired
+# events_distinct_users_hll — native-sketch path pytest-pinned, portable
+# twin keeps the stronger full-value oracle — to pay for
+# mixture_epoch_schedule; N = 271).
 
 
 def _driver_green_rounds() -> dict[str, int]:

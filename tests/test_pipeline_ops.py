@@ -337,3 +337,43 @@ def test_compression_ratio_signal(spark):
     again = {r["doc_id"]: r["deflate_ratio"]
              for r in compression_ratio(df).collect()}
     assert all(again[k] == out[k]["deflate_ratio"] for k in (1, 2))
+
+
+def test_epoch_schedule_cap_and_fractional(spark):
+    """Budget/cap arithmetic: a heavy-target small domain hits the
+    max_epochs cap (capped, realized < target); a light-target domain
+    runs fractional epochs uncapped; realized shares sum to 1."""
+    from thewhisperdb_spark.operators.sampling import epoch_schedule
+
+    # web: 100 tokens available, wiki: 100 available
+    rows = [(i, "web", "w " * 10) for i in range(10)]       # 100 tokens
+    rows += [(100 + i, "wiki", "k " * 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in
+           epoch_schedule(df, budget_tokens=1000,
+                          targets={"web": 0.9, "wiki": 0.1},
+                          max_epochs=2.0).collect()}
+    web, wiki = got["web"], got["wiki"]
+    assert web["tokens_requested"] == 900 and web["n_tokens"] == 100
+    assert web["epochs_uncapped"] == 9.0
+    assert web["capped"] and web["tokens_planned"] == 200
+    assert web["epochs"] == 2.0
+    assert wiki["tokens_requested"] == 100 and not wiki["capped"]
+    assert wiki["epochs"] == 1.0
+    assert round(web["realized_share"] + wiki["realized_share"], 6) == 1.0
+    # uncapped variant: planned == requested everywhere
+    un = {r["source"]: r for r in
+          epoch_schedule(df, budget_tokens=50,
+                         targets={"web": 0.5, "wiki": 0.5}).collect()}
+    assert un["web"]["tokens_planned"] == 25
+    assert un["web"]["epochs"] == 0.25 and not un["web"]["capped"]
+
+
+def test_epoch_schedule_unknown_target_raises(spark):
+    from thewhisperdb_spark.operators.sampling import epoch_schedule
+    import pytest
+
+    df = spark.createDataFrame([(1, "web", "a b c")],
+                               "doc_id long, source string, text string")
+    with pytest.raises(Exception, match="targets name strata"):
+        epoch_schedule(df, 100, targets={"web": 0.5, "nope": 0.5}).collect()

@@ -161,7 +161,7 @@ def test_hll_sketch_distinct_within_error_bounds(spark):
 
     sf = "/root/testdata/sf0.001"
     got = {r["event_type"]: r for r in
-           entrymod.queries()["events_distinct_users_hll"](spark, sf).collect()}
+           entrymod.events_distinct_users_hll(spark, sf).collect()}
     from thewhisperdb_spark.catalog import load_table
     exact = {r["event_type"]: r["n_users"] for r in
              load_table(spark, sf, "events").groupBy("event_type")
@@ -494,6 +494,7 @@ PLAN_LINT_ALLOWLIST: dict[str, set[str]] = {
     "customer_spend_concentration": {"global (single-partition) window"},
     "daily_error_rate_slo": {"global (single-partition) window"},
     "domain_mixture_weights": {"global (single-partition) window"},
+    "mixture_epoch_schedule": {"global (single-partition) window"},
     "funnel_time_to_convert": {"global (single-partition) window"},
     "jaccard_threshold_join": {"global (single-partition) window"},
     "monthly_revenue_trend": {"global (single-partition) window"},

@@ -274,3 +274,87 @@ def sample_quantiles(df: DataFrame, value_col: str, id_cols: list[str],
             F.max(F.when(F.col("_rv") == target, F.col("_v")))
             .alias(f"q_{int(round(q * 100))}"))
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def epoch_schedule(df: DataFrame, budget_tokens: int,
+                   targets: dict[str, float] | None = None,
+                   max_epochs: float | None = None,
+                   strata_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """The data-recipe table a pretraining run is actually configured
+    from (the Llama-style "sampling proportion + epochs" per dataset):
+    given an absolute token ``budget_tokens`` and per-stratum target
+    shares, how many tokens each domain contributes, how many passes
+    (epochs) over the domain that implies, and — when ``max_epochs``
+    bounds acceptable repetition (data-constrained scaling: repeating a
+    small domain too often stops helping) — where the cap binds and
+    what mix the budget then actually realizes.
+
+    Per stratum: ``n_tokens`` available, ``target_share``,
+    ``tokens_requested`` = round(budget * share),
+    ``epochs_uncapped`` = requested/available (4dp),
+    ``tokens_planned`` = min(requested, round(available * max_epochs)),
+    ``epochs`` = planned/available (4dp), ``capped`` flag, and
+    ``realized_share`` = planned / Σ planned (6dp) — the share drift the
+    cap causes (un-renormalized by design: the gap between target_share
+    and realized_share IS the signal that the recipe needs more data or
+    a higher cap; silent renormalization would hide it).
+
+    Same scale shape as mixture_weights: one per-doc token count riding
+    the scan, one partial-aggregating shuffle on the stratum key, then
+    all schedule arithmetic over the |strata|-row frame (the global
+    window there is the documented single-partition carve-out — it IS
+    the right plan at dimension size). All quantities are integers or
+    round()-pinned ratios of integers and double literals, so a SQL
+    oracle re-derives them exactly. ``targets`` defaults to uniform;
+    unknown-target validation is the same lazy raise_error guard as
+    mixture_weights.
+    """
+    from thewhisperdb_spark.operators.text import token_count
+
+    per = df.groupBy(strata_col).agg(
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("n_tokens"))
+    wall = Window.partitionBy()
+    out = per.withColumn("_n_strata", F.count(F.lit(1)).over(wall))
+    if targets is None:
+        share = F.lit(1.0) / F.col("_n_strata")
+    else:
+        matched = F.sum(
+            F.when(F.col(strata_col).isin(list(targets)), 1).otherwise(0)
+        ).over(wall)
+        guard = F.when(
+            matched < F.lit(len(set(targets))),
+            F.raise_error(F.concat(
+                F.lit("epoch_schedule: targets name strata not present "
+                      "in the data; expected all of "),
+                F.lit(str(sorted(targets))))).cast("double"))
+        share = F.lit(0.0)
+        for value, s in targets.items():
+            share = F.when(F.col(strata_col) == value,
+                           F.lit(float(s))).otherwise(share)
+        share = F.coalesce(guard, share)
+    requested = F.round(F.lit(int(budget_tokens)) * share, 0).cast("long")
+    if max_epochs is None:
+        planned = requested
+    else:
+        cap = F.round(F.col("n_tokens") * F.lit(float(max_epochs)), 0) \
+               .cast("long")
+        planned = F.least(requested, cap)
+    out = (out
+           .withColumn("target_share", F.round(share, 6))
+           .withColumn("tokens_requested", requested)
+           .withColumn("tokens_planned", planned))
+    ep = lambda c: F.round(c.cast("double") / F.col("n_tokens"), 4)
+    return (out
+            .withColumn("_planned_total",
+                        F.sum("tokens_planned").over(wall))
+            .select(
+                strata_col, "n_tokens", "target_share", "tokens_requested",
+                ep(F.col("tokens_requested")).alias("epochs_uncapped"),
+                "tokens_planned",
+                ep(F.col("tokens_planned")).alias("epochs"),
+                (F.col("tokens_planned") < F.col("tokens_requested"))
+                .alias("capped"),
+                F.round(F.col("tokens_planned").cast("double")
+                        / F.col("_planned_total"), 6)
+                .alias("realized_share")))
