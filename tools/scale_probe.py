@@ -144,6 +144,7 @@ PROBE_INPUTS = {
     "psl_match_kernel": "documents",
     "crawl_curation_kernel": "documents",
     "video_clip_kernel": "documents",
+    "langid_buckets_kernel": "documents",
 }
 
 
@@ -330,6 +331,21 @@ def probes(spark, d: str, copies: int) -> dict:
         return video_clip_near_dup_pairs(allf)
 
     out["video_clip_kernel"] = video_clip
+
+    def langid_buckets():
+        # profile langID + CCNet buckets (r12): scoring is explode ->
+        # broadcast profile join -> doc-keyed aggregate -> argmin, then
+        # the bucket cuts run over the compressed (lang, score)
+        # histogram. Both stages should scale linearly in corpus rows
+        # with a constant broadcast term — the probe pins that the
+        # histogram window (NOT a per-doc sort) keeps the 10x point on
+        # the data-linear line.
+        from thewhisperdb_spark.operators.langid import (
+            language_id_profile, perplexity_buckets)
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return perplexity_buckets(language_id_profile(docs))
+
+    out["langid_buckets_kernel"] = langid_buckets
     return out
 
 
