@@ -1199,6 +1199,52 @@ def robots_allow_filter(spark, sf_dir):
 # pinned by tests/test_urls.py::test_canonicalize_url.
 
 
+@q("frontier_politeness_schedule",
+   # FULL-VALUE oracle: politeness scheduling is row_number + rank*delay
+   # arithmetic — DuckDB re-derives ranks (priority DESC, url tie-break),
+   # per-host fetch offsets and the host drain time from the same
+   # deterministic URL/priority/delay construction (7 hosts x ~71 urls,
+   # three delay classes).
+   "WITH u AS (SELECT doc_id, "
+   "'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host, "
+   "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || "
+   "CAST(doc_id AS VARCHAR) AS url, "
+   "CAST(doc_id % 10 AS INTEGER) AS priority, "
+   "CAST(CASE doc_id % 7 WHEN 0 THEN 2.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.5 "
+   "ELSE 1.0 END AS DOUBLE) AS delay "
+   "FROM documents WHERE doc_id < 500), "
+   "r AS (SELECT *, row_number() OVER (PARTITION BY host "
+   "ORDER BY priority DESC, url) AS rank_in_host FROM u), "
+   "o AS (SELECT doc_id, url, host, rank_in_host, "
+   "round((rank_in_host - 1) * delay, 4) AS fetch_offset_s FROM r) "
+   "SELECT doc_id, url, host, rank_in_host, fetch_offset_s, "
+   "round(max(fetch_offset_s) OVER (PARTITION BY host), 4) AS host_drain_s "
+   "FROM o")
+def frontier_politeness_schedule(spark, sf_dir):
+    # the step between robots admission and fetch dispatch
+    # (operators/urls.py:frontier_schedule): per-host rank (priority
+    # first), fetch offsets under three per-host crawl-delay classes, and
+    # the host drain time that sizes per-batch host caps. One host-keyed
+    # shuffle; the per-host window IS the politeness semantic.
+    from thewhisperdb_spark.operators.urls import frontier_schedule
+
+    k = (F.col("doc_id") % 7).cast("string")
+    host = F.concat(F.lit("h"), k, F.lit(".example.com"))
+    d = (_docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+         .select(
+             "doc_id",
+             F.concat(F.lit("https://"), host, F.lit("/p/"),
+                      F.col("doc_id").cast("string")).alias("url"),
+             (F.col("doc_id") % 10).cast("int").alias("priority"),
+             F.when(F.col("doc_id") % 7 == 0, 2.0)
+             .when((F.col("doc_id") % 7).isin(1, 2), 0.5)
+             .otherwise(1.0).cast("double").alias("delay")))
+    return (frontier_schedule(d, delay_col="delay", priority_col="priority")
+            .select("doc_id", "url", "host",
+                    F.col("rank_in_host").cast("long").alias("rank_in_host"),
+                    "fetch_offset_s", "host_drain_s"))
+
+
 @q("crawl_curation_stream_twin",
    # contract oracle for the STREAMING crawl-curation loop
    # (streaming/jobs.py:crawl_curation_batch — the foreachBatch body,
@@ -1960,28 +2006,11 @@ def text_extract_truncate(spark, sf_dir):
         "doc_id", TX.truncate_text(F.col("text"), 100, ellipsis=True).alias("extracted"))
 
 
-@q("language_id",
-   "SELECT doc_id, CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en' "
-   "WHEN s_es >= s_fr AND s_es >= s_de THEN 'es' "
-   "WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS predicted_lang FROM ("
-   f"SELECT doc_id, CAST(len(list_intersect({_SQL_TOKENS}, ['the','and','of','to'])) AS BIGINT) AS s_en, "
-   f"CAST(len(list_intersect({_SQL_TOKENS}, ['el','la','de','que'])) AS BIGINT) AS s_es, "
-   f"CAST(len(list_intersect({_SQL_TOKENS}, ['le','la','et','que'])) AS BIGINT) AS s_fr, "
-   f"CAST(len(list_intersect({_SQL_TOKENS}, ['der','die','und','das'])) AS BIGINT) AS s_de "
-   "FROM documents)")
-def language_id(spark, sf_dir):
-    # north-star language-ID heuristic: stopword-profile argmax with a fixed
-    # tie order (en > es > fr > de)
-    toks = TX.tags_of(F.col("text"))
-    def score(words):
-        return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-    s_en, s_es, s_fr, s_de = (score(w) for w in
-                              (("the", "and", "of", "to"), ("el", "la", "de", "que"),
-                               ("le", "la", "et", "que"), ("der", "die", "und", "das")))
-    pred = (F.when((s_en >= s_es) & (s_en >= s_fr) & (s_en >= s_de), "en")
-            .when((s_es >= s_fr) & (s_es >= s_de), "es")
-            .when(s_fr >= s_de, "fr").otherwise("de"))
-    return _docs(spark, sf_dir).select("doc_id", pred.alias("predicted_lang"))
+# RETIRED KEY (governance r12, pays for frontier_politeness_schedule):
+# the 4-language stopword-overlap `language_id` heuristic key is subsumed
+# by `language_id_profile` (the real 17-language char-trigram profile
+# model, strictly stronger full-value oracle); TX.language_id itself stays
+# pinned by tests/test_degenerate_inputs.py.
 
 
 def _langid_scored_sql(docs_sql: str) -> str:
@@ -8612,7 +8641,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ccnet_perplexity_buckets within the ceiling, then retired
 # events_distinct_users_hll — native-sketch path pytest-pinned, portable
 # twin keeps the stronger full-value oracle — to pay for
-# mixture_epoch_schedule; N = 271).
+# mixture_epoch_schedule, and the 4-language stopword `language_id` toy
+# — subsumed by language_id_profile — to pay for
+# frontier_politeness_schedule; N = 271).
 
 
 def _driver_green_rounds() -> dict[str, int]:

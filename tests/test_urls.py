@@ -232,3 +232,32 @@ def test_canonicalize_url(spark):
     vdf = spark.createDataFrame([(u,) for u in variants], "url string")
     canon = vdf.select(canonicalize_url(F.col("url")).alias("c"))
     assert canon.distinct().count() == 1
+
+
+def test_frontier_schedule_politeness(spark):
+    """Per-host rank honors priority then url tie-break; offsets step by
+    the host's own delay; drain time = last slot; single-url hosts
+    drain at 0; default delay applies when no delay column is given."""
+    from thewhisperdb_spark.operators.urls import frontier_schedule
+
+    df = spark.createDataFrame(
+        [("https://a.com/x", 5, 2.0), ("https://a.com/y", 9, 2.0),
+         ("https://a.com/z", 5, 2.0), ("https://b.com/only", 1, 0.5)],
+        "url string, priority int, delay double")
+    got = {r["url"]: r for r in
+           frontier_schedule(df, delay_col="delay",
+                             priority_col="priority").collect()}
+    # a.com: y (pri 9) first, then x/z tie broken by url asc
+    assert got["https://a.com/y"]["rank_in_host"] == 1
+    assert got["https://a.com/x"]["rank_in_host"] == 2
+    assert got["https://a.com/z"]["rank_in_host"] == 3
+    assert got["https://a.com/z"]["fetch_offset_s"] == 4.0
+    assert all(got[u]["host_drain_s"] == 4.0 for u in
+               ("https://a.com/x", "https://a.com/y", "https://a.com/z"))
+    assert got["https://b.com/only"]["fetch_offset_s"] == 0.0
+    assert got["https://b.com/only"]["host_drain_s"] == 0.0
+    # no delay column -> default, host derived from the url
+    d2 = frontier_schedule(
+        df.select("url"), default_delay_s=1.5).collect()
+    offs = sorted(r["fetch_offset_s"] for r in d2 if r["host"] == "a.com")
+    assert offs == [0.0, 1.5, 3.0]

@@ -15,7 +15,7 @@ The reference has no URL handling; north-star extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # common multi-part public suffixes: registrable domain = label-3.suffix
@@ -232,3 +232,54 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
                         F.when(F.col("_cu_ascii").isNotNull(), swapped)
                         .otherwise(c))
             .drop("_cu_host", "_cu_ascii"))
+
+
+def frontier_schedule(df: DataFrame, url_col: str = "url",
+                      host_col: str | None = None,
+                      delay_col: str | None = None,
+                      default_delay_s: float = 1.0,
+                      priority_col: str | None = None) -> DataFrame:
+    """Politeness scheduling for a crawl frontier batch: the step between
+    robots admission and fetch dispatch. Within each host, URLs are
+    ranked (highest ``priority_col`` first, URL string as the
+    deterministic tie-break) and assigned ``fetch_offset_s`` =
+    (rank-1) * the host's crawl delay — the earliest time each URL may
+    be fetched relative to the host's first request without violating
+    the per-host rate limit. ``host_drain_s`` (the same offset of the
+    host's LAST url) rides along per row: the frontier-shaping signal —
+    a host whose drain time exceeds the crawl window needs its tail
+    re-queued, which is how per-batch host caps should be sized.
+
+    ``delay_col`` names a per-host delay column (e.g. sourced from a
+    robots Crawl-delay extension or a per-domain policy table); absent,
+    ``default_delay_s`` applies. ``host_col`` absent, the host derives
+    from ``url_col`` (same normalization as url_features).
+
+    Scale shape: ONE hash shuffle on the host key; the rank window is
+    partitioned BY HOST — per-host sequential order is the politeness
+    semantic itself, so this is the minimum possible parallelism grain,
+    and a mega-host's long partition is precisely the host_drain_s
+    signal telling the operator's caller to cap it. All arithmetic is
+    rank * delay over literals/columns — integer-deterministic and
+    fully SQL-portable.
+
+    Returns ``df``'s columns + ``host`` (if derived) + ``rank_in_host``,
+    ``fetch_offset_s``, ``host_drain_s`` (4dp).
+    """
+    out = df
+    if host_col is None:
+        out = out.withColumn("host", url_host(F.col(url_col)))
+        host_col = "host"
+    delay = (F.col(delay_col) if delay_col is not None
+             else F.lit(float(default_delay_s))).cast("double")
+    order = ([F.col(priority_col).desc()] if priority_col else []) \
+        + [F.col(url_col).asc()]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    wh = Window.partitionBy(host_col)
+    rank = F.row_number().over(w)
+    out = out.withColumn("rank_in_host", rank)
+    return (out
+            .withColumn("fetch_offset_s",
+                        F.round((F.col("rank_in_host") - 1) * delay, 4))
+            .withColumn("host_drain_s",
+                        F.round(F.max("fetch_offset_s").over(wh), 4)))
