@@ -62,6 +62,8 @@ arguments (no config-file indirection), and what to move at 100 TB:
 | Perplexity buckets (`langid.py:perplexity_buckets`) | tercile rule fixed (percentile_disc over ceil(n/3) cuts); score column pluggable | bits_per_trigram from langID | corpus table sees ONE groupBy (lang, score) onto a compressed histogram (scores pre-rounded to 6dp); the cumulative window runs over the histogram only and one-row-per-lang cuts broadcast back — never ntile over a language partition |
 | Threshold sweep (`operators/dq.py:quality_threshold_sweep`) | per-rule threshold grids (literal arrays) | 3 grids x 3 rules | one posexplode over grid literals (xN rows, N = grid size, bounded) + one aggregate; rules are already per-row booleans from the scan — the sweep adds zero joins; widen grids freely, cost is linear in grid size |
 | Avro OCF (`sources/avroio.py`) | codec (null/deflate), sync-marker honored; schema projected at read | deflate | mapInPandas over whole files for OCF framing (Arrow-batched, spec-driven); at 100 TB prefer a directory of many OCFs (file-parallel) — single giant OCF serializes on its sync-block chain |
+| Epoch schedule (`operators/sampling.py:epoch_schedule`) | `budget_tokens`, per-stratum `targets`, `max_epochs` repetition cap | uniform targets, no cap | one token-count aggregate rides the scan; all recipe arithmetic on the \|strata\|-row frame; realized-vs-target drift is reported, not renormalized — the recipe signal |
+| Frontier politeness (`operators/urls.py:frontier_schedule`) | per-host `delay_col` (robots/policy-sourced) or `default_delay_s`; `priority_col` | 1.0s/host | one host-keyed shuffle; per-host window is the politeness semantic (minimum grain); `host_drain_s` is the mega-host signal — cap or re-queue tails that outlast the crawl window |
 """
 
 
