@@ -822,3 +822,51 @@ def test_containment_pairs_match_python_reference(spark, docs):
     got = {(r["a"], r["b"]): (r["inter"], r["size_a"], r["size_b"])
            for r in D.containment_pairs(df, threshold=0.5).collect()}
     assert got == want
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["aa", "bb", "cc"]),
+              st.one_of(st.none(),
+                        st.integers(min_value=0, max_value=20))),
+    min_size=1, max_size=40))
+@SETTINGS
+def test_perplexity_buckets_invariants(spark, rows):
+    """Bucketing invariants vs an independent Python reference of the
+    percentile_disc rule: (1) buckets PARTITION the rows — every scored
+    row gets exactly one of head/middle/tail, NULL scores 'unscored';
+    (2) bucket is monotone in score within a language; (3) ties share a
+    bucket; (4) cut ranks are ceil(n/3)/ceil(2n/3) on the cumulative
+    histogram."""
+    from thewhisperdb_spark.operators.langid import perplexity_buckets
+
+    data = [(i, lang, float(s) / 2 if s is not None else None)
+            for i, (lang, s) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id long, predicted_lang string, bits_per_trigram double")
+    got = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(df).collect()}
+    assert set(got) == {i for i, _, _ in data}
+
+    # independent reference: per-lang cumulative histogram cuts
+    from collections import Counter
+    import math
+    by_lang: dict[str, list[float]] = {}
+    for _, lang, s in data:
+        if s is not None:
+            by_lang.setdefault(lang, []).append(s)
+    for i, lang, s in data:
+        if s is None:
+            assert got[i] == "unscored"
+            continue
+        scores = sorted(by_lang[lang])
+        n = len(scores)
+        hist = sorted(Counter(scores).items())
+        cum, head_cut, tail_cut = 0, None, None
+        for v, c in hist:
+            cum += c
+            if head_cut is None and cum >= math.ceil(n / 3):
+                head_cut = v
+            if tail_cut is None and cum >= math.ceil(2 * n / 3):
+                tail_cut = v
+        want = ("head" if s <= head_cut
+                else "middle" if s <= tail_cut else "tail")
+        assert got[i] == want, (i, lang, s, head_cut, tail_cut)
