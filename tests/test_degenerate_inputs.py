@@ -300,3 +300,34 @@ def test_index_stats_cold_start_report_zeros(spark, tmp_path):
     V.ivf_index_rebalance(spark, ivf)          # no-op, no crash
     with pytest.raises(ValueError, match="no centroids"):
         V.ivf_index_append(spark, ivf, q)
+
+
+def test_epoch_schedule_zero_token_stratum(spark):
+    """A stratum whose documents are all empty/whitespace plans 0 tokens
+    with NULL epochs (never Inf/NaN), stays an explicit row, and is
+    marked capped when its request was nonzero; an all-empty corpus
+    yields NULL realized_share (0/0) rather than NaN."""
+    from thewhisperdb_spark.operators.sampling import epoch_schedule
+
+    df = spark.createDataFrame(
+        [(1, "web", "a b c d"), (2, "ghost", "   "), (3, "ghost", "")],
+        "doc_id long, source string, text string")
+    got = {r["source"]: r for r in
+           epoch_schedule(df, budget_tokens=100,
+                          targets={"web": 0.5, "ghost": 0.5},
+                          max_epochs=10.0).collect()}
+    g = got["ghost"]
+    assert g["n_tokens"] == 0 and g["tokens_planned"] == 0
+    assert g["epochs"] is None and g["epochs_uncapped"] is None
+    assert g["capped"] is True
+    assert got["web"]["realized_share"] == 1.0
+    # uncapped mode: the empty stratum still plans 0
+    un = {r["source"]: r for r in
+          epoch_schedule(df, budget_tokens=100,
+                         targets={"web": 0.5, "ghost": 0.5}).collect()}
+    assert un["ghost"]["tokens_planned"] == 0
+    empty = epoch_schedule(
+        spark.createDataFrame([(1, "ghost", "")],
+                              "doc_id long, source string, text string"),
+        budget_tokens=10).collect()
+    assert len(empty) == 1 and empty[0]["realized_share"] is None

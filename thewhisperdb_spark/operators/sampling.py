@@ -340,11 +340,19 @@ def epoch_schedule(df: DataFrame, budget_tokens: int,
         cap = F.round(F.col("n_tokens") * F.lit(float(max_epochs)), 0) \
                .cast("long")
         planned = F.least(requested, cap)
+    # degenerate posture (tests/test_degenerate_inputs.py contract): a
+    # stratum with ZERO available tokens (empty/whitespace docs) plans 0
+    # tokens regardless of cap mode — you cannot upsample data that does
+    # not exist — with epochs NULL (not Inf/NaN from the 0-division) and
+    # capped = "the request was not met". Explicit rows, never dropped.
+    planned = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(planned)
     out = (out
            .withColumn("target_share", F.round(share, 6))
            .withColumn("tokens_requested", requested)
            .withColumn("tokens_planned", planned))
-    ep = lambda c: F.round(c.cast("double") / F.col("n_tokens"), 4)
+    ep = lambda c: F.when(
+        F.col("n_tokens") > 0,
+        F.round(c.cast("double") / F.col("n_tokens"), 4))
     return (out
             .withColumn("_planned_total",
                         F.sum("tokens_planned").over(wall))
@@ -355,6 +363,7 @@ def epoch_schedule(df: DataFrame, budget_tokens: int,
                 ep(F.col("tokens_planned")).alias("epochs"),
                 (F.col("tokens_planned") < F.col("tokens_requested"))
                 .alias("capped"),
-                F.round(F.col("tokens_planned").cast("double")
-                        / F.col("_planned_total"), 6)
+                F.when(F.col("_planned_total") > 0,
+                       F.round(F.col("tokens_planned").cast("double")
+                               / F.col("_planned_total"), 6))
                 .alias("realized_share")))
