@@ -331,3 +331,23 @@ def test_epoch_schedule_zero_token_stratum(spark):
                               "doc_id long, source string, text string"),
         budget_tokens=10).collect()
     assert len(empty) == 1 and empty[0]["realized_share"] is None
+
+
+def test_frontier_schedule_degenerate_urls(spark):
+    """NULL / empty / scheme-less URLs keep explicit rows (host NULL or
+    empty, ranks assigned deterministically within their group) — a
+    malformed frontier entry must never silently vanish from the
+    schedule, and no arithmetic NaNs leak out."""
+    from thewhisperdb_spark.operators.urls import frontier_schedule
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "not a url"), (4, "https://ok.com/x")],
+        "fid long, url string")
+    got = {r["fid"]: r for r in
+           frontier_schedule(df, default_delay_s=1.0).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[4]["host"] == "ok.com" and got[4]["fetch_offset_s"] == 0.0
+    for fid in (1, 2, 3):
+        assert got[fid]["rank_in_host"] >= 1
+        assert got[fid]["fetch_offset_s"] is not None \
+            or got[fid]["host"] is None

@@ -145,9 +145,9 @@ def robots_allowed(urls: DataFrame, rules: DataFrame,
     # RFC 9309 §2.2.2 matches the path-and-query ("the path of the URI"
     # including the query component) — a bare PATH miss made rules like
     # 'Disallow: /search?q=' unmatchable (ADVICE r10).
-    query = F.parse_url(F.col(url_col), F.lit("QUERY"))
+    query = F.try_parse_url(F.col(url_col), F.lit("QUERY"))
     path = F.concat(
-        F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")),
+        F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")),
                    F.lit("/")),
         F.when(query.isNotNull(), F.concat(F.lit("?"), query))
          .otherwise(F.lit("")))

@@ -1,6 +1,6 @@
 """URL / domain operators: the provenance dimension of a web-crawl
 pipeline — per-domain caps, blocklist filtering, and TLD/host analytics
-all key on fields derived here, entirely JVM-side (``parse_url`` +
+all key on fields derived here, entirely JVM-side (``try_parse_url`` +
 string expressions; no Python in the hot path).
 
 ``registrable_domain`` is the eTLD+1-style grouping key (the unit
@@ -30,8 +30,12 @@ MULTI_SUFFIXES = (
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased host with any userinfo/port stripped."""
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    """Lowercased host with any userinfo/port stripped. ``try_parse_url``
+    (NOT ``parse_url``) is load-bearing: under Spark 4 ANSI mode
+    ``parse_url`` THROWS on a malformed URL, so one garbage frontier
+    entry would abort the whole job; the try_ variant yields NULL and
+    the row stays visible downstream (degenerate-inputs contract)."""
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     host = F.regexp_replace(host, r"^.*@", "")
     return F.regexp_replace(host, r":\d+$", "")
 
@@ -68,7 +72,7 @@ def url_features(df: DataFrame, url_col: str = "url",
     distinct hosts) instead of the zero-data last-2/3-label baseline."""
     url = F.col(url_col)
     host = url_host(url)
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     if psl is not None:
         from thewhisperdb_spark.operators.psl import with_registrable_domain
 
@@ -88,7 +92,7 @@ def url_features(df: DataFrame, url_col: str = "url",
                         F.size(F.filter(F.split(path, "/"),
                                         lambda s: s != "")))
             .withColumn("has_query",
-                        F.parse_url(url, F.lit("QUERY")).isNotNull())
+                        F.try_parse_url(url, F.lit("QUERY")).isNotNull())
             .withColumn("is_ip", _is_ip(host)))
 
 
