@@ -153,6 +153,8 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "quality_threshold_sweep",
     "avro_roundtrip_by_source",
+    "mixture_epoch_schedule",
+    "frontier_politeness_schedule",
 ]
 
 # Index-maintenance keys (VERDICT r8 #7): NOT in the headline total —
