@@ -901,3 +901,71 @@ def test_policy_store_versions_and_torn_write(spark, tmp_path):
     assert publish_policy_snapshot(df1, store) == 4
     assert latest_policy_version(spark, store) == 4
     assert load_policy_snapshot(spark, store).count() == 1
+
+
+def test_frontier_schedule_batches_continue_and_replay(spark, tmp_path):
+    """Stateful politeness: batch 2's offsets for a host CONTINUE from
+    batch 1's cursor (last slot + one delay); a host absent from batch
+    2 carries its cursor forward; replaying batch 2 reproduces the
+    identical schedule and cursor (no double-advance)."""
+    from thewhisperdb_spark.streaming.jobs import frontier_schedule_batch
+
+    sched_dir = str(tmp_path / "sched")
+    cur_dir = str(tmp_path / "cursor")
+
+    b1 = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/2",), ("https://b.com/1",)],
+        "url string")
+    frontier_schedule_batch(b1, 0, sched_dir, cur_dir, default_delay_s=2.0)
+    s1 = {r["url"]: r for r in
+          spark.read.parquet(sched_dir).collect()}
+    assert s1["https://a.com/1"]["fetch_offset_s"] == 0.0
+    assert s1["https://a.com/2"]["fetch_offset_s"] == 2.0
+    cur = {r["host"]: r["next_offset_s"] for r in
+           spark.read.parquet(cur_dir)
+           .filter(F.col("upto_batch") == 0).collect()}
+    # a.com last slot 2.0 + delay 2.0 = 4.0; b.com 0.0 + 2.0 = 2.0
+    assert cur == {"a.com": 4.0, "b.com": 2.0}
+
+    b2 = spark.createDataFrame(
+        [("https://a.com/3",), ("https://c.com/1",)], "url string")
+    frontier_schedule_batch(b2, 1, sched_dir, cur_dir, default_delay_s=2.0)
+    s2 = {r["url"]: r for r in
+          spark.read.parquet(sched_dir)
+          .filter(F.col("ingest_batch") == 1).collect()}
+    assert s2["https://a.com/3"]["fetch_offset_s"] == 4.0  # continues
+    assert s2["https://c.com/1"]["fetch_offset_s"] == 0.0  # new host
+    cur2 = {r["host"]: r["next_offset_s"] for r in
+            spark.read.parquet(cur_dir)
+            .filter(F.col("upto_batch") == 1).collect()}
+    assert cur2 == {"a.com": 6.0, "b.com": 2.0, "c.com": 2.0}
+
+    # replay batch 1: identical schedule rows + identical cursor
+    frontier_schedule_batch(b2, 1, sched_dir, cur_dir, default_delay_s=2.0)
+    s2r = {r["url"]: r["fetch_offset_s"] for r in
+           spark.read.parquet(sched_dir)
+           .filter(F.col("ingest_batch") == 1).collect()}
+    assert s2r == {u: r["fetch_offset_s"] for u, r in s2.items()}
+    cur2r = {r["host"]: r["next_offset_s"] for r in
+             spark.read.parquet(cur_dir)
+             .filter(F.col("upto_batch") == 1).collect()}
+    assert cur2r == cur2
+
+
+def test_stream_frontier_schedule_end_to_end(spark, tmp_path):
+    """The streaming wrapper drains a file source through the cursor
+    loop (availableNow), producing batch-partitioned schedules."""
+    from thewhisperdb_spark.streaming.jobs import stream_frontier_schedule
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("https://x.com/a",), ("https://x.com/b",)],
+        "url string").write.json(src)
+    q = stream_frontier_schedule(
+        spark.readStream.schema("url string").json(src),
+        str(tmp_path / "out"), str(tmp_path / "cur"),
+        str(tmp_path / "ckpt"), default_delay_s=0.5)
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    offs = sorted(r["fetch_offset_s"] for r in out.collect())
+    assert offs == [0.0, 0.5]

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -842,6 +842,113 @@ def stream_clip_dedup_ingest(stream: DataFrame, index_path: str,
                                 min_containment=min_containment,
                                 id_col=id_col, hash_col=hash_col,
                                 idx_col=idx_col)
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def frontier_schedule_batch(batch_df: DataFrame, batch_id: int,
+                            schedule_dir: str, cursor_dir: str,
+                            url_col: str = "url",
+                            delay_col: str | None = None,
+                            default_delay_s: float = 1.0,
+                            priority_col: str | None = None) -> None:
+    """One micro-batch of the stateful politeness scheduler: offsets
+    CONTINUE per host across batches instead of resetting to 0 — batch
+    N schedules host h's URLs starting at h's persisted cursor, then
+    advances the cursor past the last slot + one delay (the next free
+    slot). Replay-idempotent by construction: the cursor snapshot for
+    batch B is derived ONLY from the latest snapshot strictly BEFORE B,
+    and both the schedule and the cursor write batch-partitioned with
+    dynamic overwrite, so a replayed batch recomputes exactly itself
+    (pinned by tests/test_streaming.py replay test).
+
+    Cursor store: parquet under ``cursor_dir`` partitioned by
+    ``upto_batch`` — one row per host ever seen (host, next_offset_s);
+    offsets are seconds on the crawl's own relative timeline. The
+    per-batch partitions accumulate like the survivors stores do —
+    prune aged ones the same way compact_ingest_survivors does for
+    survivors (only the latest partition is ever read).
+
+    Scale shape: the batch side is one host-keyed shuffle (the
+    frontier_schedule window); the cursor join is a hash join on host
+    (the cursor table is 1 row/host — small but corpus-wide, so NOT
+    forced broadcast; AQE decides). Cursor advance is an aggregate of
+    the already-windowed batch rows.
+    """
+    from thewhisperdb_spark.operators.urls import frontier_schedule
+
+    spark = batch_df.sparkSession
+    try:
+        prev_all = spark.read.parquet(cursor_dir) \
+            .filter(F.col("upto_batch") < int(batch_id))
+        w = Window.partitionBy("host").orderBy(F.col("upto_batch").desc())
+        prev = (prev_all
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("host", F.col("next_offset_s").alias("_cursor")))
+    except Exception:  # first batch: no cursor store yet
+        prev = None
+
+    sched = frontier_schedule(batch_df, url_col=url_col,
+                              delay_col=delay_col,
+                              default_delay_s=default_delay_s,
+                              priority_col=priority_col)
+    delay = (F.col(delay_col) if delay_col is not None
+             else F.lit(float(default_delay_s))).cast("double")
+    sched = sched.withColumn("_delay", delay)
+    if prev is not None:
+        sched = (sched.join(prev, "host", "left")
+                 .withColumn("_cursor",
+                             F.coalesce(F.col("_cursor"), F.lit(0.0))))
+    else:
+        sched = sched.withColumn("_cursor", F.lit(0.0))
+    sched = (sched
+             .withColumn("fetch_offset_s",
+                         F.round(F.col("_cursor")
+                                 + F.col("fetch_offset_s"), 4))
+             .withColumn("host_drain_s",
+                         F.round(F.col("_cursor")
+                                 + F.col("host_drain_s"), 4)))
+    out = sched.drop("_cursor", "_delay") \
+        .withColumn("ingest_batch", F.lit(int(batch_id)))
+    out = out.localCheckpoint(eager=True)  # one computation for both writes
+    (out.write.mode("overwrite").partitionBy("ingest_batch")
+     .option("partitionOverwriteMode", "dynamic").parquet(schedule_dir))
+
+    # cursor advance: per host in THIS batch, next free slot = last slot
+    # + one delay; hosts not in the batch carry forward unchanged
+    adv = (sched.groupBy("host")
+           .agg(F.round(F.max("host_drain_s")
+                        + F.max("_delay"), 4).alias("next_offset_s")))
+    if prev is not None:
+        carried = (prev.join(adv.select("host"), "host", "left_anti")
+                   .select("host", F.col("_cursor").alias("next_offset_s")))
+        adv = adv.unionByName(carried)
+    (adv.withColumn("upto_batch", F.lit(int(batch_id)))
+     .write.mode("overwrite").partitionBy("upto_batch")
+     .option("partitionOverwriteMode", "dynamic").parquet(cursor_dir))
+
+
+def stream_frontier_schedule(stream: DataFrame, schedule_dir: str,
+                             cursor_dir: str, checkpoint_dir: str,
+                             url_col: str = "url",
+                             delay_col: str | None = None,
+                             default_delay_s: float = 1.0,
+                             priority_col: str | None = None):
+    """The politeness scheduler as a streaming job: frontier batches
+    stream in, per-host fetch slots stream out with offsets continuing
+    across micro-batches via the persisted host-cursor store
+    (``frontier_schedule_batch`` per micro-batch under a checkpoint).
+    Returns the started StreamingQuery (availableNow drains + stops)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        frontier_schedule_batch(batch_df, batch_id, schedule_dir,
+                                cursor_dir, url_col=url_col,
+                                delay_col=delay_col,
+                                default_delay_s=default_delay_s,
+                                priority_col=priority_col)
 
     return (stream.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
