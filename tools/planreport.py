@@ -64,6 +64,7 @@ arguments (no config-file indirection), and what to move at 100 TB:
 | Avro OCF (`sources/avroio.py`) | codec (null/deflate), sync-marker honored; schema projected at read | deflate | mapInPandas over whole files for OCF framing (Arrow-batched, spec-driven); at 100 TB prefer a directory of many OCFs (file-parallel) — single giant OCF serializes on its sync-block chain |
 | Epoch schedule (`operators/sampling.py:epoch_schedule`) | `budget_tokens`, per-stratum `targets`, `max_epochs` repetition cap | uniform targets, no cap | one token-count aggregate rides the scan; all recipe arithmetic on the \|strata\|-row frame; realized-vs-target drift is reported, not renormalized — the recipe signal |
 | Frontier politeness (`operators/urls.py:frontier_schedule`) | per-host `delay_col` (robots/policy-sourced) or `default_delay_s`; `priority_col` | 1.0s/host | one host-keyed shuffle; per-host window is the politeness semantic (minimum grain); `host_drain_s` is the mega-host signal — cap or re-queue tails that outlast the crawl window |
+| Streaming politeness (`streaming/jobs.py:stream_frontier_schedule`) | same knobs + cursor store path; micro-batch size via trigger | availableNow drain | per-host cursors persist across batches (1 row/host, AQE-sized hash join); replay recomputes exactly itself (batch-B cursor derives only from B-1); prune aged cursor partitions like survivors stores |
 """
 
 
