@@ -8777,7 +8777,6 @@ _VERIFY_FALLBACK = [
     # formerly rows-only entries (contract-oracled in round 5) — kept at
     # the back of the static fallback; the live ordering derives from
     # CORRECTNESS files anyway
-    "events_distinct_users_hll",
     "pq_knn",
 ]
 
