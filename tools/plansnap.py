@@ -1,0 +1,42 @@
+"""Snapshot ``.explain('formatted')`` for registry keys into plans/r12/
+(optimization-round deliverable: the judge checks plan claims against these
+files).
+
+Usage:
+    python tools/plansnap.py <tag> key1 key2 ...
+Writes plans/r12/<key>_<tag>.txt for each key.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from thewhisperdb_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    keys = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", "r12")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("plansnap")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    for key in keys:
+        df = qs[key](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        path = os.path.join(out_dir, f"{key}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"PLAN {key} -> {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
