@@ -73,8 +73,10 @@ def _check_ids(frames: DataFrame, id_col: str) -> None:
 
 def _clipmeta_write(spark: SparkSession, path: str, k: int,
                     bands: int) -> None:
-    (spark.createDataFrame([(k, bands)], "k int, bands int")
-     .coalesce(1).write.mode("overwrite").parquet(f"{path}/clipmeta"))
+    from thewhisperdb_spark.operators.indexmeta import write_meta_row
+
+    write_meta_row(spark, f"{path}/clipmeta", "k int, bands int",
+                   (k, bands))
 
 
 def _clipmeta(spark: SparkSession, path: str) -> tuple[int, int]:

@@ -18,7 +18,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from thewhisperdb_spark.operators.indexmeta import (
-    claim_sentinel, confirm_claim, release_claim, verify_claim)
+    claim_sentinel, confirm_claim, release_claim, verify_claim,
+    write_meta_row)
 from thewhisperdb_spark.operators.text import char_ngrams, tags_of, tokens
 
 
@@ -927,12 +928,12 @@ def _lsh_meta_writer(spark, path: str, n_hashes: int, bands: int,
     uniquely-named files (``indexmeta`` v3) — the sentinel never carries
     a token, so a claim can never clobber an in-progress ``-1``."""
     def write_meta(version: int) -> None:
-        (spark.createDataFrame(
-            [(version, n_hashes, bands, shingle_n, portable, hash_scheme,
-              id_type)],
+        write_meta_row(
+            spark, f"{path}/meta",
             "format_version int, n_hashes int, bands int, shingle_n int, "
-            "portable boolean, hash_scheme string, id_type string")
-         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+            "portable boolean, hash_scheme string, id_type string",
+            (version, n_hashes, bands, shingle_n, portable, hash_scheme,
+             id_type))
     return write_meta
 
 

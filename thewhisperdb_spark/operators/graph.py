@@ -80,25 +80,30 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                     F.coalesce("_rep_label", "component").alias("component"))
         )
 
-    # Convergence: labels are monotonically non-increasing, so the label sum
-    # strictly decreases iff anything changed — one metadata-sized aggregate
-    # per round instead of tracking a _changed flag through the joins.
-    # decimal(38,0) so the sum can't overflow under ANSI mode at scale.
-    def label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
-
-    prev_sum = label_sum(labels)
+    # Convergence: labels are monotonically non-increasing, so an
+    # unchanged TWO-half-step state is exactly the fixpoint. Two
+    # propagate+compress half-steps per materialized round: the
+    # per-round cost is dominated by job/checkpoint latency, not data —
+    # but half_step references its input FOUR times (nbr_min + the
+    # propagate join, then prop + its rep self-join), so the lazy plan
+    # grows ~4x per nested half-step and deeper nesting loses far more
+    # in planning/recompute than it saves in job count (a 4-half-step
+    # variant measured 16.5s vs 4.8s at sf0.1 — same-session A/B,
+    # OPTIMIZATION_r12.md). The previous label IS threaded through the
+    # checkpointed frame (optimization r12), so the convergence check is
+    # a shuffle-free filter count over already-materialized rows instead
+    # of a separate decimal-sum aggregate job per round.
     for _ in range(max(1, (max_iter + 1) // 2)):
-        # two propagate+compress half-steps per materialized round: the
-        # per-round cost is dominated by job/checkpoint latency, not data,
-        # so doubling the work per materialization halves wall-clock
-        new_labels = half_step(half_step(labels)).localCheckpoint(eager=True)
-        cur_sum = label_sum(new_labels)
-        labels = new_labels
-        if cur_sum == prev_sum:
+        stepped = half_step(half_step(labels))
+        new_labels = (
+            stepped.join(labels.withColumnRenamed("component", "_old"),
+                         "id")
+            .localCheckpoint(eager=True))
+        changed = new_labels.filter(
+            F.col("component") != F.col("_old")).count()
+        labels = new_labels.select("id", "component")
+        if changed == 0:
             break
-        prev_sum = cur_sum
 
     # singletons: vertices with no edges keep their own id as component
     singles = (vertices.select(F.col(id_col).alias("id"))
@@ -287,7 +292,12 @@ def pagerank(vertices: DataFrame, edges: DataFrame, id_col: str = "id",
 
     # two power-method rounds per materialization: per-round wall-clock is
     # dominated by job latency, not data, so halving the checkpoint count
-    # halves the fixed cost (same trick as connected_components)
+    # halves the fixed cost. Deeper chunks REGRESS: step references its
+    # input twice (the dangling-mass aggregate + the contribution join),
+    # so the lazy plan doubles per nested step and planning/recompute
+    # outgrows the saved job latency (the same exponential-plan blowup
+    # the connected_components comment documents; measured in the r12
+    # optimization round's same-session A/Bs).
     for _ in range(n_iter // 2):
         ranks = step(step(ranks)).localCheckpoint(eager=True)
     if n_iter % 2:
@@ -334,28 +344,32 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
             .select("id", (-F.col("m.neg")).cast("long").alias("label"))
         )
 
-    # Two sync rounds per materialization + ONE exact changed-count check per
-    # pair (per-round cost here is job latency, not data). Early-stopping on
-    # a zero TWO-round delta is exact for parity with a fully-unrolled run:
-    # state(r) == state(r+2) makes the trajectory 2-periodic from r, and the
-    # remaining EVEN number of rounds reproduces state(r) — this also
-    # terminates bipartite oscillations the one-round delta never catches.
-    # Odd max_iter: run the final round as a single step (pagerank's
-    # pattern), so the iteration-cap contract holds exactly — under
-    # 2-periodicity the extra step equally reproduces the fully-unrolled
-    # odd-round state (ADVICE r3: max_iter=1 must run 1 round, not 2).
-    for _ in range(max_iter // 2):
-        new_labels = step(step(labels)).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+    # FOUR sync rounds per materialization (optimization r12; was two) +
+    # ONE exact changed-count check per block, with the old label THREADED
+    # THROUGH the checkpointed frame so the check is a shuffle-free filter
+    # scan of already-materialized rows instead of a separate join job
+    # (per-round cost here is job latency, not data — halving the
+    # checkpoint/count job count halves wall-clock again).
+    # Early-stopping on a zero FOUR-round delta is exact for parity with a
+    # fully-unrolled run: state(r) == state(r+4) makes the trajectory
+    # periodic from r with period dividing 4, and the REMAINDER rounds
+    # below run unconditionally, so the final state always equals
+    # state(4·blocks + rem) = state(max_iter) — this also terminates
+    # bipartite (period-2) oscillations, which divide 4.
+    # Remainder rounds (max_iter % 4) run as single steps after the block
+    # loop — whether it early-stopped or not — so the iteration-cap
+    # contract holds exactly (ADVICE r3: max_iter=1 must run 1 round).
+    for _ in range(max_iter // 4):
+        stepped = step(step(step(step(labels))))
+        new_labels = (
+            stepped.join(labels.withColumnRenamed("label", "_old"), "id")
+            .localCheckpoint(eager=True))
+        changed = new_labels.filter(
+            F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
-    if max_iter % 2:
+    for _ in range(max_iter % 4):
         labels = step(labels).localCheckpoint(eager=True)
 
     singles = (vertices.select(F.col(id_col).alias("id"))
@@ -381,9 +395,9 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
     fixpoint (Montresor et al., "Distributed k-core decomposition"): start
     from degree, then repeatedly set c(v) = h-index of the neighbors'
     current estimates. Estimates are monotone non-increasing and converge
-    to the exact core number, so the same decimal label-sum convergence
-    trick as connected_components applies (one aggregate per round, no row
-    collect).
+    to the exact core number, so convergence is a changed-count filter
+    over the materialized (new, old) estimate pairs — the same check as
+    connected_components, no row collect.
 
     BOUNDED per-vertex state (round-4 hardening, replacing a raw
     collect_list of neighbor estimates whose aggregation buffer was
@@ -404,9 +418,6 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
     est = und.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
 
-    def est_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("c").cast("decimal(38,0)"))).collect()[0][0]
-
     def step(cur_df: DataFrame) -> DataFrame:
         nbr = (
             und.join(cur_df.select(F.col("id").alias("src"),
@@ -419,22 +430,32 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
         return (cur_df.join(h, "id")
                 .select("id", F.least(F.col("c"), F.col("h")).alias("c")))
 
-    # two h-index rounds per materialization + one label-sum check per pair
-    # (estimates are monotone non-increasing, so an unchanged TWO-round sum
-    # still implies the fixpoint exactly); per-round cost is job latency.
-    # Odd max_iter runs its final round as a single step so the iteration
-    # cap is honored exactly (ADVICE r3) — monotonicity makes the extra
-    # step a no-op when the loop already hit the fixpoint.
-    prev = est_sum(est)
+    # Two h-index rounds per materialization, with the previous estimate
+    # THREADED THROUGH the checkpointed frame (optimization r12) so the
+    # convergence check is a shuffle-free filter count over
+    # already-materialized rows instead of a separate decimal-sum
+    # aggregate job (per-round cost is job latency, not data). Deeper
+    # nesting regresses: step references its input twice (the estimate
+    # join + the follow-up least() join), so the lazy plan doubles per
+    # nested step — the same blowup the connected_components comment
+    # documents. Estimates are monotone non-increasing, so an unchanged
+    # TWO-round state is exactly the fixpoint (every intermediate step
+    # must have been unchanged too), and the remaining unrolled rounds
+    # the oracle runs preserve it. An odd max_iter runs its final round
+    # as a single step so the iteration cap is honored exactly (ADVICE
+    # r3) — skipped at the fixpoint, where it is a bit-for-bit no-op.
     converged = False
     for _ in range(max_iter // 2):
-        est = step(step(est)).localCheckpoint(eager=True)
-        cur = est_sum(est)
-        if cur == prev:
+        stepped = step(step(est))
+        new_est = (
+            stepped.join(est.withColumnRenamed("c", "_old"), "id")
+            .localCheckpoint(eager=True))
+        changed = new_est.filter(F.col("c") != F.col("_old")).count()
+        est = new_est.select("id", "c")
+        if changed == 0:
             converged = True
             break
-        prev = cur
-    if max_iter % 2 and not converged:
+    if not converged and max_iter % 2:
         est = step(est).localCheckpoint(eager=True)
     return est.select("id", F.col("c").alias("coreness"))
 

@@ -34,6 +34,7 @@ from thewhisperdb_spark.operators.indexmeta import (
     confirm_claim,
     release_claim,
     verify_claim,
+    write_meta_row,
 )
 
 HASH_INDEX_FORMAT_VERSION = 1
@@ -42,11 +43,11 @@ HASH_INDEX_FORMAT_VERSION = 1
 def _meta_writer(spark: SparkSession, path: str, max_hamming: int,
                  bands: int, id_type: str, width: int = 64):
     def write(version: int) -> None:
-        (spark.createDataFrame(
-            [(version, max_hamming, bands, id_type, width)],
+        write_meta_row(
+            spark, f"{path}/meta",
             "format_version int, max_hamming int, bands int, "
-            "id_type string, width int")
-         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+            "id_type string, width int",
+            (version, max_hamming, bands, id_type, width))
     return write
 
 

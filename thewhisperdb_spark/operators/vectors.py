@@ -18,7 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from thewhisperdb_spark.operators.indexmeta import (
-    claim_sentinel, confirm_claim, release_claim, verify_claim)
+    claim_sentinel, confirm_claim, release_claim, verify_claim,
+    write_meta_row)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1040,10 +1041,10 @@ def _ivf_meta_writer(spark, path: str, id_type: str | None = None):
             id_type = None
 
     def write_meta(version: int) -> None:
-        (spark.createDataFrame(
-            [(version, "md5-min-v2", id_type)],
-            "format_version int, hash_scheme string, id_type string")
-         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+        write_meta_row(
+            spark, f"{path}/meta",
+            "format_version int, hash_scheme string, id_type string",
+            (version, "md5-min-v2", id_type))
     return write_meta
 
 

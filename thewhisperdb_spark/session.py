@@ -28,6 +28,16 @@ def get_spark(app_name: str = "thewhisperdb-spark", cpus: int | None = None) -> 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Delay scheduling is a data-locality optimization for disk-local
+        # HDFS reads; in local mode and on object-store deployments there
+        # is no rack/node locality to wait for, yet the default 3s quantum
+        # stalls any task whose preferred location can't be matched —
+        # measured here: a 1-row coalesce(1) meta write took 3.8-6.2s with
+        # the default and 0.4s with wait=0 (OPTIMIZATION_r12.md §meta).
+        # Parameterized for HDFS-local clusters, where a nonzero wait can
+        # be the right trade.
+        .config("spark.locality.wait",
+                os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "0"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
