@@ -53,9 +53,34 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
 
 
+# Per-(session, sf_dir, table) DataFrame cache (optimization r12, guide
+# §6 "file listing caches"): load_table re-read the parquet footer and
+# rebuilt the scan relation on every call — driver-side work that
+# repeats inside the timed region of every query run (most queries call
+# it 1-3 times). The cached object is a LAZY scan plan over the
+# immutable testdata files, not data: every action still computes from
+# the parquet inputs. The at-scale analog is exactly the file-index
+# cache the optimization guide recommends
+# (spark.sql.hive.filesourcePartitionFileCacheSize). State tables (the
+# engine's own mutable snapshots) do not go through this loader and are
+# never cached.
+_TABLE_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table: {name}")
+    key = (spark, os.path.abspath(sf_dir), name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str,
+                         name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # pre-arm so schema inference AND executor-side reads both see it

@@ -41,9 +41,12 @@ def _git(*args: str) -> None:
 def _reload(mod_names: list[str]) -> None:
     import thewhisperdb_spark.operators as ops
     for name in mod_names:
-        importlib.reload(getattr(ops, name, None)
-                         or importlib.import_module(
-                             f"thewhisperdb_spark.operators.{name}"))
+        if "." in name:          # full path, e.g. thewhisperdb_spark.catalog
+            importlib.reload(importlib.import_module(name))
+        else:
+            importlib.reload(getattr(ops, name, None)
+                             or importlib.import_module(
+                                 f"thewhisperdb_spark.operators.{name}"))
 
 
 def _time_block(spark, qs, keys, sf_dir, runs):
@@ -103,10 +106,21 @@ def main() -> None:
           file=sys.stderr, flush=True)
     new2, rows_new2 = _time_block(spark, qs(), keys, sf_dir, runs)
 
+    _git("stash", "push", "-m", "ab_swap OLD2 block")
+    try:
+        _reload(mods)
+        print("# block OLD2 (stashed HEAD, warmest position)",
+              file=sys.stderr, flush=True)
+        old2, _ = _time_block(spark, qs(), keys, sf_dir, runs)
+    finally:
+        _git("stash", "pop")
+    _reload(mods)
+
     for key in keys:
         eq = rows_new[key] == rows_old[key] == rows_new2[key]
         print(json.dumps({"key": key, "old": old[key], "new": new[key],
-                          "new2": new2[key], "rows_equal": eq}),
+                          "new2": new2[key], "old2": old2[key],
+                          "rows_equal": eq}),
               flush=True)
         if not eq:
             print(f"ROW MISMATCH for {key}!", file=sys.stderr, flush=True)
