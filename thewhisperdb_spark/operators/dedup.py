@@ -508,15 +508,31 @@ def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     blocked = (rows.join(F.broadcast(sizes), "cluster")
                .withColumn("blk", F.pmod(F.xxhash64(F.col("id")),
                                          F.col("_nb")).cast("int")))
-    a_side = blocked.select(
-        "cluster", "id", "v", F.col("blk").alias("bi"),
-        F.explode(F.sequence(F.col("blk"), F.col("_nb") - 1)).alias("bj"),
-        F.lit(0).alias("side"))
-    b_side = blocked.filter(F.col("blk") > 0).select(
-        "cluster", "id", "v",
-        F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("bi"),
-        F.col("blk").alias("bj"), F.lit(1).alias("side"))
-    grouped = a_side.unionByName(b_side)
+    # both pair sides from ONE explode (optimization r12, the
+    # vectors.similar_pairs treatment): a_side.unionByName(b_side)
+    # referenced ``blocked`` twice, and blocked embeds the kmeans_assign
+    # join — the whole labeling pipeline executed once per branch.
+    # sequence() under ANSI refuses the empty 0..-1 range for blk=0
+    # rows, so the B-side pads to 0..max(blk-1, 0) and filters the
+    # padding back out.
+    a_tgts = F.transform(
+        F.sequence(F.col("blk"), F.col("_nb") - 1),
+        lambda j: F.struct(F.col("blk").alias("bi"),
+                           j.cast("int").alias("bj"),
+                           F.lit(0).alias("side")))
+    b_tgts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.col("blk") - 1, F.lit(0))),
+            lambda i: F.struct(i.cast("int").alias("bi"),
+                               F.col("blk").alias("bj"),
+                               F.lit(1).alias("side"))),
+        lambda t: t["bi"] < F.col("blk"))
+    grouped = (blocked
+               .select("cluster", "id", "v",
+                       F.explode(F.concat(a_tgts, b_tgts)).alias("t"))
+               .select("cluster", "id", "v", F.col("t.bi").alias("bi"),
+                       F.col("t.bj").alias("bj"),
+                       F.col("t.side").alias("side")))
     thr = float(threshold)
 
     def gram(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -19,10 +19,22 @@ from pyspark.sql import functions as F
 
 
 def undirect(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Symmetrize an edge list (both directions), self-loops dropped."""
-    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    return fwd.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+    """Symmetrize an edge list (both directions), self-loops dropped.
+
+    Emitted as ONE explode over the input rather than fwd.union(rev)
+    (optimization r12): a union references ``edges`` twice, and when the
+    edge list is itself an expensive subtree (the cosine-pair Python BLAS
+    stage feeding every graph key) the whole upstream pipeline executes
+    once per branch — Catalyst's ReusedExchange can only dedup identical
+    Exchange nodes, not the Python stage above them. The explode scans
+    the input once and yields the identical row set."""
+    s, d = F.col(src), F.col(dst)
+    e = F.explode(F.array(
+        F.struct(s.alias("src"), d.alias("dst")),
+        F.struct(d.alias("src"), s.alias("dst")))).alias("e")
+    return (edges.select(e)
+            .select("e.src", "e.dst")
+            .filter(F.col("src") != F.col("dst")).distinct())
 
 
 def adjacency_lists(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -330,13 +342,22 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
         "id", F.col("id").cast("long").alias("label")).localCheckpoint(eager=True)
 
     def step(cur: DataFrame) -> DataFrame:
-        votes = (
+        # ONE exchange per step (optimization r12): repartition the
+        # labeled edge ends by the destination vertex once — the
+        # (id, label) vote count AND the per-id argmax both accept
+        # hash(id) partitioning (a grouping-key subset satisfies the
+        # clustered distribution), so neither aggregate re-shuffles.
+        # The previous shape paid two exchanges per step — hash(id,
+        # label) for the votes, then hash(id) for the argmax.
+        edges_lab = (
             und.join(cur.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("dst").alias("id"), "label")
+            .repartition("id")
         )
+        votes = edges_lab.groupBy("id", "label").agg(
+            F.count(F.lit(1)).alias("cnt"))
         # mode with min-label tiebreak: max over (cnt, -label) structs keeps
-        # the whole argmax inside one hash aggregate (no window)
+        # the whole argmax inside one aggregate (no window)
         return (
             votes.groupBy("id")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg")))

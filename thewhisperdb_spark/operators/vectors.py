@@ -96,15 +96,32 @@ def similar_pairs(embeddings: DataFrame, threshold: float,
     blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     rows = base.withColumn("blk", blk)
     # A-side of pair (i, j>=i): block i; B-side: block j>i (diagonal pairs
-    # compute their own triangle from the A rows alone)
-    a_side = rows.select(
-        "id", "v", F.col("blk").alias("bi"),
-        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
-        F.lit(0).alias("side"))
-    b_side = rows.filter(F.col("blk") > 0).select(
-        "id", "v", F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("bi"),
-        F.col("blk").alias("bj"), F.lit(1).alias("side"))
-    grouped = a_side.unionByName(b_side)
+    # compute their own triangle from the A rows alone). Both sides are
+    # emitted from ONE explode over the input (optimization r12): the
+    # previous a_side.unionByName(b_side) referenced ``rows`` twice, so
+    # the upstream scan executed once per branch (and when a caller
+    # passes a derived frame, its whole pipeline ran twice).
+    a_tgts = F.transform(
+        F.sequence(F.col("blk"), F.lit(n_blocks - 1)),
+        lambda j: F.struct(F.col("blk").alias("bi"),
+                           j.cast("int").alias("bj"),
+                           F.lit(0).alias("side")))
+    # blk=0 rows have no B-side targets; sequence() under ANSI refuses
+    # an empty 0..-1 range, so pad to 0..max(blk-1, 0) and filter the
+    # padding back out (bi < blk keeps exactly the real targets)
+    b_tgts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.col("blk") - 1, F.lit(0))),
+            lambda i: F.struct(i.cast("int").alias("bi"),
+                               F.col("blk").alias("bj"),
+                               F.lit(1).alias("side"))),
+        lambda t: t["bi"] < F.col("blk"))
+    grouped = (rows
+               .select("id", "v",
+                       F.explode(F.concat(a_tgts, b_tgts)).alias("t"))
+               .select("id", "v", F.col("t.bi").alias("bi"),
+                       F.col("t.bj").alias("bj"),
+                       F.col("t.side").alias("side")))
 
     thr = float(threshold)
 
