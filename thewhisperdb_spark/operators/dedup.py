@@ -138,9 +138,16 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     (uncapped) distinct-shingle counts."""
     from thewhisperdb_spark.operators.text import word_ngrams
 
+    # materialize the exploded shingle table once (optimization r12):
+    # the plan references it 6x (sizes, the df-cap, candidate gen, and
+    # the two re-score joins), and without a checkpoint each reference
+    # re-scans the corpus and re-explodes the shingles. At scale this is
+    # the standard store-the-exploded-posting-list-once trade (guide §5:
+    # cache when reused AND recompute is expensive; localCheckpoint
+    # spills to disk under pressure).
     sh = df.select(F.col(id_col).alias("id"),
                    F.explode(word_ngrams(F.col(text_col), shingle_n))
-                   .alias("sh"))
+                   .alias("sh")).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     co = _shingle_cooccurrence(sh, max_df)
     return (

@@ -379,7 +379,12 @@ def winnow_overlap_pairs(df: DataFrame, k: int = 5, w: int = 4,
     route through minhash_lsh_pairs when the corpus is stop-print heavy.
 
     Returns (a, b, n_shared)."""
-    fp = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    # materialize the fingerprints once (optimization r12): both sides
+    # of the self-join reference fp, and without a barrier the md5
+    # winnowing selection re-runs per branch (the same store-once trade
+    # as minhash_lsh_pairs' signature checkpoint)
+    fp = winnow_fingerprints(df, k=k, w=w, id_col=id_col,
+                             text_col=text_col).localCheckpoint(eager=True)
     x = fp.select(F.col(id_col).alias("a"),
                   F.col("fingerprint").alias("f"))
     y = fp.select(F.col(id_col).alias("b"),
