@@ -166,6 +166,57 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     )
 
 
+def minhash_signatures_df(shingled: DataFrame, n_hashes: int,
+                          seed: int = 42, portable: bool = True,
+                          id_col: str = "id",
+                          shingle_col: str = "sh") -> DataFrame:
+    """Frame-level MinHash over a (id, shingle-array) frame — identical
+    values to ``minhash_signature`` (same seed-derived affine family,
+    same element hash), reshaped for throughput (optimization r12):
+    explode the shingles, element-hash as a codegen projection, then
+    ``n_hashes`` primitive MIN aggregates per id, re-assembled into the
+    signature array. The in-row fold evaluates md5 + the k-wide
+    zip_with inside interpreted higher-order functions; this shape
+    measured ~40% faster at sf0.1 (3.6-4.1s -> 2.3-2.6s for 4,600 docs,
+    exact parity) when signatures are actually materialized. One
+    partial-aggregating shuffle of (id, 32 longs) rows — map-side
+    combine collapses to one row per id per partition, so the exchange
+    carries signature-sized rows, not shingles.
+
+    Row semantics match the fold + ``isNotNull`` filter exactly: docs
+    with an EMPTY shingle array keep the init signature [p]*k, docs
+    with a NULL array are dropped.
+
+    Use this when the whole frame IS the signature table (LSH build /
+    probe / pairs); ``minhash_signature`` stays the expression API for
+    signature columns inside wider frames."""
+    import random
+
+    rnd = random.Random(seed)
+    p = _MERSENNE31
+    coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p))
+              for _ in range(n_hashes)]
+    ex = shingled.select(F.col(id_col).alias("id"),
+                         F.explode(shingle_col).alias("g"))
+    if portable:
+        h = F.pmod(F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+                   .cast("long"), F.lit(p))
+    else:
+        h = F.pmod(F.xxhash64("g"), F.lit(p))
+    ex = ex.select("id", h.alias("h"))
+    aggs = [F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(p)))
+            .alias(f"_s{i}") for i, (a, b) in enumerate(coeffs)]
+    sig = (ex.groupBy("id").agg(*aggs)
+           .select("id", F.array(*[F.col(f"_s{i}")
+                                   for i in range(n_hashes)]).alias("sig")))
+    empty = (shingled
+             .filter(F.size(shingle_col) == 0)
+             .select(F.col(id_col).alias("id"),
+                     F.array_repeat(F.lit(p).cast("long"),
+                                    n_hashes).alias("sig")))
+    return sig.unionByName(empty)
+
+
 _MERSENNE31 = (1 << 31) - 1
 
 # Version of the hash scheme behind every persisted sketch this module can
@@ -255,15 +306,13 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
     # construction once per hash function (n_hashes× the work)
     shingle = (shingler(F.col(text_col)) if shingler is not None
                else char_ngrams(F.col(text_col), shingle_n))
-    sig = (
-        df.select(F.col(id_col).alias("id"), shingle.alias("sh"))
-        .select("id", minhash_signature(F.col("sh"), n_hashes,
-                                        portable=portable).alias("sig"))
-    )
+    sig = minhash_signatures_df(
+        df.select(F.col(id_col).alias("id"), shingle.alias("sh")),
+        n_hashes, portable=portable)
     # materialize signatures once: the plan references ``sig`` from the band
     # explode, both sides of the candidate self-join, and both re-attach
     # joins — without a barrier, projection collapse would re-run the
-    # shingle+minhash fold at every reference
+    # shingle+minhash computation at every reference
     sig = sig.localCheckpoint(eager=True)
     banded = sig.select(
         "id", "sig",
@@ -889,12 +938,10 @@ def _lsh_sig_banded(df: DataFrame, n_hashes: int, bands: int,
     localCheckpointed (referenced by the bucket explode and later joins)."""
     from thewhisperdb_spark.operators.text import word_ngrams
 
-    sig = (df.select(F.col(id_col).alias("id"),
-                     word_ngrams(F.col(text_col), shingle_n).alias("sh"))
-           .select("id", minhash_signature(F.col("sh"), n_hashes,
-                                           portable=portable).alias("sig"))
-           .filter(F.col("sig").isNotNull())
-           .localCheckpoint(eager=True))
+    sig = minhash_signatures_df(
+        df.select(F.col(id_col).alias("id"),
+                  word_ngrams(F.col(text_col), shingle_n).alias("sh")),
+        n_hashes, portable=portable).localCheckpoint(eager=True)
     return sig, _lsh_band(sig, n_hashes, bands)
 
 
