@@ -67,10 +67,23 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
 _TABLE_CACHE: dict = {}
 
 
+def _table_file_key(sf_dir: str, name: str):
+    """File-identity component of the cache key (ADVICE r12): mtime+size
+    of the parquet path, like the PSL cache — a regenerated sf_dir in the
+    same process must not serve a stale file listing. One os.stat per
+    load_table call; the testdata files are single-file tables."""
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, None, None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table: {name}")
-    key = (spark, os.path.abspath(sf_dir), name)
+    key = (spark, _table_file_key(sf_dir, name), name)
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
         return hit

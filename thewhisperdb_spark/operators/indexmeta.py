@@ -93,6 +93,13 @@ def write_meta_row(spark, path: str, schema_ddl: str, values) -> None:
     from pyspark.sql.types import StructType
 
     fields = StructType.fromDDL(schema_ddl).fields
+    if len(values) != len(fields):
+        # a silent zip-truncation here would write a meta parquet missing
+        # trailing columns — the old createDataFrame path rejected the
+        # arity mismatch, so this one must too (ADVICE r12)
+        raise ValueError(
+            f"write_meta_row: {len(values)} values for {len(fields)} "
+            f"fields ({schema_ddl})")
     cols = [F.lit(v).cast(f.dataType).alias(f.name)
             for f, v in zip(fields, values)]
     (spark.range(0, 1, 1, 1).select(*cols)

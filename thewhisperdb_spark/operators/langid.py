@@ -319,7 +319,7 @@ def langid_profiles(top_k: int = DEFAULT_TOP_K
     langID-keyed query run. Cached model CONSTANTS, not query results."""
     hit = _PROFILE_CACHE.get(top_k)
     if hit is not None:
-        return hit
+        return (list(hit[0]), dict(hit[1]), hit[2])
     rows: list[tuple[str, str, int]] = []
     tot: dict[str, int] = {}
     vocab: set[str] = set()
@@ -332,9 +332,12 @@ def langid_profiles(top_k: int = DEFAULT_TOP_K
         tot[lang] = sum(c for _, c in kept)
         vocab.update(t for t, _ in kept)
         rows.extend((lang, t, c) for t, c in kept)
-    out = (rows, tot, len(vocab))
+    # cache immutable copies: handing every caller the same mutable
+    # list/dict would let one caller's mutation corrupt all subsequent
+    # profiles for the process lifetime (ADVICE r12)
+    out = (tuple(rows), dict(tot), len(vocab))
     _PROFILE_CACHE[top_k] = out
-    return out
+    return (list(out[0]), dict(out[1]), out[2])
 
 
 def language_id_profile(df: DataFrame, text_col: str = "text",

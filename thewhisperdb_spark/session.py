@@ -30,10 +30,12 @@ def get_spark(app_name: str = "thewhisperdb-spark", cpus: int | None = None) -> 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Delay scheduling is a data-locality optimization for disk-local
         # HDFS reads; in local mode and on object-store deployments there
-        # is no rack/node locality to wait for, yet the default 3s quantum
-        # stalls any task whose preferred location can't be matched —
-        # measured here: a 1-row coalesce(1) meta write took 3.8-6.2s with
-        # the default and 0.4s with wait=0 (OPTIMIZATION_r12.md §meta).
+        # is no rack/node locality to wait for, so the default 3s quantum
+        # is pure downside here. NOTE (VERDICT r12 #8): this setting is
+        # NOT what fixed the r12 1-row meta-write stall — that stall was
+        # a Python-boundary cost linear in the number of coalesced parent
+        # partitions and PERSISTED at wait=0 (AB_PROBE_r12opt.json); the
+        # fix was the JVM-native write in indexmeta.write_meta_row.
         # Parameterized for HDFS-local clusters, where a nonzero wait can
         # be the right trade.
         .config("spark.locality.wait",

@@ -33,9 +33,21 @@ import __spark_entry__ as entrymod  # noqa: E402
 from thewhisperdb_spark.session import get_spark  # noqa: E402
 
 
-def _git(*args: str) -> None:
-    subprocess.run(["git", "-C", REPO, *args], check=True,
-                   capture_output=True)
+def _git(*args: str) -> str:
+    r = subprocess.run(["git", "-C", REPO, *args], check=True,
+                       capture_output=True, text=True)
+    return r.stdout
+
+
+def _stash_push(msg: str) -> bool:
+    """Stash the working tree (including untracked files — the OLD block
+    must not import brand-new modules). Returns whether a stash was
+    actually created: on a CLEAN tree `git stash push` no-ops with exit 0,
+    and an unconditional later `pop` would pop some unrelated pre-existing
+    stash into the tree (ADVICE r12)."""
+    before = _git("stash", "list")
+    _git("stash", "push", "--include-untracked", "-m", msg)
+    return _git("stash", "list") != before
 
 
 def _reload(mod_names: list[str]) -> None:
@@ -93,27 +105,29 @@ def main() -> None:
     print("# block NEW (working tree)", file=sys.stderr, flush=True)
     new, rows_new = _time_block(spark, qs(), keys, sf_dir, runs)
 
-    _git("stash", "push", "-m", "ab_swap OLD block")
+    stashed = _stash_push("ab_swap OLD block")
     try:
         _reload(mods)
         print("# block OLD (stashed HEAD)", file=sys.stderr, flush=True)
         old, rows_old = _time_block(spark, qs(), keys, sf_dir, runs)
     finally:
-        _git("stash", "pop")
+        if stashed:
+            _git("stash", "pop")
     _reload(mods)
 
     print("# block NEW2 (working tree again, order control)",
           file=sys.stderr, flush=True)
     new2, rows_new2 = _time_block(spark, qs(), keys, sf_dir, runs)
 
-    _git("stash", "push", "-m", "ab_swap OLD2 block")
+    stashed = _stash_push("ab_swap OLD2 block")
     try:
         _reload(mods)
         print("# block OLD2 (stashed HEAD, warmest position)",
               file=sys.stderr, flush=True)
         old2, _ = _time_block(spark, qs(), keys, sf_dir, runs)
     finally:
-        _git("stash", "pop")
+        if stashed:
+            _git("stash", "pop")
     _reload(mods)
 
     for key in keys:

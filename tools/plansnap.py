@@ -1,10 +1,10 @@
-"""Snapshot ``.explain('formatted')`` for registry keys into plans/r12/
+"""Snapshot ``.explain('formatted')`` for registry keys into plans/<round>/
 (optimization-round deliverable: the judge checks plan claims against these
 files).
 
 Usage:
-    python tools/plansnap.py <tag> key1 key2 ...
-Writes plans/r12/<key>_<tag>.txt for each key.
+    python tools/plansnap.py [--round rNN] <tag> key1 key2 ...
+Writes plans/<round>/<key>_<tag>.txt for each key (default round: r13).
 """
 
 from __future__ import annotations
@@ -19,11 +19,16 @@ from thewhisperdb_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    tag = sys.argv[1]
-    keys = sys.argv[2:]
+    args = sys.argv[1:]
+    rnd = "r13"
+    if args and args[0] == "--round":
+        rnd = args[1]
+        args = args[2:]
+    tag = args[0]
+    keys = args[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plansnap")
     spark.sparkContext.setLogLevel("ERROR")
