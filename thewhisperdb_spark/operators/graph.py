@@ -14,7 +14,7 @@ iterative-DataFrame pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -68,7 +68,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     def half_step(cur: DataFrame) -> DataFrame:
         # candidate label for each dst = min over incoming neighbor labels
         nbr_min = (
-            und.join(cur.withColumnRenamed("id", "src"), "src")
+            und.join(cur.select(F.col("id").alias("src"), "component"),
+                     "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
@@ -92,30 +93,35 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                     F.coalesce("_rep_label", "component").alias("component"))
         )
 
-    # Convergence: labels are monotonically non-increasing, so an
-    # unchanged TWO-half-step state is exactly the fixpoint. Two
-    # propagate+compress half-steps per materialized round: the
-    # per-round cost is dominated by job/checkpoint latency, not data —
-    # but half_step references its input FOUR times (nbr_min + the
-    # propagate join, then prop + its rep self-join), so the lazy plan
-    # grows ~4x per nested half-step and deeper nesting loses far more
-    # in planning/recompute than it saves in job count (a 4-half-step
-    # variant measured 16.5s vs 4.8s at sf0.1 — same-session A/B,
-    # OPTIMIZATION_r12.md). The previous label IS threaded through the
-    # checkpointed frame (optimization r12), so the convergence check is
-    # a shuffle-free filter count over already-materialized rows instead
-    # of a separate decimal-sum aggregate job per round.
+    # Convergence: labels are monotonically non-increasing, so the label
+    # SUM is non-increasing and stalls exactly at the fixpoint — an
+    # unchanged sum between consecutive rounds means no vertex changed.
+    # The sum is collected by an ``observe`` metric ON the checkpoint
+    # materialization itself (optimization r13): ONE job per round where
+    # the r12 shape paid a checkpoint job + a changed-count join job
+    # (the round's only driver-measured regression, 0.80x) and the r11
+    # shape paid a checkpoint job + a sum job. A threading variant
+    # (_old carried through the half-steps) was also probed r13 and
+    # REJECTED: the extra column through half_step's four
+    # self-references costs ~56 stages/run (A/B: 70 jobs/176 stages vs
+    # this shape's 50/120, rows equal — AB_PROBE_r13.json). decimal(38)
+    # keeps the sum exact for arbitrary long ids (ANSI overflow-safe).
+    # Two propagate+compress half-steps per materialized round: deeper
+    # nesting loses far more in planning/recompute than it saves in job
+    # count (a 4-half-step variant measured 16.5s vs 4.8s at sf0.1 —
+    # same-session A/B, OPTIMIZATION_r12.md), and a LAZY checkpoint
+    # measured 1.5-4x worse across all four kernels (AB_PROBE_r13).
+    prev_sum = None
     for _ in range(max(1, (max_iter + 1) // 2)):
-        stepped = half_step(half_step(labels))
-        new_labels = (
-            stepped.join(labels.withColumnRenamed("component", "_old"),
-                         "id")
-            .localCheckpoint(eager=True))
-        changed = new_labels.filter(
-            F.col("component") != F.col("_old")).count()
-        labels = new_labels.select("id", "component")
-        if changed == 0:
+        obs = Observation()
+        labels = (half_step(half_step(labels))
+                  .observe(obs, F.sum(F.col("component")
+                                      .cast("decimal(38,0)")).alias("s"))
+                  .localCheckpoint(eager=True))
+        s = obs.get["s"]
+        if s == prev_sum:
             break
+        prev_sum = s
 
     # singletons: vertices with no edges keep their own id as component
     singles = (vertices.select(F.col(id_col).alias("id"))
@@ -160,17 +166,23 @@ def bfs_levels(edges: DataFrame, source: int, max_iter: int = 20,
                 .select(F.col("dst").alias("id")).distinct()
                 .join(levels, "id", "left_anti"))
         if hop == max_iter:          # odd depth bound: last round is 1-hop
-            both = (nxt1.withColumn("hops", F.lit(hop))
-                    .localCheckpoint(eager=True))
+            grown = nxt1.withColumn("hops", F.lit(hop))
         else:
             nxt2 = (und.join(nxt1.withColumnRenamed("id", "src"), "src")
                     .select(F.col("dst").alias("id")).distinct()
                     .join(levels, "id", "left_anti")
                     .join(nxt1, "id", "left_anti"))
-            both = (nxt1.withColumn("hops", F.lit(hop))
-                    .unionByName(nxt2.withColumn("hops", F.lit(hop + 1)))
-                    .localCheckpoint(eager=True))
-        if both.isEmpty():
+            grown = (nxt1.withColumn("hops", F.lit(hop))
+                     .unionByName(nxt2.withColumn("hops", F.lit(hop + 1))))
+        # frontier-emptiness probe fused INTO the checkpoint job via an
+        # observe metric (optimization r13): one job per round instead
+        # of checkpoint + isEmpty. (A LAZY checkpoint fused with a
+        # count() was tried r13 and measured neutral here while stalling
+        # badly in the other kernels — the barrier stays EAGER.)
+        obs = Observation()
+        both = (grown.observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True))
+        if obs.get["n"] == 0:
             break
         # `levels` stays a UNION of checkpointed legs (no per-round
         # levels checkpoint): with 1-hop rounds the N-leg anti-join
@@ -275,14 +287,22 @@ def pagerank(vertices: DataFrame, edges: DataFrame, id_col: str = "id",
     (~1e-15); rows-only at the driver, pytest pins known-graph ranks.
     Returns (id, rank) with Σ rank ≈ 1."""
     und = undirect(edges).localCheckpoint(eager=True)
-    n = vertices.count()
     deg = und.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg"))
     out = (und.join(deg.withColumnRenamed("id", "src"), "src")
            .select("src", "dst", "deg").localCheckpoint(eager=True))
     has_out = deg.select("id").localCheckpoint(eager=True)
+    # the |V| scalar rides the verts checkpoint job as an observe metric
+    # (optimization r13 — was a separate vertices.count() job). NOTE:
+    # pre-partitioning und/out/verts on the join key before checkpointing
+    # was probed r13 and REJECTED — joins at bench scale are broadcast,
+    # so preserved partitioning buys nothing and the setup repartition
+    # adds a stage (A/B: 80 jobs/136 stages vs 79/131, AB_PROBE_r13).
+    obs = Observation()
     verts = (vertices.select(F.col(id_col).alias("id"))
+             .observe(obs, F.count(F.lit(1)).alias("n"))
              .localCheckpoint(eager=True))
+    n = int(obs.get["n"])
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
 
@@ -309,7 +329,12 @@ def pagerank(vertices: DataFrame, edges: DataFrame, id_col: str = "id",
     # so the lazy plan doubles per nested step and planning/recompute
     # outgrows the saved job latency (the same exponential-plan blowup
     # the connected_components comment documents; measured in the r12
-    # optimization round's same-session A/Bs).
+    # optimization round's same-session A/Bs). The checkpoints stay
+    # EAGER: a fully-lazy chain was probed r13 and measured 4-10x WORSE
+    # same-session (AB_PROBE_r13.json — with no per-round action, every
+    # round's result stage defers and later rounds' AQE stage
+    # materializations recompute un-cached parents, compounding across
+    # rounds; the 2-reference step makes the recompute race as well).
     for _ in range(n_iter // 2):
         ranks = step(step(ranks)).localCheckpoint(eager=True)
     if n_iter % 2:
@@ -366,11 +391,17 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
         )
 
     # FOUR sync rounds per materialization (optimization r12; was two) +
-    # ONE exact changed-count check per block, with the old label THREADED
-    # THROUGH the checkpointed frame so the check is a shuffle-free filter
-    # scan of already-materialized rows instead of a separate join job
-    # (per-round cost here is job latency, not data — halving the
-    # checkpoint/count job count halves wall-clock again).
+    # ONE exact changed-count check per block. The block-entry label is
+    # carried by a JOIN of the stepped state back to the (checkpointed)
+    # previous frame — LPA's step is an aggregate that replaces the label
+    # column, so unlike CC/coreness the old label cannot ride through the
+    # step itself (and labels are not monotone, so a sum check would not
+    # be exact); the join targets already-materialized rows. The
+    # changed-count is collected by an ``observe`` metric ON the
+    # checkpoint materialization (optimization r13): one job per block
+    # instead of checkpoint + count. (A lazy checkpoint here was probed
+    # r13 and measured 1.7-1.9x WORSE same-session, AB_PROBE_r13.json —
+    # the eager materialization stays.)
     # Early-stopping on a zero FOUR-round delta is exact for parity with a
     # fully-unrolled run: state(r) == state(r+4) makes the trajectory
     # periodic from r with period dividing 4, and the REMAINDER rounds
@@ -382,11 +413,13 @@ def label_propagation(vertices: DataFrame, edges: DataFrame,
     # contract holds exactly (ADVICE r3: max_iter=1 must run 1 round).
     for _ in range(max_iter // 4):
         stepped = step(step(step(step(labels))))
+        obs = Observation()
         new_labels = (
             stepped.join(labels.withColumnRenamed("label", "_old"), "id")
+            .observe(obs, F.count_if(F.col("label") != F.col("_old"))
+                     .alias("chg"))
             .localCheckpoint(eager=True))
-        changed = new_labels.filter(
-            F.col("label") != F.col("_old")).count()
+        changed = obs.get["chg"]
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
@@ -451,31 +484,37 @@ def core_numbers(edges: DataFrame, src: str = "src", dst: str = "dst",
         return (cur_df.join(h, "id")
                 .select("id", F.least(F.col("c"), F.col("h")).alias("c")))
 
-    # Two h-index rounds per materialization, with the previous estimate
-    # THREADED THROUGH the checkpointed frame (optimization r12) so the
-    # convergence check is a shuffle-free filter count over
-    # already-materialized rows instead of a separate decimal-sum
-    # aggregate job (per-round cost is job latency, not data). Deeper
-    # nesting regresses: step references its input twice (the estimate
-    # join + the follow-up least() join), so the lazy plan doubles per
-    # nested step — the same blowup the connected_components comment
-    # documents. Estimates are monotone non-increasing, so an unchanged
-    # TWO-round state is exactly the fixpoint (every intermediate step
-    # must have been unchanged too), and the remaining unrolled rounds
-    # the oracle runs preserve it. An odd max_iter runs its final round
-    # as a single step so the iteration cap is honored exactly (ADVICE
-    # r3) — skipped at the fixpoint, where it is a bit-for-bit no-op.
+    # Two h-index rounds per materialization. Estimates are monotone
+    # non-increasing, so the estimate SUM is non-increasing and stalls
+    # exactly at the fixpoint — an unchanged sum between consecutive
+    # rounds means no vertex changed (and an unchanged TWO-round state
+    # is exactly the fixpoint: every intermediate step must have been
+    # unchanged too). The sum is collected by an ``observe`` metric ON
+    # the checkpoint materialization (optimization r13): ONE job per
+    # round where the r12 shape paid checkpoint + changed-count join
+    # (the shape that regressed CC driver-side) — same rewrite as
+    # connected_components, see the A/B numbers there. The checkpoint
+    # stays EAGER (a lazy one measured worse same-session,
+    # AB_PROBE_r13.json). Deeper nesting regresses: step references its
+    # input twice (the estimate join + the follow-up least() join), so
+    # the lazy plan doubles per nested step — the same blowup the
+    # connected_components comment documents. An odd max_iter runs its
+    # final round as a single step so the iteration cap is honored
+    # exactly (ADVICE r3) — skipped at the fixpoint, where it is a
+    # bit-for-bit no-op.
     converged = False
+    prev_sum = None
     for _ in range(max_iter // 2):
-        stepped = step(step(est))
-        new_est = (
-            stepped.join(est.withColumnRenamed("c", "_old"), "id")
-            .localCheckpoint(eager=True))
-        changed = new_est.filter(F.col("c") != F.col("_old")).count()
-        est = new_est.select("id", "c")
-        if changed == 0:
+        obs = Observation()
+        est = (step(step(est))
+               .observe(obs, F.sum(F.col("c").cast("decimal(38,0)"))
+                        .alias("s"))
+               .localCheckpoint(eager=True))
+        s = obs.get["s"]
+        if s == prev_sum:
             converged = True
             break
+        prev_sum = s
     if not converged and max_iter % 2:
         est = step(est).localCheckpoint(eager=True)
     return est.select("id", F.col("c").alias("coreness"))
