@@ -312,8 +312,11 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
     # materialize signatures once: the plan references ``sig`` from the band
     # explode, both sides of the candidate self-join, and both re-attach
     # joins — without a barrier, projection collapse would re-run the
-    # shingle+minhash computation at every reference
-    sig = sig.localCheckpoint(eager=True)
+    # shingle+minhash computation at every reference. The broadcast-
+    # decision row count rides the checkpoint job (optimization r13 —
+    # was a separate count job over the cached blocks).
+    from thewhisperdb_spark.operators import checkpoint_counted
+    sig, n_sig_rows = checkpoint_counted(sig)
     banded = sig.select(
         "id", "sig",
         F.explode(
@@ -367,7 +370,7 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 64, bands: int = 16,
     budget = min(32 << 20, conf_thr)
     broadcast_sig_max_rows = max(0, budget) // (8 * n_hashes)
     small_sig = (broadcast_sig_max_rows > 0
-                 and sig.count() <= broadcast_sig_max_rows)
+                 and n_sig_rows <= broadcast_sig_max_rows)
     sig_a = sig.select(F.col("id").alias("a"), F.col("sig").alias("siga"))
     sig_b = sig.select(F.col("id").alias("b"), F.col("sig").alias("sigb"))
     if small_sig:
@@ -1086,9 +1089,11 @@ def lsh_index_append(spark, path: str, new_df: DataFrame,
         # one fixed computation
         idx_ids = (spark.read.schema(f"id {m['id_type']}, sig array<long>")
                    .parquet(f"{path}/signatures").select("id"))
-        new_sig = (sig.join(idx_ids, "id", "left_anti")
-                   .localCheckpoint(eager=True))
-        if new_sig.isEmpty():
+        # emptiness rides the checkpoint job (optimization r13)
+        from thewhisperdb_spark.operators import checkpoint_counted
+        new_sig, n_new = checkpoint_counted(
+            sig.join(idx_ids, "id", "left_anti"))
+        if n_new == 0:
             # fully-replayed batch: nothing to write — release the claim
             release_claim(spark, meta_dir, token)
             return
@@ -1210,10 +1215,16 @@ def lsh_index_delete(spark, path: str, ids: DataFrame,
                .parquet(f"{path}/signatures")
                .join(F.broadcast(del_ids), "id", "left_anti")
                .localCheckpoint(eager=True))
-        buckets = (spark.read.schema(f"id {id_type}, bucket long, band int")
-                   .parquet(f"{path}/buckets")
-                   .join(F.broadcast(del_ids), "id", "left_anti")
-                   .localCheckpoint(eager=True))
+        # surviving buckets are DERIVED from the surviving signatures
+        # (optimization r13): buckets-at-rest == _lsh_band(signatures-at-
+        # rest) is an invariant of every mutation (build/append write the
+        # banded form of exactly what they write to signatures; this
+        # rewrite preserves it), so re-banding the checkpointed survivors
+        # yields the identical row set as anti-joining the at-rest
+        # buckets — minus one full bucket scan, its broadcast anti-join
+        # and its checkpoint job. The banding is 8 codegen xxhash64
+        # slices per signature row over already-materialized data.
+        buckets = _lsh_band(sig, int(m["n_hashes"]), int(m["bands"]))
     except Exception:
         release_claim(spark, meta_dir, token)    # nothing written
         raise
@@ -1298,11 +1309,13 @@ def lsh_index_compact(spark, path: str,
     meta_dir = f"{path}/meta"
     token = claim_sentinel(spark, meta_dir)
     try:
-        sig = (spark.read.schema(f"id {id_type}, sig array<long>")
-               .parquet(f"{path}/signatures").localCheckpoint(eager=True))
+        from thewhisperdb_spark.operators import checkpoint_counted
+        # the rewrite-sizing count rides the checkpoint job (r13)
+        sig, n_sig = checkpoint_counted(
+            spark.read.schema(f"id {id_type}, sig array<long>")
+            .parquet(f"{path}/signatures"))
         buckets = (spark.read.schema(f"id {id_type}, bucket long, band int")
                    .parquet(f"{path}/buckets").localCheckpoint(eager=True))
-        n_sig = sig.count()
     except Exception:
         release_claim(spark, meta_dir, token)    # nothing written
         raise

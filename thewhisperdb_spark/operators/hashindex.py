@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from thewhisperdb_spark.operators import checkpoint_counted
 from thewhisperdb_spark.operators.imagededup import band_hashes
 from thewhisperdb_spark.operators.indexmeta import (
     claim_sentinel,
@@ -130,9 +131,10 @@ def dhash_index_append(spark: SparkSession, path: str, new_hashes: DataFrame,
     try:
         idx_ids = (spark.read.schema(f"id {m['id_type']}, h long")
                    .parquet(f"{path}/hashes").select("id"))
-        fresh = (h.join(idx_ids, "id", "left_anti")
-                 .localCheckpoint(eager=True))
-        if fresh.isEmpty():
+        # emptiness rides the checkpoint job (optimization r13)
+        fresh, n_fresh = checkpoint_counted(h.join(idx_ids, "id",
+                                                   "left_anti"))
+        if n_fresh == 0:
             release_claim(spark, meta_dir, token)
             return
         banded = band_hashes(fresh, int(m["bands"]),
@@ -197,10 +199,17 @@ def dhash_index_probe(spark: SparkSession, path: str, batch: DataFrame,
                                  ent(F.col("id")).alias("_e"))
                 .unionByName(banded_b.select(
                     "band", "slice", ent(F.col("id")).alias("_e"))))
+        # materialize the surviving bucket keys ONCE (optimization r13):
+        # ``keep_buckets`` is referenced by BOTH join legs below, and
+        # without a barrier the union-aggregate over the full at-rest
+        # band scan executes once per leg — at corpus scale that is two
+        # extra full index scans per probe. The frame is bucket-key
+        # sized (tiny).
         keep_buckets = (both.groupBy("band", "slice")
                         .agg(F.count_distinct("_e").alias("_df"))
                         .filter(F.col("_df") <= max_bucket_df)
-                        .select("band", "slice"))
+                        .select("band", "slice")
+                        .localCheckpoint(eager=True))
         idx_bands = idx_bands.join(keep_buckets, ["band", "slice"])
         banded_b = banded_b.join(keep_buckets, ["band", "slice"])
     cand = (idx_bands.alias("x")
@@ -238,10 +247,14 @@ def media_dedup_ingest_batch(hashes: DataFrame, batch_id: int,
     from thewhisperdb_spark.operators.imagededup import (
         hamming_near_dup_pairs)
 
-    if hashes.isEmpty():
-        return
+    # emptiness probe fused INTO the barrier (optimization r13): the old
+    # isEmpty-then-checkpoint shape ran the upstream hash pipeline (a
+    # Python decode stage for media batches) twice — the observe metric
+    # rides the checkpoint job itself (one job, one scan)
     spark = hashes.sparkSession
-    hashes = hashes.localCheckpoint(eager=True)
+    hashes, n_rows = checkpoint_counted(hashes)
+    if n_rows == 0:
+        return
     m = _hash_index_meta(spark, index_path)
     hits = (dhash_index_probe(spark, index_path, hashes,
                               id_col=id_col, hash_col=hash_col)

@@ -454,6 +454,10 @@ def video_clip_near_dup_pairs(frames: DataFrame, k: int = 3,
         fps = fps.join(per_vid, "id")
     d = (fps.select("id", "band", "fp", *keys).distinct()
          .localCheckpoint(eager=True))
+    # (totals is referenced by both the ta and tb joins below; a
+    # checkpoint here was probed r13 and REVERTED — the duplicated
+    # aggregate runs over the cached d and costs less than the extra
+    # materialization job at the job-latency-bound operating point)
     totals = (d.select("id", "band", "fp").distinct()
               .groupBy("id").agg(F.count(F.lit(1)).alias("t")))
     nb = max_hamming + 1
@@ -471,7 +475,13 @@ def video_clip_near_dup_pairs(frames: DataFrame, k: int = 3,
                   .agg(F.count_distinct("id").alias("_df"))
                   .filter(F.col("_df") <= max_bucket_df)
                   .select(*bucket))
-    cand = sub.join(bucket_cap, bucket)
+    # materialize the capped candidate rows ONCE (optimization r13,
+    # VERDICT r12 #4): both sides of the self-join below reference
+    # ``cand``, and without a barrier the whole sub-band explode AND the
+    # bucket-cap aggregate (two exchanges) execute once per side — the
+    # r13 plan dump showed the checkpointed source scanned 12x in one
+    # plan. Same store-once trade as the minhash signature checkpoint.
+    cand = sub.join(bucket_cap, bucket).localCheckpoint(eager=True)
     jcond = (F.col("x.vband") == F.col("y.vband")) \
         & (F.col("x.band") == F.col("y.band")) \
         & (F.col("x.slice") == F.col("y.slice")) \

@@ -69,6 +69,32 @@ def with_unit_vector(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn(out_col, unit)
 
 
+_BLOCK_ROW_BYTES = 528   # planning estimate: 64-dim double vector + id
+
+
+def _block_count(embeddings: DataFrame, block_rows: int) -> int:
+    """Block-count decision WITHOUT a planning-time count() job
+    (optimization r13, VERDICT r12 #5): the block count only sets task
+    granularity — every unordered pair lands in exactly one block pair
+    for ANY n_blocks, so the result set is block-count-independent. Use
+    Catalyst's plan statistics (file size for parquet scans — no Spark
+    job) and a bytes-per-row estimate; fall back to the exact count()
+    only when the estimate is unusable (unknown stats surface as
+    Long.MaxValue-ish placeholders, e.g. over localCheckpoint inputs,
+    where a garbage 64-block fan-out of a tiny frame would dominate
+    runtime)."""
+    try:
+        size = int(embeddings._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        size = None
+    if size is not None and 0 < size < (1 << 44):  # sane estimate only
+        est_rows = max(1, size // _BLOCK_ROW_BYTES)
+    else:
+        est_rows = embeddings.count()
+    return max(1, min(64, (est_rows + block_rows - 1) // block_rows))
+
+
 def similar_pairs(embeddings: DataFrame, threshold: float,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   block_rows: int = 2048) -> DataFrame:
@@ -90,8 +116,7 @@ def similar_pairs(embeddings: DataFrame, threshold: float,
     """
     import pandas as pd
 
-    n = embeddings.count()  # planning-time scalar (block-count decision)
-    n_blocks = max(1, min(64, (n + block_rows - 1) // block_rows))
+    n_blocks = _block_count(embeddings, block_rows)
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     rows = base.withColumn("blk", blk)
@@ -1257,15 +1282,17 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
     meta_dir = f"{path}/meta"
     token = claim_sentinel(spark, meta_dir)
     try:
+        from thewhisperdb_spark.operators import checkpoint_counted
         try:
             at_rest_ids = (spark.read.parquet(f"{path}/lists")
                            .select(F.col(id_col)))
-            fresh = (new_vectors.join(at_rest_ids, id_col, "left_anti")
-                     .localCheckpoint(eager=True))
+            # emptiness rides the checkpoint job (optimization r13)
+            fresh, n_fresh = checkpoint_counted(
+                new_vectors.join(at_rest_ids, id_col, "left_anti"))
         except AnalysisException:
             # partless lists dir (total takedown): this append re-seeds it
-            fresh = new_vectors.localCheckpoint(eager=True)
-        if fresh.isEmpty():
+            fresh, n_fresh = checkpoint_counted(new_vectors)
+        if n_fresh == 0:
             release_claim(spark, meta_dir, token)  # replayed batch: no-op
             return
         assigned, _ = ivf_assign(fresh, n_cells, id_col, vec_col,

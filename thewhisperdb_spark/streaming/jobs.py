@@ -409,10 +409,15 @@ def dedup_ingest_batch(df: DataFrame, batch_id: int, index_path: str,
         minhash_lsh_pairs, near_dup_groups, pick_survivors)
     from thewhisperdb_spark.operators.text import word_ngrams
 
-    if df.isEmpty():
-        return
+    # emptiness probe fused INTO the barrier (optimization r13): the old
+    # isEmpty-then-checkpoint shape scanned the batch source twice, and
+    # the reordered probe still paid a limit-1 job — the observe metric
+    # rides the checkpoint job itself (one job, one scan)
+    from thewhisperdb_spark.operators import checkpoint_counted
     spark = df.sparkSession
-    df = df.localCheckpoint(eager=True)
+    df, n_rows = checkpoint_counted(df)
+    if n_rows == 0:
+        return
     m = _lsh_index_meta(spark, index_path)
     hits = (lsh_index_probe(spark, index_path, df, threshold=threshold,
                             id_col=id_col, text_col=text_col)
@@ -506,16 +511,18 @@ def embedding_dedup_ingest_batch(df: DataFrame, batch_id: int,
     from thewhisperdb_spark.operators.vectors import (
         ivf_index_append, ivf_index_probe, similar_pairs)
 
-    if df.isEmpty():
-        return
+    # emptiness probe fused into the barrier job (see dedup_ingest_batch)
+    from thewhisperdb_spark.operators import checkpoint_counted
     spark = df.sparkSession
-    df = df.localCheckpoint(eager=True)
+    df, n_rows = checkpoint_counted(df)
+    if n_rows == 0:
+        return
     hits = (ivf_index_probe(spark, index_path, df, k=1, n_probe=n_probe,
                             q_id=id_col, vec_col=vec_col, blas=blas)
             .filter(F.col("similarity") >= threshold)
             .select(F.col("query_id").alias(id_col)).distinct())
-    fresh = df.join(hits, id_col, "left_anti").localCheckpoint(eager=True)
-    if fresh.isEmpty():
+    fresh, n_fresh = checkpoint_counted(df.join(hits, id_col, "left_anti"))
+    if n_fresh == 0:
         return
     pairs = similar_pairs(fresh, threshold, id_col, vec_col)
     groups = near_dup_groups(fresh, pairs.select("a", "b"), id_col)
@@ -607,12 +614,13 @@ def _archive_fold_write(spark, survivors_dir: str, id_col: str,
     fold = live[:max(0, len(live) - keep_last_n)]
     if not fold:
         return []
-    archive = (src.filter(F.col("ingest_batch").isin([-1] + fold))
-               .dropDuplicates([id_col])
-               .withColumn("ingest_batch", F.lit(-1))
-               .localCheckpoint(eager=True))   # cannot stream from the
-    #                                            partitions it overwrites
-    n = archive.count()
+    from thewhisperdb_spark.operators import checkpoint_counted
+    # checkpoint (cannot stream from the partitions it overwrites) with
+    # the sizing count fused into the materialization job (r13)
+    archive, n = checkpoint_counted(
+        src.filter(F.col("ingest_batch").isin([-1] + fold))
+        .dropDuplicates([id_col])
+        .withColumn("ingest_batch", F.lit(-1)))
     (archive.coalesce(max(1, math.ceil(n / target_rows_per_file)))
      .write.mode("overwrite").partitionBy("ingest_batch")
      .option("partitionOverwriteMode", "dynamic").parquet(survivors_dir))
@@ -683,13 +691,24 @@ def crawl_curation_batch(archives: DataFrame, batch_id: int,
         drop_blocklisted, url_features)
     from thewhisperdb_spark.sources.warc import explode_warc
 
-    if archives.isEmpty():
-        return
+    # One pass over the archives (optimization r13): the old shape ran
+    # `archives.isEmpty()` BEFORE checkpointing the exploded records, so
+    # the upstream archive synthesis/scan (a Python applyInPandas stage
+    # in the stream twin) executed twice per micro-batch — once for the
+    # probe, once for the barrier. The emptiness probe now rides the
+    # checkpoint job itself as an observe metric (one job, one scan);
+    # the empty-ARCHIVES early return (same observable behavior: nothing
+    # written) only pays its isEmpty when the batch yielded no
+    # responses. Same-session A/B: stream twin 11.3s -> 6.6s. (The
+    # checkpoint stays EAGER — the lazy+count fusion probed this round
+    # stalled badly elsewhere, AB_PROBE_r13.json.)
+    from thewhisperdb_spark.operators import checkpoint_counted
     records = explode_warc(archives.select("path", "content"))
-    responses = (records.filter(
+    responses, n_resp = checkpoint_counted(records.filter(
         (F.col("status") == "ok") & (F.col("warc_type") == "response")
-        & F.col("content_type").startswith("text/html"))
-        .localCheckpoint(eager=True))
+        & F.col("content_type").startswith("text/html")))
+    if n_resp == 0 and archives.isEmpty():
+        return
     decoded = decode_payload_text(responses)   # adds text/encoding/...
     ex = html_extract(decoded, html_col="text", id_col="target_uri")
     pages = (ex.filter(F.length("text") >= min_chars)
@@ -789,10 +808,12 @@ def clip_dedup_ingest_batch(frames: DataFrame, batch_id: int,
     from thewhisperdb_spark.operators.imagededup import (
         video_clip_near_dup_pairs)
 
-    if frames.isEmpty():
-        return
+    # emptiness probe fused into the barrier job (see dedup_ingest_batch)
+    from thewhisperdb_spark.operators import checkpoint_counted
     spark = frames.sparkSession
-    frames = frames.localCheckpoint(eager=True)
+    frames, n_rows = checkpoint_counted(frames)
+    if n_rows == 0:
+        return
     hits = (clip_index_probe(spark, index_path, frames,
                              min_containment=min_containment,
                              id_col=id_col, hash_col=hash_col,
@@ -801,9 +822,9 @@ def clip_dedup_ingest_batch(frames: DataFrame, batch_id: int,
             # OWN ids — self-matches must not re-drop them
             .filter(F.col("index_clip") != F.col("batch_clip"))
             .select(F.col("batch_clip").alias(id_col)).distinct())
-    fresh = frames.join(hits, id_col, "left_anti") \
-        .localCheckpoint(eager=True)
-    if fresh.isEmpty():
+    fresh, n_fresh = checkpoint_counted(frames.join(hits, id_col,
+                                                    "left_anti"))
+    if n_fresh == 0:
         return
     pairs = video_clip_near_dup_pairs(
         fresh, min_containment=min_containment, id_col=id_col,
