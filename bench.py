@@ -196,6 +196,26 @@ CALIBRATION_KEY = "tpch_q1_pricing_summary"
 CALIBRATION_ROW_SEC = 0.563
 
 
+def _release_dead_rdd_blocks(spark) -> None:
+    """Drop block-manager blocks of persistent RDDs between bench keys
+    (optimization r13, VERDICT r12 #6 — OUTSIDE every timed region,
+    additions-only so per-key methodology is unchanged). A 123-key sweep
+    accumulates every key's localCheckpoint RDD blocks until the JVM
+    collects the Python-side references; late-run keys were drifting
+    slower as the block manager filled (r12 closing sweeps measured the
+    checkpoint-heavy kernels 1.3-1.5x their isolated times late in a
+    session). Every per-run frame is rebuilt from parquet by the next
+    fn() call, and no cross-key cache holds a checkpointed frame (the
+    catalog/PSL/langid caches hold lazy plans and local relations), so
+    unpersisting here can never invalidate state a later key needs."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist(False)
+    except Exception:
+        pass  # cleanup is best-effort; never fail the bench
+
+
 def _measure(fn, spark, sf_dir, runs=5):
     fn(spark, sf_dir).count()       # warm-up (JIT, code cache, listing)
     times = []
@@ -230,6 +250,7 @@ def main():
         # whole median (observed: one key at 3x its isolated time deep
         # into the run). A hinted collection here is outside the timed
         # region and keeps per-key numbers comparable to isolated runs.
+        _release_dead_rdd_blocks(spark)
         spark.sparkContext._jvm.System.gc()
         fn(spark, sf_dir).count()  # warm-up (JIT, code cache, file listing)
         runs = []
@@ -251,6 +272,7 @@ def main():
     maintenance_split: dict[str, dict[str, float]] = {}
     for key in MAINTENANCE:
         phases = split_fns[key]
+        _release_dead_rdd_blocks(spark)
         spark.sparkContext._jvm.System.gc()
         b, o = phases(spark, sf_dir)
         b()
