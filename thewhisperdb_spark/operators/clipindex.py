@@ -80,7 +80,8 @@ def _clipmeta_write(spark: SparkSession, path: str, k: int,
 
 
 def _clipmeta(spark: SparkSession, path: str) -> tuple[int, int]:
-    r = spark.read.parquet(f"{path}/clipmeta").collect()[0]
+    from thewhisperdb_spark.operators.indexmeta import read_meta_rows
+    r = read_meta_rows(spark, f"{path}/clipmeta")[0]
     return int(r["k"]), int(r["bands"])
 
 
@@ -164,7 +165,8 @@ def clip_index_probe(spark: SparkSession, path: str, frames: DataFrame,
     shared = m.groupBy("a", "b").agg(
         F.count_distinct("vband_a", "fp_a").alias("sa"),
         F.count_distinct("vband_b", "fp_b").alias("sb"))
-    idx_meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    from thewhisperdb_spark.operators.indexmeta import read_meta_rows
+    idx_meta = read_meta_rows(spark, f"{path}/meta")[0]
     idx_ids = spark.read.schema(
         f"id {idx_meta['id_type']}, h long").parquet(f"{path}/hashes") \
         .select(_split_wid(F.col("id"), 0).alias("a"))

@@ -971,13 +971,15 @@ def _lsh_index_meta(spark, path: str) -> dict:
     version-mismatched indexes (same discipline as vectors._check_index_version)."""
     from pyspark.errors import AnalysisException
 
+    from thewhisperdb_spark.operators.indexmeta import read_meta_rows
+
     try:
-        rows = spark.read.parquet(f"{path}/meta").collect()
+        rows = read_meta_rows(spark, f"{path}/meta")
     except AnalysisException as e:
         raise ValueError(
             f"LSH index at {path} has no meta marker — not an index, or an "
             "interrupted build removed it; rebuild with lsh_index_build") from e
-    m = rows[0].asDict() if rows else {}
+    m = dict(rows[0]) if rows else {}
     ver = int(m.get("format_version", 0))
     if ver == -1:
         raise ValueError(

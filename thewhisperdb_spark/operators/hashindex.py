@@ -53,10 +53,11 @@ def _meta_writer(spark: SparkSession, path: str, max_hamming: int,
 
 
 def _hash_index_meta(spark: SparkSession, path: str) -> dict:
-    rows = spark.read.parquet(f"{path}/meta").collect()
+    from thewhisperdb_spark.operators.indexmeta import read_meta_rows
+    rows = read_meta_rows(spark, f"{path}/meta")
     if not rows:
         raise ValueError(f"hash index at {path} has an empty meta")
-    m = rows[0].asDict()
+    m = dict(rows[0])
     m.setdefault("width", 64)        # pre-r11 indexes banded all 64 bits
     if m["width"] is None:
         m["width"] = 64

@@ -73,6 +73,7 @@ the sentinel.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 
@@ -111,13 +112,70 @@ class ClaimLostError(ValueError):
     writer has written NOTHING and must not touch the sentinel."""
 
 
+def read_meta_rows(spark, meta_dir: str) -> list[dict]:
+    """All rows of a (1-row) meta/sentinel parquet directory, as dicts.
+
+    Local paths (no scheme, or file:) are read DRIVER-SIDE via pyarrow —
+    no Spark job (optimization r13): the claim protocol re-reads the
+    sentinel up to four times per mutation and the probes/appends read it
+    once more each, and every ``spark.read...collect()`` of a 1-row file
+    costs a whole ~100ms scheduled job; at 100 TB the meta is still one
+    row, so a driver-local read is the right shape at every scale.
+    Non-local schemes (hdfs://, s3a://) and ANY pyarrow failure fall back
+    to the Spark reader, so error behavior (AnalysisException for a
+    missing dir, the real cause for corruption) is exactly the old one.
+    """
+    import glob as _glob
+    from urllib.parse import urlparse
+
+    parsed = urlparse(meta_dir)
+    if parsed.scheme in ("", "file"):
+        base = parsed.path if parsed.scheme == "file" else meta_dir
+        parts = sorted(_glob.glob(os.path.join(base, "*.parquet")))
+        if parts:
+            try:
+                import pyarrow.parquet as pq
+                rows: list[dict] = []
+                for p in parts:
+                    rows.extend(pq.read_table(p).to_pylist())
+                return rows
+            except Exception:
+                pass  # unreadable -> Spark raises the canonical error
+    return [r.asDict() for r in spark.read.parquet(meta_dir).collect()]
+
+
+def parquet_row_count(spark, path: str) -> int:
+    """Exact row count of a parquet directory from file FOOTERS — for
+    metadata-scale sizing decisions (IVF centroid counts). Local paths
+    read the footers driver-side via pyarrow (no Spark job, no data
+    read — parquet footers carry exact row counts); non-local schemes
+    and any pyarrow failure fall back to a Spark count. Raises
+    AnalysisException via the Spark path for a missing directory (same
+    errors as before, optimization r13)."""
+    import glob as _glob
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        base = parsed.path if parsed.scheme == "file" else path
+        parts = _glob.glob(os.path.join(base, "*.parquet"))
+        if parts:
+            try:
+                import pyarrow.parquet as pq
+                return sum(pq.ParquetFile(p).metadata.num_rows
+                           for p in parts)
+            except Exception:
+                pass  # unreadable -> Spark raises the canonical error
+    return spark.read.parquet(path).count()
+
+
 def _read_version(spark, meta_dir: str):
     """format_version of the current sentinel (None for an empty meta)."""
     try:
-        rows = spark.read.parquet(meta_dir).collect()
+        rows = read_meta_rows(spark, meta_dir)
         if not rows:
             return None
-        return rows[0].asDict().get("format_version")
+        return rows[0].get("format_version")
     except Exception as e:  # torn meta from physically interleaved stamps
         raise ValueError(
             f"index meta at {meta_dir} is unreadable under a writer claim "

@@ -1042,8 +1042,10 @@ def _check_index_version(spark, path: str) -> dict:
     meta row as a dict (``id_type`` may be absent on pre-r8 metas)."""
     from pyspark.errors import AnalysisException
 
+    from thewhisperdb_spark.operators.indexmeta import read_meta_rows
+
     try:
-        meta = spark.read.parquet(f"{path}/meta").collect()
+        meta = read_meta_rows(spark, f"{path}/meta")
     except AnalysisException as e:
         raise ValueError(
             f"IVF index at {path} has no meta/format marker — it was built "
@@ -1061,7 +1063,7 @@ def _check_index_version(spark, path: str) -> dict:
             f"IVF index at {path} is format v{ver}, this build writes "
             f"v{INDEX_FORMAT_VERSION}; sketches across versions do not "
             "compare equal — rebuild with ivf_index_build")
-    return meta[0].asDict() if meta else {}
+    return dict(meta[0]) if meta else {}
 
 
 def _ivf_meta_writer(spark, path: str, id_type: str | None = None):
@@ -1077,8 +1079,10 @@ def _ivf_meta_writer(spark, path: str, id_type: str | None = None):
     meta already records (or omits, on pre-r8 metas)."""
     if id_type is None:
         try:
-            rows = spark.read.parquet(f"{path}/meta").collect()
-            id_type = rows[0].asDict().get("id_type") if rows else None
+            from thewhisperdb_spark.operators.indexmeta import (
+                read_meta_rows)
+            rows = read_meta_rows(spark, f"{path}/meta")
+            id_type = rows[0].get("id_type") if rows else None
         except Exception:
             id_type = None
 
@@ -1230,8 +1234,10 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame,
 
     _check_index_version(spark, path)
     try:
+        from thewhisperdb_spark.operators.indexmeta import (
+            parquet_row_count)
         cents = spark.read.parquet(f"{path}/centroids")
-        n_cells = cents.count()
+        n_cells = parquet_row_count(spark, f"{path}/centroids")
     except AnalysisException:
         n_cells = 0
     if n_cells == 0:
@@ -1354,7 +1360,9 @@ def ivf_index_delete(spark, path: str, ids: DataFrame,
                 "nothing (cast the ids first)")
         lists = (lists.join(F.broadcast(del_ids), id_col, "left_anti")
                  .localCheckpoint(eager=True))
-        n_cells = spark.read.parquet(f"{path}/centroids").count()
+        from thewhisperdb_spark.operators.indexmeta import (
+            parquet_row_count)
+        n_cells = parquet_row_count(spark, f"{path}/centroids")
     except Exception:
         release_claim(spark, meta_dir, token)      # nothing written
         raise
@@ -1380,7 +1388,9 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
 
     _check_index_version(spark, path)
     try:
-        n_cents = spark.read.parquet(f"{path}/centroids").count()
+        from thewhisperdb_spark.operators.indexmeta import (
+            parquet_row_count)
+        n_cents = parquet_row_count(spark, f"{path}/centroids")
         per_cell = (spark.read.parquet(f"{path}/lists")
                     .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
     except AnalysisException:
